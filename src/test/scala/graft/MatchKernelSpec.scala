@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.MatchKernel
+
+/**
+ * MatchKernel is validated against an independent, definition-level
+ * implementation of the z-normalized Euclidean distance (explicitly
+ * z-normalize each window, then take the plain L2 distance) rather than
+ * the optimized Pearson-correlation form used in the kernel.
+ */
+class MatchKernelSpec extends AnyFunSuite {
+
+  private def znorm(xs: Array[Double]): Array[Double] = {
+    val m = xs.sum / xs.length
+    val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.length)
+    if (sd == 0.0) Array.fill(xs.length)(0.0) else xs.map(x => (x - m) / sd)
+  }
+
+  private def naiveProfile(q: Array[Double], t: Array[Double]): Array[Double] = {
+    val zq = znorm(q)
+    (0 to t.length - q.length).map { s =>
+      val w = t.slice(s, s + q.length)
+      val zw = znorm(w)
+      math.sqrt(zq.zip(zw).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.toArray
+  }
+
+  test("distanceProfile agrees with definition-level z-norm Euclidean") {
+    val rnd = new scala.util.Random(7)
+    val t = Array.fill(200)(rnd.nextDouble() * 100 - 50)
+    val q = Array.fill(13)(rnd.nextDouble() * 100 - 50)
+    val got = MatchKernel.distanceProfile(q, t)
+    val want = naiveProfile(q, t)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-8, s"$g vs $w") }
+  }
+
+  test("identical subsequence has distance ~0 and is matched first") {
+    val t = Array.tabulate(100)(i => math.sin(i / 5.0) * 10)
+    val q = t.slice(40, 55)
+    val ms = MatchKernel.matches(q, t, maxDistance = 1e-6)
+    assert(ms.nonEmpty)
+    assert(ms.head._2 == 40)
+    assert(ms.head._1 < 1e-9)
+  }
+
+  test("z-normalization makes matching scale/offset invariant") {
+    val t = Array.tabulate(100)(i => math.sin(i / 5.0) * 10)
+    val q = t.slice(40, 55).map(x => x * 3.0 + 17.0) // affine transform
+    val ms = MatchKernel.matches(q, t, maxDistance = 1e-6)
+    assert(ms.exists(_._2 == 40))
+  }
+
+  test("exclusion zone ceil(m/4) suppresses overlapping matches") {
+    // periodic series: pattern of length 8 recurs every 20 points
+    val t = Array.tabulate(100)(i => math.sin(i * 2 * math.Pi / 20))
+    val q = t.slice(0, 8)
+    val ms = MatchKernel.matches(q, t, maxDistance = 0.5)
+    val idxs = ms.map(_._2).sorted
+    // no two accepted matches closer than ceil(8/4)=2... they must differ by > 2
+    idxs.sliding(2).foreach {
+      case Seq(a, b) => assert(b - a > 2, s"overlapping matches at $a,$b")
+      case _ =>
+    }
+    assert(ms.size >= 4) // ~5 periods present
+  }
+
+  test("constant-window conventions: const/const -> 0, one-sided const -> sqrt(m)") {
+    val cq = Array.fill(5)(3.0)
+    val t = Array(1.0, 1, 1, 1, 1, 1, 9, 1, 1, 1, 1)
+    val d = MatchKernel.distanceProfile(cq, t)
+    assert(d(0) == 0.0)                       // both constant
+    assert(math.abs(d(4) - math.sqrt(5.0)) < 1e-12) // window [1,1,9,1,1] non-const vs const q
+    val q2 = Array(1.0, 2, 3, 4, 5)
+    val t2 = Array.fill(10)(7.0)
+    assert(MatchKernel.distanceProfile(q2, t2).forall(x => math.abs(x - math.sqrt(5.0)) < 1e-12))
+  }
+
+  test("subThresholdCount counts every offset without suppression") {
+    val t = Array.tabulate(60)(i => math.sin(i * 2 * math.Pi / 10))
+    val q = t.slice(0, 10)
+    val all = MatchKernel.subThresholdCount(q, t, 0.5)
+    val suppressed = MatchKernel.matchCount(q, t, 0.5)
+    assert(all >= suppressed)
+    assert(suppressed >= 1)
+  }
+
+  test("degenerate shapes") {
+    assert(MatchKernel.distanceProfile(Array.emptyDoubleArray, Array(1.0, 2)).isEmpty)
+    assert(MatchKernel.distanceProfile(Array(1.0, 2, 3), Array(1.0, 2)).isEmpty)
+    assert(MatchKernel.matchCount(Array(1.0, 2, 3), Array(1.0, 2), 10.0) == 0)
+  }
+}
