@@ -145,8 +145,11 @@ object EntropyCore {
   def segmentationEntropyOfPairs(values: Array[Double], classes: Array[Int],
                                  applyWorstCase: Boolean = true): Double = {
     val n = values.length
-    val idx = Array.range(0, n).sortBy(i => (values(i), classes(i)))
-    val sv = idx.map(values)
+    // IEEE semantics: -0.0 == 0.0, so class must break the tie — Scala's
+    // total ordering would instead sort -0.0 < 0.0 and split the run.
+    val canon = values.map(v => if (v == 0.0) 0.0 else v)
+    val idx = Array.range(0, n).sortBy(i => (canon(i), classes(i)))
+    val sv = idx.map(canon)
     val sc = idx.map(classes)
     val rewritten = if (applyWorstCase) worstCaseRewrite(sv, sc) else sc
     segmentationEntropy(rewritten)

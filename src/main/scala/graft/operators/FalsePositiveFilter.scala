@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.MatchKernel
+
+/**
+ * T1/A9 (SURVEY.md §2.7): subsequence-match false-positive filter —
+ * `false_positive_filter`
+ * (`/root/reference/exstream/false_positive_filtering.py:8-52`).
+ *
+ * A feature explains an anomaly only if its window pattern is RARE inside
+ * the full reference series: kept iff the z-normalized match count is
+ * <= matchCountKeep; if nothing survives in a window, the feature with the
+ * fewest matches is kept as fallback (argmin with first-occurrence
+ * tie-break in column order, `:46`).
+ *
+ * Distribution shape: the per-feature reference series (all ref windows
+ * concatenated in trace/label order, `script_1.py:66` passes the full
+ * `refs` frame) is collected once per feature — one row of ~1e5 doubles —
+ * and broadcast-joined to the per-(window, feature) patterns; each match
+ * count is an independent task, so the O(n*m) kernels fan out across the
+ * cluster. Series order is canonicalized to (trace_id, label_row,
+ * timestamp); the reference's order depends on os.listdir and is not
+ * deterministic (SURVEY §4a quirk 7).
+ *
+ * `patternFromRefWindow = true` reproduces the committed script, which
+ * passes `ano_ref` — the anomaly's REFERENCE window — as the pattern
+ * (`script_1.py:65-66`); `false` uses the anomaly window, the documented
+ * intent. Both are supported; the default is script-faithful.
+ */
+object FalsePositiveFilter {
+
+  private val matchCountUdf = udf {
+    (pattern: Seq[Row], series: Seq[Double], maxDistance: Double) =>
+      val q = pattern.sortBy(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .map(_.getDouble(3)).toArray
+      MatchKernel.matchCount(q, series.toArray, maxDistance)
+  }
+
+  /**
+   * @param obs observation table `(window_key, trace_id, ano_id, ano_type,
+   *            timestamp, type_data, feature, value)` — refs AND anos
+   * @param featIdx mapping feature -> original column position (tie-break)
+   * @return `(window_key, feature, n_matches, kept)`
+   */
+  def matchCounts(
+      obs: DataFrame,
+      featIdx: Map[String, Int],
+      maxDistance: Double,
+      matchCountKeep: Int,
+      patternFromRefWindow: Boolean): DataFrame = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+
+    // full reference series per feature, canonical order
+    val series = obs
+      .where($"type_data" === 0)
+      .groupBy("feature")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(
+            $"trace_id", $"window_key", $"timestamp", $"value".cast("double").as("value")))),
+          x => x.getField("value")
+        ).as("series"))
+
+    // pattern = this window's ref rows (script-faithful) or ano rows
+    val patternClass = if (patternFromRefWindow) 0 else 1
+    val patterns = obs
+      .where($"type_data" === patternClass)
+      .groupBy("window_key", "feature")
+      .agg(collect_list(struct(
+        $"trace_id".as("t"), $"timestamp".cast("long").as("ts"),
+        $"type_data".cast("int").as("c"),
+        $"value".cast("double").as("v"))).as("pattern"))
+
+    val idxUdf = udf((f: String) => featIdx.getOrElse(f, Int.MaxValue))
+    val counted = patterns
+      .join(broadcast(series), "feature")
+      .withColumn("n_matches",
+        matchCountUdf(col("pattern"), col("series"), lit(maxDistance)))
+      .withColumn("feat_idx", idxUdf(col("feature")))
+      .select("window_key", "feature", "feat_idx", "n_matches")
+
+    // kept iff n <= threshold; argmin-fallback if a window keeps nothing
+    val wWin = Window.partitionBy("window_key")
+    val wMin = Window.partitionBy("window_key").orderBy(col("n_matches").asc, col("feat_idx").asc)
+    counted
+      .withColumn("passes", col("n_matches") <= matchCountKeep)
+      .withColumn("any_pass", max(when(col("passes"), 1).otherwise(0)).over(wWin) === 1)
+      .withColumn("min_rank", row_number().over(wMin))
+      .withColumn("kept", col("passes") || (!col("any_pass") && col("min_rank") === 1))
+      .select("window_key", "feature", "n_matches", "kept")
+  }
+
+  /** Restrict an observation table to the features kept per window. */
+  def filterObservations(obs: DataFrame, kept: DataFrame): DataFrame =
+    obs.join(
+      kept.where(col("kept")).select("window_key", "feature"),
+      Seq("window_key", "feature"),
+      "left_semi")
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.sources.Sources
+
+/**
+ * End-to-end pipeline tests against the fixture traces under
+ * `src/test/resources/traces` (FIXTURES.md A1/A2). Expected explanations
+ * were produced by executing the REFERENCE implementation
+ * (`/root/reference/utils/get_data.py` + `entropy_based_single_reward_feature.py`,
+ * with the notebook-intent shuffle of `testing.ipynb` cell 8 for
+ * applyWorstCase=true and the deterministic min-index cluster
+ * representative for cluster=true) on the same fixture.
+ */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val fixtureDir = "src/test/resources/traces"
+
+  private lazy val loaded = {
+    val (traceLong, featureOrder) = Sources.readAllTraces(spark, fixtureDir, "labels")
+    val labels = Sources.readLabels(spark, s"$fixtureDir/labels.csv")
+    val obs = IntervalLabeler.labelObservations(traceLong, labels).cache()
+    (obs, featureOrder, labels)
+  }
+
+  private def explanationMap(cfg: ExstreamConfig): Map[String, Seq[String]] = {
+    val (obs, featureOrder, _) = loaded
+    ExstreamPipeline.explanatoryFeatures(obs, featureOrder, cfg)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+      .toMap
+  }
+
+  private val allWindows = Seq(
+    "bursty input_1_1_0", "bursty input_1_1_1",
+    "stalled input_2_1_2", "stalled input_2_1_3")
+
+  test("interval bounds: ref half-open, ano closed (get_data.py:86-95)") {
+    val (obs, featureOrder, _) = loaded
+    import spark.implicits._
+    val counts = obs
+      .filter($"window_key" === "bursty input_1_1_0" && $"feature" === "f_sep")
+      .groupBy("type_data").count().as[(Int, Long)].collect().toMap
+    assert(counts(0) == 100L) // [0, 100)
+    assert(counts(1) == 51L)  // [200, 250]
+  }
+
+  test("feature order discovered dynamically from trace header") {
+    val (_, featureOrder, _) = loaded
+    assert(featureOrder == Seq("f_sep", "f_tied", "f_const", "f_corr", "f_noise", "f_repeat"))
+  }
+
+  test("rewards match reference bit-for-bit (script mode, window 0)") {
+    val (obs, _, _) = loaded
+    import spark.implicits._
+    val got = EntropyReward.rewards(obs, applyWorstCase = false)
+      .filter($"window_key" === "bursty input_1_1_0")
+      .select("feature", "reward")
+      .as[(String, Double)].collect().toMap
+    val want = Map(
+      "f_sep" -> 3.3806489108067477, "f_const" -> 3.3806489108067477,
+      "f_corr" -> 3.3806489108067477, "f_tied" -> 0.44652179825385957,
+      "f_noise" -> 0.24705112235744833, "f_repeat" -> 0.24281698713383848)
+    want.foreach { case (f, w) =>
+      assert(math.abs(got(f) - w) < 1e-9, s"$f: ${got(f)} vs $w")
+    }
+  }
+
+  test("explanations: cluster=F, script-mode shuffle (no-op)") {
+    val got = explanationMap(ExstreamConfig(cluster = false, applyWorstCase = false))
+    allWindows.foreach { w =>
+      assert(got(w) == Seq("f_sep", "f_const", "f_corr"), s"window $w: ${got(w)}")
+    }
+  }
+
+  test("explanations: cluster=F, notebook-intent shuffle") {
+    val got = explanationMap(ExstreamConfig(cluster = false, applyWorstCase = true))
+    allWindows.foreach { w => assert(got(w) == Seq("f_sep", "f_corr"), s"window $w: ${got(w)}") }
+  }
+
+  test("explanations: cluster=T drops the 0.999-correlated twin") {
+    val gotScript = explanationMap(ExstreamConfig(cluster = true, applyWorstCase = false))
+    allWindows.foreach { w => assert(gotScript(w) == Seq("f_sep", "f_const"), s"$w: ${gotScript(w)}") }
+    val gotIntent = explanationMap(ExstreamConfig(cluster = true, applyWorstCase = true))
+    allWindows.foreach { w => assert(gotIntent(w) == Seq("f_sep"), s"$w: ${gotIntent(w)}") }
+  }
+
+  test("false-positive filter drops the recurring-pattern feature, keeps rare ones") {
+    val (obs, featureOrder, _) = loaded
+    import spark.implicits._
+    // m=100 window => z-norm distances lie in [0, 20]; 5.0 separates
+    // periodic recurrence (near-0 at period offsets) from noise (~14).
+    val counts = FalsePositiveFilter.matchCounts(
+      obs, featureOrder.zipWithIndex.toMap,
+      maxDistance = 5.0, matchCountKeep = 5, patternFromRefWindow = true)
+      .filter($"window_key" === "bursty input_1_1_0")
+      .select("feature", "n_matches", "kept")
+      .as[(String, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!counts("f_repeat")._2, s"f_repeat should be dropped: $counts")
+    assert(counts("f_repeat")._1 > 5)
+    assert(counts("f_noise")._2, s"f_noise should be kept: $counts")
+    val filtered = FalsePositiveFilter.filterObservations(
+      obs, FalsePositiveFilter.matchCounts(
+        obs, featureOrder.zipWithIndex.toMap, 5.0, 5, patternFromRefWindow = true))
+    val feats = filtered.filter($"window_key" === "bursty input_1_1_0")
+      .select("feature").distinct().as[String].collect().toSet
+    assert(!feats.contains("f_repeat"))
+  }
+
+  test("constructExplanations: full output schema, determinism, instability range") {
+    val cfg = ExstreamConfig(cluster = false, applyWorstCase = true, instabilityRounds = 2)
+    val out1 = ExstreamPipeline.constructExplanations(spark, fixtureDir, "labels", cfg)
+      .orderBy("trace_id", "ano_id").collect()
+    assert(out1.length == 4)
+    out1.foreach { r =>
+      val exp = r.getSeq[Int](2)
+      assert(exp.nonEmpty && exp.forall(_ >= 0))
+      assert(r.getInt(3) == exp.size) // exp_size
+      val inst = r.getDouble(4)
+      assert(inst >= 0.0 && !inst.isNaN)
+    }
+    // main explanation (index path) matches the golden: [0, 3] = f_sep, f_corr
+    assert(out1.forall(_.getSeq[Int](2) == Seq(0, 3)))
+    // seeded determinism (reference is unseeded — SURVEY §4a quirk 7)
+    val out2 = ExstreamPipeline.constructExplanations(spark, fixtureDir, "labels", cfg)
+      .orderBy("trace_id", "ano_id").collect()
+    assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
+}
