@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis column builders for large-scale training-data pipelines:
+ * tokenization, language-ID heuristic, quality scoring, fingerprinting.
+ * Everything here is composed from built-in (codegen'd) SQL functions —
+ * no UDFs — so plans stay inside whole-stage codegen and push down
+ * through Catalyst untouched.
+ */
+object TextFunctions {
+
+  /** Whitespace tokenization (the `documents` fixture is single-space
+    * separated; `\\s+` keeps it robust to runs of whitespace). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct word set — the unit for set-based similarity. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles (default 3): positions i..i+n-1 joined by a
+    * space. Empty array when the document is shorter than n tokens. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array())
+  }
+
+  /** Distinct shingle set. */
+  def shingleSet(text: Column, n: Int = 3): Column = array_distinct(shingles(text, n))
+
+  /** Jaccard similarity of two pre-distinct arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /**
+   * Crude n-gram/stopword language-ID heuristic: count hits of
+   * language-marker words, predict the argmax, 'und' (undetermined) when
+   * nothing matches. Deliberately simple and SQL-expressible so the same
+   * logic runs in the DuckDB oracle; a production pipeline would swap in
+   * a character-n-gram model via the same column contract.
+   */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    def hits(words: Seq[String]): Column =
+      words.map(w => size(split(padded, s" $w ")) - 1).reduce(_ + _)
+    val en = hits(Seq("the", "a", "of"))
+    val de = hits(Seq("der", "und", "die"))
+    val es = hits(Seq("el", "la", "los"))
+    val fr = hits(Seq("le", "les", "des"))
+    when(greatest(en, de, es, fr) === 0, "und")
+      .when(en >= greatest(de, es, fr), "en")
+      .when(de >= greatest(es, fr), "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /**
+   * Document quality score in [0,1]: mean of
+   *  - length score: min(1, n_tokens/64)
+   *  - alpha ratio: fraction of [a-z ] characters
+   *  - mean-token-length score: min(1, avg_len/8)
+   * Mirrors the usual length/punctuation/stopword-ratio heuristics of
+   * web-scale corpus filtering.
+   */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenScore = least(lit(1.0), n / 64.0)
+    val alpha = length(regexp_replace(text, "[^a-z ]", "")).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val avgTok = length(text).cast("double") / greatest(n, lit(1.0))
+    val tokScore = least(lit(1.0), avgTok / 8.0)
+    (lenScore + alpha + tokScore) / 3.0
+  }
+
+  /** Min-hash-style document fingerprint: lexicographic min of per-token
+    * md5 hex digests. Stable across engines (md5 is standardized), cheap,
+    * and a 1-permutation MinHash — documents sharing it are near-dup
+    * candidates. */
+  def fingerprint(text: Column): Column =
+    array_min(transform(tokenSet(text), t => md5(t)))
+
+  /** 64-bit token hash for MinHash permutations: xxhash64 with a seed
+    * column mixed in (codegen'd, no UDF). */
+  def seededTokenHash(tok: Column, seed: Int): Column = xxhash64(lit(seed), tok)
+
+  /** MinHash signature: array of k minima of seeded token hashes. */
+  def minhashSignature(text: Column, k: Int): Column = {
+    val toks = tokenSet(text)
+    array((0 until k).map(s => array_min(transform(toks, t => seededTokenHash(t, s)))): _*)
+  }
+
+  /** SimHash over the token multiset (term-frequency weighted), pure Scala
+    * kernel — exercised via a UDF because bit-bucketed popcount folding has
+    * no built-in equivalent. */
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
+        (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, Multimodal}
+import graft.functions.TextFunctions
+
+/** Training-data operators over the real sf0.001 testdata tables. */
+class TrainingOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("training-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  test("exact dedup: md5 groups, counts consistent") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() == docs.count())
+    assert(out.where(col("dup_count") < 1).count() == 0)
+  }
+
+  test("minhash LSH finds every high-jaccard pair the exact blocked join finds") {
+    import spark.implicits._
+    // exact pairs (single block = all docs; fine at 500 rows)
+    val exact = Dedup.ngramJaccardPairs(
+      docs.withColumn("b", lit(1)), "doc_id", "text", "b", n = 3, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // LSH verification step uses the same exact jaccard -> lsh ⊆ exact,
+    // and with 16 bands of 4 recall at j>=0.8 should be ~1 here
+    assert(lsh.subsetOf(exact), s"LSH produced non-exact pairs: ${lsh -- exact}")
+    assert(exact.isEmpty || lsh == exact,
+      s"LSH missed ${exact -- lsh} of ${exact.size} exact pairs")
+  }
+
+  test("simhash pairs have verified hamming distance") {
+    import spark.implicits._
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+    assert(pairs.where(col("hamming") > 8).count() == 0)
+    // sanity: a doc is trivially hamming-0 from itself
+    assert(TextFunctions.hammingDistance(TextFunctions.simhash64(Seq("a", "b")),
+      TextFunctions.simhash64(Seq("a", "b"))) == 0)
+  }
+
+  test("brute-force knn: planted duplicate vector is the top-1 neighbor") {
+    import spark.implicits._
+    val q = embs.where(col("vec_id") === 0)
+      .select(col("vec_id") + 100000, col("embedding"), col("label"))
+      .toDF("vec_id", "embedding", "label")
+    val corpus = embs.unionByName(q)
+    val knn = Similarity.bruteForceKnn(corpus, q, "vec_id", "embedding", k = 3)
+    val top = knn.where(col("rank") === 1).select("neighbor_id", "cosine")
+      .as[(Long, Double)].head()
+    assert(top._1 == 0L)
+    assert(math.abs(top._2 - 1.0) < 1e-9)
+  }
+
+  test("LSH near-dup pairs are a subset of exact pairs at the same threshold") {
+    import spark.implicits._
+    val exact = Similarity.exactNearDupPairs(embs, "vec_id", "embedding", minCosine = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(embs, "vec_id", "embedding", nBits = 4, minCosine = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("multimodal: packed binary metadata + deterministic frame features") {
+    import spark.implicits._
+    val packed = Multimodal.packBinary(docs, "doc_id", "text", mime = "text/plain")
+    val feats = Multimodal.extractFrameFeatures(packed, "doc_id", frameBytes = 64)
+    val row = feats.join(docs, "doc_id").where(col("doc_id") === 0)
+      .select("n_bytes", "n_frames", "frame_features").head()
+    val nBytes = row.getLong(0)
+    assert(row.getInt(1) == math.ceil(nBytes / 64.0).toInt)
+    val again = Multimodal.extractFrameFeatures(packed, "doc_id", frameBytes = 64)
+      .where(col("doc_id") === 0).select("frame_features").head().getSeq[Double](0)
+    assert(row.getSeq[Double](2) == again)
+    // byte-mean features are bounded
+    assert(again.forall(f => f >= 0.0 && f <= 255.0))
+  }
+}
