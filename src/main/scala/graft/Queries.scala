@@ -1,0 +1,698 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.{MatchKernel, TextFunctions => TF}
+import graft.operators._
+
+/**
+ * The engine's operator inventory (SURVEY.md §2) exercised as named
+ * queries over the driver testdata (TESTDATA.md), each with a DuckDB
+ * oracle in [[Queries.oracleSql]] where the semantics are SQL-expressible.
+ *
+ * Float parity strategy with the oracle:
+ *  - sums of doubles go through DECIMAL(18,s) casts (exact arithmetic both
+ *    engines), cast back to double at the end;
+ *  - averages are `exact_sum / count` — one double division of identical
+ *    operands;
+ *  - genuinely floating aggregations (corr, entropies, cosine) are rounded
+ *    (6 or 4 dp) AFTER all ordering-sensitive arithmetic;
+ *  - every query ends in an ORDER BY on a unique key, mirrored in the SQL.
+ */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is nanosecond-precision parquet, which Spark rejects by
+    // default; read it as a long (nanoseconds since epoch). The generator
+    // emits whole microseconds, so ts/1000 is exact and matches DuckDB's
+    // micro-precision TIMESTAMP bit for bit.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Event time as exact microseconds-since-epoch (LongType); the oracle
+    * counterpart is DuckDB's `epoch_us(ts)` — integer arithmetic on both
+    * sides, no float boundary risk in interval predicates. */
+  private def tsMicros: Column = (col("ts") / lit(1000L)).cast("long")
+
+  private def decSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  // event class used by the entropy queries: "anomalous" event types
+  private def clsCol: Column =
+    when(col("event_type").isin("purchase", "error"), 1).otherwise(0)
+
+  // unique jittered sort value: doubles stay exact (event_id*1e-6 is well
+  // above ulp at these magnitudes) and identical in DuckDB
+  private def jitterVal: Column = col("value") + col("event_id") * lit(1e-6)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / projections / filters (S1-S6, P1-P9) ----
+    "q01_scan_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q02_filter_prefix_range" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("event_type").startsWith("s") &&
+          col("value") >= 50 && col("value") <= 150)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    "q03_project_rename" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey").as("okey"),
+          col("o_totalprice").as("price"),
+          upper(col("o_orderstatus")).as("status"))
+        .orderBy("okey")),
+
+    // ---- joins (J1-J3) ----
+    "q04_join_broadcast_star" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val sup = broadcast(t(s, d, "supplier"))
+      val nat = broadcast(t(s, d, "nation"))
+      val reg = broadcast(t(s, d, "region"))
+      li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+        .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q05_interval_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select(col("user_id"), tsMicros.as("us"), col("value"))
+      val spans = e.groupBy("user_id")
+        .agg(min("us").as("start"), ((min("us") + max("us")) / 2).as("mid"))
+      e.join(broadcast(spans), Seq("user_id"))
+        .where(col("us") >= col("start") && col("us") < col("mid"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_in_span"), decSum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
+    // ---- set ops (U1-U2) ----
+    "q06_union_distinct" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+      val su = t(s, d, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+      c.unionByName(su).groupBy("nationkey").agg(count(lit(1)).as("n_sources"))
+        .orderBy("nationkey")
+    }),
+
+    // ---- aggregations (A2-A4, A8) ----
+    "q07_agg_group_counts" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          decSum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q08_count_distinct_per_group" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("n_types"),
+          countDistinct(date_format(timestamp_micros(tsMicros), "yyyy-MM-dd")).as("n_days"))
+        .orderBy("user_id")),
+
+    "q09_avg_minmax" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          (decSum(col("o_totalprice")) / count(lit(1))).as("avg_price"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .orderBy("o_orderpriority")),
+
+    // ---- entropy family (A5, A6, A7, A10) ----
+    "q10_class_entropy" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          sum(clsCol).as("n_ano"),
+          sum(lit(1) - clsCol).as("n_ref"))
+        .where(col("n_ano") > 0 && col("n_ref") > 0)
+        .withColumn("class_entropy",
+          round(EntropyReward.classEntropyCol(col("n_ano"), col("n_ref")), 6))
+        .orderBy("user_id")),
+
+    "q11_seg_entropy" -> ((s, d) => {
+      val obs = t(s, d, "events").select(
+        col("user_id").cast("string").as("window_key"),
+        lit("value").as("feature"),
+        jitterVal.as("value"),
+        clsCol.as("type_data"))
+      EntropyReward.rewards(obs, applyWorstCase = true)
+        .where(col("n_ano") > 0 && col("n_ref") > 0)
+        .select(
+          col("window_key").cast("long").as("user_id"),
+          col("n_ano"), col("n_ref"),
+          round(col("class_entropy"), 6).as("class_entropy"),
+          round(col("segmentation_entropy"), 6).as("segmentation_entropy"),
+          round(col("reward"), 6).as("reward"))
+        .orderBy("user_id")
+    }),
+
+    "q16_entropy_multiset" -> ((s, d) => {
+      val c = t(s, d, "events").groupBy("user_id", "event_type").agg(count(lit(1)).as("k"))
+      val tot = c.groupBy("user_id").agg(sum("k").as("n"))
+      c.join(tot, "user_id")
+        .withColumn("p", col("k").cast("double") / col("n"))
+        .groupBy("user_id")
+        .agg(round(sum(-col("p") * log2(col("p"))), 6).as("h"))
+        .orderBy("user_id")
+    }),
+
+    // ---- windows / ranking / leap (W1-W6, A9) ----
+    "q12_window_lag_leap" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+      t(s, d, "lineitem")
+        .withColumn("prev", lag("l_extendedprice", 1).over(w))
+        .withColumn("leap", col("prev") - col("l_extendedprice"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"), round(max("leap"), 6).as("max_leap"))
+        .where(col("n_items") >= 2)
+        .orderBy("l_orderkey")
+    }),
+
+    "q13_leap_cutoff" -> ((s, d) => {
+      val rewards = t(s, d, "lineitem").select(
+        col("l_orderkey").cast("string").as("window_key"),
+        col("l_linenumber").cast("string").as("feature"),
+        col("l_extendedprice").as("reward"),
+        col("l_linenumber").as("feat_idx"))
+      LeapFilter.keptFeatures(rewards)
+        .select(
+          col("window_key").cast("long").as("l_orderkey"),
+          col("feature").cast("int").as("l_linenumber"),
+          col("rank"))
+        .orderBy("l_orderkey", "rank")
+    }),
+
+    "q14_first_last_minby" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .withColumn("val_key", col("value") * 1e7 + col("event_id"))
+        .withColumn("ts_key", tsMicros * lit(1000L) + col("event_id"))
+      e.groupBy("user_id")
+        .agg(
+          min_by(col("event_type"), col("val_key")).as("cheapest_type"),
+          max_by(col("event_type"), col("val_key")).as("priciest_type"),
+          min_by(col("event_type"), col("ts_key")).as("first_type"),
+          max_by(col("event_type"), col("ts_key")).as("last_type"))
+        .orderBy("user_id")
+    }),
+
+    "q17_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("s_nationkey")
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+      t(s, d, "supplier")
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 2)
+        .select("s_nationkey", "rank", "s_suppkey", "s_acctbal")
+        .orderBy("s_nationkey", "rank")
+    }),
+
+    // ---- correlation (A1) ----
+    "q15_corr" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"))
+        .orderBy("l_returnflag")),
+
+    // ---- sampling (M1; seeded, rows-only check) ----
+    "q18_sample_seeded" -> ((s, d) =>
+      t(s, d, "part")
+        .sample(withReplacement = false, 0.3, 42L)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("p_brand")),
+
+    // ---- melt / long format (the engine-internal representation) ----
+    "q19_melt_long" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_orderkey") < 50)
+        .selectExpr(
+          "l_orderkey", "l_linenumber",
+          "stack(4, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice, " +
+            "'l_discount', l_discount, 'l_tax', l_tax) as (feature, value)")
+        .orderBy("l_orderkey", "l_linenumber", "feature")),
+
+    // ---- the flagship: EXstream explanation over a generic event table ----
+    "q20_exstream_explain" -> ((s, d) => exstreamExplain(s, d)),
+
+    // ---- dedup / text ops over documents ----
+    "q21_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q22_text_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_text"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+          TF.tokenCount(col("text")), 6).as("avg_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    "q23_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), TF.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    "q24_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), round(TF.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")),
+
+    "q25_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    "q26_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 64, bands = 16, shingleN = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("doc_a", "doc_b")),
+
+    "q27_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "lang",
+        n = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("doc_a", "doc_b")),
+
+    "q28_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+
+    // ---- similarity search over embeddings ----
+    "q29_knn_bruteforce" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val q = embs.where(col("vec_id") < 8)
+      Similarity.bruteForceKnn(embs, q, "vec_id", "embedding", k = 5)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q30_ann_lsh" -> ((s, d) =>
+      Similarity.lshNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        nBits = 6, minCosine = 0.4)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("id_a", "id_b")),
+
+    "q31_neardup_exact" -> ((s, d) =>
+      Similarity.exactNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.4)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("id_a", "id_b")),
+
+    // ---- multimodal plumbing ----
+    "q32_multimodal_meta" -> ((s, d) => {
+      val packed = Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text")
+      Multimodal.extractFrameFeatures(packed, "doc_id", frameBytes = 64)
+        .select("doc_id", "n_bytes", "content_md5", "n_frames")
+        .orderBy("doc_id")
+    }),
+
+    // ---- scalar/json/time functions ----
+    "q33_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("event_type")),
+
+    "q34_time_bucket" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(timestamp_micros(tsMicros), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day")),
+
+    // ---- subsequence matching (T1) ----
+    "q35_distance_profile" -> ((s, d) => {
+      val profileCount = udf { (vals: Seq[Double]) =>
+        val arr = vals.toArray
+        val q = arr.take(8)
+        MatchKernel.subThresholdCount(q, arr, 3.0)
+      }
+      t(s, d, "events")
+        .select(col("user_id"),
+          tsMicros.as("us"), col("event_id"), jitterVal.as("v"))
+        .groupBy("user_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"), col("v")))),
+          x => x.getField("v")).as("series"))
+        .where(size(col("series")) >= 8)
+        .select(col("user_id"), size(col("series")).as("n"),
+          profileCount(col("series")).as("n_matches"))
+        .orderBy("user_id")
+    }))
+
+  /**
+   * Flagship: explain "what changed in the second half of each user's
+   * event stream" — the EXstream query applied to a generic event table.
+   * Windows: per user, reference = first half by time, anomaly = second
+   * half; features = event types carrying their `value`.
+   */
+  def exstreamExplain(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), tsMicros.as("us"))
+    val spans = e.groupBy("user_id").agg(((min("us") + max("us")) / 2).as("mid"))
+    val obs = e.join(broadcast(spans), "user_id")
+      .select(
+        col("user_id").cast("string").as("window_key"),
+        col("event_type").as("feature"),
+        (col("value") + col("event_id") * lit(1e-6)).as("value"),
+        when(col("us") >= col("mid"), 1).otherwise(0).as("type_data"))
+    val featIdx = Map("click" -> 0, "view" -> 1, "purchase" -> 2, "signup" -> 3, "error" -> 4)
+    val idxUdf = udf((f: String) => featIdx.getOrElse(f, Int.MaxValue))
+    val rewards = EntropyReward.rewards(obs, applyWorstCase = true)
+      .where(col("n_ano") > 0 && col("n_ref") > 0) // feature must observe both halves
+      .withColumn("feat_idx", idxUdf(col("feature")))
+    LeapFilter.explanations(rewards)
+      .select(col("window_key").cast("long").as("user_id"),
+        col("features"), size(col("features")).as("n_features"))
+      .orderBy("user_id")
+  }
+}
+
+/**
+ * DuckDB oracle SQL for [[Queries.queries]] — same tables, same column
+ * names, same ORDER BY, and the same floating-point operation structure
+ * (see the parity notes on Queries). Queries with engine-specific hashing
+ * (xxhash64 minhash/simhash/LSH) or seeded sampling have no SQL oracle and
+ * get the driver's rows-only check.
+ */
+object Oracles {
+
+  // shared SQL fragments, kept textually identical across queries
+  private val dot = (a: String, b: String) =>
+    s"list_sum(list_transform(list_zip($a,$b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+  private val clsSql = "CASE WHEN event_type IN ('purchase','error') THEN 1 ELSE 0 END"
+  private val ceSql = // class entropy from n_ano/n_ref, mirroring classEntropyCol
+    "(n_ano*1.0/(n_ano+n_ref))*log2(1.0/(n_ano*1.0/(n_ano+n_ref))) + " +
+    "(n_ref*1.0/(n_ano+n_ref))*log2(1.0/(n_ref*1.0/(n_ano+n_ref)))"
+  private val shSql = // distinct 3-gram shingles of whitespace tokens
+    """list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""",
+
+    "q02_filter_prefix_range" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE event_type LIKE 's%' AND value >= 50 AND value <= 150 ORDER BY event_id""",
+
+    "q03_project_rename" ->
+      """SELECT o_orderkey AS okey, o_totalprice AS price, upper(o_orderstatus) AS status
+         FROM orders ORDER BY okey""",
+
+    "q04_join_broadcast_star" ->
+      """SELECT r_name, n_name, count(*) AS n,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q05_interval_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+              s AS (SELECT user_id, min(us) AS start, (min(us)+max(us))/2 AS mid
+                    FROM e GROUP BY user_id)
+         SELECT e.user_id, count(*) AS n_in_span,
+                CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM e JOIN s ON e.user_id = s.user_id AND e.us >= s.start AND e.us < s.mid
+         GROUP BY e.user_id ORDER BY e.user_id""",
+
+    "q06_union_distinct" ->
+      """SELECT nationkey, count(*) AS n_sources FROM (
+           SELECT DISTINCT c_nationkey AS nationkey FROM customer
+           UNION ALL
+           SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+         GROUP BY nationkey ORDER BY nationkey""",
+
+    "q07_agg_group_counts" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q08_count_distinct_per_group" ->
+      """SELECT user_id, count(*) AS n, count(DISTINCT event_type) AS n_types,
+                count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q09_avg_minmax" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_price,
+                min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q10_class_entropy" ->
+      s"""WITH c AS (SELECT user_id,
+                CAST(sum($clsSql) AS BIGINT) AS n_ano,
+                CAST(sum(1 - ($clsSql)) AS BIGINT) AS n_ref
+           FROM events GROUP BY user_id)
+         SELECT user_id, n_ano, n_ref, round($ceSql, 6) AS class_entropy
+         FROM c WHERE n_ano > 0 AND n_ref > 0 ORDER BY user_id""",
+
+    "q11_seg_entropy" ->
+      s"""WITH e AS (SELECT user_id, value + event_id*1e-6 AS v, $clsSql AS cls FROM events),
+              agg AS (SELECT user_id, CAST(sum(cls) AS BIGINT) AS n_ano,
+                             CAST(sum(1-cls) AS BIGINT) AS n_ref, count(*) AS n
+                      FROM e GROUP BY user_id),
+              ok AS (SELECT * FROM agg WHERE n_ano > 0 AND n_ref > 0),
+              o AS (SELECT e.user_id, e.cls,
+                           row_number() OVER (PARTITION BY e.user_id ORDER BY e.v, e.cls) AS rn
+                    FROM e JOIN ok ON e.user_id = ok.user_id),
+              chg AS (SELECT user_id, cls, rn,
+                             CASE WHEN cls <> lag(cls) OVER (PARTITION BY user_id ORDER BY rn)
+                                  THEN 1 ELSE 0 END AS is_new
+                      FROM o),
+              sg AS (SELECT user_id, cls, rn,
+                            sum(is_new) OVER (PARTITION BY user_id ORDER BY rn
+                                              ROWS UNBOUNDED PRECEDING) AS seg_id
+                     FROM chg),
+              segs AS (SELECT user_id, seg_id, count(*) AS seg_len FROM sg GROUP BY user_id, seg_id),
+              segs2 AS (SELECT s.*, max(seg_id) OVER (PARTITION BY user_id) AS last_seg FROM segs s),
+              se AS (SELECT s.user_id,
+                            coalesce(sum(CASE WHEN s.seg_id <> s.last_seg
+                              THEN (s.seg_len*1.0/a.n) * ln(1.0/(s.seg_len*1.0/a.n)) END), 0.0) AS seg_ent
+                     FROM segs2 s JOIN ok a ON s.user_id = a.user_id
+                     GROUP BY s.user_id)
+         SELECT a.user_id, a.n_ano, a.n_ref,
+                round($ceSql, 6) AS class_entropy,
+                round(se.seg_ent, 6) AS segmentation_entropy,
+                round(CASE WHEN se.seg_ent = 0.0 THEN 1.0/0.0 ELSE ($ceSql)/se.seg_ent END, 6) AS reward
+         FROM ok a JOIN se ON a.user_id = se.user_id ORDER BY a.user_id""",
+
+    "q12_window_lag_leap" ->
+      """WITH w AS (SELECT l_orderkey, l_extendedprice,
+                lag(l_extendedprice) OVER (PARTITION BY l_orderkey
+                  ORDER BY l_extendedprice DESC, l_linenumber) AS prev
+           FROM lineitem)
+         SELECT l_orderkey, count(*) AS n_items,
+                round(max(prev - l_extendedprice), 6) AS max_leap
+         FROM w GROUP BY l_orderkey HAVING count(*) >= 2 ORDER BY l_orderkey""",
+
+    "q13_leap_cutoff" ->
+      """WITH w AS (SELECT l_orderkey, l_linenumber, l_extendedprice AS reward,
+                row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rank,
+                lag(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS prev
+           FROM lineitem),
+              x AS (SELECT *, prev - reward AS leap FROM w),
+              y AS (SELECT *, max(leap) OVER (PARTITION BY l_orderkey) AS max_leap,
+                           count(*) OVER (PARTITION BY l_orderkey) AS n FROM x),
+              z AS (SELECT *, min(CASE WHEN prev IS NOT NULL AND prev <> 0 AND leap = max_leap
+                                       THEN rank END) OVER (PARTITION BY l_orderkey) AS cut FROM y)
+         SELECT l_orderkey, l_linenumber, rank FROM z
+         WHERE n <= 1 OR cut IS NULL OR rank < cut ORDER BY l_orderkey, rank""",
+
+    "q14_first_last_minby" ->
+      """SELECT user_id,
+                min_by(event_type, value*1e7 + event_id) AS cheapest_type,
+                max_by(event_type, value*1e7 + event_id) AS priciest_type,
+                min_by(event_type, epoch_us(ts)*1000 + event_id) AS first_type,
+                max_by(event_type, epoch_us(ts)*1000 + event_id) AS last_type
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q15_corr" ->
+      """SELECT l_returnflag, count(*) AS n,
+                round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q16_entropy_multiset" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS k FROM events GROUP BY user_id, event_type),
+              t2 AS (SELECT user_id, sum(k) AS n FROM c GROUP BY user_id)
+         SELECT c.user_id, round(sum(-(k*1.0/n)*log2(k*1.0/n)), 6) AS h
+         FROM c JOIN t2 ON c.user_id = t2.user_id GROUP BY c.user_id ORDER BY c.user_id""",
+
+    "q17_topk_per_group" ->
+      """SELECT s_nationkey, rank, s_suppkey, s_acctbal FROM (
+           SELECT s_nationkey, s_suppkey, s_acctbal,
+                  row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rank
+           FROM supplier) WHERE rank <= 2 ORDER BY s_nationkey, rank""",
+
+    "q19_melt_long" ->
+      """SELECT l_orderkey, l_linenumber, feature, value FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS feature, l_quantity AS value
+             FROM lineitem WHERE l_orderkey < 50
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+             FROM lineitem WHERE l_orderkey < 50
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             FROM lineitem WHERE l_orderkey < 50
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+             FROM lineitem WHERE l_orderkey < 50)
+         ORDER BY l_orderkey, l_linenumber, feature""",
+
+    "q21_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+                count(*) OVER (PARTITION BY md5(text)) AS dup_count
+         FROM documents ORDER BY doc_id""",
+
+    "q22_text_stats" ->
+      """SELECT doc_id,
+                len(string_split_regex(text, '\s+')) AS n_tokens,
+                length(text) AS n_chars_text,
+                round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+                      len(string_split_regex(text, '\s+')), 6) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+
+    "q23_lang_id" ->
+      """WITH h AS (SELECT doc_id, lang,
+                (len(string_split(' '||text||' ', ' the '))-1) +
+                (len(string_split(' '||text||' ', ' a '))-1) +
+                (len(string_split(' '||text||' ', ' of '))-1) AS en,
+                (len(string_split(' '||text||' ', ' der '))-1) +
+                (len(string_split(' '||text||' ', ' und '))-1) +
+                (len(string_split(' '||text||' ', ' die '))-1) AS de,
+                (len(string_split(' '||text||' ', ' el '))-1) +
+                (len(string_split(' '||text||' ', ' la '))-1) +
+                (len(string_split(' '||text||' ', ' los '))-1) AS es,
+                (len(string_split(' '||text||' ', ' le '))-1) +
+                (len(string_split(' '||text||' ', ' les '))-1) +
+                (len(string_split(' '||text||' ', ' des '))-1) AS fr
+           FROM documents)
+         SELECT doc_id, lang,
+                CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+                     WHEN en >= greatest(de, es, fr) THEN 'en'
+                     WHEN de >= greatest(es, fr) THEN 'de'
+                     WHEN es >= fr THEN 'es'
+                     ELSE 'fr' END AS pred_lang
+         FROM h ORDER BY doc_id""",
+
+    "q24_quality" ->
+      """WITH q AS (SELECT doc_id,
+                CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS n,
+                CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) /
+                  greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
+                CAST(length(text) AS DOUBLE) AS n_chars
+           FROM documents)
+         SELECT doc_id,
+                round((least(1.0, n/64.0) + alpha +
+                       least(1.0, (n_chars/greatest(n, 1.0))/8.0)) / 3.0, 6) AS quality
+         FROM q ORDER BY doc_id""",
+
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+                list_min(list_transform(list_distinct(string_split_regex(text, '\s+')),
+                                        x -> md5(x))) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+
+    "q27_ngram_jaccard" ->
+      s"""WITH s AS (SELECT doc_id, lang, $shSql AS sh
+             FROM (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents)),
+              p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           len(list_intersect(a.sh, b.sh))*1.0 /
+                           len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+                    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM p
+         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+
+    "q29_knn_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+              c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+              scored AS (SELECT query_id, neighbor_id,
+                    ${dot("cv", "qv")} / (sqrt(${dot("cv", "cv")}) * sqrt(${dot("qv", "qv")})) AS cos
+                 FROM c JOIN q ON neighbor_id <> query_id),
+              ranked AS (SELECT query_id, neighbor_id, cos,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                 FROM scored)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q31_neardup_exact" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+              p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    ${dot("a.embedding", "b.embedding")} /
+                    (sqrt(${dot("a.embedding", "a.embedding")}) *
+                     sqrt(${dot("b.embedding", "b.embedding")})) AS cos
+                 FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(cos, 4) AS cosine FROM p
+         WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+
+    "q32_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS content_md5,
+                CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE)/64.0) AS INT) AS n_frames
+         FROM documents ORDER BY doc_id""",
+
+    "q33_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q34_time_bucket" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+                count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY day ORDER BY day""",
+
+    "q35_distance_profile" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS sec, event_id, value + event_id*1e-6 AS v FROM events),
+              o AS (SELECT user_id, v,
+                           row_number() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS rn,
+                           count(*) OVER (PARTITION BY user_id) AS n
+                    FROM e),
+              users AS (SELECT user_id, max(n) AS n FROM o GROUP BY user_id HAVING max(n) >= 8),
+              p AS (SELECT user_id, rn AS k, v AS q FROM o WHERE rn <= 8),
+              ps AS (SELECT user_id, sum(q) AS sq, sum(q*q) AS sqq FROM p GROUP BY user_id),
+              win AS (SELECT o.user_id, o.rn - p.k + 1 AS start,
+                             sum(o.v) AS sw, sum(o.v*o.v) AS sww, sum(o.v*p.q) AS swq, count(*) AS m
+                      FROM o JOIN p ON o.user_id = p.user_id
+                      JOIN users u ON o.user_id = u.user_id
+                      WHERE o.rn - p.k + 1 >= 1 AND o.rn - p.k + 1 <= u.n - 7
+                      GROUP BY o.user_id, o.rn - p.k + 1
+                      HAVING count(*) = 8),
+              dists AS (SELECT w.user_id,
+                    sqrt(greatest(16.0*(1.0 -
+                      (w.swq - 8*(ps.sq/8)*(w.sw/8)) /
+                      (8 * sqrt(greatest(ps.sqq/8 - (ps.sq/8)*(ps.sq/8), 0.0)) *
+                           sqrt(greatest(w.sww/8 - (w.sw/8)*(w.sw/8), 0.0)))), 0.0)) AS dist
+                 FROM win w JOIN ps ON w.user_id = ps.user_id)
+         SELECT d.user_id, CAST(u.n AS INT) AS n,
+                CAST(count(*) FILTER (WHERE dist <= 3.0) AS INT) AS n_matches
+         FROM dists d JOIN users u ON d.user_id = u.user_id
+         GROUP BY d.user_id, u.n ORDER BY d.user_id""")
+}

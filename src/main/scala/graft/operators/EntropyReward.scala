@@ -38,11 +38,14 @@ object EntropyReward {
     EntropyCore.segmentationEntropyOfPairs(values, classes, applyWorstCase)
   }
 
-  /** H_class as a codegen'd column expression (log base 2, `entropy_...py:35-37`). */
+  /** H_class as a codegen'd column expression (log base 2, `entropy_...py:35-37`).
+    * The reference raises when either class is empty (`:30-34`); here such
+    * groups yield NULL so callers can filter them — and no division/log of
+    * zero is ever evaluated, keeping the plan valid under Spark ANSI mode. */
   def classEntropyCol(nAno: Column, nRef: Column): Column = {
     val pA = nAno.cast("double") / (nAno + nRef)
     val pR = nRef.cast("double") / (nAno + nRef)
-    pA * log2(lit(1.0) / pA) + pR * log2(lit(1.0) / pR)
+    when(nAno > 0 && nRef > 0, pA * log2(lit(1.0) / pA) + pR * log2(lit(1.0) / pR))
   }
 
   /**
