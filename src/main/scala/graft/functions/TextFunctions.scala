@@ -93,11 +93,18 @@ object TextFunctions {
     * column mixed in (codegen'd, no UDF). */
   def seededTokenHash(tok: Column, seed: Int): Column = xxhash64(lit(seed), tok)
 
-  /** MinHash signature: array of k minima of seeded token hashes. */
-  def minhashSignature(text: Column, k: Int): Column = {
-    val toks = tokenSet(text)
-    array((0 until k).map(s => array_min(transform(toks, t => seededTokenHash(t, s)))): _*)
-  }
+  /**
+   * MinHash signature from PRE-HASHED tokens: each token is xxhash64'd
+   * once (string input), then the k permutations re-mix the 64-bit value
+   * with `xxhash64(seed, h)` — a fixed-width integer hash, far cheaper
+   * than k string hashes and safe under ANSI mode (an affine `a*h+b`
+   * permutation would raise on the intentional wraparound). O(tokens)
+   * string hashing instead of O(k*tokens) at corpus scale.
+   */
+  def minhashSignatureFromHashes(tokenHashes: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(tokenHashes, h => xxhash64(lit(i), h)))
+    }: _*)
 
   /** SimHash over the token multiset (term-frequency weighted), pure Scala
     * kernel — exercised via a UDF because bit-bucketed popcount folding has

@@ -33,18 +33,39 @@ object Dedup {
   /**
    * Exact word-n-gram Jaccard over candidate pairs blocked on `blockCol`
    * (e.g. source/domain/length-bucket). O(pairs-within-block), exact.
+   *
+   * Scale shape: a blocked self-join is skew-prone — one hot block becomes
+   * one straggler task. The right side is therefore SALTED: each left row
+   * is replicated once per salt bucket and each right row lands in exactly
+   * one bucket (`doc_b % salt`), so a hot block fans out into `salt`
+   * independent tasks while every (a,b) pair still appears exactly once.
+   * A size-ratio prune (J(A,B) <= min(|A|,|B|)/max(|A|,|B|)) skips the
+   * set intersection for pairs that provably cannot reach the threshold;
+   * neither transformation changes the result set.
    */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSets = docs.select(
+      n: Int = 3, threshold: Double = 0.5, salt: Int = 32): DataFrame = {
+    // shingles are compared as xxhash64 values: 64-bit set intersection is
+    // ~an order of magnitude cheaper per pair than UTF8 string sets, and a
+    // collision altering a Jaccard value needs two distinct shingles of one
+    // pair to collide (~|A|*|B|/2^64 — negligible at any realistic doc size)
+    val sets = docs.select(
       col(idCol).as("doc_a"), col(blockCol).as("block"),
-      shingleSet(col(textCol), n).as("set_a"))
-    val right = withSets.select(
-      col("doc_a").as("doc_b"), col("block"), col("set_a").as("set_b"))
-    withSets.join(right, Seq("block"))
-      .where(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+      array_distinct(transform(shingleSet(col(textCol), n), s => xxhash64(s))).as("set_a"))
+    val left = sets
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+    val right = sets.select(
+      col("doc_a").as("doc_b"), col("block"), col("set_a").as("set_b"),
+      pmod(col("doc_a"), lit(salt)).cast("int").as("salt"))
+    val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")
+    left.join(right, Seq("block", "salt"))
+      .where(col("doc_a") < col("doc_b") && size(col("set_a")) > 0 &&
+        least(size(col("set_a")), size(col("set_b"))).cast("double") >=
+          greatest(size(col("set_a")), size(col("set_b"))) * threshold)
+      // |A∪B| = |A|+|B|-|A∩B| — one set operation per pair instead of two
+      .withColumn("jaccard",
+        inter / (size(col("set_a")) + size(col("set_b")) - inter))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -64,13 +85,21 @@ object Dedup {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
 
+    // one string hash per shingle, then k cheap integer permutations.
+    // The repartition AFTER the signature projection is load-bearing twice
+    // over: it fans the hashing work out of a single file split, and the
+    // exchange materializes `sig` so CollapseProject cannot inline the
+    // 64-expression signature into each of the 16 band hashes below.
     val sig = docs.select(
       col(idCol).as("doc"),
       shingleSet(col(textCol), shingleN).as("shingles"))
       .where(size(col("shingles")) > 0)
-      .withColumn("sig",
-        array((0 until k).map(s =>
-          array_min(transform(col("shingles"), t => seededTokenHash(t, s)))): _*))
+      .withColumn("h", transform(col("shingles"), t => xxhash64(t)))
+      .withColumn("sig", minhashSignatureFromHashes(col("h"), k))
+      .drop("h")
+      // explicit partition count: AQE may coalesce a column-only
+      // repartition of byte-light data back onto one core
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc"))
 
     // band hash per (doc, band): xxhash64 over the band's signature slice
     val banded = sig.select(

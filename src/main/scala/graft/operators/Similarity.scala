@@ -43,7 +43,10 @@ object Similarity {
   def bruteForceKnn(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // small single-file inputs are one split; the per-row dot-product work
+    // is the cost, so spread the corpus before the broadcast join
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col("neighbor_id"))
       .withColumn("c_norm", l2Norm(col("c_vec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", l2Norm(col("q_vec")))
@@ -103,6 +106,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
     val withNorm = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col("id_a"))
       .withColumn("norm_a", l2Norm(col("vec_a")))
     val right = withNorm.select(col("id_a").as("id_b"),
       col("vec_a").as("vec_b"), col("norm_a").as("norm_b"))

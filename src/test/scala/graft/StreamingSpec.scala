@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.StreamObs
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("windowed rollup over a streamed metric source (memory sink)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "feature", "value")
+    val agg = StreamingOps.windowedMetricRollup(df, watermark = "1 minute", windowLen = "1 minute")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("rollup").start()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    input.addData(
+      (base, "cpu", 1.0),
+      (new java.sql.Timestamp(base.getTime + 5000), "cpu", 3.0),
+      (new java.sql.Timestamp(base.getTime + 70000), "mem", 7.0))
+    q.processAllAvailable()
+    val out = spark.table("rollup").collect()
+    q.stop()
+    assert(out.nonEmpty)
+    val cpu = out.find(_.getAs[String]("feature") == "cpu").get
+    assert(cpu.getAs[Long]("n") == 2L)
+    assert(cpu.getAs[Double]("sum_value") == 4.0)
+  }
+
+  test("stateful span assembly emits a closed window on the close marker") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamObs]
+    val closed = StreamingOps.assembleWindows(input.toDS())
+    val q = closed.writeStream.outputMode("append")
+      .format("memory").queryName("closed").start()
+    input.addData(
+      StreamObs("w1", "f1", 1L, 0, 1.0),
+      StreamObs("w1", "f2", 2L, 1, 2.0),
+      StreamObs("w2", "f1", 1L, 0, 5.0))
+    q.processAllAvailable()
+    assert(spark.table("closed").count() == 0) // nothing closed yet
+    input.addData(StreamObs("w1", "", 3L, -1, 0.0)) // close w1
+    q.processAllAvailable()
+    val out = spark.table("closed").collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("window_key") == "w1")
+    assert(out.head.getAs[Int]("n_obs") == 2)
+    assert(out.head.getSeq[String](2) == Seq("f1", "f2"))
+  }
+}
