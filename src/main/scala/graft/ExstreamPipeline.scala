@@ -59,6 +59,22 @@ object ExstreamPipeline {
     LeapFilter.explanations(rewards)
   }
 
+  /**
+   * Group-level variant of the explanation query (SURVEY §3.3): the
+   * notebook computes rewards per ANOMALY TYPE (all windows of a type
+   * pooled) instead of per window (`testing.ipynb` cells 21-26). Any
+   * grouping column works — the reward/leap operators only see
+   * `window_key`, so re-keying the observation table is the whole
+   * mechanism.
+   */
+  def explanatoryFeaturesBy(
+      obs: DataFrame,
+      featureOrder: Seq[String],
+      cfg: ExstreamConfig,
+      groupKeyCol: String): DataFrame =
+    explanatoryFeatures(
+      obs.withColumn("window_key", col(groupKeyCol)), featureOrder, cfg)
+
   /** Pivot the long observation table back to wide (one row per
     * (window, timestamp, type_data)) — needed only by the correlation step. */
   def pivotWide(obs: DataFrame, featureOrder: Seq[String]): DataFrame =

@@ -50,15 +50,22 @@ object Dedup {
     // ~an order of magnitude cheaper per pair than UTF8 string sets, and a
     // collision altering a Jaccard value needs two distinct shingles of one
     // pair to collide (~|A|*|B|/2^64 — negligible at any realistic doc size)
+    // sorted ascending so the intersect kernel merges in place with zero
+    // per-pair allocation (sorting once here is amortized over all pairs)
     val sets = docs.select(
       col(idCol).as("doc_a"), col(blockCol).as("block"),
-      array_distinct(transform(shingleSet(col(textCol), n), s => xxhash64(s))).as("set_a"))
+      array_sort(array_distinct(transform(shingleSet(col(textCol), n), s => xxhash64(s))))
+        .as("set_a"))
     val left = sets
       .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
     val right = sets.select(
       col("doc_a").as("doc_b"), col("block"), col("set_a").as("set_b"),
       pmod(col("doc_a"), lit(salt)).cast("int").as("salt"))
-    val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")
+    // custom codegen'd expression: primitive intersection COUNT (no boxed
+    // set, no materialized intersection array) — see graft.plans.LongSetOps
+    val inter = graft.plans.LongSetOps
+      .longIntersectSize(docs.sparkSession, "set_a", "set_b")
+      .cast("double")
     left.join(right, Seq("block", "salt"))
       .where(col("doc_a") < col("doc_b") && size(col("set_a")) > 0 &&
         least(size(col("set_a")), size(col("set_b"))).cast("double") >=

@@ -118,6 +118,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(!feats.contains("f_repeat"))
   }
 
+  test("type-level grouping variant pools windows per anomaly type (SURVEY §3.3)") {
+    val (obs, featureOrder, _) = loaded
+    import spark.implicits._
+    val byType = ExstreamPipeline.explanatoryFeaturesBy(
+      obs, featureOrder, ExstreamConfig(applyWorstCase = true), groupKeyCol = "ano_type")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(byType.keySet == Set("bursty input", "stalled input"))
+    byType.values.foreach(f => assert(f.contains("f_sep")))
+  }
+
+  test("RandomForest importance baseline ranks the separating feature first (M5)") {
+    val (obs, featureOrder, _) = loaded
+    val wide = ExstreamPipeline.pivotWide(obs, featureOrder)
+    val imps = FeatureImportance.randomForestImportances(wide, featureOrder)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(imps.map(_._1).take(2).toSet.intersect(Set("f_sep", "f_corr")).nonEmpty)
+    assert(math.abs(imps.map(_._2).sum - 1.0) < 1e-6)
+    // seeded determinism
+    val again = FeatureImportance.randomForestImportances(wide, featureOrder)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(imps.toSeq == again.toSeq)
+  }
+
   test("constructExplanations: full output schema, determinism, instability range") {
     val cfg = ExstreamConfig(cluster = false, applyWorstCase = true, instabilityRounds = 2)
     val out1 = ExstreamPipeline.constructExplanations(spark, fixtureDir, "labels", cfg)
