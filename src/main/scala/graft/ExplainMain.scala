@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, concat, concat_ws, lit}
 
 /**
  * CLI entry for the EXstream explanation pipeline — the engine's analogue
@@ -8,14 +9,15 @@ import org.apache.spark.sql.SparkSession
  * runs all four config permutations (cluster x falsePositiveFiltering)
  * over a trace folder and prints the explanation tables.
  *
- * Usage: runMain graft.ExplainMain <dataFolder> [labelFilename]
+ * Usage: runMain graft.ExplainMain <dataFolder> [labelFilename] [maxDistance] [outDir]
  */
 object ExplainMain {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ExplainMain <dataFolder> [labelFilename] [maxDistance]")
+    require(args.nonEmpty, "usage: ExplainMain <dataFolder> [labelFilename] [maxDistance] [outDir]")
     val dataFolder = args(0)
     val labelFilename = if (args.length > 1) args(1) else "labels"
     val maxDistance = if (args.length > 2) args(2).toDouble else 40.0
+    val outDir = if (args.length > 3) Some(args(3)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,9 +35,22 @@ object ExplainMain {
       val cfg = ExstreamConfig(
         cluster = cluster, falsePositiveFiltering = fp, maxDistance = maxDistance)
       println(s"=== cluster=$cluster falsePositiveFiltering=$fp ===")
-      ExstreamPipeline.constructExplanations(spark, dataFolder, labelFilename, cfg)
+      val out = ExstreamPipeline.constructExplanations(spark, dataFolder, labelFilename, cfg)
         .orderBy("trace_id", "ano_id")
-        .show(100, truncate = false)
+      out.show(100, truncate = false)
+      // S5: CSV result sink, config encoded in the path as the reference
+      // does in its filenames (script_1.py:275-328); arrays stringified
+      // since CSV has no array type (matching pandas' to_csv rendering)
+      outDir.foreach { dir =>
+        val fpTag = if (fp) "with" else "without"
+        val clTag = if (cluster) "with" else "without"
+        out.withColumn("explanation", concat_ws(", ", col("explanation")))
+          .withColumn("explanation", concat(lit("["), col("explanation"), lit("]")))
+          .coalesce(1)
+          .write.mode("overwrite").option("header", "true")
+          .csv(s"$dir/explanations_${fpTag}_false_positive_filtering_" +
+            s"${maxDistance}_${clTag}_cluster_${cfg.correlationThreshold}")
+      }
     }
     spark.stop()
   }

@@ -346,6 +346,26 @@ object Queries {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")),
 
+    // ---- worst-case shuffle (T2): quantized values force cross-class
+    // duplicate runs, so the pessimistic label rewrite dominates the
+    // segmentation entropy; the oracle reproduces the rewrite analytically
+    // (it is a row-wise function of position-in-run and the run's counts) ----
+    "q36_worstcase_shuffle" -> ((s, d) => {
+      val obs = t(s, d, "events").select(
+        col("user_id").cast("string").as("window_key"),
+        lit("value").as("feature"),
+        floor(col("value") / 100.0).cast("double").as("value"),
+        clsCol.as("type_data"))
+      EntropyReward.rewards(obs, applyWorstCase = true)
+        .where(col("n_ano") > 0 && col("n_ref") > 0)
+        .select(
+          col("window_key").cast("long").as("user_id"),
+          col("n_ano"), col("n_ref"),
+          round(col("segmentation_entropy"), 6).as("segmentation_entropy"),
+          round(col("reward"), 6).as("reward"))
+        .orderBy("user_id")
+    }),
+
     // ---- subsequence matching (T1) ----
     "q35_distance_profile" -> ((s, d) => {
       val profileCount = udf { (vals: Seq[Double]) =>
@@ -668,6 +688,57 @@ object Oracles {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY day ORDER BY day""",
+
+    "q36_worstcase_shuffle" ->
+      s"""WITH e AS (SELECT user_id, CAST(floor(value/100.0) AS DOUBLE) AS v, $clsSql AS cls
+             FROM events),
+              agg AS (SELECT user_id, CAST(sum(cls) AS BIGINT) AS n_ano,
+                             CAST(sum(1-cls) AS BIGINT) AS n_ref, count(*) AS n
+                      FROM e GROUP BY user_id),
+              ok AS (SELECT * FROM agg WHERE n_ano > 0 AND n_ref > 0),
+              runs AS (SELECT e.user_id, e.v, e.cls,
+                              row_number() OVER (PARTITION BY e.user_id, e.v ORDER BY e.cls) - 1 AS i,
+                              sum(CASE WHEN e.cls = 0 THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY e.user_id, e.v) AS nr,
+                              sum(CASE WHEN e.cls = 1 THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY e.user_id, e.v) AS na
+                       FROM e JOIN ok ON e.user_id = ok.user_id),
+              consts AS (SELECT *,
+                              CASE WHEN nr > na THEN 1 ELSE 0 END AS sm,
+                              CASE WHEN nr < na THEN 1 ELSE 0 END AS bg,
+                              CASE WHEN (CASE WHEN nr > na THEN 1 ELSE 0 END) <> 0
+                                   THEN 0 ELSE 1 END AS st
+                       FROM runs),
+              rw AS (SELECT user_id, v, i,
+                            CASE WHEN nr = 0 OR na = 0 THEN cls
+                                 WHEN nr <> na THEN
+                                   CASE WHEN i >= st AND i < 2*least(nr, na)
+                                             AND (i - st) % 2 = 0
+                                        THEN sm ELSE bg END
+                                 ELSE i % 2 + 1 END AS rcls
+                     FROM consts),
+              o AS (SELECT user_id, rcls,
+                           row_number() OVER (PARTITION BY user_id ORDER BY v, i) AS rn
+                    FROM rw),
+              chg AS (SELECT user_id, rcls, rn,
+                             CASE WHEN rcls <> lag(rcls) OVER (PARTITION BY user_id ORDER BY rn)
+                                  THEN 1 ELSE 0 END AS is_new
+                      FROM o),
+              sg AS (SELECT user_id, rn,
+                            sum(is_new) OVER (PARTITION BY user_id ORDER BY rn
+                                              ROWS UNBOUNDED PRECEDING) AS seg_id
+                     FROM chg),
+              segs AS (SELECT user_id, seg_id, count(*) AS seg_len FROM sg GROUP BY user_id, seg_id),
+              segs2 AS (SELECT s.*, max(seg_id) OVER (PARTITION BY user_id) AS last_seg FROM segs s),
+              se AS (SELECT s.user_id,
+                            coalesce(sum(CASE WHEN s.seg_id <> s.last_seg
+                              THEN (s.seg_len*1.0/a.n) * ln(1.0/(s.seg_len*1.0/a.n)) END), 0.0) AS seg_ent
+                     FROM segs2 s JOIN ok a ON s.user_id = a.user_id
+                     GROUP BY s.user_id)
+         SELECT a.user_id, a.n_ano, a.n_ref,
+                round(se.seg_ent, 6) AS segmentation_entropy,
+                round(CASE WHEN se.seg_ent = 0.0 THEN 1.0/0.0 ELSE ($ceSql)/se.seg_ent END, 6) AS reward
+         FROM ok a JOIN se ON a.user_id = se.user_id ORDER BY a.user_id""",
 
     "q35_distance_profile" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS sec, event_id, value + event_id*1e-6 AS v FROM events),
