@@ -47,8 +47,14 @@ def compare(got, want):
         return False, f"columns differ: {gc} vs {wc}"
     if len(got) != len(want):
         return False, f"row counts differ: {len(got)} vs {len(want)}"
-    g = got[gc].sort_values(gc).reset_index(drop=True)
-    w = want[wc].sort_values(wc).reset_index(drop=True)
+    def hashable(df):
+        out = df.copy()
+        for c in out.columns:
+            out[c] = out[c].map(
+                lambda v: tuple(v) if hasattr(v, "__len__") and not isinstance(v, str) else v)
+        return out
+    g = hashable(got[gc]).sort_values(gc).reset_index(drop=True)
+    w = hashable(want[wc]).sort_values(wc).reset_index(drop=True)
     for c in gc:
         for i, (a, b) in enumerate(zip(g[c], w[c])):
             if not eq(a, b):
