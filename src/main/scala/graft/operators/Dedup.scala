@@ -92,7 +92,9 @@ object Dedup {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
 
-    // one string hash per shingle, then k cheap integer permutations.
+    // one string hash per shingle, then k cheap integer permutations over
+    // the deduped hash set (the min is unaffected by duplicates, and the
+    // same sorted hash set drives exact verification below).
     // The repartition AFTER the signature projection is load-bearing twice
     // over: it fans the hashing work out of a single file split, and the
     // exchange materializes `sig` so CollapseProject cannot inline the
@@ -101,30 +103,47 @@ object Dedup {
       col(idCol).as("doc"),
       shingleSet(col(textCol), shingleN).as("shingles"))
       .where(size(col("shingles")) > 0)
-      .withColumn("h", transform(col("shingles"), t => xxhash64(t)))
-      .withColumn("sig", minhashSignatureFromHashes(col("h"), k))
-      .drop("h")
+      .withColumn("hset",
+        array_sort(array_distinct(transform(col("shingles"), t => xxhash64(t)))))
+      .drop("shingles")
+      // single-pass custom expression (graft.plans.MinHashSignature): the
+      // composable array_min(transform(...))*k form allocates boxed
+      // intermediates and was the measured bottleneck of this operator
+      .withColumn("sig",
+        graft.plans.MinHashSignature.minhashSignature(docs.sparkSession, "hset", k))
       // explicit partition count: AQE may coalesce a column-only
       // repartition of byte-light data back onto one core
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc"))
 
-    // band hash per (doc, band): xxhash64 over the band's signature slice
+    // band hash per (doc, band): xxhash64 over the band's signature slice.
+    // IDs ONLY travel through the band explosion and the pair-dedup
+    // shuffle — the (fat) hash sets are joined back onto the distinct
+    // candidate pairs afterwards, so the heavy payload crosses the wire
+    // once per doc, not once per bucket collision.
     val banded = sig.select(
-      col("doc"), col("shingles"),
+      col("doc"),
       posexplode(array((0 until bands).map { b =>
         xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
       }: _*)).as(Seq("band", "band_hash")))
 
-    // candidates: pairs sharing any (band, band_hash) bucket
-    val left = banded.select(col("band"), col("band_hash"),
-      col("doc").as("doc_a"), col("shingles").as("set_a"))
-    val right = banded.select(col("band"), col("band_hash"),
-      col("doc").as("doc_b"), col("shingles").as("set_b"))
-    left.join(right, Seq("band", "band_hash"))
+    val candidates = banded.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
+      .join(banded.select(col("band"), col("band_hash"), col("doc").as("doc_b")),
+        Seq("band", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "set_a", "set_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+
+    // exact verification on the sorted hash sets via the zero-allocation
+    // intersect-size expression (same Jaccard modulo 64-bit collisions)
+    val sets = sig.select(col("doc"), col("hset"))
+    val inter = graft.plans.LongSetOps
+      .longIntersectSize(docs.sparkSession, "set_a", "set_b")
+      .cast("double")
+    candidates
+      .join(sets.select(col("doc").as("doc_a"), col("hset").as("set_a")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("hset").as("set_b")), "doc_b")
+      .withColumn("jaccard",
+        inter / (size(col("set_a")) + size(col("set_b")) - inter))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
