@@ -416,7 +416,10 @@ object Queries {
       .withColumn("feat_idx", idxUdf(col("feature")))
     LeapFilter.explanations(rewards)
       .select(col("window_key").cast("long").as("user_id"),
-        col("features"), size(col("features")).as("n_features"))
+        // scalar (not array<string>) so downstream harnesses can sort/hash
+        // the column; ranking order is preserved inside the joined string
+        array_join(col("features"), " ").as("features"),
+        size(col("features")).as("n_features"))
       .orderBy("user_id")
   }
 }
@@ -439,6 +442,65 @@ object Oracles {
     "(n_ref*1.0/(n_ano+n_ref))*log2(1.0/(n_ref*1.0/(n_ano+n_ref)))"
   private val shSql = // distinct 3-gram shingles of whitespace tokens
     """list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))"""
+
+  // Shared by q20 (flagship) and q37 (oracle twin): the full EXstream
+  // pipeline — rewards -> ranking -> leap cutoff -> explanation — as one
+  // analytic SQL query. `features` is the rank-ordered list joined with
+  // spaces (scalar, so result harnesses can sort/hash the column).
+  private val exstreamExplainSql =
+    """WITH e AS (SELECT user_id, event_id, event_type AS feature,
+                value + event_id*1e-6 AS v, epoch_us(ts) AS us FROM events),
+              spans AS (SELECT user_id, (min(us)+max(us))/2 AS mid FROM e GROUP BY user_id),
+              obs AS (SELECT e.user_id, e.feature, e.v,
+                             CASE WHEN e.us >= s.mid THEN 1 ELSE 0 END AS cls
+                      FROM e JOIN spans s ON e.user_id = s.user_id),
+              agg AS (SELECT user_id, feature, CAST(sum(cls) AS BIGINT) AS n_ano,
+                             CAST(sum(1-cls) AS BIGINT) AS n_ref, count(*) AS n
+                      FROM obs GROUP BY user_id, feature),
+              ok AS (SELECT * FROM agg WHERE n_ano > 0 AND n_ref > 0),
+              o AS (SELECT obs.user_id, obs.feature, obs.cls,
+                           row_number() OVER (PARTITION BY obs.user_id, obs.feature
+                                              ORDER BY obs.v, obs.cls) AS rn
+                    FROM obs JOIN ok ON obs.user_id = ok.user_id AND obs.feature = ok.feature),
+              chg AS (SELECT user_id, feature, cls, rn,
+                             CASE WHEN cls <> lag(cls) OVER (PARTITION BY user_id, feature ORDER BY rn)
+                                  THEN 1 ELSE 0 END AS is_new
+                      FROM o),
+              sg AS (SELECT user_id, feature, rn,
+                            sum(is_new) OVER (PARTITION BY user_id, feature ORDER BY rn
+                                              ROWS UNBOUNDED PRECEDING) AS seg_id
+                     FROM chg),
+              segs AS (SELECT user_id, feature, seg_id, count(*) AS seg_len
+                       FROM sg GROUP BY user_id, feature, seg_id),
+              segs2 AS (SELECT s.*, max(seg_id) OVER (PARTITION BY user_id, feature) AS last_seg
+                        FROM segs s),
+              se AS (SELECT s.user_id, s.feature,
+                            coalesce(sum(CASE WHEN s.seg_id <> s.last_seg
+                              THEN (s.seg_len*1.0/a.n) * ln(1.0/(s.seg_len*1.0/a.n)) END), 0.0) AS seg_ent
+                     FROM segs2 s JOIN ok a ON s.user_id = a.user_id AND s.feature = a.feature
+                     GROUP BY s.user_id, s.feature),
+              rewards AS (SELECT a.user_id, a.feature,
+                            CASE WHEN se.seg_ent = 0.0 THEN 1.0/0.0 ELSE
+                              ((n_ano*1.0/(n_ano+n_ref))*log2(1.0/(n_ano*1.0/(n_ano+n_ref))) +
+                               (n_ref*1.0/(n_ano+n_ref))*log2(1.0/(n_ref*1.0/(n_ano+n_ref))))
+                              / se.seg_ent END AS reward,
+                            CASE a.feature WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                                 WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                                 WHEN 'error' THEN 4 ELSE 5 END AS fi
+                          FROM ok a JOIN se ON a.user_id = se.user_id AND a.feature = se.feature),
+              w AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY reward DESC, fi) AS rank,
+                           lag(reward) OVER (PARTITION BY user_id ORDER BY reward DESC, fi) AS prev
+                    FROM rewards),
+              x AS (SELECT *, prev - reward AS leap FROM w),
+              y AS (SELECT *, max(leap) OVER (PARTITION BY user_id) AS max_leap,
+                           count(*) OVER (PARTITION BY user_id) AS nf FROM x),
+              z AS (SELECT *, min(CASE WHEN prev IS NOT NULL AND prev <> 0 AND leap = max_leap
+                                       THEN rank END) OVER (PARTITION BY user_id) AS cut FROM y),
+              kept AS (SELECT user_id, feature, rank FROM z
+                       WHERE nf <= 1 OR cut IS NULL OR rank < cut)
+         SELECT user_id, string_agg(feature, ' ' ORDER BY rank) AS features,
+                CAST(count(*) AS INT) AS n_features
+         FROM kept GROUP BY user_id ORDER BY user_id"""
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
@@ -695,60 +757,8 @@ object Oracles {
                 count(DISTINCT user_id) AS n_users
          FROM events GROUP BY day ORDER BY day""",
 
-    "q37_exstream_oracle" ->
-      """WITH e AS (SELECT user_id, event_id, event_type AS feature,
-                value + event_id*1e-6 AS v, epoch_us(ts) AS us FROM events),
-              spans AS (SELECT user_id, (min(us)+max(us))/2 AS mid FROM e GROUP BY user_id),
-              obs AS (SELECT e.user_id, e.feature, e.v,
-                             CASE WHEN e.us >= s.mid THEN 1 ELSE 0 END AS cls
-                      FROM e JOIN spans s ON e.user_id = s.user_id),
-              agg AS (SELECT user_id, feature, CAST(sum(cls) AS BIGINT) AS n_ano,
-                             CAST(sum(1-cls) AS BIGINT) AS n_ref, count(*) AS n
-                      FROM obs GROUP BY user_id, feature),
-              ok AS (SELECT * FROM agg WHERE n_ano > 0 AND n_ref > 0),
-              o AS (SELECT obs.user_id, obs.feature, obs.cls,
-                           row_number() OVER (PARTITION BY obs.user_id, obs.feature
-                                              ORDER BY obs.v, obs.cls) AS rn
-                    FROM obs JOIN ok ON obs.user_id = ok.user_id AND obs.feature = ok.feature),
-              chg AS (SELECT user_id, feature, cls, rn,
-                             CASE WHEN cls <> lag(cls) OVER (PARTITION BY user_id, feature ORDER BY rn)
-                                  THEN 1 ELSE 0 END AS is_new
-                      FROM o),
-              sg AS (SELECT user_id, feature, rn,
-                            sum(is_new) OVER (PARTITION BY user_id, feature ORDER BY rn
-                                              ROWS UNBOUNDED PRECEDING) AS seg_id
-                     FROM chg),
-              segs AS (SELECT user_id, feature, seg_id, count(*) AS seg_len
-                       FROM sg GROUP BY user_id, feature, seg_id),
-              segs2 AS (SELECT s.*, max(seg_id) OVER (PARTITION BY user_id, feature) AS last_seg
-                        FROM segs s),
-              se AS (SELECT s.user_id, s.feature,
-                            coalesce(sum(CASE WHEN s.seg_id <> s.last_seg
-                              THEN (s.seg_len*1.0/a.n) * ln(1.0/(s.seg_len*1.0/a.n)) END), 0.0) AS seg_ent
-                     FROM segs2 s JOIN ok a ON s.user_id = a.user_id AND s.feature = a.feature
-                     GROUP BY s.user_id, s.feature),
-              rewards AS (SELECT a.user_id, a.feature,
-                            CASE WHEN se.seg_ent = 0.0 THEN 1.0/0.0 ELSE
-                              ((n_ano*1.0/(n_ano+n_ref))*log2(1.0/(n_ano*1.0/(n_ano+n_ref))) +
-                               (n_ref*1.0/(n_ano+n_ref))*log2(1.0/(n_ref*1.0/(n_ano+n_ref))))
-                              / se.seg_ent END AS reward,
-                            CASE a.feature WHEN 'click' THEN 0 WHEN 'view' THEN 1
-                                 WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
-                                 WHEN 'error' THEN 4 ELSE 5 END AS fi
-                          FROM ok a JOIN se ON a.user_id = se.user_id AND a.feature = se.feature),
-              w AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY reward DESC, fi) AS rank,
-                           lag(reward) OVER (PARTITION BY user_id ORDER BY reward DESC, fi) AS prev
-                    FROM rewards),
-              x AS (SELECT *, prev - reward AS leap FROM w),
-              y AS (SELECT *, max(leap) OVER (PARTITION BY user_id) AS max_leap,
-                           count(*) OVER (PARTITION BY user_id) AS nf FROM x),
-              z AS (SELECT *, min(CASE WHEN prev IS NOT NULL AND prev <> 0 AND leap = max_leap
-                                       THEN rank END) OVER (PARTITION BY user_id) AS cut FROM y),
-              kept AS (SELECT user_id, feature, rank FROM z
-                       WHERE nf <= 1 OR cut IS NULL OR rank < cut)
-         SELECT user_id, list(feature ORDER BY rank) AS features,
-                CAST(count(*) AS INT) AS n_features
-         FROM kept GROUP BY user_id ORDER BY user_id""",
+    "q20_exstream_explain" -> exstreamExplainSql,
+    "q37_exstream_oracle" -> exstreamExplainSql,
 
     "q36_worstcase_shuffle" ->
       s"""WITH e AS (SELECT user_id, CAST(floor(value/100.0) AS DOUBLE) AS v, $clsSql AS cls
