@@ -235,10 +235,12 @@ object Queries {
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"))
         .orderBy("l_returnflag")),
 
-    // ---- sampling (M1; seeded, rows-only check) ----
+    // ---- sampling (M1): deterministic ~30% hash sample. md5 hex compares
+    // identically in any engine, so the "seed" (the '4c' cutoff = 76/256)
+    // is fully oracle-checkable, unlike an RNG-seeded Bernoulli sample ----
     "q18_sample_seeded" -> ((s, d) =>
       t(s, d, "part")
-        .sample(withReplacement = false, 0.3, 42L)
+        .where(md5(col("p_partkey").cast("string").cast("binary")) < "4c")
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"))
         .orderBy("p_brand")),
@@ -312,9 +314,12 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    // 24 tables x 4 bits: measured recall 1.0 vs q31's exact pairs at this
+    // fixture's (near-orthogonal) cos>=0.4 threshold; see LSH tuning note
+    // on Similarity.lshNearDupPairs
     "q30_ann_lsh" -> ((s, d) =>
       Similarity.lshNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-        nBits = 6, minCosine = 0.4)
+        dim = 64, nBits = 4, tables = 24, minCosine = 0.4)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("id_a", "id_b")),
 
@@ -442,6 +447,28 @@ object Oracles {
     "(n_ref*1.0/(n_ano+n_ref))*log2(1.0/(n_ref*1.0/(n_ano+n_ref)))"
   private val shSql = // distinct 3-gram shingles of whitespace tokens
     """list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))"""
+
+  // MinHash signature (k=64) over the 32-bit md5 shingle hashes, with the
+  // exact affine-mod-P permutation constants of graft.plans.MinHashSignature
+  // — a line-by-line SQL reconstruction of the codegen'd kernel.
+  private val minhashSigSql: String = {
+    import graft.plans.MinHashSignature.{coeffA, coeffB, P}
+    (0 until 64)
+      .map(i => s"list_min(list_transform(hset, h -> (${coeffA(i)}*h+${coeffB(i)})%$P))")
+      .mkString("[", ",\n                ", "]")
+  }
+
+  // Per-table LSH bucket expressions over the quantized vector `q`, with
+  // the exact +/-1 hyperplane signs of Similarity.hyperplaneSigns. Integer
+  // arithmetic end to end — no float summation order to disagree on.
+  private def annBucketsSql(tables: Int, nBits: Int, dim: Int): String =
+    (0 until tables).map { t =>
+      val signs = graft.operators.Similarity.hyperplaneSigns(t, nBits, dim)
+      (0 until nBits).map { b =>
+        val proj = s"list_sum(list_transform(list_zip(q, [${signs(b).mkString(",")}]), x -> x[1]*x[2]))"
+        s"CASE WHEN $proj >= 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ",\n              ", "]")
 
   // Shared by q20 (flagship) and q37 (oracle twin): the full EXstream
   // pipeline — rewards -> ranking -> leap cutoff -> explanation — as one
@@ -709,6 +736,44 @@ object Oracles {
                                         x -> md5(x))) AS fingerprint
          FROM documents ORDER BY doc_id""",
 
+    "q18_sample_seeded" ->
+      """SELECT p_brand, count(*) AS n FROM part
+         WHERE md5(CAST(p_partkey AS VARCHAR)) < '4c'
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    "q26_minhash_lsh" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+              sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+              hs AS (SELECT doc_id, list_sort(list_distinct(list_transform(sh,
+                            s -> ('0x'||substr(md5(s),1,8))::BIGINT))) AS hset
+                     FROM sh WHERE len(sh) > 0),
+              sig AS (SELECT doc_id, hset, $minhashSigSql AS sg FROM hs),
+              bnd AS (SELECT doc_id, b, array_to_string(sg[4*b+1:4*b+4], ',') AS bkey
+                      FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b)),
+              cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                       FROM bnd l JOIN bnd r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+              v AS (SELECT doc_a, doc_b,
+                           len(list_intersect(x.hset, y.hset)) * 1.0 /
+                           (len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset)) * 1.0) AS jaccard
+                    FROM cand JOIN hs x ON doc_a = x.doc_id JOIN hs y ON doc_b = y.doc_id)
+         SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v
+         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+
+    "q28_simhash" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+              th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM tk),
+              bits AS (SELECT doc_id, j,
+                              CASE WHEN sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+                                   THEN 1::BIGINT << j ELSE 0::BIGINT END AS bv
+                       FROM th CROSS JOIN (SELECT unnest(range(60)) AS j) GROUP BY doc_id, j),
+              sim AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS sim FROM bits GROUP BY doc_id),
+              ch AS (SELECT doc_id, sim, c, (sim >> CAST(15*c AS INTEGER)) & 32767 AS cv
+                     FROM sim CROSS JOIN (SELECT unnest(range(4)) AS c)),
+              cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sim AS sa, r.sim AS sb
+                       FROM ch l JOIN ch r ON l.c = r.c AND l.cv = r.cv AND l.doc_id < r.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""",
+
     "q27_ngram_jaccard" ->
       s"""WITH s AS (SELECT doc_id, lang, $shSql AS sh
              FROM (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents)),
@@ -730,6 +795,22 @@ object Oracles {
                  FROM scored)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q30_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+                     list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1024.0) AS BIGINT)) AS q
+                FROM embeddings),
+              bk AS (SELECT vec_id, ${annBucketsSql(24, 4, 64)} AS bks FROM e),
+              tb AS (SELECT vec_id, unnest(range(24)) AS tbl, unnest(bks) AS bucket FROM bk),
+              cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+                       FROM tb l JOIN tb r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+              v AS (SELECT id_a, id_b,
+                    ${dot("x.embedding", "y.embedding")} /
+                    (sqrt(${dot("x.embedding", "x.embedding")}) *
+                     sqrt(${dot("y.embedding", "y.embedding")})) AS cos
+                 FROM cand JOIN e x ON id_a = x.vec_id JOIN e y ON id_b = y.vec_id)
+         SELECT id_a, id_b, round(cos, 4) AS cosine FROM v
+         WHERE cos >= 0.4 ORDER BY id_a, id_b""",
 
     "q31_neardup_exact" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),

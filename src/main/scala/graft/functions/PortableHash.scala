@@ -1,0 +1,59 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Cross-engine deterministic hashing, built on MD5 — the one hash that is
+ * bit-identical in Spark, DuckDB, and the JVM (`MessageDigest`). Used by
+ * every operator whose results must be reproducible by an independent SQL
+ * engine (the correctness oracle): hash sampling, MinHash shingle hashes,
+ * SimHash token hashes, LSH hyperplane signs.
+ *
+ * The 64-bit engine hashes (xxhash64) stay in paths where only Spark-side
+ * determinism matters — they are ~10x cheaper per call. The contract here
+ * trades that speed for verifiability.
+ *
+ * Convention: `h(s, n)` = first n hex chars of md5(s) parsed as a base-16
+ * integer. n <= 15 keeps the value under 2^60, so all downstream affine
+ * arithmetic fits signed 64-bit without overflow (ANSI-safe in Spark,
+ * identical in DuckDB):
+ *   Spark : CAST(conv(substr(md5(CAST(s AS BINARY)), 1, n), 16, 10) AS BIGINT)
+ *   DuckDB: ('0x' || substr(md5(s), 1, n))::BIGINT
+ */
+object PortableHash {
+
+  /** First `hexChars` hex chars of md5 as a non-negative long (Column). */
+  def md5Long(c: Column, hexChars: Int): Column = {
+    require(hexChars >= 1 && hexChars <= 15, s"hexChars in [1,15], got $hexChars")
+    conv(substring(md5(c.cast("binary")), 1, hexChars), 16, 10).cast("long")
+  }
+
+  /** 60-bit variant — the default for token-level hashing. */
+  def md5Long60(c: Column): Column = md5Long(c, 15)
+
+  /** 32-bit variant — for values that feed multiply-based permutations
+    * (a 31-bit coefficient times a 32-bit hash stays under 2^63). */
+  def md5Long32(c: Column): Column = md5Long(c, 8)
+
+  /** Driver/executor-side Scala mirror of [[md5Long]] — same bits. */
+  def md5LongOf(s: String, hexChars: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes(UTF_8))
+    // first hexChars hex digits = high 4*hexChars bits of the big-endian prefix
+    var v = 0L
+    var i = 0
+    while (i < hexChars) {
+      val b = d(i / 2) & 0xff
+      val nibble = if (i % 2 == 0) b >>> 4 else b & 0xf
+      v = (v << 4) | nibble
+      i += 1
+    }
+    v
+  }
+
+  /** DuckDB SQL fragment equivalent to [[md5Long]] over expression `e`. */
+  def duckdbMd5Long(e: String, hexChars: Int): String =
+    s"('0x'||substr(md5($e),1,$hexChars))::BIGINT"
+}

@@ -108,21 +108,23 @@ object TextFunctions {
 
   /** SimHash over the token multiset (term-frequency weighted), pure Scala
     * kernel — exercised via a UDF because bit-bucketed popcount folding has
-    * no built-in equivalent. */
-  def simhash64(tokens: Seq[String]): Long = {
-    val acc = new Array[Int](64)
+    * no built-in equivalent. 60-bit width with md5-prefix token hashes
+    * ([[PortableHash.md5LongOf]]) so a SQL engine can recompute the exact
+    * signature: bit j is set iff the +/-1 votes of bit j across all token
+    * instances sum positive. */
+  def simhash60(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](60)
     tokens.foreach { t =>
-      val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
-        (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
+      val h = PortableHash.md5LongOf(t, 15)
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
         b += 1
       }
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (acc(b) > 0) out |= (1L << b)
       b += 1
     }

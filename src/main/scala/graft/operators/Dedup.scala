@@ -94,7 +94,9 @@ object Dedup {
 
     // one string hash per shingle, then k cheap integer permutations over
     // the deduped hash set (the min is unaffected by duplicates, and the
-    // same sorted hash set drives exact verification below).
+    // same sorted hash set drives exact verification below). The shingle
+    // hash is the 32-bit md5 prefix (PortableHash) — a DuckDB oracle can
+    // reproduce hashes, signatures, banding, and verification exactly.
     // The repartition AFTER the signature projection is load-bearing twice
     // over: it fans the hashing work out of a single file split, and the
     // exchange materializes `sig` so CollapseProject cannot inline the
@@ -104,7 +106,8 @@ object Dedup {
       shingleSet(col(textCol), shingleN).as("shingles"))
       .where(size(col("shingles")) > 0)
       .withColumn("hset",
-        array_sort(array_distinct(transform(col("shingles"), t => xxhash64(t)))))
+        array_sort(array_distinct(transform(col("shingles"),
+          t => graft.functions.PortableHash.md5Long32(t)))))
       .drop("shingles")
       // single-pass custom expression (graft.plans.MinHashSignature): the
       // composable array_min(transform(...))*k form allocates boxed
@@ -149,22 +152,23 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup pairs: 64-bit TF-weighted signature; candidates share
-   * one of four 16-bit chunks (guarantees recall for hamming <= 3 by
-   * pigeonhole); verified by popcount hamming distance.
+   * SimHash near-dup pairs: 60-bit TF-weighted signature over md5 token
+   * hashes (PortableHash — a SQL oracle recomputes the signature exactly);
+   * candidates share one of four 15-bit chunks (guarantees recall for
+   * hamming <= 3 by pigeonhole); verified by popcount hamming distance.
    */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val spark = docs.sparkSession
-    val simUdf = udf((ts: Seq[String]) => simhash64(ts))
+    val simUdf = udf((ts: Seq[String]) => simhash60(ts))
     val sig = docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .withColumn("sim", simUdf(col("toks")))
       .drop("toks")
     val chunked = sig.select(
       col("doc"), col("sim"),
       posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+        shiftrightunsigned(col("sim"), c * 15).bitwiseAND(lit(0x7fffL))): _*))
         .as(Seq("chunk", "chunk_val")))
     val left = chunked.select(col("chunk"), col("chunk_val"),
       col("doc").as("doc_a"), col("sim").as("sim_a"))

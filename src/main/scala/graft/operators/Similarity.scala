@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Element-wise dot product of two float-array columns, computed in
-    * double precision (deterministic left-to-right summation). */
+    * double precision (deterministic left-to-right summation). This is the
+    * composable HOF reference form; the operators below use the codegen'd
+    * [[graft.plans.FloatVecOps]] expression, which computes the identical
+    * left-to-right sum ~10x faster (HOFs evaluate interpreted). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -32,6 +35,10 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Codegen'd dot over two array<float> columns resolved by NAME. */
+  private def fdot(df: DataFrame, a: String, b: String): Column =
+    graft.plans.FloatVecOps.floatDot(df.sparkSession, a, b)
 
   /**
    * Exact brute-force cosine top-k: for each query vector, the k nearest
@@ -47,12 +54,12 @@ object Similarity {
     // is the cost, so spread the corpus before the broadcast join
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col("neighbor_id"))
-      .withColumn("c_norm", l2Norm(col("c_vec")))
+      .withColumn("c_norm", sqrt(fdot(corpus, "c_vec", "c_vec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_norm", l2Norm(col("q_vec")))
+      .withColumn("q_norm", sqrt(fdot(queries, "q_vec", "q_vec")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("c_vec"), col("q_vec")) / (col("c_norm") * col("q_norm")))
+      .withColumn("cosine", fdot(corpus, "c_vec", "q_vec") / (col("c_norm") * col("q_norm")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -60,42 +67,76 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (bit, dim):
-    * xxhash64 scaled to [-1, 1). No RNG state — reproducible anywhere. */
-  private def hyperplaneComponent(bit: Int, dim: Column): Column =
-    (xxhash64(lit(bit), dim).cast("double") / lit(Long.MaxValue.toDouble))
+  /**
+   * Deterministic +/-1 hyperplane sign for (table, bit, dim): the low bit
+   * of the md5 prefix of "hp:t:b:i". Rademacher hyperplanes have the same
+   * angle-collision law as Gaussian ones, and — combined with the
+   * power-of-two quantization below — keep the whole signature in exact
+   * integer arithmetic: no float summation order to disagree on, so an
+   * independent SQL engine reproduces every bucket bit-for-bit.
+   */
+  def hyperplaneSign(table: Int, bit: Int, dim: Int): Long =
+    if ((graft.functions.PortableHash.md5LongOf(s"hp:$table:$bit:$dim", 15) & 1L) == 1L) 1L
+    else -1L
 
-  /** Random-hyperplane signature: one bit per hyperplane = sign of the
-    * projection. Returns an integer bucket id in [0, 2^nBits). */
-  def lshSignature(vec: Column, nBits: Int): Column = {
-    val bits = (0 until nBits).map { b =>
+  /** Sign matrix of one table: signs(bit)(dim). */
+  def hyperplaneSigns(table: Int, nBits: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(nBits, dim)((b, i) => hyperplaneSign(table, b, i))
+
+  /** Power-of-two quantization: floor(x * 1024) is exact for float input
+    * (the mantissa only shifts), so both engines land on the same integer. */
+  def quantized(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1024.0)))
+
+  /** Bucket id of `qvec` (a quantized vector) in one hash table: bit b =
+    * sign of the projection onto the table's b-th +/-1 hyperplane. Integer
+    * dot product — order-independent, cross-engine exact. */
+  def lshBucket(qvec: Column, table: Int, nBits: Int, dim: Int): Column =
+    (0 until nBits).map { b =>
+      val signs = typedLit(hyperplaneSigns(table, nBits, dim)(b).toSeq)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * hyperplaneComponent(b, i)),
-        lit(0.0), (acc, x) => acc + x)
+        zip_with(qvec, signs, (x, s) => x * s), lit(0L), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    }.reduce(_ + _)
 
   /**
-   * Bucketed ANN near-duplicate pairs: vectors sharing an LSH bucket are
-   * verified with exact cosine. Recall is tuned by nBits (fewer bits =
-   * bigger buckets = higher recall, more verification work).
+   * Multi-table bucketed ANN near-duplicate pairs: `tables` independent
+   * hash tables of `nBits` random-hyperplane bits each; vectors sharing a
+   * bucket in ANY table become candidates (union, deduped on ids), then
+   * exact cosine verifies. Per-pair recall at bit-collision probability p
+   * is 1 - (1 - p^nBits)^tables — tune nBits ~ log2(corpus/bucket-target)
+   * and tables to the recall target; a single table is a quiet quadratic
+   * (one 2^nBits-way split of the corpus) at 100x scale.
+   *
+   * Shuffle shape: only (table, bucket, id) rows travel through the
+   * candidate join; vectors are re-attached to the surviving distinct
+   * pairs, so the fat payload crosses the wire once per doc.
    */
   def lshNearDupPairs(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      nBits: Int = 8, minCosine: Double = 0.9): DataFrame = {
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nBits: Int = 4, tables: Int = 24, minCosine: Double = 0.9): DataFrame = {
+    // materialize the quantized vector behind an exchange so CollapseProject
+    // cannot inline it into each of the tables*nBits projections
     val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", lshSignature(col("vec"), nBits))
-      .withColumn("norm", l2Norm(col("vec")))
-    val left = sig.select(col("bucket"), col("id").as("id_a"),
-      col("vec").as("vec_a"), col("norm").as("norm_a"))
-    val right = sig.select(col("bucket"), col("id").as("id_b"),
-      col("vec").as("vec_b"), col("norm").as("norm_b"))
-    left.join(right, Seq("bucket"))
+      .withColumn("q", quantized(col("vec")))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .withColumn("buckets",
+        array((0 until tables).map(t => lshBucket(col("q"), t, nBits, dim)): _*))
+
+    val banded = sig.select(col("id"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val candidates = banded.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val vecs = sig.select(col("id"), col("vec"), sqrt(fdot(sig, "vec", "vec")).as("norm"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b")), "id_b")
+      .withColumn("cosine", fdot(sig, "vec_a", "vec_b") / (col("norm_a") * col("norm_b")))
       .where(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
@@ -107,12 +148,12 @@ object Similarity {
       minCosine: Double): DataFrame = {
     val withNorm = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col("id_a"))
-      .withColumn("norm_a", l2Norm(col("vec_a")))
+      .withColumn("norm_a", sqrt(fdot(corpus, "vec_a", "vec_a")))
     val right = withNorm.select(col("id_a").as("id_b"),
       col("vec_a").as("vec_b"), col("norm_a").as("norm_b"))
     withNorm.crossJoin(right)
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
+      .withColumn("cosine", fdot(corpus, "vec_a", "vec_b") / (col("norm_a") * col("norm_b")))
       .where(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }

@@ -15,22 +15,46 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
  * the token array k times and each `transform` materializes an
  * intermediate boxed array — measured at ~11 s for 5000 docs x 300
  * shingles x 64 permutations. This expression computes all k minima in
- * ONE pass of primitive arithmetic (splitmix64 finalizer per (token,
- * permutation), no allocation beyond the k-long output), ~20x faster,
- * and stays inside whole-stage codegen via a static kernel call.
+ * ONE pass of primitive arithmetic (no allocation beyond the k-long
+ * output), ~20x faster, and stays inside whole-stage codegen via a
+ * static kernel call.
+ *
+ * Permutation family (cross-engine verifiable): h_i(x) = (a_i*x + b_i)
+ * mod P with P = 4294967311 (the smallest prime above 2^32), a_i in
+ * [1, 2^31), b_i in [0, 2^31). INPUT CONTRACT: x must be under 2^32
+ * (e.g. [[graft.functions.PortableHash.md5Long32]]) so a_i*x + b_i stays
+ * below 2^63 — exact in any engine's signed-64 arithmetic, which lets a
+ * SQL oracle (DuckDB `list_min(list_transform(...))` over the same
+ * constants) reproduce the signature bit-for-bit.
  */
 object MinHashSignature {
 
-  /** splitmix64-style mix of a token hash with a permutation index. */
-  @inline def mix(h: Long, perm: Int): Long = {
+  /** Smallest prime > 2^32: the permutation modulus. */
+  val P: Long = 4294967311L
+
+  /** splitmix64-style finalizer — used only to derive the fixed
+    * coefficient tables below (never on the data path). */
+  @inline private def mix(h: Long, perm: Int): Long = {
     var x = h + 0x9e3779b97f4a7c15L * (perm + 1)
     x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
     x ^= x >>> 27; x *= 0x94d049bb133111ebL
     x ^ (x >>> 31)
   }
 
+  /** Multiplier of permutation i: 31-bit, never zero. */
+  def coeffA(i: Int): Long = (mix(0xA11CE5EEDL, i) & 0x7fffffffL) | 1L
+
+  /** Offset of permutation i: 31-bit. */
+  def coeffB(i: Int): Long = mix(0xBEEFCAFEL, i) & 0x7fffffffL
+
+  private val MaxK = 1024
+  private lazy val A: Array[Long] = Array.tabulate(MaxK)(coeffA)
+  private lazy val B: Array[Long] = Array.tabulate(MaxK)(coeffB)
+
   /** The codegen kernel: k minima in one pass. */
   def signature(hashes: ArrayData, k: Int): ArrayData = {
+    require(k <= MaxK, s"k=$k exceeds precomputed coefficient table ($MaxK)")
+    val a = A; val b = B
     val out = Array.fill(k)(Long.MaxValue)
     val n = hashes.numElements()
     var j = 0
@@ -38,7 +62,7 @@ object MinHashSignature {
       val h = hashes.getLong(j)
       var i = 0
       while (i < k) {
-        val v = mix(h, i)
+        val v = (a(i) * h + b(i)) % P
         if (v < out(i)) out(i) = v
         i += 1
       }
