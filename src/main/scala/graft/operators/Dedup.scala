@@ -32,44 +32,67 @@ object Dedup {
 
   /**
    * Exact word-n-gram Jaccard over candidate pairs blocked on `blockCol`
-   * (e.g. source/domain/length-bucket). O(pairs-within-block), exact.
+   * (e.g. source/domain/length-bucket), found by AllPairs/PPJoin-style
+   * PREFIX FILTERING instead of an all-pairs-within-block join.
    *
-   * Scale shape: a blocked self-join is skew-prone — one hot block becomes
-   * one straggler task. The right side is therefore SALTED: each left row
-   * is replicated once per salt bucket and each right row lands in exactly
-   * one bucket (`doc_b % salt`), so a hot block fans out into `salt`
-   * independent tasks while every (a,b) pair still appears exactly once.
-   * A size-ratio prune (J(A,B) <= min(|A|,|B|)/max(|A|,|B|)) skips the
-   * set intersection for pairs that provably cannot reach the threshold;
-   * neither transformation changes the result set.
+   * Lossless pruning (Bayardo et al., WWW'07 "Scaling Up All Pairs
+   * Similarity Search"): with sets sorted by a global token order, any
+   * pair with J(A,B) >= t must share a token among the first
+   * |X| - ceil(t*|X|) + 1 tokens of EACH side (J >= t forces
+   * |A n B| >= t*max(|A|,|B|)). So only those prefixes are exploded, and
+   * the candidate join is keyed on (block, prefix-token) — near-linear in
+   * corpus size for realistic shingle distributions, not O(n²/blocks).
+   *
+   * Scale shape: only (id, size, token) rows travel through the candidate
+   * shuffle; the fat shingle sets are re-attached to the (distinct,
+   * size-ratio-pruned) surviving pairs, so each set crosses the wire once
+   * per doc, not once per candidate. A size-ratio prune
+   * (J(A,B) <= min/max) drops provably-failing pairs before the fetch.
+   * Neither transformation changes the result set.
    */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
-      n: Int = 3, threshold: Double = 0.5, salt: Int = 32): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // shingles are compared as xxhash64 values: 64-bit set intersection is
     // ~an order of magnitude cheaper per pair than UTF8 string sets, and a
     // collision altering a Jaccard value needs two distinct shingles of one
     // pair to collide (~|A|*|B|/2^64 — negligible at any realistic doc size)
-    // sorted ascending so the intersect kernel merges in place with zero
-    // per-pair allocation (sorting once here is amortized over all pairs)
+    // sorted ascending so (a) the prefix-filter token order is global and
+    // (b) the intersect kernel merges in place with zero per-pair allocation
+    val spark = docs.sparkSession
     val sets = docs.select(
-      col(idCol).as("doc_a"), col(blockCol).as("block"),
+      col(idCol).as("doc"), col(blockCol).as("block"),
       array_sort(array_distinct(transform(shingleSet(col(textCol), n), s => xxhash64(s))))
-        .as("set_a"))
-    val left = sets
-      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
-    val right = sets.select(
-      col("doc_a").as("doc_b"), col("block"), col("set_a").as("set_b"),
-      pmod(col("doc_a"), lit(salt)).cast("int").as("salt"))
+        .as("set"))
+      .where(size(col("set")) > 0)
+      .withColumn("sz", size(col("set")))
+      // materialize the shingle hashing behind an exchange (CollapseProject
+      // would otherwise re-hash per reference) and co-locate by doc for the
+      // two verification fetch joins below
+      .repartition(spark.sparkContext.defaultParallelism, col("doc"))
+
+    val prefix = sets.select(col("doc"), col("block"), col("sz"),
+      explode(slice(col("set"), lit(1),
+        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("tok"))
+
+    val candidates = prefix.select(col("block"), col("tok"),
+        col("doc").as("doc_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("block"), col("tok"),
+        col("doc").as("doc_b"), col("sz").as("sz_b")), Seq("block", "tok"))
+      .where(col("doc_a") < col("doc_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          greatest(col("sz_a"), col("sz_b")) * threshold)
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+
     // custom codegen'd expression: primitive intersection COUNT (no boxed
     // set, no materialized intersection array) — see graft.plans.LongSetOps
     val inter = graft.plans.LongSetOps
-      .longIntersectSize(docs.sparkSession, "set_a", "set_b")
+      .longIntersectSize(spark, "set_a", "set_b")
       .cast("double")
-    left.join(right, Seq("block", "salt"))
-      .where(col("doc_a") < col("doc_b") && size(col("set_a")) > 0 &&
-        least(size(col("set_a")), size(col("set_b"))).cast("double") >=
-          greatest(size(col("set_a")), size(col("set_b"))) * threshold)
+    candidates
+      .join(sets.select(col("doc").as("doc_a"), col("set").as("set_a")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("set").as("set_b")), "doc_b")
       // |A∪B| = |A|+|B|-|A∩B| — one set operation per pair instead of two
       .withColumn("jaccard",
         inter / (size(col("set_a")) + size(col("set_b")) - inter))
