@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.EntropyCore
 
 /**
  * A5/A6/A7/T2/W1 (SURVEY.md §2.5): per-(window, feature) entropy reward
@@ -13,30 +12,15 @@ import graft.functions.EntropyCore
  * The reference loops features in Python, sorting the whole frame once per
  * feature. Here ONE `groupBy(window_key, feature)` fans the work across
  * every (window x feature) group in the cluster; the order-dependent
- * segmentation scan runs inside the group on a collected, sorted array.
- * Group sizes are bounded by label-span lengths (~1e3..1e5 observations),
- * so the collected array is small; the number of groups (windows x
- * features) is what grows with data volume, and that is exactly the axis
- * Spark parallelizes. For pathological group sizes a
- * TypedImperativeAggregate with spill support would replace collect_list —
- * not needed at trace scale.
+ * segmentation scan runs inside the group via
+ * [[graft.plans.SegEntropyAgg]] — a TypedImperativeAggregate whose group
+ * state is two primitive arrays with a flat serialized form, so giant
+ * windows spill through ObjectHashAggregate's sort-based fallback instead
+ * of accumulating boxed structs on the heap (the old collect_list + UDF
+ * shape). The number of groups (windows x features) is what grows with
+ * data volume, and that is exactly the axis Spark parallelizes.
  */
 object EntropyReward {
-
-  /** Segmentation entropy over collected (value, class) pairs; sorting by
-    * (value, class) happens inside the kernel, mirroring
-    * `all_data.sort_values(by=[feature, "type_data"])` (`entropy_...py:224`). */
-  private def segEntropyUdf(applyWorstCase: Boolean) = udf { pairs: Seq[Row] =>
-    val values = new Array[Double](pairs.size)
-    val classes = new Array[Int](pairs.size)
-    var i = 0
-    pairs.foreach { r =>
-      values(i) = r.getDouble(0)
-      classes(i) = r.getInt(1)
-      i += 1
-    }
-    EntropyCore.segmentationEntropyOfPairs(values, classes, applyWorstCase)
-  }
 
   /** H_class as a codegen'd column expression (log base 2, `entropy_...py:35-37`).
     * The reference raises when either class is empty (`:30-34`); here such
@@ -64,17 +48,18 @@ object EntropyReward {
       .agg(
         sum(when(col("type_data") === 1, 1L).otherwise(0L)).as("n_ano"),
         sum(when(col("type_data") === 0, 1L).otherwise(0L)).as("n_ref"),
-        collect_list(struct(col("value").cast("double"), col("type_data").cast("int")))
-          .as("pairs"))
+        graft.plans.SegEntropyAgg.segEntropy(
+          obs.sparkSession, "value", "type_data", applyWorstCase)
+          .as("segmentation_entropy"))
     grouped
       .withColumn("class_entropy", classEntropyCol(col("n_ano"), col("n_ref")))
-      .withColumn("segmentation_entropy", segEntropyUdf(applyWorstCase)(col("pairs")))
       // NumPy float64 semantics: x/0.0 -> +inf (the reference relies on it
       // for perfectly-separating features). Spark ANSI mode would raise, so
       // the zero case is made explicit — works under ANSI and non-ANSI alike.
       .withColumn("reward",
         when(col("segmentation_entropy") === 0.0, lit(Double.PositiveInfinity))
           .otherwise(col("class_entropy") / col("segmentation_entropy")))
-      .drop("pairs")
+      .select(col("window_key"), col("feature"), col("n_ano"), col("n_ref"),
+        col("class_entropy"), col("segmentation_entropy"), col("reward"))
   }
 }
