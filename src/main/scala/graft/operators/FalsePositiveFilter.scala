@@ -16,13 +16,20 @@ import graft.functions.MatchKernel
  * fewest matches is kept as fallback (argmin with first-occurrence
  * tie-break in column order, `:46`).
  *
- * Distribution shape: the per-feature reference series (all ref windows
- * concatenated in trace/label order, `script_1.py:66` passes the full
- * `refs` frame) is collected once per feature — one row of ~1e5 doubles —
- * and broadcast-joined to the per-(window, feature) patterns; each match
- * count is an independent task, so the O(n*m) kernels fan out across the
- * cluster. Series order is canonicalized to (trace_id, label_row,
- * timestamp); the reference's order depends on os.listdir and is not
+ * Distribution shape: the reference series is collected PER (feature,
+ * trace) — each row bounded by one trace's ref span, never by corpus
+ * size — and joined to the per-(window, feature) patterns on feature
+ * (AQE picks broadcast when the series side is small, skew-split
+ * sort-merge otherwise). A window's match count is the SUM of its
+ * per-trace match counts; each per-trace kernel call is an independent
+ * task, so the O(n*m) work fans out across the cluster. vs the
+ * reference (`script_1.py:66` matches against ALL ref windows
+ * concatenated into one series): identical on a single trace, and at
+ * multi-trace scale differs only in (a) phantom subsequences spanning
+ * two concatenated traces and (b) exclusion zones crossing a trace
+ * boundary — both artifacts of concatenation, not of the data. Series
+ * order inside a trace is canonicalized to (label_row, timestamp); the
+ * reference's cross-trace order depends on os.listdir and is not even
  * deterministic (SURVEY §4a quirk 7).
  *
  * `patternFromRefWindow = true` reproduces the committed script, which
@@ -54,16 +61,18 @@ object FalsePositiveFilter {
     val spark = obs.sparkSession
     import spark.implicits._
 
-    // full reference series per feature, canonical order
+    // reference series per (feature, trace), canonical order inside the
+    // trace — row size bounded by one trace's ref span
     val series = obs
       .where($"type_data" === 0)
-      .groupBy("feature")
+      .groupBy("feature", "trace_id")
       .agg(
         transform(
           array_sort(collect_list(struct(
-            $"trace_id", $"window_key", $"timestamp", $"value".cast("double").as("value")))),
+            $"window_key", $"timestamp", $"value".cast("double").as("value")))),
           x => x.getField("value")
         ).as("series"))
+      .drop("trace_id")
 
     // pattern = this window's ref rows (script-faithful) or ano rows
     val patternClass = if (patternFromRefWindow) 0 else 1
@@ -77,9 +86,11 @@ object FalsePositiveFilter {
 
     val idxUdf = udf((f: String) => featIdx.getOrElse(f, Int.MaxValue))
     val counted = patterns
-      .join(broadcast(series), "feature")
-      .withColumn("n_matches",
+      .join(series, "feature") // AQE: broadcast while small, SMJ at scale
+      .withColumn("trace_matches",
         matchCountUdf(col("pattern"), col("series"), lit(maxDistance)))
+      .groupBy("window_key", "feature")
+      .agg(sum("trace_matches").cast("int").as("n_matches"))
       .withColumn("feat_idx", idxUdf(col("feature")))
       .select("window_key", "feature", "feat_idx", "n_matches")
 
