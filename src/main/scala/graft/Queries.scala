@@ -34,8 +34,12 @@ object Queries {
 
   /** Event time as exact microseconds-since-epoch (LongType); the oracle
     * counterpart is DuckDB's `epoch_us(ts)` — integer arithmetic on both
-    * sides, no float boundary risk in interval predicates. */
-  private def tsMicros: Column = (col("ts") / lit(1000L)).cast("long")
+    * sides, no float boundary risk in interval predicates. `div` (integral
+    * division) is essential: `/` on longs is DOUBLE division, and nano
+    * timestamps (~1.7e18) exceed 2^53, so trunc(double(ts)/1000) lands one
+    * microsecond low on ~2% of rows — invisible in range predicates, fatal
+    * for md5-of-decimal-string parity (q38's resample membership). */
+  private def tsMicros: Column = expr("ts div 1000")
 
   private def decSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
@@ -357,6 +361,15 @@ object Queries {
     // SQL-expressible (q36 oracle-checks the rewrite itself) ----
     "q37_exstream_oracle" -> ((s, d) => exstreamExplain(s, d)),
 
+    // ---- the instability path (A10 + M1), oracle-checked end to end:
+    // the pipeline re-run on five deterministic 80% resamples plus the
+    // full data, all through ONE shuffle (resample id folded into the
+    // window key), then the multiset instability entropy over the five
+    // explanations. The md5 wide-row sample replaces the reference's
+    // RNG-seeded `df.sample` (script_1.py:227-241) so both engines draw
+    // the identical subset ----
+    "q38_exstream_instability" -> ((s, d) => exstreamInstability(s, d)),
+
     // ---- worst-case shuffle (T2): quantized values force cross-class
     // duplicate runs, so the pessimistic label rewrite dominates the
     // segmentation entropy; the oracle reproduces the rewrite analytically
@@ -427,6 +440,71 @@ object Queries {
         size(col("features")).as("n_features"))
       .orderBy("user_id")
   }
+
+  /**
+   * The instability metric end to end (`script_1.py:187-241`): the
+   * explanation query re-run on five 80% resamples, then the multiset
+   * entropy of the five feature lists per window.
+   *
+   * Distribution shape: the resample id `rs` (-1 = full data, 0..4 =
+   * samples) is folded into the window key, so ALL six pipeline instances
+   * ride one groupBy shuffle — at 100 TB this costs ~5x the single-pass
+   * bytes (the honest price of five resamples) but adds zero extra
+   * stages, vs the reference's six serial pipeline runs. Sampling is a
+   * deterministic md5 hash of the wide-row key (user, timestamp, rs) —
+   * the reference samples whole wide rows, i.e. every feature of a
+   * timestamp together (`script_1.py:230`) — with cutoff 0xcc/0x100 =
+   * 79.7%, reproducible bit-for-bit in any engine with md5.
+   */
+  def exstreamInstability(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), tsMicros.as("us"))
+    val spans = e.groupBy("user_id").agg(((min("us") + max("us")) / 2).as("mid"))
+    val withRs = e.join(broadcast(spans), "user_id")
+      .withColumn("rs", explode(array((-1 to 4).map(i => lit(i)): _*)))
+      .where(col("rs") === -1 ||
+        md5(concat_ws("_", col("user_id"), col("us"), col("rs")).cast("binary")) < "cc")
+    val obs = withRs.select(
+      concat_ws("#", col("rs"), col("user_id")).as("window_key"),
+      col("event_type").as("feature"),
+      (col("value") + col("event_id") * lit(1e-6)).as("value"),
+      when(col("us") >= col("mid"), 1).otherwise(0).as("type_data"))
+    val featIdx = Map("click" -> 0, "view" -> 1, "purchase" -> 2, "signup" -> 3, "error" -> 4)
+    val idxUdf = udf((f: String) => featIdx.getOrElse(f, Int.MaxValue))
+    val rewards = EntropyReward.rewards(obs, applyWorstCase = true)
+      .where(col("n_ano") > 0 && col("n_ref") > 0)
+      .withColumn("feat_idx", idxUdf(col("feature")))
+    val kept = LeapFilter.keptFeatures(rewards)
+      .withColumn("rs", split(col("window_key"), "#").getItem(0).cast("int"))
+      .withColumn("user_id", split(col("window_key"), "#").getItem(1).cast("long"))
+
+    val main = kept.where(col("rs") === -1)
+      .groupBy("user_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("rank"), col("feature")))),
+            x => x.getField("feature")),
+          " ").as("features"),
+        count(lit(1)).cast("int").as("exp_size"))
+
+    // instability = -sum p*log2(p) over the multiset of features across
+    // the five resample explanations (EntropyCore.instabilityEntropy as a
+    // relational aggregation — q16's proven form)
+    val c = kept.where(col("rs") >= 0)
+      .groupBy("user_id", "feature").agg(count(lit(1)).as("k"))
+    val tot = c.groupBy("user_id").agg(sum("k").as("n"))
+    val inst = c.join(tot, "user_id")
+      .withColumn("p", col("k").cast("double") / col("n"))
+      .groupBy("user_id")
+      .agg(round(sum(-col("p") * log2(col("p"))), 6).as("exp_instability"))
+
+    main.join(inst, Seq("user_id"), "left")
+      .na.fill(0.0, Seq("exp_instability"))
+      .select("user_id", "features", "exp_size", "exp_instability")
+      .orderBy("user_id")
+  }
 }
 
 /**
@@ -470,64 +548,99 @@ object Oracles {
       }.mkString("(", " + ", ")")
     }.mkString("[", ",\n              ", "]")
 
+  // The EXstream CTE chain — rewards -> ranking -> leap cutoff — from a
+  // labeled observation relation `obs(<k>, feature, v, cls)` through
+  // `kept(<k>, feature, rank)`. Parameterized over the window key so
+  // q20/q37 (k = user_id) and q38 (k = rs, user_id: six pipeline
+  // instances in one pass) share the identical float operation structure.
+  private def exstreamChainSql(k: String): String =
+    s"""agg AS (SELECT $k, feature, CAST(sum(cls) AS BIGINT) AS n_ano,
+                             CAST(sum(1-cls) AS BIGINT) AS n_ref, count(*) AS n
+                      FROM obs GROUP BY $k, feature),
+              ok AS (SELECT * FROM agg WHERE n_ano > 0 AND n_ref > 0),
+              o AS (SELECT $k, feature, cls,
+                           row_number() OVER (PARTITION BY $k, feature
+                                              ORDER BY v, cls) AS rn
+                    FROM obs JOIN ok USING ($k, feature)),
+              chg AS (SELECT $k, feature, cls, rn,
+                             CASE WHEN cls <> lag(cls) OVER (PARTITION BY $k, feature ORDER BY rn)
+                                  THEN 1 ELSE 0 END AS is_new
+                      FROM o),
+              sg AS (SELECT $k, feature, rn,
+                            sum(is_new) OVER (PARTITION BY $k, feature ORDER BY rn
+                                              ROWS UNBOUNDED PRECEDING) AS seg_id
+                     FROM chg),
+              segs AS (SELECT $k, feature, seg_id, count(*) AS seg_len
+                       FROM sg GROUP BY $k, feature, seg_id),
+              segs2 AS (SELECT s.*, max(seg_id) OVER (PARTITION BY $k, feature) AS last_seg
+                        FROM segs s),
+              se AS (SELECT $k, feature,
+                            coalesce(sum(CASE WHEN seg_id <> last_seg
+                              THEN (seg_len*1.0/n) * ln(1.0/(seg_len*1.0/n)) END), 0.0) AS seg_ent
+                     FROM segs2 JOIN ok USING ($k, feature)
+                     GROUP BY $k, feature),
+              rewards AS (SELECT $k, feature,
+                            CASE WHEN seg_ent = 0.0 THEN 1.0/0.0 ELSE
+                              ((n_ano*1.0/(n_ano+n_ref))*log2(1.0/(n_ano*1.0/(n_ano+n_ref))) +
+                               (n_ref*1.0/(n_ano+n_ref))*log2(1.0/(n_ref*1.0/(n_ano+n_ref))))
+                              / seg_ent END AS reward,
+                            CASE feature WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                                 WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                                 WHEN 'error' THEN 4 ELSE 5 END AS fi
+                          FROM ok JOIN se USING ($k, feature)),
+              w AS (SELECT *, row_number() OVER (PARTITION BY $k ORDER BY reward DESC, fi) AS rank,
+                           lag(reward) OVER (PARTITION BY $k ORDER BY reward DESC, fi) AS prev
+                    FROM rewards),
+              x AS (SELECT *, prev - reward AS leap FROM w),
+              y AS (SELECT *, max(leap) OVER (PARTITION BY $k) AS max_leap,
+                           count(*) OVER (PARTITION BY $k) AS nf FROM x),
+              z AS (SELECT *, min(CASE WHEN prev IS NOT NULL AND prev <> 0 AND leap = max_leap
+                                       THEN rank END) OVER (PARTITION BY $k) AS cut FROM y),
+              kept AS (SELECT $k, feature, rank FROM z
+                       WHERE nf <= 1 OR cut IS NULL OR rank < cut)"""
+
   // Shared by q20 (flagship) and q37 (oracle twin): the full EXstream
   // pipeline — rewards -> ranking -> leap cutoff -> explanation — as one
   // analytic SQL query. `features` is the rank-ordered list joined with
   // spaces (scalar, so result harnesses can sort/hash the column).
   private val exstreamExplainSql =
-    """WITH e AS (SELECT user_id, event_id, event_type AS feature,
+    s"""WITH e AS (SELECT user_id, event_id, event_type AS feature,
                 value + event_id*1e-6 AS v, epoch_us(ts) AS us FROM events),
               spans AS (SELECT user_id, (min(us)+max(us))/2 AS mid FROM e GROUP BY user_id),
               obs AS (SELECT e.user_id, e.feature, e.v,
                              CASE WHEN e.us >= s.mid THEN 1 ELSE 0 END AS cls
                       FROM e JOIN spans s ON e.user_id = s.user_id),
-              agg AS (SELECT user_id, feature, CAST(sum(cls) AS BIGINT) AS n_ano,
-                             CAST(sum(1-cls) AS BIGINT) AS n_ref, count(*) AS n
-                      FROM obs GROUP BY user_id, feature),
-              ok AS (SELECT * FROM agg WHERE n_ano > 0 AND n_ref > 0),
-              o AS (SELECT obs.user_id, obs.feature, obs.cls,
-                           row_number() OVER (PARTITION BY obs.user_id, obs.feature
-                                              ORDER BY obs.v, obs.cls) AS rn
-                    FROM obs JOIN ok ON obs.user_id = ok.user_id AND obs.feature = ok.feature),
-              chg AS (SELECT user_id, feature, cls, rn,
-                             CASE WHEN cls <> lag(cls) OVER (PARTITION BY user_id, feature ORDER BY rn)
-                                  THEN 1 ELSE 0 END AS is_new
-                      FROM o),
-              sg AS (SELECT user_id, feature, rn,
-                            sum(is_new) OVER (PARTITION BY user_id, feature ORDER BY rn
-                                              ROWS UNBOUNDED PRECEDING) AS seg_id
-                     FROM chg),
-              segs AS (SELECT user_id, feature, seg_id, count(*) AS seg_len
-                       FROM sg GROUP BY user_id, feature, seg_id),
-              segs2 AS (SELECT s.*, max(seg_id) OVER (PARTITION BY user_id, feature) AS last_seg
-                        FROM segs s),
-              se AS (SELECT s.user_id, s.feature,
-                            coalesce(sum(CASE WHEN s.seg_id <> s.last_seg
-                              THEN (s.seg_len*1.0/a.n) * ln(1.0/(s.seg_len*1.0/a.n)) END), 0.0) AS seg_ent
-                     FROM segs2 s JOIN ok a ON s.user_id = a.user_id AND s.feature = a.feature
-                     GROUP BY s.user_id, s.feature),
-              rewards AS (SELECT a.user_id, a.feature,
-                            CASE WHEN se.seg_ent = 0.0 THEN 1.0/0.0 ELSE
-                              ((n_ano*1.0/(n_ano+n_ref))*log2(1.0/(n_ano*1.0/(n_ano+n_ref))) +
-                               (n_ref*1.0/(n_ano+n_ref))*log2(1.0/(n_ref*1.0/(n_ano+n_ref))))
-                              / se.seg_ent END AS reward,
-                            CASE a.feature WHEN 'click' THEN 0 WHEN 'view' THEN 1
-                                 WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
-                                 WHEN 'error' THEN 4 ELSE 5 END AS fi
-                          FROM ok a JOIN se ON a.user_id = se.user_id AND a.feature = se.feature),
-              w AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY reward DESC, fi) AS rank,
-                           lag(reward) OVER (PARTITION BY user_id ORDER BY reward DESC, fi) AS prev
-                    FROM rewards),
-              x AS (SELECT *, prev - reward AS leap FROM w),
-              y AS (SELECT *, max(leap) OVER (PARTITION BY user_id) AS max_leap,
-                           count(*) OVER (PARTITION BY user_id) AS nf FROM x),
-              z AS (SELECT *, min(CASE WHEN prev IS NOT NULL AND prev <> 0 AND leap = max_leap
-                                       THEN rank END) OVER (PARTITION BY user_id) AS cut FROM y),
-              kept AS (SELECT user_id, feature, rank FROM z
-                       WHERE nf <= 1 OR cut IS NULL OR rank < cut)
+              ${exstreamChainSql("user_id")}
          SELECT user_id, string_agg(feature, ' ' ORDER BY rank) AS features,
                 CAST(count(*) AS INT) AS n_features
          FROM kept GROUP BY user_id ORDER BY user_id"""
+
+  // q38: the chain over (rs, user_id) — rs = -1 is the full data, 0..4
+  // the five md5-hash 80% wide-row resamples — then the multiset
+  // instability entropy over the resample explanations (q16's form).
+  private val exstreamInstabilitySql =
+    s"""WITH e AS (SELECT user_id, event_id, event_type AS feature,
+                value + event_id*1e-6 AS v, epoch_us(ts) AS us FROM events),
+              spans AS (SELECT user_id, (min(us)+max(us))/2 AS mid FROM e GROUP BY user_id),
+              r AS (SELECT rs FROM range(-1, 5) t(rs)),
+              obs AS (SELECT r.rs, e.user_id, e.feature, e.v,
+                             CASE WHEN e.us >= s.mid THEN 1 ELSE 0 END AS cls
+                      FROM e JOIN spans s ON e.user_id = s.user_id CROSS JOIN r
+                      WHERE r.rs = -1 OR
+                            md5(CAST(e.user_id AS VARCHAR)||'_'||CAST(e.us AS VARCHAR)||'_'||CAST(r.rs AS VARCHAR)) < 'cc'),
+              ${exstreamChainSql("rs, user_id")},
+              main AS (SELECT user_id, string_agg(feature, ' ' ORDER BY rank) AS features,
+                              CAST(count(*) AS INT) AS exp_size
+                       FROM kept WHERE rs = -1 GROUP BY user_id),
+              c AS (SELECT user_id, feature, count(*) AS k
+                    FROM kept WHERE rs >= 0 GROUP BY user_id, feature),
+              t2 AS (SELECT user_id, sum(k) AS n FROM c GROUP BY user_id),
+              inst AS (SELECT c.user_id, round(sum(-(k*1.0/n)*log2(k*1.0/n)), 6) AS exp_instability
+                       FROM c JOIN t2 ON c.user_id = t2.user_id GROUP BY c.user_id)
+         SELECT m.user_id, m.features, m.exp_size,
+                coalesce(i.exp_instability, 0.0) AS exp_instability
+         FROM main m LEFT JOIN inst i ON m.user_id = i.user_id
+         ORDER BY m.user_id"""
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
@@ -840,6 +953,7 @@ object Oracles {
 
     "q20_exstream_explain" -> exstreamExplainSql,
     "q37_exstream_oracle" -> exstreamExplainSql,
+    "q38_exstream_instability" -> exstreamInstabilitySql,
 
     "q36_worstcase_shuffle" ->
       s"""WITH e AS (SELECT user_id, CAST(floor(value/100.0) AS DOUBLE) AS v, $clsSql AS cls
