@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, concat, concat_ws, lit}
 
 /**
  * CLI entry for the EXstream explanation pipeline — the engine's analogue
@@ -39,18 +38,15 @@ object ExplainMain {
         .orderBy("trace_id", "ano_id")
       out.show(100, truncate = false)
       // S5: CSV result sink, config encoded in the path as the reference
-      // does in its filenames (script_1.py:275-328); arrays stringified
-      // since CSV has no array type (matching pandas' to_csv rendering)
-      outDir.foreach { dir =>
-        val fpTag = if (fp) "with" else "without"
-        val clTag = if (cluster) "with" else "without"
-        out.withColumn("explanation", concat_ws(", ", col("explanation")))
-          .withColumn("explanation", concat(lit("["), col("explanation"), lit("]")))
-          .coalesce(1)
-          .write.mode("overwrite").option("header", "true")
-          .csv(s"$dir/explanations_${fpTag}_false_positive_filtering_" +
-            s"${maxDistance}_${clTag}_cluster_${cfg.correlationThreshold}")
-      }
+      // does in its filenames (script_1.py:275-328)
+      outDir.foreach(dir => graft.sources.Results.writeExplanations(out, dir, cfg))
+    }
+    // S6: read the results back and print the notebook's evaluation
+    // aggregations (plot_metrics.ipynb cells 2-3)
+    outDir.foreach { dir =>
+      println("=== evaluation: per-config mean exp_instability / exp_size ===")
+      graft.sources.Results.evalMetrics(
+        graft.sources.Results.readExplanations(spark, dir)).show(truncate = false)
     }
     spark.stop()
   }
