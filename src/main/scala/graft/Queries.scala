@@ -267,6 +267,20 @@ object Queries {
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // BPE-ish token accounting: whitespace tokens vs GPT-2-style
+    // pre-tokenizer matches — the unit a training-data pipeline budgets
+    // by. Pure regexp_count, fully codegen, no vocabulary needed.
+    "q40_token_count" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_ws_tokens"),
+        TF.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .withColumn("bpe_ratio",
+          round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6))
+        .orderBy("doc_id")
+    }),
+
     "q22_text_stats" -> ((s, d) => {
       val docs = t(s, d, "documents")
       docs.select(
@@ -314,6 +328,17 @@ object Queries {
       val embs = t(s, d, "embeddings")
       val q = embs.where(col("vec_id") < 8)
       Similarity.bruteForceKnn(embs, q, "vec_id", "embedding", k = 5)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF: 16 md5-deterministic centroid cells, 4 probed per query — the
+    // sub-linear ANN scale path (only probed cells are verified); exact
+    // within-cell cosine, so the oracle reproduces it bit for bit
+    "q39_ann_ivf" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      Similarity.ivfKnn(embs, embs.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("query_id", "rank")
     }),
@@ -525,6 +550,12 @@ object Oracles {
     "(n_ref*1.0/(n_ano+n_ref))*log2(1.0/(n_ref*1.0/(n_ano+n_ref)))"
   private val shSql = // distinct 3-gram shingles of whitespace tokens
     """list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))"""
+
+  /** [[graft.functions.TextFunctions.bpeTokenPattern]] with the apostrophe
+    * SQL-escaped; the pattern itself stays in the Java-regex/RE2 shared
+    * subset so both engines match identically. */
+  private[graft] val bpePatternSql: String =
+    graft.functions.TextFunctions.bpeTokenPattern.replace("'", "''")
 
   // MinHash signature (k=64) over the 32-bit md5 shingle hashes, with the
   // exact affine-mod-P permutation constants of graft.plans.MinHashSignature
@@ -800,6 +831,14 @@ object Oracles {
                 count(*) OVER (PARTITION BY md5(text)) AS dup_count
          FROM documents ORDER BY doc_id""",
 
+    "q40_token_count" ->
+      s"""SELECT doc_id,
+                len(string_split_regex(text, '\\s+')) AS n_ws_tokens,
+                len(regexp_extract_all(text, '${Oracles.bpePatternSql}')) AS n_bpe_tokens,
+                round(len(regexp_extract_all(text, '${Oracles.bpePatternSql}'))*1.0 /
+                      len(string_split_regex(text, '\\s+')), 6) AS bpe_ratio
+         FROM documents ORDER BY doc_id""",
+
     "q22_text_stats" ->
       """SELECT doc_id,
                 len(string_split_regex(text, '\s+')) AS n_tokens,
@@ -906,6 +945,40 @@ object Oracles {
               ranked AS (SELECT query_id, neighbor_id, cos,
                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
                  FROM scored)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q39_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+              cn AS (SELECT cid, cv, sqrt(${dot("cv", "cv")}) AS c_norm FROM cents),
+              c AS (SELECT vec_id AS id, embedding AS v,
+                           sqrt(${dot("embedding", "embedding")}) AS norm FROM embeddings),
+              a0 AS (SELECT id, cid, v, norm,
+                            ${dot("v", "cv")} / (norm * c_norm) AS cos
+                     FROM c CROSS JOIN cn),
+              asgn AS (SELECT id, cid AS cell, v, norm FROM (
+                         SELECT *, row_number() OVER (PARTITION BY id
+                                     ORDER BY cos DESC, cid) AS rn FROM a0)
+                       WHERE rn = 1),
+              q AS (SELECT vec_id AS query_id, embedding AS qv,
+                           sqrt(${dot("embedding", "embedding")}) AS q_norm
+                    FROM embeddings WHERE vec_id < 8),
+              p0 AS (SELECT query_id, cid, qv, q_norm,
+                            ${dot("qv", "cv")} / (q_norm * c_norm) AS cos
+                     FROM q CROSS JOIN cn),
+              probes AS (SELECT query_id, cid AS cell, qv, q_norm FROM (
+                           SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, cid) AS rn FROM p0)
+                         WHERE rn <= 4),
+              scored AS (SELECT p.query_id, a.id AS neighbor_id,
+                                ${dot("v", "qv")} / (norm * q_norm) AS cos
+                         FROM asgn a JOIN probes p ON a.cell = p.cell
+                         WHERE a.id <> p.query_id),
+              ranked AS (SELECT query_id, neighbor_id, cos,
+                                row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+                         FROM scored)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 

@@ -21,6 +21,19 @@ object TextFunctions {
   /** Distinct word set — the unit for set-based similarity. */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to the portable regex
+    * subset shared by Java regex and RE2: contraction suffixes, letter
+    * runs, digit runs, single non-alphanumeric marks. Counting these
+    * matches approximates a BPE tokenizer's unit count far better than
+    * whitespace splitting (punctuation and numbers become their own
+    * tokens), while staying a pure codegen'd `regexp_count` — no
+    * vocabulary file, no UDF. */
+  val bpeTokenPattern: String = "'(s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** BPE-ish token count: matches of [[bpeTokenPattern]]. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeTokenPattern))
+
   /** Word n-gram shingles (default 3): positions i..i+n-1 joined by a
     * space. Empty array when the document is shorter than n tokens. */
   def shingles(text: Column, n: Int = 3): Column = {

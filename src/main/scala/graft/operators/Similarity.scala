@@ -141,6 +141,67 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /**
+   * IVF (inverted-file) ANN top-k: the corpus is partitioned into Voronoi
+   * cells around `nCentroids` centroid vectors; a query probes only its
+   * `nProbe` nearest cells and verifies exact cosine inside them — the
+   * other (nCentroids - nProbe)/nCentroids of the corpus is never touched,
+   * which is the pruning that makes ANN sub-linear at 100 TB.
+   *
+   * Centroids are the `nCentroids` corpus vectors with the smallest
+   * md5(id): a deterministic sample, so an independent engine reproduces
+   * the exact cell structure (the production path would train k-means on
+   * a sample and broadcast the model — the partition/probe mechanics
+   * below are identical either way).
+   *
+   * Shuffle shape: assignment is a broadcast of the centroid set against
+   * one corpus scan; the nearest-cell argmax is a groupBy with map-side
+   * combine, so only one (id, cell, vec) row per document crosses the
+   * wire. Queries (small) are broadcast to the assigned corpus for
+   * verification — the corpus is never re-shuffled or cross-joined.
+   */
+  def ivfKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = corpus
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
+    val centsN = cents.withColumn("c_norm", sqrt(fdot(cents, "c_vec", "c_vec")))
+
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
+      .withColumn("norm", sqrt(fdot(corpus, "vec", "vec")))
+    // nearest cell per corpus vector: max (cos, -cid) struct = cos DESC
+    // with ties to the smaller centroid id, partial-aggregated map-side
+    val asgn = c.crossJoin(broadcast(centsN))
+      .withColumn("cos", fdot(c, "vec", "c_vec") / (col("norm") * col("c_norm")))
+      .groupBy("id")
+      .agg(
+        max(struct(col("cos"), (-col("cid")).as("neg_cid"))).as("m"),
+        first("vec").as("vec"), first("norm").as("norm"))
+      .select(col("id"), (-col("m.neg_cid")).as("cell"), col("vec"), col("norm"))
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", sqrt(fdot(queries, "q_vec", "q_vec")))
+    val pw = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centsN))
+      .withColumn("cos", fdot(q, "q_vec", "c_vec") / (col("q_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(pw))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"), col("q_vec"), col("q_norm"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    asgn.join(broadcast(probes), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine", fdot(asgn, "vec", "q_vec") / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("cosine"))
+  }
+
   /** Exact all-pairs near-duplicates above a cosine threshold (the oracle
     * for the LSH variant; quadratic — use only at validation scale). */
   def exactNearDupPairs(
