@@ -44,6 +44,84 @@ object StreamingOps {
   case class ClosedWindow(window_key: String, n_obs: Int,
                           features: Seq[String])
 
+  /** A closed window's finished EXstream explanation. */
+  case class StreamExplanation(window_key: String, n_obs: Int,
+                               explanation: Seq[String])
+
+  /**
+   * The paper's ONLINE behavior (`exstream.pdf` §1: explanations
+   * triggered as annotated anomaly windows close): buffer observations
+   * per window, and the moment the close marker arrives, emit the full
+   * EXstream explanation — class entropy / segmentation reward per
+   * feature, ranking, leap cutoff — computed by the same pure kernels
+   * the batch plan uses ([[graft.functions.EntropyCore]]), so streaming
+   * and batch answers are bit-identical on identical windows.
+   *
+   * Scale shape: state and the at-close computation are bounded by one
+   * window's span (label spans are 1-2k ticks in the reference data, and
+   * `maxBuffered` caps adversarial input), and windows are independent
+   * groups — state shards across executors like any keyed stream.
+   */
+  def explainOnClose(
+      obs: Dataset[StreamObs],
+      featureOrder: Seq[String],
+      applyWorstCase: Boolean = true,
+      maxBuffered: Int = 100000,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout(),
+      timeoutDuration: String = "1 hour"): Dataset[StreamExplanation] = {
+    import obs.sparkSession.implicits._
+    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout()
+    obs
+      .groupByKey(_.window_key)
+      .flatMapGroupsWithState[List[StreamObs], StreamExplanation](
+        OutputMode.Append(), timeout) {
+        (key: String, rows: Iterator[StreamObs], state: GroupState[List[StreamObs]]) =>
+          var buf = state.getOption.getOrElse(Nil)
+          var close = false
+          rows.foreach { r =>
+            if (r.type_data < 0) close = true
+            else if (buf.size < maxBuffered) buf = r :: buf
+          }
+          if (close || state.hasTimedOut) {
+            state.remove()
+            Iterator.single(StreamExplanation(
+              key, buf.size, explainBuffered(buf, featureOrder, applyWorstCase)))
+          } else {
+            state.update(buf)
+            if (useTimeout) state.setTimeoutDuration(timeoutDuration)
+            Iterator.empty
+          }
+      }
+  }
+
+  /**
+   * Pure per-window explanation over a closed buffer — the batch
+   * rewards + leap-filter semantics via the EntropyCore kernels. Input
+   * order is irrelevant: the segmentation kernel canonicalizes to
+   * (value, class) order internally, so arrival-order nondeterminism on
+   * the stream cannot change the answer.
+   */
+  def explainBuffered(
+      buf: Seq[StreamObs],
+      featureOrder: Seq[String],
+      applyWorstCase: Boolean = true): Seq[String] = {
+    import graft.functions.EntropyCore
+    val byFeature = buf.groupBy(_.feature)
+    val rewards = featureOrder.flatMap { f =>
+      byFeature.get(f).flatMap { rows =>
+        val nAno = rows.count(_.type_data == 1).toLong
+        val nRef = rows.count(_.type_data == 0).toLong
+        if (nAno > 0 && nRef > 0) {
+          val values = rows.map(_.value).toArray
+          val classes = rows.map(_.type_data).toArray
+          Some(f -> EntropyCore.reward(
+            EntropyCore.classEntropy(nAno, nRef), values, classes, applyWorstCase))
+        } else None
+      }
+    }.toMap
+    EntropyCore.rewardLeapFilter(EntropyCore.rankRewards(rewards, featureOrder))
+  }
+
   /**
    * Stateful span assembly: buffer observations per window_key until the
    * close marker arrives (or the state times out), then emit the closed

@@ -38,6 +38,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(cpu.getAs[Double]("sum_value") == 4.0)
   }
 
+  test("explanation emitted the moment a window closes (paper's online path)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // f1 separates the classes cleanly (2 segments, high reward); f2
+    // interleaves (4 segments, low reward) -> leap cutoff keeps only f1;
+    // f3 observes a single class -> excluded from the ranking entirely.
+    // Hand-derived: f1 reward = 1.0 / (0.5*ln 2) ~ 2.885, f2 = 1.0 /
+    // (3 * 0.25*ln 4) ~ 0.962; max leap 1.923 breaks at f2.
+    val w1 = Seq(
+      StreamObs("w1", "f2", 1L, 0, 1.0), StreamObs("w1", "f2", 2L, 1, 2.0),
+      StreamObs("w1", "f1", 1L, 0, 1.0), StreamObs("w1", "f1", 2L, 0, 2.0),
+      StreamObs("w1", "f3", 1L, 0, 4.0), StreamObs("w1", "f3", 2L, 0, 5.0),
+      StreamObs("w1", "f1", 3L, 1, 10.0), StreamObs("w1", "f1", 4L, 1, 11.0),
+      StreamObs("w1", "f2", 3L, 0, 10.0), StreamObs("w1", "f2", 4L, 1, 11.0))
+    val input = MemoryStream[StreamObs]
+    val exps = StreamingOps.explainOnClose(input.toDS(), Seq("f1", "f2", "f3"))
+    val q = exps.writeStream.outputMode("append")
+      .format("memory").queryName("exps").start()
+    input.addData(w1: _*)
+    q.processAllAvailable()
+    assert(spark.table("exps").count() == 0) // window still open
+    input.addData(StreamObs("w1", "", 5L, -1, 0.0))
+    q.processAllAvailable()
+    val out = spark.table("exps").collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out.head.getAs[Int]("n_obs") == 10)
+    assert(out.head.getSeq[String](2) == Seq("f1"))
+    // and the streaming answer is exactly the pure-kernel (= batch) answer
+    assert(StreamingOps.explainBuffered(w1, Seq("f1", "f2", "f3")) == Seq("f1"))
+  }
+
   test("stateful span assembly emits a closed window on the close marker") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
