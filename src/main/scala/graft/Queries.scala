@@ -395,6 +395,12 @@ object Queries {
     // the identical subset ----
     "q38_exstream_instability" -> ((s, d) => exstreamInstability(s, d)),
 
+    // ---- the pooled (type-level) grouping variant (SURVEY §3.3): the
+    // notebook computes one explanation per anomaly TYPE, all windows of
+    // the type pooled. Re-keying the observation table IS the mechanism
+    // (explanatoryFeaturesBy) — here pooled into 8 user cohorts ----
+    "q41_exstream_by_group" -> ((s, d) => exstreamExplainByGroup(s, d)),
+
     // ---- worst-case shuffle (T2): quantized values force cross-class
     // duplicate runs, so the pessimistic label rewrite dominates the
     // segmentation entropy; the oracle reproduces the rewrite analytically
@@ -464,6 +470,37 @@ object Queries {
         array_join(col("features"), " ").as("features"),
         size(col("features")).as("n_features"))
       .orderBy("user_id")
+  }
+
+  /**
+   * The pooled grouping variant (SURVEY §3.3, `testing.ipynb` cells
+   * 21-26): the reward/leap pipeline keyed on a GROUP of windows (the
+   * notebook pools all windows of an anomaly type). The operators only
+   * see `window_key`, so re-keying the observation table is the whole
+   * mechanism — here user cohorts (user_id % 8) stand in for anomaly
+   * types over the generic events table.
+   */
+  def exstreamExplainByGroup(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), tsMicros.as("us"))
+    val spans = e.groupBy("user_id").agg(((min("us") + max("us")) / 2).as("mid"))
+    val obs = e.join(broadcast(spans), "user_id")
+      .select(
+        (col("user_id") % 8).cast("string").as("window_key"),
+        col("event_type").as("feature"),
+        (col("value") + col("event_id") * lit(1e-6)).as("value"),
+        when(col("us") >= col("mid"), 1).otherwise(0).as("type_data"))
+    val featIdx = Map("click" -> 0, "view" -> 1, "purchase" -> 2, "signup" -> 3, "error" -> 4)
+    val idxUdf = udf((f: String) => featIdx.getOrElse(f, Int.MaxValue))
+    val rewards = EntropyReward.rewards(obs, applyWorstCase = true)
+      .where(col("n_ano") > 0 && col("n_ref") > 0)
+      .withColumn("feat_idx", idxUdf(col("feature")))
+    LeapFilter.explanations(rewards)
+      .select(col("window_key").cast("long").as("group_id"),
+        array_join(col("features"), " ").as("features"),
+        size(col("features")).as("n_features"))
+      .orderBy("group_id")
   }
 
   /**
@@ -1027,6 +1064,17 @@ object Oracles {
     "q20_exstream_explain" -> exstreamExplainSql,
     "q37_exstream_oracle" -> exstreamExplainSql,
     "q38_exstream_instability" -> exstreamInstabilitySql,
+    "q41_exstream_by_group" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type AS feature,
+                value + event_id*1e-6 AS v, epoch_us(ts) AS us FROM events),
+              spans AS (SELECT user_id, (min(us)+max(us))/2 AS mid FROM e GROUP BY user_id),
+              obs AS (SELECT e.user_id % 8 AS g, e.feature, e.v,
+                             CASE WHEN e.us >= s.mid THEN 1 ELSE 0 END AS cls
+                      FROM e JOIN spans s ON e.user_id = s.user_id),
+              ${exstreamChainSql("g")}
+         SELECT g AS group_id, string_agg(feature, ' ' ORDER BY rank) AS features,
+                CAST(count(*) AS INT) AS n_features
+         FROM kept GROUP BY g ORDER BY group_id""",
 
     "q36_worstcase_shuffle" ->
       s"""WITH e AS (SELECT user_id, CAST(floor(value/100.0) AS DOUBLE) AS v, $clsSql AS cls
