@@ -366,6 +366,23 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // the numeric decode path end to end: bytes -> per-frame features ->
+    // nearest-neighbor resize to a fixed 8-dim embedding, one row per
+    // (doc, dim) so every column stays scalar. The documents fixture is
+    // pure ASCII, so DuckDB reproduces the byte-level "decode" exactly
+    // (ord(char) == byte) — the oracle checks the full numeric chain,
+    // not just the metadata
+    "q42_multimodal_resize" -> ((s, d) => {
+      val packed = Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text")
+      val feats = Multimodal.extractFrameFeatures(packed, "doc_id", frameBytes = 64)
+      val resizeUdf = udf((fs: Seq[Double]) =>
+        Multimodal.resizeNearest(fs.toArray, 8).toSeq)
+      feats.select(col("doc_id"), col("n_frames"),
+        posexplode(resizeUdf(col("frame_features"))).as(Seq("k", "v")))
+        .withColumn("v", round(col("v"), 6))
+        .orderBy("doc_id", "k")
+    }),
+
     // ---- scalar/json/time functions ----
     "q33_json_extract" -> ((s, d) =>
       t(s, d, "events")
@@ -1044,6 +1061,19 @@ object Oracles {
                  FROM v a JOIN v b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(cos, 4) AS cosine FROM p
          WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+
+    "q42_multimodal_resize" ->
+      """WITH f AS (SELECT doc_id,
+                  list_transform(range(0, CAST(ceil(length(text)/64.0) AS INT)), i ->
+                    list_sum(list_transform(range(CAST(64*i+1 AS INT),
+                                                  CAST(least(64*(i+1), length(text))+1 AS INT)),
+                                            j -> ord(substr(text, CAST(j AS INT), 1))))
+                    * 1.0 / (least(64*(i+1), length(text)) - 64*i)) AS frames
+           FROM documents)
+         SELECT doc_id, CAST(len(frames) AS INT) AS n_frames, CAST(k AS INT) AS k,
+                round(frames[1 + CAST((k*len(frames))//8 AS INT)], 6) AS v
+         FROM f CROSS JOIN (SELECT unnest(range(0, 8)) AS k)
+         ORDER BY doc_id, k""",
 
     "q32_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

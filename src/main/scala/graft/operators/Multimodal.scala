@@ -52,6 +52,19 @@ object Multimodal {
   }
 
   /**
+   * Nearest-neighbor resize of a variable-length feature sequence to a
+   * fixed output dimension — the media-pipeline "resize" step (total for
+   * ANY input length >= 1, unlike mean pooling which needs n >= outDim):
+   * out(i) = in(floor(i * n / outDim)). Upsamples by repetition and
+   * downsamples by striding, exactly like nearest-neighbor image resize.
+   */
+  def resizeNearest(features: Array[Double], outDim: Int): Array[Double] = {
+    val n = features.length
+    if (n == 0) return Array.emptyDoubleArray
+    Array.tabulate(outDim)(i => features((i * n) / outDim))
+  }
+
+  /**
    * Frame-sampled feature extraction over the binary column. Runs as a
    * single narrow projection (mapPartitions batch shape — rows stream
    * through the "decoder" without materializing the partition).

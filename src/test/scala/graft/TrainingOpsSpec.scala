@@ -93,4 +93,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     // byte-mean features are bounded
     assert(again.forall(f => f >= 0.0 && f <= 255.0))
   }
+
+  test("multimodal: nearest-neighbor resize is total and index-exact") {
+    // upsample from one frame: repetition
+    assert(Multimodal.resizeNearest(Array(7.0), 4).toSeq == Seq(7.0, 7.0, 7.0, 7.0))
+    // identity when dims match
+    assert(Multimodal.resizeNearest(Array(1.0, 2.0, 3.0), 3).toSeq == Seq(1.0, 2.0, 3.0))
+    // downsample 6 -> 3 strides indices 0, 2, 4
+    assert(Multimodal.resizeNearest(Array(0, 1, 2, 3, 4, 5).map(_.toDouble), 3).toSeq ==
+      Seq(0.0, 2.0, 4.0))
+    // upsample 3 -> 8: floor(i*3/8) = 0,0,0,1,1,1,2,2
+    assert(Multimodal.resizeNearest(Array(10.0, 20.0, 30.0), 8).toSeq ==
+      Seq(10.0, 10.0, 10.0, 20.0, 20.0, 20.0, 30.0, 30.0))
+    assert(Multimodal.resizeNearest(Array.emptyDoubleArray, 4).isEmpty)
+  }
 }
