@@ -58,12 +58,15 @@ object Dedup {
     // collision altering a Jaccard value needs two distinct shingles of one
     // pair to collide (~|A|*|B|/2^64 — negligible at any realistic doc size)
     // sorted ascending so (a) the prefix-filter token order is global and
-    // (b) the intersect kernel merges in place with zero per-pair allocation
+    // (b) the intersect kernel merges in place with zero per-pair allocation;
+    // hashing runs in the fused per-row kernel (ShingleKernel), not an
+    // interpreted per-element HOF
     val spark = docs.sparkSession
+    val setUdf = udf((text: String) =>
+      graft.functions.ShingleKernel.xx64ShingleSet(text, n))
     val sets = docs.select(
       col(idCol).as("doc"), col(blockCol).as("block"),
-      array_sort(array_distinct(transform(shingleSet(col(textCol), n), s => xxhash64(s))))
-        .as("set"))
+      setUdf(col(textCol)).as("set"))
       .where(size(col("set")) > 0)
       .withColumn("sz", size(col("set")))
       // materialize the shingle hashing behind an exchange (CollapseProject
@@ -118,20 +121,20 @@ object Dedup {
     // one string hash per shingle, then k cheap integer permutations over
     // the deduped hash set (the min is unaffected by duplicates, and the
     // same sorted hash set drives exact verification below). The shingle
-    // hash is the 32-bit md5 prefix (PortableHash) — a DuckDB oracle can
-    // reproduce hashes, signatures, banding, and verification exactly.
+    // hash is the 32-bit md5 prefix (PortableHash convention, computed in
+    // the fused ShingleKernel — measured 14 s -> sub-second at sf0.1 vs
+    // the interpreted per-element HOF) — a DuckDB oracle reproduces
+    // hashes, signatures, banding, and verification exactly.
     // The repartition AFTER the signature projection is load-bearing twice
     // over: it fans the hashing work out of a single file split, and the
     // exchange materializes `sig` so CollapseProject cannot inline the
     // 64-expression signature into each of the 16 band hashes below.
+    val hsetUdf = udf((text: String) =>
+      graft.functions.ShingleKernel.md5ShingleSet(text, shingleN))
     val sig = docs.select(
       col(idCol).as("doc"),
-      shingleSet(col(textCol), shingleN).as("shingles"))
-      .where(size(col("shingles")) > 0)
-      .withColumn("hset",
-        array_sort(array_distinct(transform(col("shingles"),
-          t => graft.functions.PortableHash.md5Long32(t)))))
-      .drop("shingles")
+      hsetUdf(col(textCol)).as("hset"))
+      .where(size(col("hset")) > 0)
       // single-pass custom expression (graft.plans.MinHashSignature): the
       // composable array_min(transform(...))*k form allocates boxed
       // intermediates and was the measured bottleneck of this operator
