@@ -99,6 +99,42 @@ object Similarity {
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  private val signsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Array[Long]]]]()
+
+  /**
+   * Fused JVM kernel for all `tables` bucket ids of one vector —
+   * bit-identical to `quantized` + [[lshBucket]] (floor(x*1024) is exact
+   * for float input; the +/-1 dots are integer arithmetic), but one UDF
+   * call per row instead of tables x nBits interpreted HOF folds per row
+   * (the column form was the measured bulk of q30's wall-clock).
+   */
+  def lshBucketsOf(vec: Array[Float], tables: Int, nBits: Int): Array[Long] = {
+    val dim = vec.length
+    val signs = signsCache.computeIfAbsent((tables, nBits, dim),
+      _ => Array.tabulate(tables)(t => hyperplaneSigns(t, nBits, dim)))
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { q(i) = math.floor(vec(i).toDouble * 1024.0).toLong; i += 1 }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < nBits) {
+        val s = signs(t)(b)
+        var proj = 0L
+        i = 0
+        while (i < dim) { proj += q(i) * s(i); i += 1 }
+        if (proj >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
   /**
    * Multi-table bucketed ANN near-duplicate pairs: `tables` independent
    * hash tables of `nBits` random-hyperplane bits each; vectors sharing a
@@ -115,13 +151,13 @@ object Similarity {
   def lshNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nBits: Int = 4, tables: Int = 24, minCosine: Double = 0.9): DataFrame = {
-    // materialize the quantized vector behind an exchange so CollapseProject
-    // cannot inline it into each of the tables*nBits projections
+    // fan the per-vector bucket hashing out of the single file split; the
+    // fused kernel computes all tables' buckets in one call per row
+    val bucketsUdf = udf((vec: Seq[Float]) =>
+      lshBucketsOf(vec.toArray, tables, nBits))
     val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("q", quantized(col("vec")))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col("id"))
-      .withColumn("buckets",
-        array((0 until tables).map(t => lshBucket(col("q"), t, nBits, dim)): _*))
+      .withColumn("buckets", bucketsUdf(col("vec")))
 
     val banded = sig.select(col("id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
