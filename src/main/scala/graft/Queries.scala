@@ -373,7 +373,11 @@ object Queries {
     // (ord(char) == byte) — the oracle checks the full numeric chain,
     // not just the metadata
     "q42_multimodal_resize" -> ((s, d) => {
-      val packed = Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text")
+      // empty payloads are dropped EXPLICITLY on both sides: posexplode
+      // of the empty feature array would silently drop them here while a
+      // SQL mirror emits null-feature rows — align by construction
+      val packed = Multimodal.packBinary(
+        t(s, d, "documents").where(length(col("text")) > 0), "doc_id", "text")
       val feats = Multimodal.extractFrameFeatures(packed, "doc_id", frameBytes = 64)
       val resizeUdf = udf((fs: Seq[Double]) =>
         Multimodal.resizeNearest(fs.toArray, 8).toSeq)
@@ -464,23 +468,42 @@ object Queries {
    * Windows: per user, reference = first half by time, anomaly = second
    * half; features = event types carrying their `value`.
    */
-  def exstreamExplain(s: SparkSession, d: String): DataFrame = {
+  // Feature order of the events table (ranking tie-break) — mirrored by
+  // the oracle chain's CASE expression.
+  private val eventFeatIdx: Map[String, Int] =
+    Map("click" -> 0, "view" -> 1, "purchase" -> 2, "signup" -> 3, "error" -> 4)
+
+  /** Labeled observations of the events table — the shared front end of
+    * every EXstream-over-events query (q20/q37/q38/q41): per-user halves
+    * as classes, event_id-jittered values (unique, so the worst-case
+    * rewrite is quiescent and the flow is SQL-expressible), microsecond
+    * `us` kept for callers that sample or re-key. */
+  private def eventsObs(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), tsMicros.as("us"))
     val spans = e.groupBy("user_id").agg(((min("us") + max("us")) / 2).as("mid"))
-    val obs = e.join(broadcast(spans), "user_id")
-      .select(
-        col("user_id").cast("string").as("window_key"),
+    e.join(broadcast(spans), "user_id")
+      .select(col("user_id"), col("us"),
         col("event_type").as("feature"),
         (col("value") + col("event_id") * lit(1e-6)).as("value"),
         when(col("us") >= col("mid"), 1).otherwise(0).as("type_data"))
-    val featIdx = Map("click" -> 0, "view" -> 1, "purchase" -> 2, "signup" -> 3, "error" -> 4)
-    val idxUdf = udf((f: String) => featIdx.getOrElse(f, Int.MaxValue))
-    val rewards = EntropyReward.rewards(obs, applyWorstCase = true)
+  }
+
+  /** Rewards + both-classes filter + ranking tie-break index — the shared
+    * back end (expects `window_key, feature, value, type_data`). */
+  private def eventRewards(obs: DataFrame): DataFrame = {
+    val idxUdf = udf((f: String) => eventFeatIdx.getOrElse(f, Int.MaxValue))
+    EntropyReward.rewards(obs, applyWorstCase = true)
       .where(col("n_ano") > 0 && col("n_ref") > 0) // feature must observe both halves
       .withColumn("feat_idx", idxUdf(col("feature")))
-    LeapFilter.explanations(rewards)
+  }
+
+  def exstreamExplain(s: SparkSession, d: String): DataFrame = {
+    val obs = eventsObs(s, d).select(
+      col("user_id").cast("string").as("window_key"),
+      col("feature"), col("value"), col("type_data"))
+    LeapFilter.explanations(eventRewards(obs))
       .select(col("window_key").cast("long").as("user_id"),
         // scalar (not array<string>) so downstream harnesses can sort/hash
         // the column; ranking order is preserved inside the joined string
@@ -498,22 +521,10 @@ object Queries {
    * types over the generic events table.
    */
   def exstreamExplainByGroup(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        col("value"), tsMicros.as("us"))
-    val spans = e.groupBy("user_id").agg(((min("us") + max("us")) / 2).as("mid"))
-    val obs = e.join(broadcast(spans), "user_id")
-      .select(
-        (col("user_id") % 8).cast("string").as("window_key"),
-        col("event_type").as("feature"),
-        (col("value") + col("event_id") * lit(1e-6)).as("value"),
-        when(col("us") >= col("mid"), 1).otherwise(0).as("type_data"))
-    val featIdx = Map("click" -> 0, "view" -> 1, "purchase" -> 2, "signup" -> 3, "error" -> 4)
-    val idxUdf = udf((f: String) => featIdx.getOrElse(f, Int.MaxValue))
-    val rewards = EntropyReward.rewards(obs, applyWorstCase = true)
-      .where(col("n_ano") > 0 && col("n_ref") > 0)
-      .withColumn("feat_idx", idxUdf(col("feature")))
-    LeapFilter.explanations(rewards)
+    val obs = eventsObs(s, d).select(
+      (col("user_id") % 8).cast("string").as("window_key"),
+      col("feature"), col("value"), col("type_data"))
+    LeapFilter.explanations(eventRewards(obs))
       .select(col("window_key").cast("long").as("group_id"),
         array_join(col("features"), " ").as("features"),
         size(col("features")).as("n_features"))
@@ -536,25 +547,14 @@ object Queries {
    * 79.7%, reproducible bit-for-bit in any engine with md5.
    */
   def exstreamInstability(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        col("value"), tsMicros.as("us"))
-    val spans = e.groupBy("user_id").agg(((min("us") + max("us")) / 2).as("mid"))
-    val withRs = e.join(broadcast(spans), "user_id")
+    val obs = eventsObs(s, d)
       .withColumn("rs", explode(array((-1 to 4).map(i => lit(i)): _*)))
       .where(col("rs") === -1 ||
         md5(concat_ws("_", col("user_id"), col("us"), col("rs")).cast("binary")) < "cc")
-    val obs = withRs.select(
-      concat_ws("#", col("rs"), col("user_id")).as("window_key"),
-      col("event_type").as("feature"),
-      (col("value") + col("event_id") * lit(1e-6)).as("value"),
-      when(col("us") >= col("mid"), 1).otherwise(0).as("type_data"))
-    val featIdx = Map("click" -> 0, "view" -> 1, "purchase" -> 2, "signup" -> 3, "error" -> 4)
-    val idxUdf = udf((f: String) => featIdx.getOrElse(f, Int.MaxValue))
-    val rewards = EntropyReward.rewards(obs, applyWorstCase = true)
-      .where(col("n_ano") > 0 && col("n_ref") > 0)
-      .withColumn("feat_idx", idxUdf(col("feature")))
-    val kept = LeapFilter.keptFeatures(rewards)
+      .select(
+        concat_ws("#", col("rs"), col("user_id")).as("window_key"),
+        col("feature"), col("value"), col("type_data"))
+    val kept = LeapFilter.keptFeatures(eventRewards(obs))
       .withColumn("rs", split(col("window_key"), "#").getItem(0).cast("int"))
       .withColumn("user_id", split(col("window_key"), "#").getItem(1).cast("long"))
 
@@ -951,7 +951,7 @@ object Oracles {
       s"""WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
               sh AS (SELECT doc_id, $shSql AS sh FROM tk),
               hs AS (SELECT doc_id, list_sort(list_distinct(list_transform(sh,
-                            s -> ('0x'||substr(md5(s),1,8))::BIGINT))) AS hset
+                            s -> ${graft.functions.PortableHash.duckdbMd5Long("s", 8)}))) AS hset
                      FROM sh WHERE len(sh) > 0),
               sig AS (SELECT doc_id, hset, $minhashSigSql AS sg FROM hs),
               bnd AS (SELECT doc_id, b, array_to_string(sg[4*b+1:4*b+4], ',') AS bkey
@@ -966,8 +966,8 @@ object Oracles {
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
 
     "q28_simhash" ->
-      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
-              th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM tk),
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+              th AS (SELECT doc_id, ${graft.functions.PortableHash.duckdbMd5Long("tok", 15)} AS h FROM tk),
               bits AS (SELECT doc_id, j,
                               CASE WHEN sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
                                    THEN 1::BIGINT << j ELSE 0::BIGINT END AS bv
@@ -1069,7 +1069,7 @@ object Oracles {
                                                   CAST(least(64*(i+1), length(text))+1 AS INT)),
                                             j -> ord(substr(text, CAST(j AS INT), 1))))
                     * 1.0 / (least(64*(i+1), length(text)) - 64*i)) AS frames
-           FROM documents)
+           FROM documents WHERE length(text) > 0)
          SELECT doc_id, CAST(len(frames) AS INT) AS n_frames, CAST(k AS INT) AS k,
                 round(frames[1 + CAST((k*len(frames))//8 AS INT)], 6) AS v
          FROM f CROSS JOIN (SELECT unnest(range(0, 8)) AS k)

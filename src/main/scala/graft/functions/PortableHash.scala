@@ -25,20 +25,10 @@ import org.apache.spark.sql.functions._
  */
 object PortableHash {
 
-  /** First `hexChars` hex chars of md5 as a non-negative long (Column). */
-  def md5Long(c: Column, hexChars: Int): Column = {
-    require(hexChars >= 1 && hexChars <= 15, s"hexChars in [1,15], got $hexChars")
-    conv(substring(md5(c.cast("binary")), 1, hexChars), 16, 10).cast("long")
-  }
-
-  /** 60-bit variant — the default for token-level hashing. */
-  def md5Long60(c: Column): Column = md5Long(c, 15)
-
-  /** 32-bit variant — for values that feed multiply-based permutations
-    * (a 31-bit coefficient times a 32-bit hash stays under 2^63). */
-  def md5Long32(c: Column): Column = md5Long(c, 8)
-
-  /** Driver/executor-side Scala mirror of [[md5Long]] — same bits. */
+  /** First `hexChars` hex digits of md5(s) as a non-negative long — THE
+    * convention every consumer implements: [[graft.functions.ShingleKernel]]
+    * reads the same bits straight from the digest bytes on the hot path,
+    * and the oracle SQL spells it `('0x'||substr(md5(s),1,n))::BIGINT`. */
   def md5LongOf(s: String, hexChars: Int): Long = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes(UTF_8))
     // first hexChars hex digits = high 4*hexChars bits of the big-endian prefix
@@ -53,7 +43,7 @@ object PortableHash {
     v
   }
 
-  /** DuckDB SQL fragment equivalent to [[md5Long]] over expression `e`. */
+  /** DuckDB SQL fragment equivalent to [[md5LongOf]] over expression `e`. */
   def duckdbMd5Long(e: String, hexChars: Int): String =
     s"('0x'||substr(md5($e),1,$hexChars))::BIGINT"
 }

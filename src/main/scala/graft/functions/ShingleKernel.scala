@@ -27,8 +27,11 @@ object ShingleKernel {
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
   /** Distinct sorted md5-32 hashes of the word n-gram shingles (the
-    * cross-engine-reproducible variant — feeds MinHash, q26). */
+    * cross-engine-reproducible variant — feeds MinHash, q26). Null text
+    * yields the empty set, like the null-propagating column form it
+    * replaced (callers filter empty sets). */
   def md5ShingleSet(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
     val md = java.security.MessageDigest.getInstance("MD5")
     hashShingles(text, n) { bytes =>
       val d = md.digest(bytes) // digest() resets for the next shingle
@@ -39,8 +42,9 @@ object ShingleKernel {
 
   /** Distinct sorted xxhash64 hashes of the shingles (engine-only paths:
     * exact Jaccard verification, q27 — 64-bit keeps pairwise collision
-    * odds negligible). */
+    * odds negligible). Null text yields the empty set. */
   def xx64ShingleSet(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
     import org.apache.spark.unsafe.Platform
     hashShingles(text, n) { bytes =>
       org.apache.spark.sql.catalyst.expressions.XXH64

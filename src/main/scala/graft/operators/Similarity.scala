@@ -152,9 +152,19 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nBits: Int = 4, tables: Int = 24, minCosine: Double = 0.9): DataFrame = {
     // fan the per-vector bucket hashing out of the single file split; the
-    // fused kernel computes all tables' buckets in one call per row
-    val bucketsUdf = udf((vec: Seq[Float]) =>
-      lshBucketsOf(vec.toArray, tables, nBits))
+    // fused kernel computes all tables' buckets in one call per row.
+    // Null vectors bucket nowhere (empty explode — the column form's
+    // null-propagation equivalent); a vector whose length contradicts the
+    // declared dim would silently diverge from any SQL reconstruction
+    // built from `dim`, so that is an error, not a guess
+    val bucketsUdf = udf { (vec: Seq[Float]) =>
+      if (vec == null) Array.emptyLongArray
+      else {
+        require(vec.length == dim,
+          s"embedding length ${vec.length} != declared dim $dim")
+        lshBucketsOf(vec.toArray, tables, nBits)
+      }
+    }
     val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col("id"))
       .withColumn("buckets", bucketsUdf(col("vec")))

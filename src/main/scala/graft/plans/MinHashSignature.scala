@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
  * Permutation family (cross-engine verifiable): h_i(x) = (a_i*x + b_i)
  * mod P with P = 4294967311 (the smallest prime above 2^32), a_i in
  * [1, 2^31), b_i in [0, 2^31). INPUT CONTRACT: x must be under 2^32
- * (e.g. [[graft.functions.PortableHash.md5Long32]]) so a_i*x + b_i stays
+ * (the md5-32 convention of graft.functions.PortableHash) so a_i*x + b_i stays
  * below 2^63 — exact in any engine's signed-64 arithmetic, which lets a
  * SQL oracle (DuckDB `list_min(list_transform(...))` over the same
  * constants) reproduce the signature bit-for-bit.

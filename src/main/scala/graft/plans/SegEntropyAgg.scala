@@ -122,7 +122,14 @@ case class SegEntropyAggExpr(
   }
 
   override def serialize(buffer: PairBuffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buffer.n * 9)
+    // the flat byte image caps one group at ~238M observations (4 + 9n
+    // must fit a JVM array); fail with the actual limit rather than a
+    // negative-allocation error from silent Int overflow
+    val bytes = 4L + buffer.n.toLong * 9L
+    require(bytes <= Int.MaxValue, s"segmentation-entropy group of " +
+      s"${buffer.n} observations exceeds the ${(Int.MaxValue - 4) / 9} " +
+      "row serialization cap; split the window or pre-aggregate")
+    val bb = ByteBuffer.allocate(bytes.toInt)
     bb.putInt(buffer.n)
     var i = 0
     while (i < buffer.n) { bb.putDouble(buffer.values(i)); i += 1 }

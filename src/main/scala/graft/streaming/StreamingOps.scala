@@ -62,6 +62,10 @@ object StreamingOps {
    * `maxBuffered` caps adversarial input), and windows are independent
    * groups — state shards across executors like any keyed stream.
    */
+  /** Per-window buffer with an O(1) size counter (List.size is O(n) —
+    * counting per arriving row would be quadratic in window length). */
+  case class WindowBuffer(n: Int, rows: List[StreamObs])
+
   def explainOnClose(
       obs: Dataset[StreamObs],
       featureOrder: Seq[String],
@@ -70,22 +74,25 @@ object StreamingOps {
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout(),
       timeoutDuration: String = "1 hour"): Dataset[StreamExplanation] = {
     import obs.sparkSession.implicits._
+    require(timeout != GroupStateTimeout.EventTimeTimeout(),
+      "event-time timeout is not wired (no setTimeoutTimestamp); use " +
+        "NoTimeout or ProcessingTimeTimeout")
     val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout()
     obs
       .groupByKey(_.window_key)
-      .flatMapGroupsWithState[List[StreamObs], StreamExplanation](
+      .flatMapGroupsWithState[WindowBuffer, StreamExplanation](
         OutputMode.Append(), timeout) {
-        (key: String, rows: Iterator[StreamObs], state: GroupState[List[StreamObs]]) =>
-          var buf = state.getOption.getOrElse(Nil)
+        (key: String, rows: Iterator[StreamObs], state: GroupState[WindowBuffer]) =>
+          var buf = state.getOption.getOrElse(WindowBuffer(0, Nil))
           var close = false
           rows.foreach { r =>
             if (r.type_data < 0) close = true
-            else if (buf.size < maxBuffered) buf = r :: buf
+            else if (buf.n < maxBuffered) buf = WindowBuffer(buf.n + 1, r :: buf.rows)
           }
           if (close || state.hasTimedOut) {
             state.remove()
             Iterator.single(StreamExplanation(
-              key, buf.size, explainBuffered(buf, featureOrder, applyWorstCase)))
+              key, buf.n, explainBuffered(buf.rows, featureOrder, applyWorstCase)))
           } else {
             state.update(buf)
             if (useTimeout) state.setTimeoutDuration(timeoutDuration)
@@ -134,22 +141,24 @@ object StreamingOps {
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout(),
       timeoutDuration: String = "1 hour"): Dataset[ClosedWindow] = {
     import obs.sparkSession.implicits._
+    require(timeout != GroupStateTimeout.EventTimeTimeout(),
+      "event-time timeout is not wired (no setTimeoutTimestamp); use " +
+        "NoTimeout or ProcessingTimeTimeout")
     val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout()
     obs
       .groupByKey(_.window_key)
-      .flatMapGroupsWithState[List[StreamObs], ClosedWindow](
+      .flatMapGroupsWithState[WindowBuffer, ClosedWindow](
         OutputMode.Append(), timeout) {
-        (key: String, rows: Iterator[StreamObs], state: GroupState[List[StreamObs]]) =>
-          val buffered = state.getOption.getOrElse(Nil)
-          var buf = buffered
+        (key: String, rows: Iterator[StreamObs], state: GroupState[WindowBuffer]) =>
+          var buf = state.getOption.getOrElse(WindowBuffer(0, Nil))
           var close = false
           rows.foreach { r =>
             if (r.type_data < 0) close = true
-            else if (buf.size < maxBuffered) buf = r :: buf
+            else if (buf.n < maxBuffered) buf = WindowBuffer(buf.n + 1, r :: buf.rows)
           }
           if (close || state.hasTimedOut) {
             state.remove()
-            Iterator.single(ClosedWindow(key, buf.size, buf.map(_.feature).distinct.sorted))
+            Iterator.single(ClosedWindow(key, buf.n, buf.rows.map(_.feature).distinct.sorted))
           } else {
             state.update(buf)
             if (useTimeout) state.setTimeoutDuration(timeoutDuration)
