@@ -14,8 +14,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for engine-specific hashing
-    * (minhash/simhash/LSH), seeded sampling, and the composite pipeline —
-    * those get the driver's rows-only check. */
+    * the same parquet tables — every query has one (hashing/sampling is
+    * md5-based specifically so an independent engine reproduces it). */
   def oracleSql: Map[String, String] = Oracles.oracleSql
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{ShingleKernel, TextFunctions}
+import graft.operators.Similarity
+
+/**
+ * Bit-parity locks between the fused JVM kernels and the composable
+ * column forms they replaced for speed. The oracle SQL was written
+ * against the COLUMN forms' semantics, so any kernel drift would
+ * silently break cross-engine hash matching — these tests pin every
+ * replaced path to its original expression on adversarial inputs
+ * (whitespace runs, leading/trailing space, unicode, dupes, shorts).
+ */
+class KernelParitySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("kernel-parity-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b c",                       // exactly n tokens
+    "a b",                         // below n
+    "",                            // empty
+    "  leading and  double  spaces trailing ",
+    "dup dup dup dup dup dup",     // duplicate shingles
+    "unicode éè tokens 中文 here ok",
+    "tabs\tand\nnewlines count as whitespace too yes",
+    (1 to 200).map(i => s"tok$i").mkString(" ")) // long doc
+
+  test("md5ShingleSet matches the column form it replaced") {
+    import spark.implicits._
+    val df = texts.toDF("text")
+    val columnForm = df.select(
+      array_sort(array_distinct(transform(
+        TextFunctions.shingleSet(col("text"), 3),
+        s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+      ))).as("hset"))
+      .collect().map(_.getSeq[Long](0))
+    val kernel = texts.map(t => ShingleKernel.md5ShingleSet(t, 3).toSeq)
+    columnForm.zip(kernel).zipWithIndex.foreach { case ((c, k), i) =>
+      assert(c == k, s"md5 mismatch on input $i: '${texts(i)}'")
+    }
+  }
+
+  test("xx64ShingleSet matches xxhash64 over the shingle strings") {
+    import spark.implicits._
+    val df = texts.toDF("text")
+    val columnForm = df.select(
+      array_sort(array_distinct(transform(
+        TextFunctions.shingleSet(col("text"), 3), s => xxhash64(s)))).as("set"))
+      .collect().map(_.getSeq[Long](0))
+    val kernel = texts.map(t => ShingleKernel.xx64ShingleSet(t, 3).toSeq)
+    columnForm.zip(kernel).zipWithIndex.foreach { case ((c, k), i) =>
+      assert(c == k, s"xx64 mismatch on input $i: '${texts(i)}'")
+    }
+  }
+
+  test("lshBucketsOf matches the quantized+lshBucket column form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val vecs = Seq.fill(20)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f).toSeq)
+    val df = vecs.toDF("vec")
+    val tables = 6
+    val nBits = 4
+    val columnForm = df.select(
+      array((0 until tables).map(t =>
+        Similarity.lshBucket(Similarity.quantized(col("vec")), t, nBits, dim)): _*)
+        .as("buckets"))
+      .collect().map(_.getSeq[Long](0))
+    val kernel = vecs.map(v => Similarity.lshBucketsOf(v.map(_.toFloat).toArray, tables, nBits).toSeq)
+    columnForm.zip(kernel).zipWithIndex.foreach { case ((c, k), i) =>
+      assert(c == k, s"bucket mismatch on vector $i")
+    }
+  }
+}
