@@ -313,6 +313,16 @@ object Queries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
+    // the q26 near-dup graph collapsed to canonical clusters by
+    // distributed min-label propagation (one edge-list shuffle per round,
+    // O(component diameter) rounds) — "keep one per cluster" becomes a
+    // filter on cluster_id = doc_id
+    "q43_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 64, bands = 16, shingleN = 3, threshold = 0.5)
+      Dedup.dupClusters(pairs).orderBy("doc_id")
+    }),
+
     "q27_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "lang",
         n = 3, threshold = 0.5)
@@ -610,6 +620,25 @@ object Oracles {
     * subset so both engines match identically. */
   private[graft] val bpePatternSql: String =
     graft.functions.TextFunctions.bpeTokenPattern.replace("'", "''")
+
+  // q26's shingle -> minhash -> band -> verify chain through `v`
+  // (verified candidate pairs with exact jaccard) — shared by q26 and
+  // q43's connected-components closure.
+  private lazy val minhashPairsCte: String =
+    s"""tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+              sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+              hs AS (SELECT doc_id, list_sort(list_distinct(list_transform(sh,
+                            s -> ${graft.functions.PortableHash.duckdbMd5Long("s", 8)}))) AS hset
+                     FROM sh WHERE len(sh) > 0),
+              sig AS (SELECT doc_id, hset, $minhashSigSql AS sg FROM hs),
+              bnd AS (SELECT doc_id, b, array_to_string(sg[4*b+1:4*b+4], ',') AS bkey
+                      FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b)),
+              cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                       FROM bnd l JOIN bnd r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+              v AS (SELECT doc_a, doc_b,
+                           len(list_intersect(x.hset, y.hset)) * 1.0 /
+                           (len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset)) * 1.0) AS jaccard
+                    FROM cand JOIN hs x ON doc_a = x.doc_id JOIN hs y ON doc_b = y.doc_id)"""
 
   // MinHash signature (k=64) over the 32-bit md5 shingle hashes, with the
   // exact affine-mod-P permutation constants of graft.plans.MinHashSignature
@@ -948,22 +977,25 @@ object Oracles {
          GROUP BY p_brand ORDER BY p_brand""",
 
     "q26_minhash_lsh" ->
-      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
-              sh AS (SELECT doc_id, $shSql AS sh FROM tk),
-              hs AS (SELECT doc_id, list_sort(list_distinct(list_transform(sh,
-                            s -> ${graft.functions.PortableHash.duckdbMd5Long("s", 8)}))) AS hset
-                     FROM sh WHERE len(sh) > 0),
-              sig AS (SELECT doc_id, hset, $minhashSigSql AS sg FROM hs),
-              bnd AS (SELECT doc_id, b, array_to_string(sg[4*b+1:4*b+4], ',') AS bkey
-                      FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b)),
-              cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-                       FROM bnd l JOIN bnd r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
-              v AS (SELECT doc_a, doc_b,
-                           len(list_intersect(x.hset, y.hset)) * 1.0 /
-                           (len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset)) * 1.0) AS jaccard
-                    FROM cand JOIN hs x ON doc_a = x.doc_id JOIN hs y ON doc_b = y.doc_id)
+      s"""WITH $minhashPairsCte
          SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+
+    // connected components of the q26 near-dup graph: the recursive
+    // closure reaches every node of a component, min(reachable) = the
+    // canonical id — semantics the Spark side's min-label propagation
+    // converges to
+    "q43_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+              p AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+              edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                        UNION SELECT doc_b, doc_a FROM p),
+              reach(src, dst) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         SELECT src AS doc_id, min(dst) AS cluster_id
+         FROM reach GROUP BY src ORDER BY doc_id""",
 
     "q28_simhash" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),

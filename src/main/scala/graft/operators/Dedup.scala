@@ -178,6 +178,51 @@ object Dedup {
   }
 
   /**
+   * Connected components over near-dup pairs — the step that turns a
+   * pair list into actionable dedup output: every document labeled with
+   * its cluster's canonical id (the component's minimum id), so "keep
+   * one per cluster" is a filter.
+   *
+   * Algorithm: iterative min-label propagation. Each round every node
+   * takes the min of its own label and its neighbors' labels; converges
+   * to the component minimum in O(component diameter) rounds. Each round
+   * is one shuffle (join + groupBy with map-side combine) over the EDGE
+   * list — never the corpus — and `localCheckpoint` truncates the plan
+   * between rounds so the DAG stays O(1) deep. Near-dup graphs are
+   * overwhelmingly tiny cliques (diameter 1-2), so this converges in a
+   * handful of rounds at any corpus size; the driver sees only the
+   * per-round changed-count scalar. (CorrelationFilter's driver-side
+   * union-find is the right tool for k x k FEATURE graphs; this is the
+   * distributed path for million-edge DOCUMENT graphs.)
+   *
+   * @param pairs undirected near-dup pairs (one row per pair)
+   * @return (doc_id, cluster_id) for every document appearing in a pair
+   */
+  def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a").as("node")).agg(min("nl").as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = updated.where(col("next") < col("label")).count()
+      labels = updated.select(col("node"), col("next").as("label"))
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /**
    * SimHash near-dup pairs: 60-bit TF-weighted signature over md5 token
    * hashes (PortableHash — a SQL oracle recomputes the signature exactly);
    * candidates share one of four 15-bit chunks (guarantees recall for

@@ -94,6 +94,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(again.forall(f => f >= 0.0 && f <= 255.0))
   }
 
+  test("dupClusters: min-label propagation finds component minimums") {
+    import spark.implicits._
+    // components: chain 1-2-3-4 (diameter 3 forces multiple rounds),
+    // pair 10-11, triangle 20-21-22 with a redundant edge
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("multimodal: nearest-neighbor resize is total and index-exact") {
     // upsample from one frame: repetition
     assert(Multimodal.resizeNearest(Array(7.0), 4).toSeq == Seq(7.0, 7.0, 7.0, 7.0))
