@@ -102,23 +102,6 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     array_min(transform(tokenSet(text), t => md5(t)))
 
-  /** 64-bit token hash for MinHash permutations: xxhash64 with a seed
-    * column mixed in (codegen'd, no UDF). */
-  def seededTokenHash(tok: Column, seed: Int): Column = xxhash64(lit(seed), tok)
-
-  /**
-   * MinHash signature from PRE-HASHED tokens: each token is xxhash64'd
-   * once (string input), then the k permutations re-mix the 64-bit value
-   * with `xxhash64(seed, h)` — a fixed-width integer hash, far cheaper
-   * than k string hashes and safe under ANSI mode (an affine `a*h+b`
-   * permutation would raise on the intentional wraparound). O(tokens)
-   * string hashing instead of O(k*tokens) at corpus scale.
-   */
-  def minhashSignatureFromHashes(tokenHashes: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(tokenHashes, h => xxhash64(lit(i), h)))
-    }: _*)
-
   /** SimHash over the token multiset (term-frequency weighted), pure Scala
     * kernel — exercised via a UDF because bit-bucketed popcount folding has
     * no built-in equivalent. 60-bit width with md5-prefix token hashes
