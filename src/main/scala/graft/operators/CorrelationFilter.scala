@@ -37,34 +37,42 @@ object CorrelationFilter {
       cluster: Boolean): Seq[String] = {
     if (!cluster || featureOrder.size <= 1) return featureOrder
 
-    // zero-variance features have undefined correlation (pandas yields NaN ->
-    // no edge); excluding them up front keeps `corr` from dividing by zero
-    // under Spark ANSI mode while preserving the no-edge semantics.
-    val stds = wide.agg(
-      stddev_samp(col(featureOrder.head)).as("s0"),
-      featureOrder.tail.map(f => stddev_samp(col(f)).as(s"s_$f")): _*).head()
-    val varying: Set[Int] = featureOrder.indices.filter { i =>
-      !stds.isNullAt(i) && stds.getDouble(i) > 0.0
-    }.toSet
-
-    val pairs = for {
-      i <- featureOrder.indices if varying(i)
-      j <- 0 until i if varying(j)
-    } yield (i, j)
-    if (pairs.isEmpty) return featureOrder
-    val aggs = pairs.map { case (i, j) =>
-      corr(col(featureOrder(i)), col(featureOrder(j))).as(s"c_${i}_$j")
+    // every pairwise correlation from moment sums in ONE aggregation pass
+    // — the built-in `corr` needed a separate zero-variance prescan (its
+    // internal division throws under ANSI on constant columns), which
+    // meant two actions and two executions of the upstream pivot shuffle
+    // per call (and the pipeline calls this once per instability
+    // resample). Conditional sums keep pandas' pairwise null deletion;
+    // the division happens driver-side in plain Scala, where a zero
+    // denominator is just "no edge" (pandas' NaN semantics). Moment-form
+    // cancellation costs a couple of the 16 digits — irrelevant for an
+    // |corr| > threshold decision.
+    val pairs = for { i <- featureOrder.indices; j <- 0 until i } yield (i, j)
+    val aggs = pairs.flatMap { case (i, j) =>
+      val (x, y) = (col(featureOrder(i)), col(featureOrder(j)))
+      val both = x.isNotNull && y.isNotNull
+      def s(e: org.apache.spark.sql.Column, tag: String) =
+        sum(when(both, e)).as(s"${tag}_${i}_$j")
+      Seq(count(when(both, 1)).as(s"n_${i}_$j"),
+        s(x, "sx"), s(y, "sy"), s(x * x, "sxx"), s(y * y, "syy"), s(x * y, "sxy"))
     }
     val row = wide.agg(aggs.head, aggs.tail: _*).head()
 
-    // union-find over features; edge iff |corr| > threshold (NaN/null -> no edge)
+    // union-find over features; edge iff |corr| > threshold (undefined -> no edge)
     val parent = Array.tabulate(featureOrder.size)(identity)
     def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); parent(x) = r; r }
     def union(a: Int, b: Int): Unit = { val ra = find(a); val rb = find(b); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
     pairs.zipWithIndex.foreach { case ((i, j), k) =>
-      if (!row.isNullAt(k)) {
-        val c = row.getDouble(k)
-        if (!c.isNaN && math.abs(c) > correlationThreshold) union(i, j)
+      val base = k * 6
+      if (!row.isNullAt(base + 1)) { // null sums = no overlapping rows
+        val n = row.getLong(base).toDouble
+        val (sx, sy, sxx, syy, sxy) = (row.getDouble(base + 1), row.getDouble(base + 2),
+          row.getDouble(base + 3), row.getDouble(base + 4), row.getDouble(base + 5))
+        val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        if (den > 0.0) {
+          val c = (n * sxy - sx * sy) / math.sqrt(den)
+          if (!c.isNaN && math.abs(c) > correlationThreshold) union(i, j)
+        }
       }
     }
     featureOrder.indices.filter(i => find(i) == i).map(featureOrder)
