@@ -48,6 +48,15 @@ object MatchKernel {
       preSq(i + 1) = preSq(i) + t(i) * t(i)
       i += 1
     }
+    // MASS switch-over: above ~2M multiply-adds the naive per-window dot
+    // loop loses to three FFTs (O(n*m) vs O(L log L) — measured 361 ms vs
+    // ~10 ms at m=1900, n=9500). Below it, the naive loop is faster AND
+    // bit-identical to the SQL oracle's sum — small/verification paths
+    // keep exact parity, the big FP-filter calls get the MASS path (FFT
+    // rounding differs from the naive sum only at ~1e-9 relative, far
+    // inside any match-threshold margin).
+    val dots: Array[Double] =
+      if (nWin.toLong * m > 2000000L) FFT.slidingDots(q, t) else null
     var s = 0
     while (s < nWin) {
       val wSum = pre(s + m) - pre(s)
@@ -61,8 +70,11 @@ object MatchKernel {
         else if (qConst || wConst) math.sqrt(m.toDouble)
         else {
           var dot = 0.0
-          var k = 0
-          while (k < m) { dot += q(k) * t(s + k); k += 1 }
+          if (dots != null) dot = dots(s)
+          else {
+            var k = 0
+            while (k < m) { dot += q(k) * t(s + k); k += 1 }
+          }
           val r = (dot - m * qMean * wMean) / (m * qStd * wStd)
           val d2 = 2.0 * m * (1.0 - r)
           math.sqrt(math.max(d2, 0.0))

@@ -87,6 +87,12 @@ object FalsePositiveFilter {
     val idxUdf = udf((f: String) => featIdx.getOrElse(f, Int.MaxValue))
     val counted = patterns
       .join(series, "feature") // AQE: broadcast while small, SMJ at scale
+      // explicit-N repartition (AQE honors user-specified counts): the
+      // joined rows are byte-light but each carries an O(n*m) match
+      // kernel — without the pin, AQE's coalescing packs them onto ONE
+      // partition and the kernels run serially (measured 613 s for one
+      // folder_1-scale config; ~30x less with the spread)
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("trace_matches",
         matchCountUdf(col("pattern"), col("series"), lit(maxDistance)))
       .groupBy("window_key", "feature")

@@ -91,4 +91,29 @@ class MatchKernelSpec extends AnyFunSuite {
     assert(MatchKernel.distanceProfile(Array(1.0, 2, 3), Array(1.0, 2)).isEmpty)
     assert(MatchKernel.matchCount(Array(1.0, 2, 3), Array(1.0, 2), 10.0) == 0)
   }
+
+  test("FFT sliding dots match the naive dots exactly enough (MASS path)") {
+    val rnd = new scala.util.Random(11)
+    // large enough to cross the kernel's FFT switch-over (nWin*m > 2e6)
+    val q = Array.fill(1500)(rnd.nextDouble() * 10 - 5)
+    val t = Array.fill(4000)(rnd.nextDouble() * 10 - 5)
+    val fft = graft.functions.FFT.slidingDots(q, t)
+    assert(fft.length == t.length - q.length + 1)
+    var s = 0
+    while (s < fft.length) {
+      var dot = 0.0
+      var k = 0
+      while (k < q.length) { dot += q(k) * t(s + k); k += 1 }
+      assert(math.abs(fft(s) - dot) <= 1e-6 * math.max(1.0, math.abs(dot)),
+        s"dot mismatch at offset $s: fft=${fft(s)} naive=$dot")
+      s += 1
+    }
+    // and the full profile through the kernel's auto-switch agrees with
+    // the definition-level profile to within FFT rounding
+    val big = MatchKernel.distanceProfile(q, t)
+    val ref = naiveProfile(q, t)
+    big.zip(ref).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) <= 1e-6, s"profile mismatch at $i: $a vs $b")
+    }
+  }
 }
