@@ -313,6 +313,31 @@ object Queries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
+    // the full curation pass a training-data pipeline runs before
+    // tokenization, as ONE composed plan: quality gate + near-dup
+    // removal keeping each cluster's canonical doc + per-language token
+    // budget. Composes q24's score, q26's pair graph, q43's components,
+    // q40's token count — every stage individually oracle-checked, and
+    // the composition oracle-checked here
+    "q44_corpus_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = docs.select(col("doc_id"), col("lang"),
+        TF.qualityScore(col("text")).as("q"),
+        TF.bpeTokenCount(col("text")).as("toks"))
+      val clusters = Dedup.dupClusters(
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 64, bands = 16, shingleN = 3, threshold = 0.5))
+      scored
+        .join(clusters, Seq("doc_id"), "left")
+        .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .where(col("q") >= 0.8)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("toks").as("n_tokens"),
+          round(avg("q"), 6).as("mean_quality"))
+        .orderBy("lang")
+    }),
+
     // the q26 near-dup graph collapsed to canonical clusters by
     // distributed min-label propagation (one edge-list shuffle per round,
     // O(component diameter) rounds) — "keep one per cluster" becomes a
@@ -501,11 +526,22 @@ object Queries {
   }
 
   /** Rewards + both-classes filter + ranking tie-break index — the shared
-    * back end (expects `window_key, feature, value, type_data`). */
+    * back end (expects `window_key, feature, value, type_data`).
+    *
+    * The reward is rounded to 6 decimals HERE, at the query layer (the
+    * oracle chain rounds identically): the segmentation-entropy sum is a
+    * float reduction whose association order is engine- and run-dependent
+    * (DuckDB's parallel aggregation order varies run to run), and a
+    * last-ulp reward difference flips ranking ties and exact-equality
+    * leap comparisons. Rounding snaps both engines to the same double
+    * before any ordering decision. The operators keep the reference's
+    * exact-float semantics — this is purely the cross-engine
+    * determinism boundary. */
   private def eventRewards(obs: DataFrame): DataFrame = {
     val idxUdf = udf((f: String) => eventFeatIdx.getOrElse(f, Int.MaxValue))
     EntropyReward.rewards(obs, applyWorstCase = true)
       .where(col("n_ano") > 0 && col("n_ref") > 0) // feature must observe both halves
+      .withColumn("reward", round(col("reward"), 6))
       .withColumn("feat_idx", idxUdf(col("feature")))
   }
 
@@ -694,10 +730,10 @@ object Oracles {
                      FROM segs2 JOIN ok USING ($k, feature)
                      GROUP BY $k, feature),
               rewards AS (SELECT $k, feature,
-                            CASE WHEN seg_ent = 0.0 THEN 1.0/0.0 ELSE
+                            round(CASE WHEN seg_ent = 0.0 THEN 1.0/0.0 ELSE
                               ((n_ano*1.0/(n_ano+n_ref))*log2(1.0/(n_ano*1.0/(n_ano+n_ref))) +
                                (n_ref*1.0/(n_ano+n_ref))*log2(1.0/(n_ref*1.0/(n_ano+n_ref))))
-                              / seg_ent END AS reward,
+                              / seg_ent END, 6) AS reward,
                             CASE feature WHEN 'click' THEN 0 WHEN 'view' THEN 1
                                  WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
                                  WHEN 'error' THEN 4 ELSE 5 END AS fi
@@ -980,6 +1016,35 @@ object Oracles {
       s"""WITH $minhashPairsCte
          SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+
+    // q24's quality + q40's token count + q43's clusters composed: drop
+    // non-canonical near-dups and low-quality docs, budget tokens per lang
+    "q44_corpus_curation" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+              p AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+              edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                        UNION SELECT doc_b, doc_a FROM p),
+              reach(src, dst) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+              cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                     FROM reach GROUP BY src),
+              sc AS (SELECT doc_id, lang,
+                            (least(1.0, n/64.0) + alpha +
+                             least(1.0, (n_chars2/greatest(n, 1.0))/8.0)) / 3.0 AS q,
+                            len(regexp_extract_all(text, '$bpePatternSql')) AS toks
+                     FROM (SELECT doc_id, lang, text,
+                                  CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n,
+                                  CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) /
+                                    greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
+                                  CAST(length(text) AS DOUBLE) AS n_chars2
+                           FROM documents))
+         SELECT lang, count(*) AS n_docs, sum(toks) AS n_tokens,
+                round(avg(q), 6) AS mean_quality
+         FROM sc LEFT JOIN cl USING (doc_id)
+         WHERE (cluster_id IS NULL OR cluster_id = doc_id) AND q >= 0.8
+         GROUP BY lang ORDER BY lang""",
 
     // connected components of the q26 near-dup graph: the recursive
     // closure reaches every node of a component, min(reachable) = the
