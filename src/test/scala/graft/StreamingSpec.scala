@@ -70,6 +70,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingOps.explainBuffered(w1, Seq("f1", "f2", "f3")) == Seq("f1"))
   }
 
+  test("unwired event-time timeout is rejected up front, not silently ignored") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamObs]
+    intercept[IllegalArgumentException] {
+      StreamingOps.explainOnClose(input.toDS(), Seq("f1"),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())
+    }
+    intercept[IllegalArgumentException] {
+      StreamingOps.assembleWindows(input.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())
+    }
+  }
+
   test("stateful span assembly emits a closed window on the close marker") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
