@@ -47,6 +47,17 @@ def compare(got, want):
         return False, f"columns differ: {gc} vs {wc}"
     if len(got) != len(want):
         return False, f"row counts differ: {len(got)} vs {len(want)}"
+    # dtype-strict: the driver hashes value strings, so int64 2538 vs
+    # float64 2538.0 is a driver FAIL even though == says equal. Compare
+    # dtype KIND (int-vs-float-vs-object), not exact width: int32 vs
+    # int64 both render "2538" and pass the driver.
+    def kind(dt):
+        k = dt.kind
+        return "i" if k in "iu" else k
+    for c in gc:
+        kg, kw = kind(got[c].dtype), kind(want[c].dtype)
+        if kg != kw and len(got) > 0:
+            return False, f"col {c} dtype kind differs: {got[c].dtype} vs {want[c].dtype}"
     def hashable(df):
         out = df.copy()
         for c in out.columns:
@@ -65,9 +76,10 @@ def eq(a, b):
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
-        if isinstance(a, float) and isinstance(b, float):
-            if math.isnan(a) and math.isnan(b):
-                return True
+        if not (isinstance(a, float) and isinstance(b, float)):
+            return False  # int-vs-float is a driver hash mismatch
+        if math.isnan(a) and math.isnan(b):
+            return True
         return a == b  # exact — rounding happens engine-side
     if hasattr(a, "__len__") and not isinstance(a, str):
         return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))

@@ -330,7 +330,11 @@ object Queries {
       scored
         .join(clusters, Seq("doc_id"), "left")
         .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
-        .where(col("q") >= 0.8)
+        // quality is a float computed independently by two engines that
+        // agree to ~6 decimals, not to the bit — round BEFORE the gate so
+        // a score one ulp from 0.8 can't flip a doc in on one engine only
+        // (same determinism rule as the q38 reward rounding)
+        .where(round(col("q"), 6) >= 0.8)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("toks").as("n_tokens"),
@@ -1040,10 +1044,12 @@ object Oracles {
                                     greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
                                   CAST(length(text) AS DOUBLE) AS n_chars2
                            FROM documents))
-         SELECT lang, count(*) AS n_docs, sum(toks) AS n_tokens,
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS n_tokens,
                 round(avg(q), 6) AS mean_quality
          FROM sc LEFT JOIN cl USING (doc_id)
-         WHERE (cluster_id IS NULL OR cluster_id = doc_id) AND q >= 0.8
+         WHERE (cluster_id IS NULL OR cluster_id = doc_id)
+           AND round(q, 6) >= 0.8
          GROUP BY lang ORDER BY lang""",
 
     // connected components of the q26 near-dup graph: the recursive
