@@ -98,32 +98,71 @@ object ExstreamPipeline {
     val (traceLong, featureOrder) = Sources.readAllTraces(spark, dataFolder, labelFilename)
     val labels = Sources.readLabels(spark, s"$dataFolder/$labelFilename.csv")
       .withColumn("ano_type", udf(Sources.anomalyTypeForTrace _).apply(col("trace_id")))
-    val obs = IntervalLabeler.labelObservations(traceLong, labels).cache()
+    val obs0 = IntervalLabeler.labelObservations(traceLong, labels)
 
-    val main = explanatoryFeatures(obs, featureOrder, cfg)
+    // instability: the explanation query re-run on N 80% resamples
+    // (`script_1.py:227-241`). The resample id `rs` (-1 = full data,
+    // 0..N-1 = samples) is folded into the window key, so ALL N+1 pipeline
+    // instances ride the SAME shuffles — correlation moments, FP
+    // patterns/series, rewards, leap — instead of N+1 serial plan
+    // executions (~(N+1)x the shuffled bytes, zero extra stages; q38's
+    // proven shape). Sampling is a deterministic md5 hash of the WIDE-row
+    // key — the reference samples whole wide rows, i.e. every feature of a
+    // (window, class, timestamp) jointly (`script_1.py:228-230`) — with
+    // cutoff 0xcc/0x100 = 79.7% ~= frac 0.8, seeded via cfg.seed.
+    val rsValues = -1 until cfg.instabilityRounds
+    val obs = obs0
+      .withColumn("rs", explode(array(rsValues.map(lit(_)): _*)))
+      .where(col("rs") === -1 ||
+        md5(concat_ws("_", lit(cfg.seed), col("window_key"), col("type_data"),
+          col("timestamp"), col("rs")).cast("binary")) < "cc")
+      .withColumn("window_key", concat_ws("#", col("rs"), col("window_key")))
+      .cache()
 
-    // instability: re-run the explanation query on N seeded 80% resamples
-    // (`script_1.py:227-241`). The reference samples WIDE rows, i.e. whole
-    // (window, class, timestamp) observations across all features jointly —
-    // mirrored here by sampling the distinct key set and semi-joining.
-    val resampled: Seq[DataFrame] = (0 until cfg.instabilityRounds).map { i =>
-      val keys = obs.select("window_key", "type_data", "timestamp").distinct()
-        .sample(withReplacement = false, cfg.sampleFraction, cfg.seed + i)
-      val sampleObs = obs.join(keys, Seq("window_key", "type_data", "timestamp"), "left_semi")
-      explanatoryFeatures(sampleObs, featureOrder, cfg)
-        .withColumnRenamed("features", s"exp_$i")
-    }
+    // step 1, per rs: correlation-cluster feature dedup — the reference
+    // re-runs get_explanatory_features (clustering included) on each
+    // resample (`script_1.py:213-222`), so feature selection is per-rs;
+    // all N+1 moment rows come from ONE aggregation pass.
+    val obsSel =
+      if (cfg.cluster && featureOrder.size > 1) {
+        val wide = obs.groupBy("rs", "window_key", "timestamp", "type_data")
+          .pivot("feature", featureOrder).agg(first("value"))
+        val selByRs = CorrelationFilter.selectFeaturesBy(
+          wide, featureOrder, cfg.correlationThreshold, "rs")
+        val keep = rsValues.map { r =>
+          col("rs") === r && col("feature").isin(selByRs.getOrElse(r, featureOrder): _*)
+        }.reduce(_ || _)
+        obs.where(keep)
+      } else obs
 
+    // step 2, per rs: FP filter; series align on rs so a resampled window
+    // only matches against its own resample's reference series
     val featIdx = featureOrder.zipWithIndex.toMap
-    val idxUdf = udf((fs: Seq[String]) => fs.map(f => featIdx.getOrElse(f, -1)))
-    val instabilityUdf = udf { (exps: Seq[Seq[String]]) =>
-      graft.functions.EntropyCore.instabilityEntropy(exps.filter(_ != null))
-    }
+    val obsFiltered =
+      if (cfg.falsePositiveFiltering) {
+        val kept = FalsePositiveFilter.matchCounts(
+          obsSel, featIdx, cfg.maxDistance, cfg.matchCountKeep,
+          cfg.patternFromRefWindow, seriesAlignKeys = Seq("rs"))
+        FalsePositiveFilter.filterObservations(obsSel, kept)
+      } else obsSel
 
-    val withResamples = resampled.foldLeft(main) { (acc, r) =>
-      acc.join(r, Seq("window_key"), "left")
+    // step 3: rewards + leap cutoff, all instances through one shuffle
+    val idxUdf = udf((f: String) => featIdx.getOrElse(f, Int.MaxValue))
+    val rewards = EntropyReward.rewards(obsFiltered, cfg.applyWorstCase)
+      .withColumn("feat_idx", idxUdf(col("feature")))
+    val expl = LeapFilter.explanations(rewards)
+      .withColumn("rs", split(col("window_key"), "#", 2).getItem(0).cast("int"))
+      .withColumn("window_key", split(col("window_key"), "#", 2).getItem(1))
+
+    val main = expl.where(col("rs") === -1).select("window_key", "features")
+    val resamples = expl.where(col("rs") >= 0)
+      .groupBy("window_key").agg(collect_list(col("features")).as("exps"))
+
+    val idxsUdf = udf((fs: Seq[String]) => fs.map(f => featIdx.getOrElse(f, -1)))
+    val instabilityUdf = udf { (exps: Seq[Seq[String]]) =>
+      graft.functions.EntropyCore.instabilityEntropy(
+        Option(exps).getOrElse(Seq.empty).filter(_ != null))
     }
-    val expCols = array((0 until cfg.instabilityRounds).map(i => col(s"exp_$i")): _*)
 
     // window_key = ano_type_trace_id_label_row; join back to labels on the
     // real key (SURVEY §2.3 J3: the reference's positional merge is replaced
@@ -132,10 +171,11 @@ object ExstreamPipeline {
       concat_ws("_", col("ano_type"), col("trace_id"), col("label_row")).as("window_key"),
       col("trace_id"), col("ano_id"))
 
-    keyed.join(withResamples, Seq("window_key"), "inner")
-      .withColumn("explanation", idxUdf(col("features")))
+    keyed.join(main, Seq("window_key"), "inner")
+      .join(resamples, Seq("window_key"), "left")
+      .withColumn("explanation", idxsUdf(col("features")))
       .withColumn("exp_size", size(col("explanation")))
-      .withColumn("exp_instability", instabilityUdf(expCols))
+      .withColumn("exp_instability", instabilityUdf(col("exps")))
       .select("trace_id", "ano_id", "explanation", "exp_size", "exp_instability")
   }
 }

@@ -25,28 +25,17 @@ import org.apache.spark.sql.functions._
  */
 object CorrelationFilter {
 
-  /**
-   * @param wide      one row per observation, feature columns present
-   * @param featureOrder feature columns in original (insertion) order
-   * @return selected feature names, in original column order
-   */
-  def selectFeatures(
-      wide: DataFrame,
-      featureOrder: Seq[String],
-      correlationThreshold: Double,
-      cluster: Boolean): Seq[String] = {
-    if (!cluster || featureOrder.size <= 1) return featureOrder
-
-    // every pairwise correlation from moment sums in ONE aggregation pass
-    // — the built-in `corr` needed a separate zero-variance prescan (its
-    // internal division throws under ANSI on constant columns), which
-    // meant two actions and two executions of the upstream pivot shuffle
-    // per call (and the pipeline calls this once per instability
-    // resample). Conditional sums keep pandas' pairwise null deletion;
-    // the division happens driver-side in plain Scala, where a zero
-    // denominator is just "no edge" (pandas' NaN semantics). Moment-form
-    // cancellation costs a couple of the 16 digits — irrelevant for an
-    // |corr| > threshold decision.
+  // every pairwise correlation from moment sums in ONE aggregation pass
+  // — the built-in `corr` needed a separate zero-variance prescan (its
+  // internal division throws under ANSI on constant columns), which
+  // meant two actions and two executions of the upstream pivot shuffle
+  // per call (and the pipeline calls this once per instability
+  // resample). Conditional sums keep pandas' pairwise null deletion;
+  // the division happens driver-side in plain Scala, where a zero
+  // denominator is just "no edge" (pandas' NaN semantics). Moment-form
+  // cancellation costs a couple of the 16 digits — irrelevant for an
+  // |corr| > threshold decision.
+  private def momentAggs(featureOrder: Seq[String]) = {
     val pairs = for { i <- featureOrder.indices; j <- 0 until i } yield (i, j)
     val aggs = pairs.flatMap { case (i, j) =>
       val (x, y) = (col(featureOrder(i)), col(featureOrder(j)))
@@ -56,14 +45,22 @@ object CorrelationFilter {
       Seq(count(when(both, 1)).as(s"n_${i}_$j"),
         s(x, "sx"), s(y, "sy"), s(x * x, "sxx"), s(y * y, "syy"), s(x * y, "sxy"))
     }
-    val row = wide.agg(aggs.head, aggs.tail: _*).head()
+    (pairs, aggs)
+  }
 
-    // union-find over features; edge iff |corr| > threshold (undefined -> no edge)
+  /** Union-find over one moment row; `offset` = leading non-moment columns. */
+  private def selectFromMomentRow(
+      row: org.apache.spark.sql.Row,
+      offset: Int,
+      pairs: IndexedSeq[(Int, Int)],
+      featureOrder: Seq[String],
+      correlationThreshold: Double): Seq[String] = {
+    // edge iff |corr| > threshold (undefined -> no edge)
     val parent = Array.tabulate(featureOrder.size)(identity)
     def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); parent(x) = r; r }
     def union(a: Int, b: Int): Unit = { val ra = find(a); val rb = find(b); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
     pairs.zipWithIndex.foreach { case ((i, j), k) =>
-      val base = k * 6
+      val base = offset + k * 6
       if (!row.isNullAt(base + 1)) { // null sums = no overlapping rows
         val n = row.getLong(base).toDouble
         val (sx, sy, sxx, syy, sxy) = (row.getDouble(base + 1), row.getDouble(base + 2),
@@ -76,5 +73,48 @@ object CorrelationFilter {
       }
     }
     featureOrder.indices.filter(i => find(i) == i).map(featureOrder)
+  }
+
+  /**
+   * @param wide      one row per observation, feature columns present
+   * @param featureOrder feature columns in original (insertion) order
+   * @return selected feature names, in original column order
+   */
+  def selectFeatures(
+      wide: DataFrame,
+      featureOrder: Seq[String],
+      correlationThreshold: Double,
+      cluster: Boolean): Seq[String] = {
+    if (!cluster || featureOrder.size <= 1) return featureOrder
+    val (pairs, aggs) = momentAggs(featureOrder)
+    val row = wide.agg(aggs.head, aggs.tail: _*).head()
+    selectFromMomentRow(row, 0, pairs, featureOrder, correlationThreshold)
+  }
+
+  /**
+   * Grouped variant: one moment row PER group value (e.g. one per
+   * instability resample), all from a single aggregation pass — the
+   * fused-pipeline replacement for calling [[selectFeatures]] once per
+   * resample, each re-executing the upstream pivot shuffle. The group
+   * count is tiny (1 + resample rounds), so the collected result is a
+   * handful of rows regardless of data volume.
+   *
+   * @param groupCol integer grouping column present in `wide`
+   * @return group value -> selected feature names, in original column order
+   */
+  def selectFeaturesBy(
+      wide: DataFrame,
+      featureOrder: Seq[String],
+      correlationThreshold: Double,
+      groupCol: String): Map[Int, Seq[String]] = {
+    if (featureOrder.size <= 1) {
+      return wide.select(groupCol).distinct().collect()
+        .map(r => r.getInt(0) -> featureOrder).toMap
+    }
+    val (pairs, aggs) = momentAggs(featureOrder)
+    wide.groupBy(groupCol).agg(aggs.head, aggs.tail: _*).collect()
+      .map { row =>
+        row.getInt(0) -> selectFromMomentRow(row, 1, pairs, featureOrder, correlationThreshold)
+      }.toMap
   }
 }

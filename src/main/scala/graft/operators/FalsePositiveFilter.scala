@@ -50,6 +50,10 @@ object FalsePositiveFilter {
    * @param obs observation table `(window_key, trace_id, ano_id, ano_type,
    *            timestamp, type_data, feature, value)` — refs AND anos
    * @param featIdx mapping feature -> original column position (tie-break)
+   * @param seriesAlignKeys extra obs columns the reference series must
+   *            align on besides `feature` — e.g. a resample id, so a
+   *            window sampled under resample i only ever matches against
+   *            series built from resample i's rows (fused-pipeline mode)
    * @return `(window_key, feature, n_matches, kept)`
    */
   def matchCounts(
@@ -57,15 +61,16 @@ object FalsePositiveFilter {
       featIdx: Map[String, Int],
       maxDistance: Double,
       matchCountKeep: Int,
-      patternFromRefWindow: Boolean): DataFrame = {
+      patternFromRefWindow: Boolean,
+      seriesAlignKeys: Seq[String] = Nil): DataFrame = {
     val spark = obs.sparkSession
     import spark.implicits._
 
-    // reference series per (feature, trace), canonical order inside the
-    // trace — row size bounded by one trace's ref span
+    // reference series per (feature, [align keys], trace), canonical order
+    // inside the trace — row size bounded by one trace's ref span
     val series = obs
       .where($"type_data" === 0)
-      .groupBy("feature", "trace_id")
+      .groupBy("feature", seriesAlignKeys :+ "trace_id": _*)
       .agg(
         transform(
           array_sort(collect_list(struct(
@@ -78,7 +83,7 @@ object FalsePositiveFilter {
     val patternClass = if (patternFromRefWindow) 0 else 1
     val patterns = obs
       .where($"type_data" === patternClass)
-      .groupBy("window_key", "feature")
+      .groupBy("window_key", "feature" +: seriesAlignKeys: _*)
       .agg(collect_list(struct(
         $"trace_id".as("t"), $"timestamp".cast("long").as("ts"),
         $"type_data".cast("int").as("c"),
@@ -86,7 +91,7 @@ object FalsePositiveFilter {
 
     val idxUdf = udf((f: String) => featIdx.getOrElse(f, Int.MaxValue))
     val counted = patterns
-      .join(series, "feature") // AQE: broadcast while small, SMJ at scale
+      .join(series, "feature" +: seriesAlignKeys) // AQE: broadcast while small, SMJ at scale
       // explicit-N repartition (AQE honors user-specified counts): the
       // joined rows are byte-light but each carries an O(n*m) match
       // kernel — without the pin, AQE's coalescing packs them onto ONE
