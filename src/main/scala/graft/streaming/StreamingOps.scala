@@ -63,8 +63,40 @@ object StreamingOps {
    * groups — state shards across executors like any keyed stream.
    */
   /** Per-window buffer with an O(1) size counter (List.size is O(n) —
-    * counting per arriving row would be quadratic in window length). */
-  case class WindowBuffer(n: Int, rows: List[StreamObs])
+    * counting per arriving row would be quadratic in window length) and
+    * the max event time seen, which drives the event-time timeout. */
+  case class WindowBuffer(n: Int, maxTsMs: Long, rows: List[StreamObs])
+
+  /** Shared timeout plumbing for the two stateful operators.
+    *
+    * Event-time mode is the paper's trigger model made robust to LOST
+    * close markers: the watermark (not the wall clock) decides that a
+    * window can no longer receive rows, so replaying a recorded stream
+    * fires the same timeouts at the same event times. `StreamObs.timestamp`
+    * is interpreted as epoch milliseconds for watermarking; a window with
+    * no close marker is force-closed when the watermark passes
+    * `max(observed event time) + timeoutSpanMs`. */
+  private def withEventTimeWatermark(
+      obs: Dataset[StreamObs], eventTimeout: Boolean, watermarkDelay: String): Dataset[StreamObs] = {
+    import obs.sparkSession.implicits._
+    if (eventTimeout)
+      obs.withColumn("event_ts", timestamp_millis(col("timestamp")))
+        .withWatermark("event_ts", watermarkDelay)
+        .as[StreamObs]
+    else obs
+  }
+
+  /** Arm the state's timeout for the configured mode (call after every
+    * `state.update`). The event-time timestamp is clamped one ms above the
+    * current watermark — Spark rejects a timeout at or before it. */
+  private def armTimeout(
+      state: GroupState[WindowBuffer], buf: WindowBuffer,
+      procTimeout: Boolean, eventTimeout: Boolean,
+      timeoutDuration: String, timeoutSpanMs: Long): Unit = {
+    if (procTimeout) state.setTimeoutDuration(timeoutDuration)
+    if (eventTimeout) state.setTimeoutTimestamp(
+      math.max(buf.maxTsMs + timeoutSpanMs, state.getCurrentWatermarkMs() + 1))
+  }
 
   def explainOnClose(
       obs: Dataset[StreamObs],
@@ -72,22 +104,23 @@ object StreamingOps {
       applyWorstCase: Boolean = true,
       maxBuffered: Int = 100000,
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout(),
-      timeoutDuration: String = "1 hour"): Dataset[StreamExplanation] = {
+      timeoutDuration: String = "1 hour",
+      timeoutSpanMs: Long = 3600000L,
+      watermarkDelay: String = "10 seconds"): Dataset[StreamExplanation] = {
     import obs.sparkSession.implicits._
-    require(timeout != GroupStateTimeout.EventTimeTimeout(),
-      "event-time timeout is not wired (no setTimeoutTimestamp); use " +
-        "NoTimeout or ProcessingTimeTimeout")
-    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout()
-    obs
+    val procTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout()
+    val eventTimeout = timeout == GroupStateTimeout.EventTimeTimeout()
+    withEventTimeWatermark(obs, eventTimeout, watermarkDelay)
       .groupByKey(_.window_key)
       .flatMapGroupsWithState[WindowBuffer, StreamExplanation](
         OutputMode.Append(), timeout) {
         (key: String, rows: Iterator[StreamObs], state: GroupState[WindowBuffer]) =>
-          var buf = state.getOption.getOrElse(WindowBuffer(0, Nil))
+          var buf = state.getOption.getOrElse(WindowBuffer(0, Long.MinValue, Nil))
           var close = false
           rows.foreach { r =>
             if (r.type_data < 0) close = true
-            else if (buf.n < maxBuffered) buf = WindowBuffer(buf.n + 1, r :: buf.rows)
+            else if (buf.n < maxBuffered)
+              buf = WindowBuffer(buf.n + 1, math.max(buf.maxTsMs, r.timestamp), r :: buf.rows)
           }
           if (close || state.hasTimedOut) {
             state.remove()
@@ -95,7 +128,7 @@ object StreamingOps {
               key, buf.n, explainBuffered(buf.rows, featureOrder, applyWorstCase)))
           } else {
             state.update(buf)
-            if (useTimeout) state.setTimeoutDuration(timeoutDuration)
+            armTimeout(state, buf, procTimeout, eventTimeout, timeoutDuration, timeoutSpanMs)
             Iterator.empty
           }
       }
@@ -139,29 +172,30 @@ object StreamingOps {
       obs: Dataset[StreamObs],
       maxBuffered: Int = 100000,
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout(),
-      timeoutDuration: String = "1 hour"): Dataset[ClosedWindow] = {
+      timeoutDuration: String = "1 hour",
+      timeoutSpanMs: Long = 3600000L,
+      watermarkDelay: String = "10 seconds"): Dataset[ClosedWindow] = {
     import obs.sparkSession.implicits._
-    require(timeout != GroupStateTimeout.EventTimeTimeout(),
-      "event-time timeout is not wired (no setTimeoutTimestamp); use " +
-        "NoTimeout or ProcessingTimeTimeout")
-    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout()
-    obs
+    val procTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout()
+    val eventTimeout = timeout == GroupStateTimeout.EventTimeTimeout()
+    withEventTimeWatermark(obs, eventTimeout, watermarkDelay)
       .groupByKey(_.window_key)
       .flatMapGroupsWithState[WindowBuffer, ClosedWindow](
         OutputMode.Append(), timeout) {
         (key: String, rows: Iterator[StreamObs], state: GroupState[WindowBuffer]) =>
-          var buf = state.getOption.getOrElse(WindowBuffer(0, Nil))
+          var buf = state.getOption.getOrElse(WindowBuffer(0, Long.MinValue, Nil))
           var close = false
           rows.foreach { r =>
             if (r.type_data < 0) close = true
-            else if (buf.n < maxBuffered) buf = WindowBuffer(buf.n + 1, r :: buf.rows)
+            else if (buf.n < maxBuffered)
+              buf = WindowBuffer(buf.n + 1, math.max(buf.maxTsMs, r.timestamp), r :: buf.rows)
           }
           if (close || state.hasTimedOut) {
             state.remove()
             Iterator.single(ClosedWindow(key, buf.n, buf.rows.map(_.feature).distinct.sorted))
           } else {
             state.update(buf)
-            if (useTimeout) state.setTimeoutDuration(timeoutDuration)
+            armTimeout(state, buf, procTimeout, eventTimeout, timeoutDuration, timeoutSpanMs)
             Iterator.empty
           }
       }

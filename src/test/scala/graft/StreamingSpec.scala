@@ -70,18 +70,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingOps.explainBuffered(w1, Seq("f1", "f2", "f3")) == Seq("f1"))
   }
 
-  test("unwired event-time timeout is rejected up front, not silently ignored") {
+  test("event-time timeout: a window whose close marker was LOST still emits " +
+      "its explanation when the watermark passes span end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w1 = Seq(
+      StreamObs("w1", "f2", 1L, 0, 1.0), StreamObs("w1", "f2", 2L, 1, 2.0),
+      StreamObs("w1", "f1", 1L, 0, 1.0), StreamObs("w1", "f1", 2L, 0, 2.0),
+      StreamObs("w1", "f3", 1L, 0, 4.0), StreamObs("w1", "f3", 2L, 0, 5.0),
+      StreamObs("w1", "f1", 3L, 1, 10.0), StreamObs("w1", "f1", 4L, 1, 11.0),
+      StreamObs("w1", "f2", 3L, 0, 10.0), StreamObs("w1", "f2", 4L, 1, 11.0))
+    val input = MemoryStream[StreamObs]
+    val exps = StreamingOps.explainOnClose(input.toDS(), Seq("f1", "f2", "f3"),
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout(),
+      timeoutSpanMs = 10L, watermarkDelay = "0 seconds")
+    val q = exps.writeStream.outputMode("append")
+      .format("memory").queryName("exps_et").start()
+    input.addData(w1: _*) // NO close marker for w1, ever
+    q.processAllAvailable()
+    assert(spark.table("exps_et").count() == 0) // watermark still at w1's span
+    // a much-later event on another window advances the watermark past
+    // w1's (max event time 4 ms + span 10 ms); the timeout fires on the
+    // following batch using the advanced watermark
+    input.addData(StreamObs("w2", "f1", 100000L, 0, 1.0))
+    q.processAllAvailable()
+    input.addData(StreamObs("w2", "f1", 100001L, 0, 2.0))
+    q.processAllAvailable()
+    val out = spark.table("exps_et").collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("window_key") == "w1")
+    assert(out.head.getAs[Int]("n_obs") == 10)
+    // the force-closed window gets the SAME answer the close marker gives
+    assert(out.head.getSeq[String](2) == Seq("f1"))
+  }
+
+  test("event-time timeout: span assembly force-closes a marker-less window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamObs]
-    intercept[IllegalArgumentException] {
-      StreamingOps.explainOnClose(input.toDS(), Seq("f1"),
-        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())
-    }
-    intercept[IllegalArgumentException] {
-      StreamingOps.assembleWindows(input.toDS(),
-        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())
-    }
+    val closed = StreamingOps.assembleWindows(input.toDS(),
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout(),
+      timeoutSpanMs = 10L, watermarkDelay = "0 seconds")
+    val q = closed.writeStream.outputMode("append")
+      .format("memory").queryName("closed_et").start()
+    input.addData(
+      StreamObs("w1", "f1", 1L, 0, 1.0),
+      StreamObs("w1", "f2", 2L, 1, 2.0))
+    q.processAllAvailable()
+    assert(spark.table("closed_et").count() == 0)
+    input.addData(StreamObs("w2", "f1", 50000L, 0, 5.0))
+    q.processAllAvailable()
+    input.addData(StreamObs("w2", "f1", 50001L, 0, 6.0))
+    q.processAllAvailable()
+    val out = spark.table("closed_et").collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("window_key") == "w1")
+    assert(out.head.getAs[Int]("n_obs") == 2)
+    assert(out.head.getSeq[String](2) == Seq("f1", "f2"))
   }
 
   test("stateful span assembly emits a closed window on the close marker") {
