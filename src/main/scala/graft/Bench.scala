@@ -9,17 +9,23 @@ import org.apache.spark.sql.SparkSession
  * Methodology: the host is a noisy VM (observed up to 5x wall-clock
  * variance on a single cold sweep), so each query gets one untimed
  * warm-up run (JIT + codegen compilation + page cache) followed by
- * SPARK_GRAFT_RUNS timed runs, reporting the per-query MINIMUM — for
- * wall-clock on shared hardware, noise is strictly additive, so min is
- * the stable estimator. Knobs: SPARK_GRAFT_RUNS (default 2),
- * SPARK_GRAFT_WARMUP (default 1, set 0 to skip),
- * SPARK_GRAFT_ONLY=q26_...,q27_... to micro-benchmark a subset.
+ * SPARK_GRAFT_RUNS timed runs. The headline per-query number is the
+ * MINIMUM — for wall-clock on shared hardware, noise is strictly
+ * additive, so min is the stable estimator — and the JSON also carries
+ * per-query MEDIANS so a noisy sweep is self-diagnosing (median >> min
+ * = host contention during the sweep, not a code regression). A query
+ * that throws contributes NO timing: failed runs are excluded from
+ * min/median, and a query with zero successful runs is reported under
+ * "errors" instead of "queries" so a crash can never masquerade as a
+ * speedup. Knobs: SPARK_GRAFT_RUNS (default 3), SPARK_GRAFT_WARMUP
+ * (default 1, set 0 to skip), SPARK_GRAFT_ONLY=q26_...,q27_... to
+ * micro-benchmark a subset.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt.max(0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,23 +41,37 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
       }
-      (System.nanoTime() - t0) / 1e9
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
     val results = selected.map { case (name, fn) =>
       (1 to warmup).foreach(_ => runOnce(name, fn))
-      name -> (1 to runs).map(_ => runOnce(name, fn)).min
+      val timed = (1 to runs).map(_ => runOnce(name, fn))
+      val ok = timed.collect { case Right(t) => t }
+      val err = timed.collect { case Left(m) => m }.headOption
+      (name, ok, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jStr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val good = results.filter(_._2.nonEmpty)
+    val qs = good.map { case (k, ok, _) => jStr(k) + ":" + ok.min }.mkString("{", ",", "}")
+    val meds = good.map { case (k, ok, _) => jStr(k) + ":" + median(ok) }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, ok, Some(m)) if ok.isEmpty => jStr(k) + ":" + jStr(m) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = good.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
