@@ -188,17 +188,84 @@ object Similarity {
   }
 
   /**
+   * Spherical k-means (Lloyd's, fixed iterations) for IVF centroids,
+   * trained on a bounded deterministic sample of the corpus — the
+   * production counterpart of the md5-sample centroids in [[ivfKnn]].
+   *
+   * Scale shape: the sample is `sampleSize` rows REGARDLESS of corpus
+   * size (md5-ordered, so any engine picks the same rows), collected once;
+   * training is O(sampleSize x nCentroids x dim x iterations) driver-side
+   * — the standard train-small/broadcast-model layout (the model is
+   * nCentroids x dim floats, kilobytes). Nothing corpus-sized ever reaches
+   * the driver. Deterministic end to end: md5-ordered init (identical to
+   * the oracle-mode centroid choice), argmax assignment with
+   * first-centroid tie-break, empty cells keep their previous centroid.
+   */
+  def trainIvfCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, sampleSize: Int = 8192, iterations: Int = 10): Seq[Array[Float]] = {
+    val sample: Array[Array[Float]] = corpus
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(sampleSize)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "trainIvfCentroids: empty corpus")
+    val k = math.min(nCentroids, sample.length)
+    val dim = sample(0).length
+    val norms = sample.map { v =>
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    var cents: Array[Array[Double]] = Array.tabulate(k)(c => sample(c).map(_.toDouble))
+    var iter = 0
+    while (iter < iterations) {
+      val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var r = 0
+      while (r < sample.length) {
+        val v = sample(r)
+        var best = 0; var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i).toDouble * cents(c)(i); i += 1 }
+          val den = norms(r) * cnorms(c)
+          val cos = if (den == 0.0) -2.0 else d / den
+          if (cos > bestCos) { bestCos = cos; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        r += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }
+      iter += 1
+    }
+    cents.toSeq.map(_.map(_.toFloat))
+  }
+
+  /**
    * IVF (inverted-file) ANN top-k: the corpus is partitioned into Voronoi
    * cells around `nCentroids` centroid vectors; a query probes only its
    * `nProbe` nearest cells and verifies exact cosine inside them — the
    * other (nCentroids - nProbe)/nCentroids of the corpus is never touched,
    * which is the pruning that makes ANN sub-linear at 100 TB.
    *
-   * Centroids are the `nCentroids` corpus vectors with the smallest
-   * md5(id): a deterministic sample, so an independent engine reproduces
-   * the exact cell structure (the production path would train k-means on
-   * a sample and broadcast the model — the partition/probe mechanics
-   * below are identical either way).
+   * Default centroids are the `nCentroids` corpus vectors with the
+   * smallest md5(id): a deterministic sample, so an independent engine
+   * reproduces the exact cell structure (the oracle path). Pass
+   * `trainedCentroids` (from [[trainIvfCentroids]]) for the production
+   * path — k-means cells carve the space to the data's actual density,
+   * which measurably lifts recall at the same probe budget; the
+   * partition/probe mechanics are identical either way.
    *
    * Shuffle shape: assignment is a broadcast of the centroid set against
    * one corpus scan; the nearest-cell argmax is a groupBy with map-side
@@ -209,12 +276,21 @@ object Similarity {
   def ivfKnn(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
-      k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+      k: Int, nCentroids: Int, nProbe: Int,
+      trainedCentroids: Option[Seq[Array[Float]]] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = corpus
-      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
-      .limit(nCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
+    val cents = trainedCentroids match {
+      case Some(model) =>
+        import spark.implicits._
+        model.zipWithIndex
+          .map { case (v, i) => (i.toLong, v.toSeq) }
+          .toDF("cid", "c_vec")
+      case None =>
+        corpus
+          .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+          .limit(nCentroids)
+          .select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
+    }
     val centsN = cents.withColumn("c_norm", sqrt(fdot(cents, "c_vec", "c_vec")))
 
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
