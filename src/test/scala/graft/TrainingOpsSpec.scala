@@ -143,6 +143,55 @@ class TrainingOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("multimodal: REAL PNG/BMP decode via javax.imageio feeds the resize chain") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // a 4x8 vertical gradient: pixel row y is gray level 32*y -> the
+    // per-row mean luminance must come back as exactly 32*y per row
+    def gradientBytes(format: String): Array[Byte] = {
+      val img = new BufferedImage(4, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 4) {
+        val g = 32 * y
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, format, bos), s"no $format writer")
+      bos.toByteArray
+    }
+    val png = gradientBytes("png")
+    val bmp = gradientBytes("bmp")
+    val rowsPng = Multimodal.decodeImageRows(png)
+    val rowsBmp = Multimodal.decodeImageRows(bmp)
+    assert(rowsPng.length == 8 && rowsBmp.length == 8)
+    // Rec.601 luminance of gray level g is exactly g (weights sum to 1)
+    (0 until 8).foreach { y =>
+      assert(math.abs(rowsPng(y) - 32.0 * y) < 1e-6, s"png row $y: ${rowsPng(y)}")
+      assert(math.abs(rowsBmp(y) - 32.0 * y) < 1e-6, s"bmp row $y: ${rowsBmp(y)}")
+    }
+    // garbage bytes decode to nothing, not an exception
+    assert(Multimodal.decodeImageRows("not an image".getBytes).isEmpty)
+
+    // the full Spark chain: pack -> real decode -> q42-style NN-resize
+    val packed = Seq((1L, png, "image/png"), (2L, bmp, "image/bmp"),
+      (3L, "garbage".getBytes, "text/plain"))
+      .toDF("doc_id", "content", "mime")
+      .select(col("doc_id"), col("content"),
+        struct(length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("content_md5"), col("mime").as("mime")).as("meta"))
+    val feats = Multimodal.extractImageFeatures(packed, "doc_id", outDim = 4)
+      .orderBy("doc_id").collect()
+    assert(feats.length == 3)
+    // 8 rows -> 4 features strides rows 0,2,4,6 = luminance 0,64,128,192
+    Seq(0, 1).foreach { i =>
+      assert(feats(i).getAs[Boolean]("decoded"))
+      val f = feats(i).getSeq[Double](3)
+      assert(f.zip(Seq(0.0, 64.0, 128.0, 192.0)).forall { case (a, b) => math.abs(a - b) < 1e-6 },
+        s"row $i features $f")
+    }
+    assert(!feats(2).getAs[Boolean]("decoded"))
+    assert(feats(2).getSeq[Double](3).isEmpty)
+  }
+
   test("multimodal: nearest-neighbor resize is total and index-exact") {
     // upsample from one frame: repetition
     assert(Multimodal.resizeNearest(Array(7.0), 4).toSeq == Seq(7.0, 7.0, 7.0, 7.0))
