@@ -183,14 +183,18 @@ object Dedup {
    * its cluster's canonical id (the component's minimum id), so "keep
    * one per cluster" is a filter.
    *
-   * Algorithm: iterative min-label propagation. Each round every node
-   * takes the min of its own label and its neighbors' labels; converges
-   * to the component minimum in O(component diameter) rounds. Each round
-   * is one shuffle (join + groupBy with map-side combine) over the EDGE
-   * list — never the corpus — and `localCheckpoint` truncates the plan
-   * between rounds so the DAG stays O(1) deep. Near-dup graphs are
-   * overwhelmingly tiny cliques (diameter 1-2), so this converges in a
-   * handful of rounds at any corpus size; the driver sees only the
+   * Algorithm: iterative min-label propagation WITH pointer jumping.
+   * Each round every node takes the min of its own and its neighbors'
+   * labels (distance-1 propagation), then shortcuts through its label's
+   * label (label(v) := label(label(v)) — path halving), so label chains
+   * double in reach per round and convergence is O(log diameter) instead
+   * of O(diameter): a 1,000-node path converges in ~10 rounds, a clique
+   * in 1-2. Every label is always a node id inside the same component
+   * (initialized to self, only ever lowered to a neighbor-chain min), so
+   * the shortcut join always hits and the fixpoint is the component
+   * minimum. Each round shuffles only the EDGE list and the (node, label)
+   * table — never the corpus — and `localCheckpoint` truncates the plan
+   * between rounds so the DAG stays O(1) deep; the driver sees only the
    * per-round changed-count scalar. (CorrelationFilter's driver-side
    * union-find is the right tool for k x k FEATURE graphs; this is the
    * distributed path for million-edge DOCUMENT graphs.)
@@ -198,7 +202,13 @@ object Dedup {
    * @param pairs undirected near-dup pairs (one row per pair)
    * @return (doc_id, cluster_id) for every document appearing in a pair
    */
-  def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+  def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    dupClustersWithRounds(pairs, aCol, bCol)._1
+
+  /** [[dupClusters]] plus the number of propagation rounds it took —
+    * the testable convergence bound. */
+  def dupClustersWithRounds(
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): (DataFrame, Int) = {
     val fwd = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -207,19 +217,27 @@ object Dedup {
       .withColumn("label", col("node"))
       .localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val neighborMin = edges
         .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a").as("node")).agg(min("nl").as("nmin"))
-      val updated = labels
+      val propagated = labels
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("mid"))
+        .localCheckpoint()
+      // pointer jumping: follow the propagated label one hop (its own
+      // propagated label is <= it, both in the same component)
+      val updated = propagated
+        .join(propagated.select(col("mid").as("jump"), col("node").as("mid")), Seq("mid"))
+        .select(col("node"), col("label"), col("jump").as("next"))
         .localCheckpoint()
       changed = updated.where(col("next") < col("label")).count()
       labels = updated.select(col("node"), col("next").as("label"))
+      rounds += 1
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("node").as("doc_id"), col("label").as("cluster_id")), rounds)
   }
 
   /**

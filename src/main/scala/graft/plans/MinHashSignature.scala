@@ -60,6 +60,14 @@ object MinHashSignature {
     var j = 0
     while (j < n) {
       val h = hashes.getLong(j)
+      // INPUT CONTRACT enforced: a 64-bit hash (e.g. raw xxhash64 output)
+      // would silently overflow a*h + b past 2^63 and corrupt every
+      // signature minimum — fail loudly instead. One shift+branch per
+      // token against k multiply-mods: noise.
+      if ((h >>> 32) != 0L)
+        throw new IllegalArgumentException(
+          s"minhash token hash $h is not below 2^32 — feed md5-32 hashes " +
+            "(graft.functions.PortableHash), not 64-bit hashes")
       var i = 0
       while (i < k) {
         val v = (a(i) * h + b(i)) % P

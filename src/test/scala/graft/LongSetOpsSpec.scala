@@ -26,6 +26,21 @@ class LongSetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash kernel rejects 64-bit token hashes loudly (input contract)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.plans.MinHashSignature
+    // in-contract: md5-32 style hashes under 2^32 sign fine
+    val ok = MinHashSignature.signature(
+      ArrayData.toArrayData(Array(1L, 0xFFFFFFFFL)), 4)
+    assert(ok.numElements() == 4)
+    // out-of-contract: a raw xxhash64-style value must throw, not corrupt
+    val e = intercept[IllegalArgumentException] {
+      MinHashSignature.signature(
+        ArrayData.toArrayData(Array(1L, 0x1_0000_0000L)), 4)
+    }
+    assert(e.getMessage.contains("2^32"))
+  }
+
   test("expression agrees with built-in array_intersect in a full plan") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -116,4 +116,39 @@ class MatchKernelSpec extends AnyFunSuite {
       assert(math.abs(a - b) <= 1e-6, s"profile mismatch at $i: $a vs $b")
     }
   }
+
+  test("multi-trace golden: per-trace counts equal the reference's concatenated " +
+      "counts away from trace boundaries; divergence is exactly the boundary phantom") {
+    // The FP filter matches per (feature, trace) and SUMS counts; the
+    // reference concatenates all traces into one series (script_1.py:66).
+    // This golden bounds that documented divergence: identical whenever no
+    // match or exclusion zone touches a boundary, and exactly +1 per
+    // pattern straddling a boundary (a phantom no real trace contains).
+    val rnd = new scala.util.Random(3)
+    val m = 16
+    val q = Array.tabulate(m)(i => math.sin(i * 0.7) * 5)
+    def noise(n: Int) = Array.fill(n)(rnd.nextGaussian() * 0.1 + 50)
+    def plant(t: Array[Double], at: Int, scale: Double, off: Double): Unit =
+      (0 until m).foreach(i => t(at + i) = q(i) * scale + off)
+    val maxD = 1.0
+
+    // three z-norm matches (affine copies), all >= m + excl from boundaries
+    val t1 = noise(300); plant(t1, 50, 2.0, 10.0); plant(t1, 150, 0.5, -3.0)
+    val t2 = noise(300); plant(t2, 80, 1.5, 0.0)
+    val perTrace = MatchKernel.matchCount(q, t1, maxD) + MatchKernel.matchCount(q, t2, maxD)
+    val concatenated = MatchKernel.matchCount(q, t1 ++ t2, maxD)
+    assert(perTrace == 3)
+    assert(concatenated == perTrace,
+      s"interior matches must agree: per-trace $perTrace vs concatenated $concatenated")
+
+    // a pattern STRADDLING the boundary: the concatenation sees a phantom
+    // subsequence that neither trace contains
+    val joined = noise(300) ++ noise(300)
+    plant(joined, 300 - m / 2, 1.0, 0.0)
+    val concatB = MatchKernel.matchCount(q, joined, maxD)
+    val perB = MatchKernel.matchCount(q, joined.slice(0, 300), maxD) +
+      MatchKernel.matchCount(q, joined.slice(300, 600), maxD)
+    assert(perB == 0 && concatB == 1,
+      s"straddling pattern: per-trace $perB (no full window) vs concatenated $concatB (phantom)")
+  }
 }

@@ -143,6 +143,18 @@ class TrainingOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("dupClusters: 1,000-node path graph converges in < 12 rounds (pointer jumping)") {
+    import spark.implicits._
+    // worst case for plain min-propagation (O(diameter) = 999 rounds);
+    // path halving must close it in ~log2(1000) rounds
+    val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.dupClustersWithRounds(pairs)
+    assert(rounds < 12, s"took $rounds rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 1000)
+    assert(got.forall(_._2 == 1L), s"non-min labels: ${got.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
   test("multimodal: REAL PNG/BMP decode via javax.imageio feeds the resize chain") {
     import spark.implicits._
     import java.awt.image.BufferedImage
