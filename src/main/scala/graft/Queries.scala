@@ -342,10 +342,71 @@ object Queries {
         .orderBy("lang")
     }),
 
+    // benchmark decontamination — the pipeline step that keeps eval sets
+    // out of training data: flag every training doc sharing a word 3-gram
+    // with the held-out set (doc_id % 97 == 0 stands in for the eval
+    // split). Scale shape: the held-out shingle set is small by
+    // construction (eval sets are thousands of docs, not billions) so it
+    // BROADCASTS; the corpus side is a narrow explode -> semi-join ->
+    // count, ids+counts through the one shuffle. No corpus self-join.
+    "q45_decontamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val heldout = docs.where(col("doc_id") % 97 === 0)
+        .select(explode(TF.shingleSet(col("text"))).as("shingle"))
+        .distinct()
+      val corpusShingles = docs.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(TF.shingleSet(col("text"))).as("shingle"))
+      val hits = corpusShingles
+        .join(broadcast(heldout), Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      docs.where(col("doc_id") % 97 =!= 0).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_contaminated_shingles"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic train/val/test split: an md5 hash bucket of the doc
+    // id (q18's oracle-checkable sampling, promoted to a full split) with
+    // the per-split token budget a data-mixture plan needs. Pure
+    // map-side hash + one groupBy — nothing about the split needs a
+    // central coordinator at any corpus size, and the assignment is
+    // reproducible from the id alone in any engine
+    "q46_hash_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      docs.select(col("doc_id"), col("lang"),
+        when(h < "0d", "test").when(h < "1a", "val").otherwise("train").as("split"),
+        TF.bpeTokenCount(col("text")).as("toks"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+        .orderBy("split", "lang")
+    }),
+
+    // within-document repetition scoring (the Gopher/RefinedWeb-style
+    // quality signal exact dedup can't see): duplicate-token and
+    // duplicate-bigram fractions, computed entirely inside one codegen'd
+    // projection — no shuffle, no UDF
+    "q47_repetition" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = TF.tokens(col("text"))
+      val bi = TF.shingles(col("text"), 2)
+      val n = size(toks).cast("double")
+      docs.select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(toks)).cast("double") / n, 6)
+          .as("dup_token_frac"),
+        round(when(size(bi) > 0,
+          lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi).cast("double"))
+          .otherwise(0.0), 6).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
     // the q26 near-dup graph collapsed to canonical clusters by
     // distributed min-label propagation (one edge-list shuffle per round,
-    // O(component diameter) rounds) — "keep one per cluster" becomes a
-    // filter on cluster_id = doc_id
+    // O(log component diameter) rounds via pointer jumping) — "keep one
+    // per cluster" becomes a filter on cluster_id = doc_id
     "q43_dedup_clusters" -> ((s, d) => {
       val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
         k = 64, bands = 16, shingleN = 3, threshold = 0.5)
@@ -1051,6 +1112,49 @@ object Oracles {
          WHERE (cluster_id IS NULL OR cluster_id = doc_id)
            AND round(q, 6) >= 0.8
          GROUP BY lang ORDER BY lang""",
+
+    // decontamination: word-3-gram overlap of each training doc against
+    // the held-out split's distinct shingle set
+    "q45_decontamination" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+              sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+              held AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0),
+              corp AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 97 <> 0),
+              hits AS (SELECT doc_id, count(*) AS n
+                       FROM corp JOIN held USING (shingle) GROUP BY doc_id)
+         SELECT s.doc_id,
+                CAST(coalesce(n, 0) AS BIGINT) AS n_contaminated_shingles,
+                coalesce(n, 0) > 0 AS contaminated
+         FROM sh s LEFT JOIN hits USING (doc_id)
+         WHERE s.doc_id % 97 <> 0
+         ORDER BY doc_id""",
+
+    // md5 hash-bucket split (q18's sampling promoted to train/val/test)
+    // with per-split BPE-ish token budgets
+    "q46_hash_split" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+                            CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0d' THEN 'test'
+                                 WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'val'
+                                 ELSE 'train' END AS split,
+                            len(regexp_extract_all(text, '$bpePatternSql')) AS toks
+                     FROM documents)
+         SELECT split, lang, count(*) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS n_tokens
+         FROM s GROUP BY split, lang ORDER BY split, lang""",
+
+    // within-doc repetition: duplicate token / bigram fractions
+    "q47_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+              bi AS (SELECT doc_id, t,
+                            list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1]) AS b
+                     FROM tk)
+         SELECT doc_id,
+                len(t) AS n_tokens,
+                round(1.0 - len(list_distinct(t))*1.0/len(t), 6) AS dup_token_frac,
+                CASE WHEN len(b) > 0
+                     THEN round(1.0 - len(list_distinct(b))*1.0/len(b), 6)
+                     ELSE 0.0 END AS dup_bigram_frac
+         FROM bi ORDER BY doc_id""",
 
     // connected components of the q26 near-dup graph: the recursive
     // closure reaches every node of a component, min(reachable) = the
