@@ -351,11 +351,16 @@ object Queries {
     // count, ids+counts through the one shuffle. No corpus self-join.
     "q45_decontamination" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // fused one-pass shingle kernel (KernelParitySpec locks it to the
+      // TF.shingleSet column form): the HOF form's interpreted per-element
+      // lambdas were 8x the query's wall-clock
+      val shingleSetUdf = udf((text: String) =>
+        graft.functions.ShingleKernel.shingleStrings(text, 3))
       val heldout = docs.where(col("doc_id") % 97 === 0)
-        .select(explode(TF.shingleSet(col("text"))).as("shingle"))
+        .select(explode(shingleSetUdf(col("text"))).as("shingle"))
         .distinct()
       val corpusShingles = docs.where(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), explode(TF.shingleSet(col("text"))).as("shingle"))
+        .select(col("doc_id"), explode(shingleSetUdf(col("text"))).as("shingle"))
       val hits = corpusShingles
         .join(broadcast(heldout), Seq("shingle"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
@@ -386,20 +391,25 @@ object Queries {
 
     // within-document repetition scoring (the Gopher/RefinedWeb-style
     // quality signal exact dedup can't see): duplicate-token and
-    // duplicate-bigram fractions, computed entirely inside one codegen'd
-    // projection — no shuffle, no UDF
+    // duplicate-bigram fractions. One fused kernel call per row computes
+    // all four counters in a single pass (the column form's four
+    // interpreted HOF walks per document measured 45 s at sf0.1 — the
+    // same per-element-lambda cliff q26/q27 hit in round 2); the
+    // fractions stay column arithmetic so the float boundary matches the
+    // oracle exactly. No shuffle.
     "q47_repetition" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val toks = TF.tokens(col("text"))
-      val bi = TF.shingles(col("text"), 2)
-      val n = size(toks).cast("double")
-      docs.select(col("doc_id"),
-        size(toks).as("n_tokens"),
-        round(lit(1.0) - size(array_distinct(toks)).cast("double") / n, 6)
-          .as("dup_token_frac"),
-        round(when(size(bi) > 0,
-          lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi).cast("double"))
-          .otherwise(0.0), 6).as("dup_bigram_frac"))
+      val rep = udf((text: String) => graft.functions.ShingleKernel.repetitionCounts(text))
+      t(s, d, "documents")
+        .select(col("doc_id"), rep(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r").getItem(0).as("n_tokens"),
+          round(lit(1.0) -
+            col("r").getItem(1).cast("double") / col("r").getItem(0).cast("double"), 6)
+            .as("dup_token_frac"),
+          round(when(col("r").getItem(2) > 0,
+            lit(1.0) -
+              col("r").getItem(3).cast("double") / col("r").getItem(2).cast("double"))
+            .otherwise(0.0), 6).as("dup_bigram_frac"))
         .orderBy("doc_id")
     }),
 

@@ -52,6 +52,50 @@ object ShingleKernel {
     }
   }
 
+  /** Distinct word n-gram shingle STRINGS in first-occurrence order — the
+    * string variant of [[md5ShingleSet]] for operators that join on the
+    * shingle itself (q45 decontamination). Bit-parity contract with
+    * `TextFunctions.shingleSet` (`array_distinct` also keeps first
+    * occurrences), locked in KernelParitySpec: the HOF column form
+    * evaluates its lambda interpreted per element, this is one pass. */
+  def shingleStrings(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty[String]
+    val toks = ws.split(text, -1)
+    if (toks.length < n) return Array.empty[String]
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** One-pass token/bigram repetition counters (q47):
+    * [n_tokens, n_distinct_tokens, n_bigrams, n_distinct_bigrams] —
+    * exactly `size(tokens)`, `size(array_distinct(tokens))`,
+    * `size(bigrams)`, `size(array_distinct(bigrams))` of the column
+    * forms, without four interpreted HOF walks over every document. */
+  def repetitionCounts(text: String): Array[Int] = {
+    if (text == null) return Array(0, 0, 0, 0)
+    val toks = ws.split(text, -1)
+    val tokSet = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) { tokSet.add(toks(i)); i += 1 }
+    val biSet = new java.util.HashSet[String]()
+    i = 0
+    while (i < toks.length - 1) { biSet.add(toks(i) + " " + toks(i + 1)); i += 1 }
+    Array(toks.length, tokSet.size, math.max(toks.length - 1, 0), biSet.size)
+  }
+
   @inline private def hashShingles(text: String, n: Int)
                                   (hash: Array[Byte] => Long): Array[Long] = {
     val toks = ws.split(text, -1)

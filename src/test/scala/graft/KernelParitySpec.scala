@@ -63,6 +63,32 @@ class KernelParitySpec extends AnyFunSuite {
     }
   }
 
+  test("shingleStrings matches the shingleSet column form (strings, order included)") {
+    import spark.implicits._
+    val df = texts.toDF("text")
+    val columnForm = df.select(TextFunctions.shingleSet(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    val kernel = texts.map(t => ShingleKernel.shingleStrings(t, 3).toSeq)
+    columnForm.zip(kernel).zipWithIndex.foreach { case ((c, k), i) =>
+      assert(c == k, s"shingle-string mismatch on input $i: '${texts(i)}'")
+    }
+  }
+
+  test("repetitionCounts matches the size/array_distinct column forms") {
+    import spark.implicits._
+    val df = texts.toDF("text")
+    val toks = TextFunctions.tokens(col("text"))
+    val bi = TextFunctions.shingles(col("text"), 2)
+    val columnForm = df.select(
+      size(toks), size(array_distinct(toks)),
+      greatest(size(bi), lit(0)), greatest(size(array_distinct(bi)), lit(0)))
+      .collect().map(r => Seq(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val kernel = texts.map(t => ShingleKernel.repetitionCounts(t).toSeq)
+    columnForm.zip(kernel).zipWithIndex.foreach { case ((c, k), i) =>
+      assert(c == k, s"repetition-count mismatch on input $i: '${texts(i)}'")
+    }
+  }
+
   test("lshBucketsOf matches the quantized+lshBucket column form") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
