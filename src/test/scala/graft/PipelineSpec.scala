@@ -141,6 +141,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(imps.toSeq == again.toSeq)
   }
 
+  test("fused construct matches per-resample explanatoryFeatures run separately " +
+      "(full config: clustering + FP filtering)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, md5}
+    val cfg = ExstreamConfig(cluster = true, falsePositiveFiltering = true,
+      maxDistance = 5.0, applyWorstCase = true, instabilityRounds = 2)
+    val fused = ExstreamPipeline.constructExplanations(spark, fixtureDir, "labels", cfg)
+      .orderBy("trace_id", "ano_id").collect()
+
+    // replicate each pipeline instance the SLOW way: apply the fused
+    // path's exact md5 sampling predicate per rs, then run the original
+    // single-instance explanatoryFeatures on that slice
+    val (obs, featureOrder, labels) = loaded
+    def sliceFor(rs: Int) =
+      if (rs == -1) obs
+      else obs.where(
+        md5(concat_ws("_", lit(cfg.seed), col("window_key"), col("type_data"),
+          col("timestamp"), lit(rs)).cast("binary")) < "cc")
+    val perRs: Map[Int, Map[String, Seq[String]]] = (-1 until cfg.instabilityRounds).map { rs =>
+      rs -> ExstreamPipeline.explanatoryFeatures(sliceFor(rs), featureOrder, cfg)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    }.toMap
+
+    val keyOf = labels.collect().map { r =>
+      val (tid, aid) = (r.getAs[String]("trace_id"), r.getAs[Long]("ano_id"))
+      (tid, aid) -> s"${Sources.anomalyTypeForTrace(tid)}_${tid}_${r.getAs[Long]("label_row")}"
+    }.toMap
+    val featIdx = featureOrder.zipWithIndex.toMap
+    fused.foreach { row =>
+      val wk = keyOf((row.getString(0), row.getLong(1)))
+      val wantMain = perRs(-1)(wk).map(featIdx)
+      assert(row.getSeq[Int](2) == wantMain, s"$wk main: ${row.getSeq[Int](2)} vs $wantMain")
+      val wantInst = graft.functions.EntropyCore.instabilityEntropy(
+        (0 until cfg.instabilityRounds).flatMap(rs => perRs(rs).get(wk)))
+      assert(math.abs(row.getDouble(4) - wantInst) < 1e-12,
+        s"$wk instability: ${row.getDouble(4)} vs $wantInst")
+    }
+    assert(fused.length == 4)
+  }
+
   test("constructExplanations: full output schema, determinism, instability range") {
     val cfg = ExstreamConfig(cluster = false, applyWorstCase = true, instabilityRounds = 2)
     val out1 = ExstreamPipeline.constructExplanations(spark, fixtureDir, "labels", cfg)
