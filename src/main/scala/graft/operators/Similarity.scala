@@ -148,6 +148,22 @@ object Similarity {
    * candidate join; vectors are re-attached to the surviving distinct
    * pairs, so the fat payload crosses the wire once per doc.
    */
+  /**
+   * Deployment default for `nBits`: ceil(log2(ceil(corpus / targetBucket))).
+   * Expected bucket occupancy is corpus / 2^nBits, and exact verification
+   * does O(bucket²) cosine work per bucket per table — so nBits MUST grow
+   * with the corpus or every bucket becomes a quiet quadratic. The q30
+   * fixture value is this formula at its defaults (500 docs, target 32 →
+   * 4 bits, ~31/bucket); at 1B docs the same target gives 25 bits.
+   * Recompute `tables` for the recall target after changing nBits
+   * (per-pair recall = 1 - (1 - p^nBits)^tables).
+   */
+  def lshBitsFor(corpusSize: Long, targetBucketSize: Long = 32): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0)
+    math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, (corpusSize + targetBucketSize - 1) / targetBucketSize) - 1))
+  }
+
   def lshNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nBits: Int = 4, tables: Int = 24, minCosine: Double = 0.9): DataFrame = {

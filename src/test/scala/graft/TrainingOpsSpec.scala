@@ -116,6 +116,17 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(m8.map(_.toSeq) == again.map(_.toSeq))
   }
 
+  test("lshBitsFor: bucket-occupancy sizing formula") {
+    // fixture shape: 500 docs / 32-target -> 4 bits (q30's configuration)
+    assert(Similarity.lshBitsFor(500) == 4)
+    // corpus growth forces bit growth: 1B docs / 32-target -> 25 bits
+    assert(Similarity.lshBitsFor(1000000000L) == 25)
+    assert(Similarity.lshBitsFor(1) == 1)
+    assert(Similarity.lshBitsFor(64, 64) == 1)
+    assert(Similarity.lshBitsFor(65, 64) == 1)
+    assert(Similarity.lshBitsFor(129, 64) == 2)
+  }
+
   test("multimodal: packed binary metadata + deterministic frame features") {
     import spark.implicits._
     val packed = Multimodal.packBinary(docs, "doc_id", "text", mime = "text/plain")
