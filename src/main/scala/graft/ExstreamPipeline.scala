@@ -110,14 +110,18 @@ object ExstreamPipeline {
     // key — the reference samples whole wide rows, i.e. every feature of a
     // (window, class, timestamp) jointly (`script_1.py:228-230`) — with
     // cutoff 0xcc/0x100 = 79.7% ~= frac 0.8, seeded via cfg.seed.
+    // cache the 1x observation table, NOT the (rounds+1)x exploded view:
+    // the explode + md5 filter is a narrow, cheap projection recomputed
+    // per consuming subtree, while caching after the explode would pin
+    // ~6x the observation bytes — the difference between "fits in cluster
+    // memory" and "doesn't" at full scale
     val rsValues = -1 until cfg.instabilityRounds
-    val obs = obs0
+    val obs = obs0.cache()
       .withColumn("rs", explode(array(rsValues.map(lit(_)): _*)))
       .where(col("rs") === -1 ||
         md5(concat_ws("_", lit(cfg.seed), col("window_key"), col("type_data"),
           col("timestamp"), col("rs")).cast("binary")) < "cc")
       .withColumn("window_key", concat_ws("#", col("rs"), col("window_key")))
-      .cache()
 
     // step 1, per rs: correlation-cluster feature dedup — the reference
     // re-runs get_explanatory_features (clustering included) on each
