@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
  *  - [[decodeImageRows]] is a REAL image decoder (`javax.imageio` — the
  *    PNG/BMP/GIF readers ship with every JDK, no external codec needed):
  *    pixels -> per-pixel-row mean luminance, one feature per row.
+ *  - [[decodeAudioFrames]] is a REAL audio decoder (`javax.sound.sampled`
+ *    — the WAV/AIFF/AU readers also ship with every JDK): 16-bit PCM
+ *    samples -> per-frame RMS amplitude, one feature per frame.
  *  - [[decodeFrames]] is the deterministic byte-level fake, kept as the
  *    ORACLE mode (an independent SQL engine can reproduce it bit-for-bit,
- *    which no codec output is; q32/q42 oracle against it). Audio/video
- *    codecs still don't ship in this environment; for those formats the
- *    fake remains the stand-in and this seam is where a codec lands.
+ *    which no codec output is; q32/q42 oracle against it). Compressed
+ *    video codecs don't ship in the JDK; for those formats the fake
+ *    remains the stand-in and this seam is where a codec lands.
  */
 object Multimodal {
 
@@ -74,6 +77,62 @@ object Multimodal {
   }
 
   /**
+   * REAL audio decode via `javax.sound.sampled` (pure JVM): the payload
+   * is parsed as WAV/AIFF/AU and reduced to one RMS-amplitude feature per
+   * frame of `frameSamples` samples (channels averaged per sampling
+   * instant, amplitude normalized to [0, 1]). Only 16-bit PCM is decoded
+   * — the universal uncompressed interchange format; anything else (or
+   * undecodable bytes) yields an empty feature array, mirroring
+   * [[decodeImageRows]]'s total-function contract.
+   */
+  def decodeAudioFrames(content: Array[Byte], frameSamples: Int = 1024): Array[Double] = {
+    if (content == null || content.isEmpty || frameSamples <= 0) return Array.emptyDoubleArray
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => return Array.emptyDoubleArray }
+    try {
+      val fmt = in.getFormat
+      val ch = fmt.getChannels
+      if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16 || ch < 1) return Array.emptyDoubleArray
+      val bytes = in.readAllBytes()
+      val big = fmt.isBigEndian
+      val bytesPerInstant = 2 * ch
+      val nInstants = bytes.length / bytesPerInstant
+      if (nInstants == 0) return Array.emptyDoubleArray
+      val out = new Array[Double]((nInstants + frameSamples - 1) / frameSamples)
+      var f = 0
+      while (f < out.length) {
+        val lo = f * frameSamples
+        val hi = math.min(nInstants, lo + frameSamples)
+        var sumSq = 0.0
+        var i = lo
+        while (i < hi) {
+          // average the channels of one sampling instant
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val o = i * bytesPerInstant + 2 * c
+            val s =
+              if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+              else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+            acc += s / 32768.0
+            c += 1
+          }
+          val v = acc / ch
+          sumSq += v * v
+          i += 1
+        }
+        out(f) = math.sqrt(sumSq / (hi - lo))
+        f += 1
+      }
+      out
+    } catch { case _: Exception => Array.emptyDoubleArray }
+    finally in.close()
+  }
+
+  /**
    * ORACLE-mode decoder: interprets the payload as fixed-size "frames" of
    * `frameBytes` bytes and emits one mean-byte-value feature per frame —
    * a deterministic stand-in an independent SQL engine can reproduce
@@ -119,6 +178,24 @@ object Multimodal {
       col("meta.mime").as("mime"),
       decodeUdf(col("content")).as("image_features"))
       .withColumn("decoded", size(col("image_features")) === outDim)
+  }
+
+  /**
+   * Real audio feature extraction over the binary column: PCM decode ->
+   * per-frame RMS -> nearest-neighbor resize to `outDim` features. Narrow
+   * projection, same contract as [[extractImageFeatures]].
+   */
+  def extractAudioFeatures(packed: DataFrame, idCol: String,
+                           frameSamples: Int = 1024, outDim: Int = 32): DataFrame = {
+    val decodeUdf = udf { (content: Array[Byte]) =>
+      resizeNearest(decodeAudioFrames(content, frameSamples), outDim)
+    }
+    packed.select(
+      col(idCol),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.mime").as("mime"),
+      decodeUdf(col("content")).as("audio_features"))
+      .withColumn("decoded", size(col("audio_features")) === outDim)
   }
 
   /**

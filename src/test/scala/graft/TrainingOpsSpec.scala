@@ -215,6 +215,52 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(feats(2).getSeq[Double](3).isEmpty)
   }
 
+  test("multimodal: REAL WAV decode via javax.sound.sampled feeds the resize chain") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // 16-bit mono PCM: 2048 samples of a half-scale 440 Hz sine, then
+    // 1024 samples of silence
+    val rate = 8000f
+    val n = 3072
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until 2048) {
+      val v = (math.sin(2 * math.Pi * i * 440.0 / rate) * 16384).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte // little-endian
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val frames = Multimodal.decodeAudioFrames(wav, frameSamples = 1024)
+    assert(frames.length == 3) // 3072 samples / 1024 per frame
+    // RMS of a half-scale sine = 0.5 / sqrt(2)
+    val want = 0.5 / math.sqrt(2.0)
+    assert(math.abs(frames(0) - want) < 0.01, s"frame0 ${frames(0)}")
+    assert(math.abs(frames(1) - want) < 0.01, s"frame1 ${frames(1)}")
+    assert(frames(2) < 1e-9, s"silence frame ${frames(2)}")
+    // garbage decodes to nothing, not an exception
+    assert(Multimodal.decodeAudioFrames("not audio".getBytes).isEmpty)
+
+    // the Spark chain: pack -> decode -> resize
+    val packed = Seq((1L, wav, "audio/wav"), (2L, "noise".getBytes, "text/plain"))
+      .toDF("doc_id", "content", "mime")
+      .select(col("doc_id"), col("content"),
+        struct(length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("content_md5"), col("mime").as("mime")).as("meta"))
+    val feats = Multimodal.extractAudioFeatures(packed, "doc_id",
+      frameSamples = 1024, outDim = 6).orderBy("doc_id").collect()
+    assert(feats(0).getAs[Boolean]("decoded"))
+    val f = feats(0).getSeq[Double](3)
+    assert(f.length == 6)
+    // 3 frames -> 6 features: floor(i*3/6) repeats each frame twice
+    assert(math.abs(f(0) - frames(0)) < 1e-12 && math.abs(f(5) - frames(2)) < 1e-12)
+    assert(!feats(1).getAs[Boolean]("decoded"))
+  }
+
   test("multimodal: nearest-neighbor resize is total and index-exact") {
     // upsample from one frame: repetition
     assert(Multimodal.resizeNearest(Array(7.0), 4).toSeq == Seq(7.0, 7.0, 7.0, 7.0))
