@@ -16,11 +16,14 @@ import org.apache.spark.sql.types._
  *  - [[decodeAudioFrames]] is a REAL audio decoder (`javax.sound.sampled`
  *    — the WAV/AIFF/AU readers also ship with every JDK): 16-bit PCM
  *    samples -> per-frame RMS amplitude, one feature per frame.
+ *  - [[decodeVideoFrames]] is a REAL video decoder for uncompressed AVI
+ *    (hand-rolled RIFF walk + BI_RGB DIB frames): per-frame mean
+ *    luminance.
  *  - [[decodeFrames]] is the deterministic byte-level fake, kept as the
  *    ORACLE mode (an independent SQL engine can reproduce it bit-for-bit,
- *    which no codec output is; q32/q42 oracle against it). Compressed
- *    video codecs don't ship in the JDK; for those formats the fake
- *    remains the stand-in and this seam is where a codec lands.
+ *    which no codec output is; q32/q42 oracle against it) and the
+ *    stand-in for COMPRESSED codecs (JPEG-only in the JDK; no MP3/AAC,
+ *    no H.264) — that seam is where an external codec library lands.
  */
 object Multimodal {
 
@@ -130,6 +133,93 @@ object Multimodal {
       out
     } catch { case _: Exception => Array.emptyDoubleArray }
     finally in.close()
+  }
+
+  /**
+   * REAL video decode for uncompressed AVI (RIFF container, BI_RGB
+   * 24-bit DIB frames — the interchange format every encoder can emit):
+   * one mean-Rec.601-luminance feature per video frame. A hand-rolled
+   * RIFF walk because the JDK ships no video API at all; compressed
+   * codecs (MJPEG/H.264) are out of scope and yield an empty array, as
+   * do malformed bytes — the same total-function contract as the image
+   * and audio decoders.
+   */
+  def decodeVideoFrames(content: Array[Byte]): Array[Double] = {
+    if (content == null || content.length < 12) return Array.emptyDoubleArray
+    def u32(o: Int): Long =
+      (content(o) & 0xffL) | ((content(o + 1) & 0xffL) << 8) |
+        ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
+    def u16(o: Int): Int = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+    def fourcc(o: Int): String =
+      new String(content, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Array.emptyDoubleArray
+
+    var width = 0
+    var height = 0
+    var bitCount = -1
+    var compression = -1L
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (offset, size)
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = fourcc(o)
+        val sz = u32(o + 4).toInt
+        if (sz < 0 || o + 8 + sz > end) return // malformed chunk: stop
+        if (id == "LIST") walk(o + 12, o + 8 + sz)
+        else if (id == "avih" && sz >= 40) {
+          width = u32(o + 8 + 32).toInt
+          height = u32(o + 8 + 36).toInt
+        } else if (id == "strf" && sz >= 20 && bitCount < 0) {
+          // BITMAPINFOHEADER: biBitCount at +14 (u16), biCompression at +16
+          bitCount = u16(o + 8 + 14)
+          compression = u32(o + 8 + 16)
+        } else if ((id == "00db" || id == "00dc") && sz > 0) frames += ((o + 8, sz))
+        o += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+    }
+    try walk(12, content.length)
+    catch { case _: IndexOutOfBoundsException => return Array.emptyDoubleArray }
+    if (width <= 0 || height <= 0 || frames.isEmpty ||
+      compression != 0L || bitCount != 24) return Array.emptyDoubleArray
+
+    val rowBytes = ((width * 3 + 3) / 4) * 4 // DIB rows pad to 4 bytes
+    val expected = rowBytes * height
+    frames.iterator.filter(_._2 >= expected).map { case (off, _) =>
+      var s = 0.0
+      var y = 0
+      while (y < height) {
+        var o = off + y * rowBytes
+        var x = 0
+        while (x < width) {
+          // DIB pixel order is B, G, R
+          s += 0.114 * (content(o) & 0xff) + 0.587 * (content(o + 1) & 0xff) +
+            0.299 * (content(o + 2) & 0xff)
+          o += 3
+          x += 1
+        }
+        y += 1
+      }
+      s / (width.toLong * height)
+    }.toArray
+  }
+
+  /**
+   * Real video feature extraction over the binary column: AVI frame
+   * decode -> per-frame mean luminance -> nearest-neighbor resize
+   * (temporal frame-sampling) to `outDim` features. Narrow projection,
+   * same contract as [[extractImageFeatures]].
+   */
+  def extractVideoFeatures(packed: DataFrame, idCol: String,
+                           outDim: Int = 16): DataFrame = {
+    val decodeUdf = udf { (content: Array[Byte]) =>
+      resizeNearest(decodeVideoFrames(content), outDim)
+    }
+    packed.select(
+      col(idCol),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.mime").as("mime"),
+      decodeUdf(col("content")).as("video_features"))
+      .withColumn("decoded", size(col("video_features")) === outDim)
   }
 
   /**

@@ -261,6 +261,57 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!feats(1).getAs[Boolean]("decoded"))
   }
 
+  test("multimodal: REAL uncompressed-AVI decode (RIFF walk) feeds the resize chain") {
+    import spark.implicits._
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ inner)
+
+    val (w, h) = (4, 2)
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    // avih: 56 bytes, dwWidth at +32, dwHeight at +36
+    val avih = new Array[Byte](56)
+    le32(w).copyToArray(avih, 32); le32(h).copyToArray(avih, 36)
+    // strh: fccType 'vids', handler 'DIB '
+    val strh = "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++ new Array[Byte](48)
+    // strf: BITMAPINFOHEADER - biSize, w, h, planes=1, bitCount=24, compression=0
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(rowBytes * h) ++ new Array[Byte](16)
+    def grayFrame(g: Int): Array[Byte] = Array.fill(rowBytes * h)(g.toByte)
+    val movi = list("movi",
+      chunk("00db", grayFrame(0)) ++ chunk("00db", grayFrame(128)) ++ chunk("00db", grayFrame(255)))
+    val hdrl = list("hdrl", chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+
+    val frames = Multimodal.decodeVideoFrames(avi)
+    assert(frames.length == 3, s"got ${frames.toSeq}")
+    // solid gray level g has Rec.601 luminance exactly g (weights sum to 1)
+    assert(math.abs(frames(0) - 0.0) < 1e-9)
+    assert(math.abs(frames(1) - 128.0) < 1e-9)
+    assert(math.abs(frames(2) - 255.0) < 1e-9)
+    assert(Multimodal.decodeVideoFrames("RIFFgarbage".getBytes).isEmpty)
+    assert(Multimodal.decodeVideoFrames(Array.emptyByteArray).isEmpty)
+
+    // the Spark chain: temporal resize 3 frames -> 6 features
+    val packed = Seq((1L, avi, "video/x-msvideo"), (2L, "junk".getBytes, "text/plain"))
+      .toDF("doc_id", "content", "mime")
+      .select(col("doc_id"), col("content"),
+        struct(length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("content_md5"), col("mime").as("mime")).as("meta"))
+    val feats = Multimodal.extractVideoFeatures(packed, "doc_id", outDim = 6)
+      .orderBy("doc_id").collect()
+    assert(feats(0).getAs[Boolean]("decoded"))
+    assert(feats(0).getSeq[Double](3) == Seq(0.0, 0.0, 128.0, 128.0, 255.0, 255.0))
+    assert(!feats(1).getAs[Boolean]("decoded"))
+  }
+
   test("multimodal: nearest-neighbor resize is total and index-exact") {
     // upsample from one frame: repetition
     assert(Multimodal.resizeNearest(Array(7.0), 4).toSeq == Seq(7.0, 7.0, 7.0, 7.0))
