@@ -342,6 +342,25 @@ object Queries {
         .orderBy("lang")
     }),
 
+    // per-label embedding centroids (mean pooling — the building block of
+    // class prototypes, cluster seeding and embedding-drift monitoring).
+    // Pooling happens in QUANTIZED INTEGER space (floor(x*1024), exact
+    // for float input — q30's trick): integer sums are associativity-free
+    // so an independent engine reproduces the centroid bit-for-bit, where
+    // a raw float mean would depend on each engine's parallel reduction
+    // order. One posexplode -> (label, pos) groupBy with map-side partial
+    // aggregation; rows x dim through the single shuffle.
+    "q48_label_centroid" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      e.select(col("label"),
+        posexplode(Similarity.quantized(col("embedding"))).as(Seq("pos", "qv")))
+        .groupBy("label", "pos")
+        .agg(sum("qv").as("sq"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          round(col("sq").cast("double") / col("n") / 1024.0, 6).as("centroid"))
+        .orderBy("label", "pos")
+    }),
+
     // benchmark decontamination — the pipeline step that keeps eval sets
     // out of training data: flag every training doc sharing a word 3-gram
     // with the held-out set (doc_id % 97 == 0 stands in for the eval
@@ -1122,6 +1141,16 @@ object Oracles {
          WHERE (cluster_id IS NULL OR cluster_id = doc_id)
            AND round(q, 6) >= 0.8
          GROUP BY lang ORDER BY lang""",
+
+    // quantized integer pooling: floor(x*1024) sums are exact in any
+    // engine; the only float ops are two divisions of identical operands
+    "q48_label_centroid" ->
+      """WITH q AS (SELECT label, i.pos AS pos,
+                           CAST(floor(CAST(embedding[i.pos + 1] AS DOUBLE) * 1024.0) AS BIGINT) AS qv
+                    FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS pos) i)
+         SELECT label, pos,
+                round(CAST(sum(qv) AS DOUBLE) / count(*) / 1024.0, 6) AS centroid
+         FROM q GROUP BY label, pos ORDER BY label, pos""",
 
     // decontamination: word-3-gram overlap of each training doc against
     // the held-out split's distinct shingle set
