@@ -194,6 +194,15 @@ class TrainingOpsSpec extends AnyFunSuite {
     // garbage bytes decode to nothing, not an exception
     assert(Multimodal.decodeImageRows("not an image".getBytes).isEmpty)
 
+    // compressed path: the JDK's JPEG reader goes through the same seam.
+    // Lossy codec -> assert structure (monotone gradient), not exact values
+    val jpg = gradientBytes("jpg")
+    val rowsJpg = Multimodal.decodeImageRows(jpg)
+    assert(rowsJpg.length == 8)
+    (0 until 8).foreach { y =>
+      assert(math.abs(rowsJpg(y) - 32.0 * y) < 16.0, s"jpg row $y: ${rowsJpg(y)}")
+    }
+
     // the full Spark chain: pack -> real decode -> q42-style NN-resize
     val packed = Seq((1L, png, "image/png"), (2L, bmp, "image/bmp"),
       (3L, "garbage".getBytes, "text/plain"))
