@@ -34,6 +34,28 @@ object StreamingOps {
         min("value").as("min_value"),
         max("value").as("max_value"))
 
+  /**
+   * Streaming ingest dedup — the training-data pipeline's exact dedup
+   * (q21) applied AT INGEST: suppress any document whose content hash was
+   * already seen, with state bounded by the watermark
+   * (`dropDuplicatesWithinWatermark`) so the dedup store does not grow
+   * with the full corpus — the batch dedup pass remains the global
+   * backstop across watermark horizons. State shards by hash across
+   * executors like any keyed stream.
+   *
+   * @param docs streaming DataFrame with an event-time column `tsCol`
+   *             and the document text in `textCol`
+   */
+  def dedupIngest(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_md5", md5(encode(col(textCol), "UTF-8")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_md5")
+
   /** A labeled observation arriving on the stream. `type_data` -1 marks a
     * span-close control record for the window key. */
   case class StreamObs(window_key: String, feature: String, timestamp: Long,

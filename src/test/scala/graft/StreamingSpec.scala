@@ -131,6 +131,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.getSeq[String](2) == Seq("f1", "f2"))
   }
 
+  test("streaming ingest dedup suppresses repeated content within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = StreamingOps.dedupIngest(
+      input.toDF().toDF("ts", "doc_id", "text"), textCol = "text",
+      watermark = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_ingest").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    input.addData(
+      (ts(0), 1L, "alpha beta"),
+      (ts(1), 2L, "alpha beta"),  // exact dup of doc 1
+      (ts(2), 3L, "gamma delta"))
+    q.processAllAvailable()
+    input.addData((ts(3), 4L, "alpha beta")) // dup arriving in a later batch
+    q.processAllAvailable()
+    val out = spark.table("dedup_ingest").collect()
+    q.stop()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(out.length == 2, s"got ${ids.toSeq.sorted}")
+    assert(ids.contains(3L))
+    assert((ids intersect Set(1L, 2L, 4L)).size == 1) // exactly one alpha-beta survives
+  }
+
   test("stateful span assembly emits a closed window on the close marker") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
