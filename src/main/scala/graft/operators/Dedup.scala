@@ -110,11 +110,24 @@ object Dedup {
    * @param k     signature length (hash permutations)
    * @param bands LSH bands (rows per band = k/bands); with k=64, bands=16
    *              the candidate threshold is ~ (1/16)^(1/4) ~ 0.5
+   * @param hotBucketCap skew guard for boilerplate-heavy corpora: a
+   *              bucket holding B near-identical docs generates B²/2
+   *              candidate pairs inside ONE task — at web scale a single
+   *              hot template can stall the whole join. Buckets larger
+   *              than the cap emit STAR edges (bucket-min to each member,
+   *              B-1 pairs) instead of all pairs: connectivity through
+   *              the bucket is preserved exactly, so `dupClusters` finds
+   *              the same components, but the per-pair output may omit
+   *              pairs whose only co-bucket was hot (and a star edge can
+   *              fail verification where some member-member pair would
+   *              have passed — for the near-identical docs that CAUSE hot
+   *              buckets, star edges verify trivially). Default = off,
+   *              the exact all-pairs semantics q26 oracles.
    */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, hotBucketCap: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
 
@@ -155,12 +168,30 @@ object Dedup {
         xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
       }: _*)).as(Seq("band", "band_hash")))
 
-    val candidates = banded.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
-      .join(banded.select(col("band"), col("band_hash"), col("doc").as("doc_b")),
-        Seq("band", "band_hash"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
+    val candidates = (if (hotBucketCap == Int.MaxValue) {
+      banded.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
+        .join(banded.select(col("band"), col("band_hash"), col("doc").as("doc_b")),
+          Seq("band", "band_hash"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+    } else {
+      // skew-guarded: size each bucket once (the window shares the join's
+      // (band, band_hash) partitioning), all-pairs below the cap, star
+      // edges from the bucket minimum above it
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")
+      val sized = banded
+        .withColumn("bsz", count(lit(1)).over(w))
+        .withColumn("rep", min("doc").over(w))
+      val cold = sized.where(col("bsz") <= hotBucketCap)
+      val coldPairs = cold.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
+        .join(cold.select(col("band"), col("band_hash"), col("doc").as("doc_b")),
+          Seq("band", "band_hash"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+      val hotPairs = sized.where(col("bsz") > hotBucketCap && col("doc") =!= col("rep"))
+        .select(col("rep").as("doc_a"), col("doc").as("doc_b")) // rep = min < doc
+      coldPairs.union(hotPairs)
+    }).dropDuplicates("doc_a", "doc_b")
 
     // exact verification on the sorted hash sets via the zero-allocation
     // intersect-size expression (same Jaccard modulo 64-bit collisions)

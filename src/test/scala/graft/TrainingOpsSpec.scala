@@ -41,6 +41,33 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"LSH missed ${exact -- lsh} of ${exact.size} exact pairs")
   }
 
+  test("hot-bucket cap: linear star edges for a boilerplate template, same clusters") {
+    import spark.implicits._
+    // 60 identical "template" docs (every band collides -> one B=60 hot
+    // bucket per band = 1,770 all-pairs) + 3 distinct docs
+    val template = "the same boilerplate template text repeated on every page of the site"
+    val rows = (1L to 60L).map(i => (i, template)) ++ Seq(
+      (101L, "completely different first document about streams and engines"),
+      (102L, "another unrelated second document with its own words entirely"),
+      (103L, "third standalone document mentioning graphs and clusters only"))
+    val docs = rows.toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      threshold = 0.8, hotBucketCap = 10)
+    val pairs = capped.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    // star edges: 59 pairs (1,x), not 1,770 — linear in the template count
+    assert(pairs.length == 59, s"got ${pairs.length}")
+    assert(pairs.forall { case (a, b) => a == 1L && b > 1L && b <= 60L })
+    // verification still exact: identical docs have jaccard 1.0
+    assert(capped.where(col("jaccard") < 1.0).count() == 0)
+    // connectivity through the hot bucket is preserved: one 60-doc cluster
+    val clusters = Dedup.dupClusters(capped).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 60 && clusters.values.forall(_ == 1L))
+    // and uncapped finds the identical component (quadratic pair list)
+    val uncapped = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+    assert(uncapped.count() == 59L * 60 / 2)
+  }
+
   test("simhash pairs have verified hamming distance") {
     import spark.implicits._
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
