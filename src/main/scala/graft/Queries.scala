@@ -342,6 +342,26 @@ object Queries {
         .orderBy("lang")
     }),
 
+    // as-of join: each click joined to the user's most recent prior (or
+    // simultaneous) purchase — the time-series join Spark lacks natively,
+    // expressed as one co-partitioned union + running-last window (see
+    // operators/AsofJoin). The oracle is DuckDB's NATIVE ASOF JOIN — a
+    // fully independent implementation of the same semantics, so this is
+    // a cross-engine check of the operator itself, not of shared SQL.
+    "q49_asof_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), tsMicros.as("us"))
+      val probes = e.where(col("event_type") === "click")
+        .select("user_id", "event_id", "us")
+      // unique (key, time) reference rows: AsofJoin's input contract
+      val refs = e.where(col("event_type") === "purchase")
+        .groupBy("user_id", "us")
+        .agg(expr("max_by(value, event_id)").as("purchase_value"))
+      AsofJoin.asofJoin(probes, refs, "user_id", "us", Seq("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // per-label embedding centroids (mean pooling — the building block of
     // class prototypes, cluster seeding and embedding-drift monitoring).
     // Pooling happens in QUANTIZED INTEGER space (floor(x*1024), exact
@@ -1141,6 +1161,19 @@ object Oracles {
          WHERE (cluster_id IS NULL OR cluster_id = doc_id)
            AND round(q, 6) >= 0.8
          GROUP BY lang ORDER BY lang""",
+
+    // DuckDB's NATIVE ASOF JOIN vs our union+running-last window plan —
+    // two independent implementations of the same at-or-before semantics
+    "q49_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+                    FROM events),
+              p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
+              r AS (SELECT user_id, us, max_by(value, event_id) AS purchase_value
+                    FROM e WHERE event_type = 'purchase' GROUP BY user_id, us)
+         SELECT p.user_id, p.event_id, p.us,
+                r.us AS ref_us, r.purchase_value AS ref_purchase_value
+         FROM p ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.us >= r.us
+         ORDER BY p.event_id""",
 
     // quantized integer pooling: floor(x*1024) sums are exact in any
     // engine; the only float ops are two divisions of identical operands

@@ -143,6 +143,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(m8.map(_.toSeq) == again.map(_.toSeq))
   }
 
+  test("asofJoin: at-or-before semantics, equal-timestamp match, null left join") {
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    val probes = Seq(
+      (1L, 10L, 100L), // before any ref -> nulls
+      (1L, 20L, 101L), // exactly at ref t=20 -> matches it (at-or-before)
+      (1L, 25L, 102L), // between refs -> t=20
+      (1L, 40L, 103L), // after both -> t=30
+      (2L, 99L, 104L)  // key with no refs at all -> nulls
+    ).toDF("k", "t", "probe_id")
+    val refs = Seq((1L, 20L, 2.0), (1L, 30L, 3.0)).toDF("k", "t", "v")
+    val out = AsofJoin.asofJoin(probes, refs, "k", "t", Seq("v"))
+      .orderBy("probe_id").collect()
+    def refT(i: Int) = if (out(i).isNullAt(3)) None else Some(out(i).getLong(3))
+    assert(refT(0).isEmpty && out(0).isNullAt(4))
+    assert(refT(1).contains(20L) && out(1).getDouble(4) == 2.0)
+    assert(refT(2).contains(20L) && out(2).getDouble(4) == 2.0)
+    assert(refT(3).contains(30L) && out(3).getDouble(4) == 3.0)
+    assert(refT(4).isEmpty)
+    // all probe columns pass through
+    assert(out.map(_.getLong(2)).toSeq == Seq(100L, 101L, 102L, 103L, 104L))
+  }
+
   test("lshBitsFor: bucket-occupancy sizing formula") {
     // fixture shape: 500 docs / 32-target -> 4 bits (q30's configuration)
     assert(Similarity.lshBitsFor(500) == 4)
