@@ -362,6 +362,28 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    // gap-based sessionization — the event-pipeline primitive behind
+    // session windows: a session breaks where a user's inter-event gap
+    // exceeds 12 h. lag -> flag -> running sum assigns ids in ONE keyed
+    // shuffle + sorted pass (the same shape Structured Streaming's
+    // session_window uses with state); all arithmetic is integer
+    // microseconds, so the oracle is exact
+    "q50_sessionize" -> ((s, d) => {
+      val gapUs = 43200L * 1000000L // 12 h
+      val e = t(s, d, "events").select(col("user_id"), col("event_id"), tsMicros.as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      e.withColumn("new_s",
+          when(lag("us", 1).over(w).isNull ||
+            col("us") - lag("us", 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("us").as("start_us"), max("us").as("end_us"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // per-label embedding centroids (mean pooling — the building block of
     // class prototypes, cluster seeding and embedding-drift monitoring).
     // Pooling happens in QUANTIZED INTEGER space (floor(x*1024), exact
@@ -1174,6 +1196,23 @@ object Oracles {
                 r.us AS ref_us, r.purchase_value AS ref_purchase_value
          FROM p ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.us >= r.us
          ORDER BY p.event_id""",
+
+    // integer-microsecond session arithmetic, exact in both engines
+    "q50_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+              x AS (SELECT user_id, event_id, us,
+                           CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 43200000000
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM e),
+              s2 AS (SELECT user_id, us,
+                            sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS sid
+                     FROM x)
+         SELECT user_id, CAST(sid AS BIGINT) AS session_id, count(*) AS n_events,
+                min(us) AS start_us, max(us) AS end_us,
+                max(us) - min(us) AS duration_us
+         FROM s2 GROUP BY user_id, sid ORDER BY user_id, session_id""",
 
     // quantized integer pooling: floor(x*1024) sums are exact in any
     // engine; the only float ops are two divisions of identical operands
