@@ -34,6 +34,22 @@ object StreamingOps {
         min("value").as("min_value"),
         max("value").as("max_value"))
 
+  /** Streaming analogue of the batch gap-sessionization (q50): session
+    * windows per key close when a gap exceeds `gap`, finalized by the
+    * watermark — state per open session only, bounded like any session
+    * aggregation. Append-mode safe. */
+  def sessionRollup(
+      events: DataFrame, // (ts: timestamp, user_id, ...)
+      gap: String = "12 hours",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /**
    * Streaming ingest dedup — the training-data pipeline's exact dedup
    * (q21) applied AT INGEST: suppress any document whose content hash was

@@ -131,6 +131,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.getSeq[String](2) == Seq("f1", "f2"))
   }
 
+  test("session windows close on gap and finalize past the watermark (q50's streaming twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val sessions = StreamingOps.sessionRollup(
+      input.toDF().toDF("ts", "user_id"), gap = "1 minute", watermark = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // burst of 3 events, then a 10-minute silence, then a second burst
+    input.addData((ts(0), 7L), (ts(10), 7L), (ts(20), 7L))
+    q.processAllAvailable()
+    input.addData((ts(600), 7L), (ts(610), 7L))
+    q.processAllAvailable()
+    input.addData((ts(1200), 7L)) // advance the watermark past burst 2
+    q.processAllAvailable()
+    val out = spark.table("sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+    q.stop()
+    // both closed sessions emitted with their event counts
+    assert(out.sorted.toSeq == Seq((7L, 2L), (7L, 3L)).sorted, s"got ${out.toSeq}")
+  }
+
   test("streaming ingest dedup suppresses repeated content within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
