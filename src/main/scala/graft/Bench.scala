@@ -16,8 +16,10 @@ import org.apache.spark.sql.SparkSession
  * = host contention during the sweep, not a code regression). A query
  * that throws contributes NO timing: failed runs are excluded from
  * min/median, and a query with zero successful runs is reported under
- * "errors" instead of "queries" so a crash can never masquerade as a
- * speedup. Knobs: SPARK_GRAFT_RUNS (default 3), SPARK_GRAFT_WARMUP
+ * "errors" instead of "queries" — and adds a 3600 s penalty to the
+ * headline total, so a crash can never masquerade as a speedup even in
+ * a total-to-total comparison (n_ok/n_err make completeness explicit).
+ * Knobs: SPARK_GRAFT_RUNS (default 3), SPARK_GRAFT_WARMUP
  * (default 1, set 0 to skip), SPARK_GRAFT_ONLY=q26_...,q27_... to
  * micro-benchmark a subset.
  */
@@ -64,14 +66,25 @@ object Bench {
       val err = timed.collect { case Left(m) => m }.headOption
       (name, ok, err)
     }
-    def jStr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def jStr(s: String) = "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val good = results.filter(_._2.nonEmpty)
     val qs = good.map { case (k, ok, _) => jStr(k) + ":" + ok.min }.mkString("{", ",", "}")
     val meds = good.map { case (k, ok, _) => jStr(k) + ":" + median(ok) }.mkString("{", ",", "}")
     val errs = results.collect { case (k, ok, Some(m)) if ok.isEmpty => jStr(k) + ":" + jStr(m) }
       .mkString("{", ",", "}")
-    val total = good.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
+    // a failed query contributes no timing, so the sum over the surviving
+    // queries would READ FASTER than a healthy sweep — inflate the total
+    // by each failed query's timeout-scale penalty so a crash can never
+    // be mistaken for a speedup in headline-to-headline comparisons, and
+    // flag completeness explicitly
+    val nErr = results.count(r => r._2.isEmpty && r._3.isDefined)
+    val total = good.map(_._2.min).sum + nErr * 3600.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"errors":$errs,"n_ok":${good.size},"n_err":$nErr,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,6 +75,17 @@ object ExstreamPipeline {
     explanatoryFeatures(
       obs.withColumn("window_key", col(groupKeyCol)), featureOrder, cfg)
 
+  /** 16-bit md5-prefix cutoff for a given sample fraction: a 32-hex-char
+    * md5 compares lexicographically below the 4-hex-char cutoff iff its
+    * 16-bit prefix is below `round(fraction * 65536)`, so the kept
+    * fraction is exact to 1/65536 (e.g. 0.8 -> "cccd" = 0.800003) and
+    * reproducible in any engine with md5. Fractions <= 0 keep nothing;
+    * callers short-circuit fractions >= 1. */
+  private[graft] def sampleCutoffHex(fraction: Double): String = {
+    val n = math.max(0L, math.min(65536L, math.round(fraction * 65536)))
+    f"$n%04x"
+  }
+
   /** Pivot the long observation table back to wide (one row per
     * (window, timestamp, type_data)) — needed only by the correlation step. */
   def pivotWide(obs: DataFrame, featureOrder: Seq[String]): DataFrame =
@@ -108,19 +119,22 @@ object ExstreamPipeline {
     // executions (~(N+1)x the shuffled bytes, zero extra stages; q38's
     // proven shape). Sampling is a deterministic md5 hash of the WIDE-row
     // key — the reference samples whole wide rows, i.e. every feature of a
-    // (window, class, timestamp) jointly (`script_1.py:228-230`) — with
-    // cutoff 0xcc/0x100 = 79.7% ~= frac 0.8, seeded via cfg.seed.
+    // (window, class, timestamp) jointly (`script_1.py:228-230`) — kept
+    // iff the 16-bit md5 prefix is under round(cfg.sampleFraction*65536)
+    // (exact to 1/65536), seeded via cfg.seed.
     // cache the 1x observation table, NOT the (rounds+1)x exploded view:
     // the explode + md5 filter is a narrow, cheap projection recomputed
     // per consuming subtree, while caching after the explode would pin
     // ~6x the observation bytes — the difference between "fits in cluster
     // memory" and "doesn't" at full scale
     val rsValues = -1 until cfg.instabilityRounds
+    val sampled =
+      if (cfg.sampleFraction >= 1.0) lit(true)
+      else md5(concat_ws("_", lit(cfg.seed), col("window_key"), col("type_data"),
+        col("timestamp"), col("rs")).cast("binary")) < sampleCutoffHex(cfg.sampleFraction)
     val obs = obs0.cache()
       .withColumn("rs", explode(array(rsValues.map(lit(_)): _*)))
-      .where(col("rs") === -1 ||
-        md5(concat_ws("_", lit(cfg.seed), col("window_key"), col("type_data"),
-          col("timestamp"), col("rs")).cast("binary")) < "cc")
+      .where(col("rs") === -1 || sampled)
       .withColumn("window_key", concat_ws("#", col("rs"), col("window_key")))
 
     // step 1, per rs: correlation-cluster feature dedup — the reference

@@ -42,6 +42,14 @@ object AsofJoin {
       timeCol: String,
       refCols: Seq[String],
       refPrefix: String = "ref_"): DataFrame = {
+    // output-name collisions would surface as AMBIGUOUS_REFERENCE far
+    // from this call site — reject them here instead
+    require(!refCols.contains(timeCol),
+      s"refCols must not include timeCol '$timeCol' — it is attached automatically as $refPrefix$timeCol")
+    val outRefNames = (timeCol +: refCols).map(refPrefix + _)
+    val clash = (probes.columns.toSeq ++ outRefNames).groupBy(identity).collect { case (c, xs) if xs.size > 1 => c }
+    require(clash.isEmpty,
+      s"asofJoin output would contain duplicate column(s) ${clash.mkString(", ")} — rename probe columns or pass a different refPrefix")
     val probeStructType = StructType(probes.schema.fields)
     val refStructFields = (col(timeCol).as("__t") +: refCols.map(c => col(c).as(c)))
     val refStructType = StructType(

@@ -158,6 +158,14 @@ object Multimodal {
     var height = 0
     var bitCount = -1
     var compression = -1L
+    // streams are declared in hdrl order; the NNdb/NNdc frame prefix is
+    // the stream ordinal, so an AVI with an audio stream first carries
+    // its video as '01db' and its first strf is a WAVEFORMATEX — track
+    // the last strh's fccType and the video stream's ordinal instead of
+    // assuming stream 0 / first strf
+    var streamOrdinal = -1
+    var lastStreamType = ""
+    var videoStream = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (offset, size)
     def walk(start: Int, end: Int): Unit = {
       var o = start
@@ -169,11 +177,18 @@ object Multimodal {
         else if (id == "avih" && sz >= 40) {
           width = u32(o + 8 + 32).toInt
           height = u32(o + 8 + 36).toInt
-        } else if (id == "strf" && sz >= 20 && bitCount < 0) {
+        } else if (id == "strh" && sz >= 4) {
+          streamOrdinal += 1
+          lastStreamType = fourcc(o + 8)
+        } else if (id == "strf" && sz >= 20 &&
+          lastStreamType == "vids" && videoStream < 0) {
           // BITMAPINFOHEADER: biBitCount at +14 (u16), biCompression at +16
+          videoStream = streamOrdinal
           bitCount = u16(o + 8 + 14)
           compression = u32(o + 8 + 16)
-        } else if ((id == "00db" || id == "00dc") && sz > 0) frames += ((o + 8, sz))
+        } else if (sz > 0 && videoStream >= 0 && id.length == 4 &&
+          id.startsWith(f"$videoStream%02d") &&
+          (id.endsWith("db") || id.endsWith("dc"))) frames += ((o + 8, sz))
         o += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
       }
     }

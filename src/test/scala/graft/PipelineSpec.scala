@@ -158,7 +158,8 @@ class PipelineSpec extends AnyFunSuite {
       if (rs == -1) obs
       else obs.where(
         md5(concat_ws("_", lit(cfg.seed), col("window_key"), col("type_data"),
-          col("timestamp"), lit(rs)).cast("binary")) < "cc")
+          col("timestamp"), lit(rs)).cast("binary")) <
+          ExstreamPipeline.sampleCutoffHex(cfg.sampleFraction))
     val perRs: Map[Int, Map[String, Seq[String]]] = (-1 until cfg.instabilityRounds).map { rs =>
       rs -> ExstreamPipeline.explanatoryFeatures(sliceFor(rs), featureOrder, cfg)
         .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
@@ -179,6 +180,22 @@ class PipelineSpec extends AnyFunSuite {
         s"$wk instability: ${row.getDouble(4)} vs $wantInst")
     }
     assert(fused.length == 4)
+  }
+
+  test("sampleFraction is honored by the fused resampler (16-bit md5 cutoff)") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, md5}
+    assert(ExstreamPipeline.sampleCutoffHex(0.8) == "cccd")
+    assert(ExstreamPipeline.sampleCutoffHex(0.5) == "8000")
+    assert(ExstreamPipeline.sampleCutoffHex(0.0) == "0000")
+    val (obs, _, _) = loaded
+    val n = obs.count().toDouble
+    def keptFrac(f: Double): Double = obs.where(
+      md5(concat_ws("_", lit(42L), col("window_key"), col("type_data"),
+        col("timestamp"), lit(0)).cast("binary")) <
+        ExstreamPipeline.sampleCutoffHex(f)).count() / n
+    assert(math.abs(keptFrac(0.8) - 0.8) < 0.05, s"0.8 -> ${keptFrac(0.8)}")
+    assert(math.abs(keptFrac(0.5) - 0.5) < 0.05, s"0.5 -> ${keptFrac(0.5)}")
+    assert(keptFrac(0.0) == 0.0)
   }
 
   test("constructExplanations: full output schema, determinism, instability range") {

@@ -164,6 +164,13 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(refT(4).isEmpty)
     // all probe columns pass through
     assert(out.map(_.getLong(2)).toSeq == Seq(100L, 101L, 102L, 103L, 104L))
+    // output-name collisions are rejected at the call site
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(probes, refs, "k", "t", Seq("t"))
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(probes.withColumnRenamed("probe_id", "ref_v"), refs, "k", "t", Seq("v"))
+    }
   }
 
   test("lshBitsFor: bucket-occupancy sizing formula") {
@@ -348,6 +355,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     val hdrl = list("hdrl", chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+
+    // interleaved layout with the AUDIO stream declared FIRST: the first
+    // strf is a WAVEFORMATEX and video frames are '01db' — the decoder
+    // must key on the vids strh, not on stream 0 / first strf
+    val audioStrh = "auds".getBytes("US-ASCII") ++ new Array[Byte](52)
+    val audioStrf = le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) // WAVEFORMATEX
+    val hdrl2 = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", audioStrh) ++ chunk("strf", audioStrf)) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi2 = list("movi", chunk("01db", grayFrame(64)) ++ chunk("01db", grayFrame(192)))
+    val body2 = "AVI ".getBytes("US-ASCII") ++ hdrl2 ++ movi2
+    val avi2 = "RIFF".getBytes("US-ASCII") ++ le32(body2.length) ++ body2
+    val frames2 = Multimodal.decodeVideoFrames(avi2)
+    assert(frames2.toSeq.map(math.round) == Seq(64L, 192L), s"audio-first AVI: ${frames2.toSeq}")
 
     val frames = Multimodal.decodeVideoFrames(avi)
     assert(frames.length == 3, s"got ${frames.toSeq}")
