@@ -362,6 +362,18 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    // corpus-wide exact top-K tokens — the vocabulary head every corpus
+    // report starts with. explode -> count -> global top-K compiles to
+    // partial aggregation + TakeOrderedAndProject (per-partition heaps,
+    // only K rows reach the driver-side merge), so the full sort of the
+    // vocabulary never materializes. Ties break on the token itself
+    "q51_top_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
+
     // gap-based sessionization — the event-pipeline primitive behind
     // session windows: a session breaks where a user's inter-event gap
     // exceeds 12 h. lag -> flag -> running sum assigns ids in ONE keyed
@@ -1196,6 +1208,12 @@ object Oracles {
                 r.us AS ref_us, r.purchase_value AS ref_purchase_value
          FROM p ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.us >= r.us
          ORDER BY p.event_id""",
+
+    "q51_top_tokens" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
+                      FROM documents)
+         SELECT token, count(*) AS n FROM tok GROUP BY token
+         ORDER BY n DESC, token LIMIT 20""",
 
     // integer-microsecond session arithmetic, exact in both engines
     "q50_sessionize" ->
