@@ -79,11 +79,14 @@ object ExstreamPipeline {
     * md5 compares lexicographically below the 4-hex-char cutoff iff its
     * 16-bit prefix is below `round(fraction * 65536)`, so the kept
     * fraction is exact to 1/65536 (e.g. 0.8 -> "cccd" = 0.800003) and
-    * reproducible in any engine with md5. Fractions <= 0 keep nothing;
-    * callers short-circuit fractions >= 1. */
+    * reproducible in any engine with md5. Fractions <= 0 keep nothing.
+    * Fractions rounding to 65536 return "g" — every hex digit sorts
+    * below 'g', so ALL rows are kept (the naive "10000" would be a
+    * 5-char string most md5s sort ABOVE, silently keeping only the
+    * '0'-prefixed ~6%). */
   private[graft] def sampleCutoffHex(fraction: Double): String = {
     val n = math.max(0L, math.min(65536L, math.round(fraction * 65536)))
-    f"$n%04x"
+    if (n >= 65536L) "g" else f"$n%04x"
   }
 
   /** Pivot the long observation table back to wide (one row per

@@ -809,7 +809,7 @@ object Oracles {
   // (verified candidate pairs with exact jaccard) — shared by q26 and
   // q43's connected-components closure.
   private lazy val minhashPairsCte: String =
-    s"""tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    s"""tk AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
               sh AS (SELECT doc_id, $shSql AS sh FROM tk),
               hs AS (SELECT doc_id, list_sort(list_distinct(list_transform(sh,
                             s -> ${graft.functions.PortableHash.duckdbMd5Long("s", 8)}))) AS hset
@@ -1100,18 +1100,18 @@ object Oracles {
 
     "q40_token_count" ->
       s"""SELECT doc_id,
-                len(string_split_regex(text, '\\s+')) AS n_ws_tokens,
+                len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS n_ws_tokens,
                 len(regexp_extract_all(text, '${Oracles.bpePatternSql}')) AS n_bpe_tokens,
                 round(len(regexp_extract_all(text, '${Oracles.bpePatternSql}'))*1.0 /
-                      len(string_split_regex(text, '\\s+')), 6) AS bpe_ratio
+                      len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')), 6) AS bpe_ratio
          FROM documents ORDER BY doc_id""",
 
     "q22_text_stats" ->
       """SELECT doc_id,
-                len(string_split_regex(text, '\s+')) AS n_tokens,
+                len(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS n_tokens,
                 length(text) AS n_chars_text,
                 round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
-                      len(string_split_regex(text, '\s+')), 6) AS avg_token_len
+                      len(string_split_regex(text, '[ \t\n\x0b\f\r]+')), 6) AS avg_token_len
          FROM documents ORDER BY doc_id""",
 
     "q23_lang_id" ->
@@ -1139,7 +1139,7 @@ object Oracles {
 
     "q24_quality" ->
       """WITH q AS (SELECT doc_id,
-                CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS n,
+                CAST(len(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS DOUBLE) AS n,
                 CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) /
                   greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
                 CAST(length(text) AS DOUBLE) AS n_chars
@@ -1151,7 +1151,7 @@ object Oracles {
 
     "q25_fingerprint" ->
       """SELECT doc_id,
-                list_min(list_transform(list_distinct(string_split_regex(text, '\s+')),
+                list_min(list_transform(list_distinct(string_split_regex(text, '[ \t\n\x0b\f\r]+')),
                                         x -> md5(x))) AS fingerprint
          FROM documents ORDER BY doc_id""",
 
@@ -1183,7 +1183,7 @@ object Oracles {
                              least(1.0, (n_chars2/greatest(n, 1.0))/8.0)) / 3.0 AS q,
                             len(regexp_extract_all(text, '$bpePatternSql')) AS toks
                      FROM (SELECT doc_id, lang, text,
-                                  CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n,
+                                  CAST(len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS n,
                                   CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) /
                                     greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
                                   CAST(length(text) AS DOUBLE) AS n_chars2
@@ -1210,7 +1210,7 @@ object Oracles {
          ORDER BY p.event_id""",
 
     "q51_top_tokens" ->
-      """WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
+      """WITH tok AS (SELECT unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
                       FROM documents)
          SELECT token, count(*) AS n FROM tok GROUP BY token
          ORDER BY n DESC, token LIMIT 20""",
@@ -1245,7 +1245,7 @@ object Oracles {
     // decontamination: word-3-gram overlap of each training doc against
     // the held-out split's distinct shingle set
     "q45_decontamination" ->
-      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
               sh AS (SELECT doc_id, $shSql AS sh FROM tk),
               held AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0),
               corp AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 97 <> 0),
@@ -1273,7 +1273,7 @@ object Oracles {
 
     // within-doc repetition: duplicate token / bigram fractions
     "q47_repetition" ->
-      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '[ \t\n\x0b\f\r]+') AS t FROM documents),
               bi AS (SELECT doc_id, t,
                             list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1]) AS b
                      FROM tk)
@@ -1302,7 +1302,7 @@ object Oracles {
          FROM reach GROUP BY src ORDER BY doc_id""",
 
     "q28_simhash" ->
-      s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok FROM documents),
               th AS (SELECT doc_id, ${graft.functions.PortableHash.duckdbMd5Long("tok", 15)} AS h FROM tk),
               bits AS (SELECT doc_id, j,
                               CASE WHEN sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
@@ -1318,7 +1318,7 @@ object Oracles {
 
     "q27_ngram_jaccard" ->
       s"""WITH s AS (SELECT doc_id, lang, $shSql AS sh
-             FROM (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents)),
+             FROM (SELECT doc_id, lang, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents)),
               p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                            len(list_intersect(a.sh, b.sh))*1.0 /
                            len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard

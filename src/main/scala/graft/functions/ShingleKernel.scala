@@ -24,7 +24,7 @@ import java.nio.charset.StandardCharsets.UTF_8
  */
 object ShingleKernel {
 
-  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val ws = java.util.regex.Pattern.compile(TextFunctions.wsClass)
 
   /** Distinct sorted md5-32 hashes of the word n-gram shingles (the
     * cross-engine-reproducible variant — feeds MinHash, q26). Null text

@@ -12,9 +12,17 @@ import org.apache.spark.sql.functions._
  */
 object TextFunctions {
 
+  /** The whitespace class, spelled explicitly: identical to Java's `\s`
+    * ([ \t\n\x0B\f\r]) — and, unlike `\s`, identical in RE2/DuckDB too,
+    * whose `\s` omits vertical tab. Every tokenizer here and every
+    * oracle `string_split_regex` uses this same class, so a document
+    * containing U+000B cannot silently tokenize differently across
+    * engines. */
+  val wsClass: String = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** Whitespace tokenization (the `documents` fixture is single-space
-    * separated; `\\s+` keeps it robust to runs of whitespace). */
-  def tokens(text: Column): Column = split(text, "\\s+")
+    * separated; the class keeps it robust to runs of whitespace). */
+  def tokens(text: Column): Column = split(text, wsClass)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -47,7 +47,10 @@ object AsofJoin {
     require(!refCols.contains(timeCol),
       s"refCols must not include timeCol '$timeCol' — it is attached automatically as $refPrefix$timeCol")
     val outRefNames = (timeCol +: refCols).map(refPrefix + _)
-    val clash = (probes.columns.toSeq ++ outRefNames).groupBy(identity).collect { case (c, xs) if xs.size > 1 => c }
+    // Spark resolves names case-insensitively by default, so the clash
+    // check must too
+    val clash = (probes.columns.toSeq ++ outRefNames)
+      .groupBy(_.toLowerCase).collect { case (c, xs) if xs.size > 1 => c }
     require(clash.isEmpty,
       s"asofJoin output would contain duplicate column(s) ${clash.mkString(", ")} — rename probe columns or pass a different refPrefix")
     val probeStructType = StructType(probes.schema.fields)

@@ -33,6 +33,7 @@ class KernelParitySpec extends AnyFunSuite {
     "dup dup dup dup dup dup",     // duplicate shingles
     "unicode éè tokens 中文 here ok",
     "tabs\tand\nnewlines count as whitespace too yes",
+    "vertical\u000Btab and\fform-feed are whitespace in BOTH engines' class",
     (1 to 200).map(i => s"tok$i").mkString(" ")) // long doc
 
   test("md5ShingleSet matches the column form it replaced") {

@@ -187,6 +187,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(ExstreamPipeline.sampleCutoffHex(0.8) == "cccd")
     assert(ExstreamPipeline.sampleCutoffHex(0.5) == "8000")
     assert(ExstreamPipeline.sampleCutoffHex(0.0) == "0000")
+    // fractions rounding to 65536 must keep EVERYTHING ("g" sorts above
+    // every hex digit) — the naive 5-char "10000" would keep only ~6%
+    assert(ExstreamPipeline.sampleCutoffHex(0.999999) == "g")
+    assert(ExstreamPipeline.sampleCutoffHex(1.0) == "g")
     val (obs, _, _) = loaded
     val n = obs.count().toDouble
     def keptFrac(f: Double): Double = obs.where(
