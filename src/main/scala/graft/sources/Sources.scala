@@ -101,4 +101,22 @@ object Sources {
   /** Driver testdata parquet (TESTDATA.md). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /**
+   * Persist a DataFrame as a bucketed + sorted managed table: repeated
+   * joins/aggregations on `bucketCol` read the bucket layout instead of
+   * shuffling — at fact-table scale, paying the shuffle ONCE at write
+   * time and never again is the difference between a co-located
+   * sort-merge join and reshuffling 100 TB per query. Both sides of a
+   * join must be bucketed on the join key with the same bucket count for
+   * the exchange to disappear (SourcesSpec proves it on the plan).
+   */
+  def writeBucketed(
+      df: DataFrame, tableName: String,
+      bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
 }
