@@ -496,6 +496,97 @@ object Queries {
       Dedup.dupClusters(pairs).orderBy("doc_id")
     }),
 
+    // corpus TF-IDF top-3 terms per document — the classic relevance
+    // weighting tf * ln(N/df). One corpus-scale shuffle: the
+    // (doc_id, token) tf groupBy; document frequency is derived FROM the
+    // tf aggregate (no second scan) and is vocabulary-sized — sublinear
+    // in the corpus — so it broadcasts back onto the tf side along with
+    // the 1-row corpus count. Ranking uses the ROUNDED score (the q38
+    // determinism rule: round before any ordering decision) with the
+    // token itself as tiebreak.
+    "q52_tfidf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+      tf.join(broadcast(dfreq), "token")
+        .crossJoin(broadcast(ndocs))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("tfidf"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // hierarchical token budget: ROLLUP (lang, source) gives the
+    // per-source, per-language and grand-total rows a data-mixture report
+    // needs in ONE aggregation (Spark expands grouping sets map-side;
+    // still a single shuffle). grouping() marks subtotal rows — folded to
+    // the '(all)' sentinel so the sort and the oracle agree on NULLs.
+    "q53_rollup_budget" -> ((s, d) =>
+      t(s, d, "documents")
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+          grouping(col("lang")).as("gl"), grouping(col("source")).as("gs"))
+        .select(
+          when(col("gl") === 1, lit("(all)")).otherwise(col("lang")).as("lang"),
+          when(col("gs") === 1, lit("(all)")).otherwise(col("source")).as("source"),
+          col("n_docs"), col("n_chars"))
+        .orderBy("lang", "source")),
+
+    // long->wide pivot of per-user event counts over the CLOSED set of
+    // event types. The explicit value list matters twice: it keeps the
+    // output schema deterministic (a discovery pass over 100 TB just to
+    // learn column names is a wasted scan) and it lets pivot compile to
+    // one count-per-(user, type) partial aggregation — a single shuffle.
+    "q54_pivot_events" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy("user_id")
+    }),
+
+    // trailing 1-hour rolling stats per event — the feature-engineering
+    // primitive behind rate limits and burst detection. RANGE frame over
+    // integer microseconds: one keyed shuffle + sorted pass, state
+    // bounded by the hour span. The sum rides a DECIMAL cast so the
+    // frame's running arithmetic is exact in both engines.
+    "q55_rolling_window" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), tsMicros.as("us"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600L * 1000000L, 0L)
+      e.select(col("event_id"), col("user_id"), col("us"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double").as("sum_1h"))
+        .withColumn("avg_1h", round(col("sum_1h") / col("n_1h"), 6))
+        .orderBy("event_id")
+    }),
+
+    // exact per-language document-length quantiles (p50/p90/p99 with
+    // linear interpolation). Exact percentile buffers each group's values
+    // — fine for per-language groups here and the oracle-able semantics;
+    // at 100 TB the same query shape swaps in approx_percentile (KLL
+    // sketch, mergeable partials, no buffering) — QuantileSketchSpec
+    // pins the sketch's error against this exact path.
+    "q56_length_quantiles" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("qs"),
+          count(lit(1)).as("n_docs"))
+        .select(col("lang"), col("n_docs"),
+          round(col("qs").getItem(0), 6).as("p50"),
+          round(col("qs").getItem(1), 6).as("p90"),
+          round(col("qs").getItem(2), 6).as("p99"))
+        .orderBy("lang")),
+
     "q27_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "lang",
         n = 3, threshold = 0.5)
@@ -1270,6 +1361,62 @@ object Oracles {
          SELECT split, lang, count(*) AS n_docs,
                 CAST(sum(toks) AS BIGINT) AS n_tokens
          FROM s GROUP BY split, lang ORDER BY split, lang""",
+
+    // TF-IDF: rank on the rounded score (round-before-order discipline);
+    // ln of a ratio of identical integers is the only float op pre-round
+    "q52_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                      FROM documents),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+              dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+              nd AS (SELECT count(*) AS n_docs FROM documents),
+              scored AS (SELECT doc_id, token,
+                                round(tf * ln(CAST(n_docs AS DOUBLE)/df), 6) AS tfidf
+                         FROM tf JOIN dfq USING (token) CROSS JOIN nd),
+              r AS (SELECT doc_id, token, tfidf,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY tfidf DESC, token) AS rank
+                    FROM scored)
+         SELECT doc_id, CAST(rank AS INT) AS rank, token, tfidf
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "q53_rollup_budget" ->
+      """SELECT CASE WHEN grouping(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+                CASE WHEN grouping(source) = 1 THEN '(all)' ELSE source END AS source,
+                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+         FROM documents GROUP BY ROLLUP(lang, source) ORDER BY lang, source""",
+
+    "q54_pivot_events" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'error') AS error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // trailing 1-hour RANGE frame over integer microseconds; DECIMAL sum
+    // keeps the frame arithmetic exact in both engines
+    "q55_rolling_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+         SELECT event_id, user_id, us,
+                count(*) OVER w AS n_1h,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                      / (count(*) OVER w), 6) AS avg_1h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    // both engines interpolate linearly on the sorted values; round(,6)
+    // absorbs the one-lerp-formula difference
+    "q56_length_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+                round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                round(quantile_cont(n_chars, 0.99), 6) AS p99
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     // within-doc repetition: duplicate token / bigram fractions
     "q47_repetition" ->

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/**
+ * Pins the 100-TB scale path of q56_length_quantiles: exact
+ * `percentile` buffers each group's values, so at corpus scale the same
+ * query swaps in `approx_percentile` (mergeable sketch partials, bounded
+ * memory). These tests bound the sketch's rank error against the exact
+ * path so the swap is a measured trade, not a hope.
+ */
+class QuantileSketchSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("quantile-sketch-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("approx_percentile rank error stays within n/accuracy on 100k uniform values") {
+    // value == rank for a uniform range, so value error IS rank error.
+    // accuracy=1000 guarantees rank error <= n/1000 = 100; assert with 2x
+    // slack to keep the test robust to boundary conventions.
+    val n = 100000L
+    val df = spark.range(0L, n + 1).toDF("x").repartition(8) // force partial-sketch merges
+    val row = df.agg(
+      expr("approx_percentile(x, array(0.5D, 0.9D, 0.99D), 1000)").as("qs")).head()
+    val qs = row.getSeq[Long](0)
+    val targets = Seq(0.5, 0.9, 0.99).map(p => (p * n).toLong)
+    qs.zip(targets).foreach { case (got, want) =>
+      assert(math.abs(got - want) <= 200, s"rank error ${math.abs(got - want)} at target $want")
+    }
+  }
+
+  test("q56's grouped shape: sketch p50 within rank tolerance of exact per lang") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val joined = docs.groupBy("lang").agg(
+      expr("percentile(n_chars, 0.5D)").as("exact_p50"),
+      expr("approx_percentile(n_chars, 0.5D, 10000)").as("approx_p50"),
+      count(lit(1)).as("n"),
+      expr("percentile(n_chars, 0.45D)").as("lo"),
+      expr("percentile(n_chars, 0.55D)").as("hi"))
+    joined.collect().foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      val approx = r.getAs[Long]("approx_p50").toDouble
+      // at accuracy=10000 and per-lang n in the tens, rank error is 0; the
+      // sketch must return an actual sample within the +/-5%-rank band
+      assert(approx >= lo - 1e-9 && approx <= hi + 1e-9,
+        s"lang ${r.getString(0)}: approx $approx outside [$lo, $hi]")
+    }
+  }
+}
