@@ -497,22 +497,25 @@ object Queries {
     }),
 
     // corpus TF-IDF top-3 terms per document — the classic relevance
-    // weighting tf * ln(N/df). One corpus-scale shuffle: the
-    // (doc_id, token) tf groupBy; document frequency is derived FROM the
-    // tf aggregate (no second scan) and is vocabulary-sized — sublinear
-    // in the corpus — so it broadcasts back onto the tf side along with
-    // the 1-row corpus count. Ranking uses the ROUNDED score (the q38
-    // determinism rule: round before any ordering decision) with the
-    // token itself as tiebreak.
+    // weighting tf * ln(N/df). The corpus is scanned and tokenized ONCE:
+    // document frequency is a count window over the (doc_id, token) tf
+    // aggregate (each tf row = one distinct doc containing the token), so
+    // the plan is explode -> tf shuffle -> token-keyed window -> doc-keyed
+    // ranking window, all over aggregated rows. (A join against a separate
+    // df aggregate re-tokenizes the corpus a second time — Catalyst can't
+    // reuse the exchange because pruning makes the two aggregates differ;
+    // audited on the plan.) The 1-row corpus count is a footer-only scan,
+    // broadcast. Ranking uses the ROUNDED score (the q38 determinism rule:
+    // round before any ordering decision) with the token as tiebreak; the
+    // rank<=3 predicate compiles to WindowGroupLimit per-partition heaps.
     "q52_tfidf" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val tf = docs
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val ndocs = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
-      tf.join(broadcast(dfreq), "token")
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
         .crossJoin(broadcast(ndocs))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
