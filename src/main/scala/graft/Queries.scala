@@ -52,6 +52,25 @@ object Queries {
   // above ulp at these magnitudes) and identical in DuckDB
   private def jitterVal: Column = col("value") + col("event_id") * lit(1e-6)
 
+  /** q45/q57's shared contamination split: (held-out distinct 3-gram
+    * shingles, training-corpus (doc_id, shingle) pairs), doc_id % 97 as
+    * the held-out membership. One definition so the contamination
+    * semantics (shingle n, split modulus) can't diverge between the
+    * semi-join report and its anti-join complement. The fused one-pass
+    * shingle kernel (KernelParitySpec locks it to the TF.shingleSet
+    * column form) replaced interpreted HOF lambdas that were 8x the
+    * query's wall-clock. */
+  private def contaminationSides(docs: DataFrame): (DataFrame, DataFrame) = {
+    val shingleSetUdf = udf((text: String) =>
+      graft.functions.ShingleKernel.shingleStrings(text, 3))
+    val heldout = docs.where(col("doc_id") % 97 === 0)
+      .select(explode(shingleSetUdf(col("text"))).as("shingle"))
+      .distinct()
+    val corpusShingles = docs.where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(shingleSetUdf(col("text"))).as("shingle"))
+    (heldout, corpusShingles)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
@@ -424,16 +443,7 @@ object Queries {
     // count, ids+counts through the one shuffle. No corpus self-join.
     "q45_decontamination" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      // fused one-pass shingle kernel (KernelParitySpec locks it to the
-      // TF.shingleSet column form): the HOF form's interpreted per-element
-      // lambdas were 8x the query's wall-clock
-      val shingleSetUdf = udf((text: String) =>
-        graft.functions.ShingleKernel.shingleStrings(text, 3))
-      val heldout = docs.where(col("doc_id") % 97 === 0)
-        .select(explode(shingleSetUdf(col("text"))).as("shingle"))
-        .distinct()
-      val corpusShingles = docs.where(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), explode(shingleSetUdf(col("text"))).as("shingle"))
+      val (heldout, corpusShingles) = contaminationSides(docs)
       val hits = corpusShingles
         .join(broadcast(heldout), Seq("shingle"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
@@ -589,6 +599,24 @@ object Queries {
           round(col("qs").getItem(1), 6).as("p90"),
           round(col("qs").getItem(2), 6).as("p99"))
         .orderBy("lang")),
+
+    // clean-corpus extraction: q45's complement expressed with the two
+    // join types a curation pipeline lives on — LEFT SEMI to find docs
+    // sharing any held-out 3-gram (broadcast, ids only through the
+    // shuffle), then LEFT ANTI to keep everything else. Anti join is the
+    // set-complement operator: no payload from the right side, so the
+    // join ships (id, id) pairs however large the corpus.
+    "q57_anti_join" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (heldout, corpusShingles) = contaminationSides(docs)
+      val contaminated = corpusShingles
+        .join(broadcast(heldout), Seq("shingle"), "left_semi")
+        .select("doc_id").distinct()
+      docs.where(col("doc_id") % 97 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
 
     "q27_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "lang",
@@ -1351,6 +1379,20 @@ object Oracles {
          FROM sh s LEFT JOIN hits USING (doc_id)
          WHERE s.doc_id % 97 <> 0
          ORDER BY doc_id""",
+
+    // anti-join as NOT EXISTS over the contaminated-id set — the clean
+    // complement of q45's semi-join
+    "q57_anti_join" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
+              sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+              held AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0),
+              corp AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 97 <> 0),
+              cont AS (SELECT DISTINCT doc_id FROM corp JOIN held USING (shingle))
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d
+         WHERE d.doc_id % 97 <> 0
+           AND NOT EXISTS (SELECT 1 FROM cont c WHERE c.doc_id = d.doc_id)
+         ORDER BY d.doc_id""",
 
     // md5 hash-bucket split (q18's sampling promoted to train/val/test)
     // with per-split BPE-ish token budgets

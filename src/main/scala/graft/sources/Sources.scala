@@ -119,4 +119,23 @@ object Sources {
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(tableName)
+
+  /**
+   * Hive-style partitioned parquet layout (`.../col=value/part-*.parquet`)
+   * — the directory-level complement of bucketing: a filter on the
+   * partition column prunes whole directories at PLANNING time, so a
+   * per-language (or per-date) query over a 100-TB corpus opens only its
+   * slice's files. The `dynamic` partitionOverwriteMode write OPTION
+   * (scoped to this one write — no session-global conf flip) makes a
+   * re-run replace exactly the partitions present in `df` and leave the
+   * rest of the lake untouched (the idempotent-backfill contract;
+   * `static` mode would drop every other partition). BucketingSpec
+   * proves both properties — pruning on the plan, surgical overwrite on
+   * disk.
+   */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
 }

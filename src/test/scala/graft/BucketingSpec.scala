@@ -27,11 +27,26 @@ class BucketingSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** getOrCreate may hand us another spec's session (default warehouse),
+    * so a leftover table directory from a previous JVM would make
+    * saveAsTable's CREATE fail — drop both catalog entry and location. */
+  private def dropTableAndLocation(tbl: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val loc = new java.io.File(wh, tbl)
+    if (loc.exists()) rm(loc)
+  }
+
   test("co-located join on bucketed tables plans with ZERO shuffle exchanges") {
     import spark.implicits._
     val orders = (1L to 1000L).map(k => (k, s"order_$k")).toDF("key", "o_payload")
     val items = (1L to 3000L).map(i => (i % 1000 + 1, i)).toDF("key", "item_id")
 
+    Seq("orders_b", "items_b").foreach(dropTableAndLocation)
     Sources.writeBucketed(orders, "orders_b", "key", nBuckets = 4)
     Sources.writeBucketed(items, "items_b", "key", nBuckets = 4)
 
@@ -55,5 +70,47 @@ class BucketingSpec extends AnyFunSuite {
       "Exchange hashpartitioning".r.findAllIn(agg.queryExecution.executedPlan.toString).size
     assert(aggShuffles == 0, "bucketed aggregation should not shuffle")
     assert(agg.count() == 1000)
+  }
+
+  test("partitioned layout: directory pruning on the plan, dynamic overwrite on disk") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-part").toString + "/docs"
+    val docs = Seq(
+      (1L, "en", "hello"), (2L, "en", "world"),
+      (3L, "de", "hallo"), (4L, "fr", "salut")).toDF("doc_id", "lang", "text")
+    Sources.writePartitioned(docs, path, "lang")
+
+    // hive-style directories exist
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("lang=de", "lang=en", "lang=fr"))
+
+    // a partition-column filter prunes to ONE directory at planning time:
+    // the executed scan's numFiles metric equals the lang=en file count,
+    // not the table's total (inputFiles is pre-pruning, so metrics are
+    // the honest witness)
+    val filtered = spark.read.parquet(path).where(col("lang") === "en")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+      s"partition filter not pushed:\n$scan")
+    assert(filtered.collect().length == 2)
+    def files(dir: String) = new java.io.File(s"$path/$dir").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val scanNode = filtered.queryExecution.executedPlan.collectLeaves()
+      .find(_.nodeName.contains("Scan")).get
+    val numFilesRead = scanNode.metrics("numFiles").value
+    assert(numFilesRead == files("lang=en"),
+      "scan should read only the lang=en directory's files")
+    assert(numFilesRead < files("lang=en") + files("lang=de") + files("lang=fr"),
+      "pruned scan must read strictly fewer files than the whole table")
+
+    // dynamic overwrite: rewriting ONLY lang=en rows replaces that
+    // partition and leaves de/fr untouched (idempotent backfill)
+    val enFix = Seq((1L, "en", "hello2"), (9L, "en", "new")).toDF("doc_id", "lang", "text")
+    Sources.writePartitioned(enFix, path, "lang")
+    val after = spark.read.parquet(path)
+    assert(after.count() == 4)
+    assert(after.where(col("lang") === "en").select("text")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("hello2", "new"))
+    assert(after.where(col("lang") =!= "en").count() == 2)
   }
 }

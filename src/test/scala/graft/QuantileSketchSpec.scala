@@ -35,6 +35,17 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct (HLL++) holds its rsd bound on 200k distinct values") {
+    // vocabulary-size estimation is the cardinality twin of q56's sketch
+    // swap: exact countDistinct shuffles every distinct value; the HLL++
+    // sketch is a few KB per partition, merged map-side. rsd=0.02 is the
+    // requested standard error; assert within 3 sigma.
+    val n = 200000L
+    val df = spark.range(0L, n).toDF("x").repartition(8)
+    val approx = df.agg(expr("approx_count_distinct(x, 0.02)")).head().getLong(0)
+    assert(math.abs(approx - n) <= n * 0.06, s"HLL estimate $approx vs $n")
+  }
+
   test("q56's grouped shape: sketch p50 within rank tolerance of exact per lang") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val joined = docs.groupBy("lang").agg(
