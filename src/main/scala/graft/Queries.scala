@@ -618,6 +618,25 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // the two relational set operators the inventory still lacked:
+    // word bigrams attested in BOTH en and de corpora (INTERSECT) minus
+    // those also attested in fr (EXCEPT) — single-token vocabularies are
+    // shared across the whole corpus, so bigrams are the smallest unit
+    // where the result discriminates. Both operators compile to
+    // aggregate/join plans over distinct bigram sets, one shuffle each.
+    "q58_set_ops" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def langBigrams(lang: String) = docs.where(col("lang") === lang)
+        .withColumn("tk", TF.tokens(col("text")))
+        .select(explode(expr(
+          "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("bigram"))
+        .distinct()
+      langBigrams("en").intersect(langBigrams("de"))
+        .except(langBigrams("fr"))
+        .orderBy("bigram")
+    }),
+
     "q27_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "lang",
         n = 3, threshold = 0.5)
@@ -1379,6 +1398,19 @@ object Oracles {
          FROM sh s LEFT JOIN hits USING (doc_id)
          WHERE s.doc_id % 97 <> 0
          ORDER BY doc_id""",
+
+    "q58_set_ops" ->
+      """WITH tk AS (SELECT lang, string_split_regex(text, '[ \t\n\x0b\f\r]+') AS t
+                     FROM documents),
+              bg AS (SELECT lang,
+                            unnest(list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1])) AS bigram
+                     FROM tk)
+         (SELECT DISTINCT bigram FROM bg WHERE lang = 'en'
+          INTERSECT
+          SELECT DISTINCT bigram FROM bg WHERE lang = 'de')
+         EXCEPT
+         SELECT DISTINCT bigram FROM bg WHERE lang = 'fr'
+         ORDER BY bigram""",
 
     // anti-join as NOT EXISTS over the contaminated-id set — the clean
     // complement of q45's semi-join

@@ -51,6 +51,36 @@ object StreamingOps {
         col("user_id"), col("n_events"))
 
   /**
+   * Stream-stream event-time interval join — click->purchase
+   * attribution: each purchase matched to every click by the same user
+   * in the preceding `horizon`. Both inputs carry watermarks and the
+   * join predicate bounds event time on BOTH ends, which is exactly the
+   * contract Spark needs to evict buffered rows once the watermark
+   * passes their interval — state stays proportional to the horizon,
+   * not the stream history, on any number of executors (the join keys
+   * shard it). Inner join + append mode: a purchase with no click in
+   * the horizon never emits.
+   */
+  def attributeToClick(
+      clicks: DataFrame, // (ts: timestamp, user_id, click_id)
+      purchases: DataFrame, // (ts: timestamp, user_id, purchase_id, value)
+      horizon: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("ts").as("click_ts"), col("user_id"), col("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("ts").as("purchase_ts"), col("user_id").as("purchase_user"),
+        col("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("purchase_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "value")
+  }
+
+  /**
    * Streaming ingest dedup — the training-data pipeline's exact dedup
    * (q21) applied AT INGEST: suppress any document whose content hash was
    * already seen, with state bounded by the watermark

@@ -203,4 +203,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.getAs[Int]("n_obs") == 2)
     assert(out.head.getSeq[String](2) == Seq("f1", "f2"))
   }
+
+  test("stream-stream interval join: purchases attribute to in-horizon clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val purchases = MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+    val joined = StreamingOps.attributeToClick(
+      clicks.toDF().toDF("ts", "user_id", "click_id"),
+      purchases.toDF().toDF("ts", "user_id", "purchase_id", "value"),
+      horizon = "1 hour", watermark = "1 minute")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 09:00:00")
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0.getTime + offsetSec * 1000)
+    clicks.addData(
+      (t0, 1L, 100L), // in horizon for user 1's purchase
+      (ts(-7200), 1L, 101L), // 2h before: outside the 1h horizon
+      (t0, 2L, 200L)) // other user, no purchase
+    purchases.addData(
+      (ts(1800), 1L, 900L, 42.0), // 30 min after user 1's click
+      (ts(1800), 3L, 901L, 7.0)) // user with no clicks: never emits
+    q.processAllAvailable()
+    val out = spark.table("attrib").collect()
+    q.stop()
+    assert(out.length == 1, s"expected exactly one attribution, got ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("user_id") == 1L && r.getAs[Long]("click_id") == 100L &&
+      r.getAs[Long]("purchase_id") == 900L && r.getAs[Double]("value") == 42.0)
+  }
 }
