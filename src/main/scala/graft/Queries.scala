@@ -637,6 +637,29 @@ object Queries {
         .orderBy("bigram")
     }),
 
+    // data-mixture subsampling under a token budget: each language keeps
+    // a deterministic md5-ordered greedy prefix of its docs until 20% of
+    // its token mass is reached — how a mixture plan downsamples an
+    // over-represented source without a coordinator (the hash order is
+    // reproducible from ids alone; all arithmetic integer-exact). One
+    // keyed window pass; the budget is a second frame over the same
+    // partitioning, so no extra shuffle.
+    "q59_token_budget" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TF.bpeTokenCount(col("text")).as("toks"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .withColumn("cum_before", coalesce(
+          sum("toks").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("budget", expr("(sum(toks) over (partition by lang)) div 5"))
+        .where(col("cum_before") < col("budget"))
+        .groupBy("lang")
+        .agg(max("budget").as("budget"), count(lit(1)).as("n_docs_kept"),
+          sum("toks").as("n_tokens_kept"))
+        .orderBy("lang")
+    }),
+
     "q27_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "lang",
         n = 3, threshold = 0.5)
@@ -1425,6 +1448,25 @@ object Oracles {
          WHERE d.doc_id % 97 <> 0
            AND NOT EXISTS (SELECT 1 FROM cont c WHERE c.doc_id = d.doc_id)
          ORDER BY d.doc_id""",
+
+    // greedy md5-ordered prefix per lang until 20% of the lang's token
+    // mass; integer-exact (len/sum/div), md5 hex order identical in both
+    // engines
+    "q59_token_budget" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+                            len(regexp_extract_all(text, '$bpePatternSql')) AS toks,
+                            md5(CAST(doc_id AS VARCHAR)) AS h
+                     FROM documents),
+              x AS (SELECT *,
+                           coalesce(sum(toks) OVER (PARTITION BY lang ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+                           sum(toks) OVER (PARTITION BY lang) // 5 AS budget
+                    FROM s)
+         SELECT lang, CAST(max(budget) AS BIGINT) AS budget,
+                count(*) AS n_docs_kept,
+                CAST(sum(toks) AS BIGINT) AS n_tokens_kept
+         FROM x WHERE cum_before < budget
+         GROUP BY lang ORDER BY lang""",
 
     // md5 hash-bucket split (q18's sampling promoted to train/val/test)
     // with per-split BPE-ish token budgets
