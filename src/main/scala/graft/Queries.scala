@@ -660,6 +660,49 @@ object Queries {
         .orderBy("lang")
     }),
 
+    // document chunking — the pre-tokenization splitter every training
+    // pipeline runs: 64-token windows at stride 48 (16-token overlap so
+    // no boundary context is lost). Pure per-row generate + slice:
+    // narrow, no shuffle, chunk ids reproducible from the doc alone.
+    "q60_chunking" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("tk", TF.tokens(col("text")))
+        // split() never yields an empty array for non-null text, but a
+        // null doc must drop cleanly (DuckDB's range() does; Spark's
+        // ascending sequence(0, -1) would throw), size(null) = -1
+        .where(size(col("tk")) > 0)
+        .select(col("doc_id"),
+          posexplode(expr("sequence(0, size(tk)-1, 48)")).as(Seq("chunk_id", "start")),
+          col("tk"))
+        .select(col("doc_id"), col("chunk_id"),
+          expr("slice(tk, start+1, 64)").as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).as("n_chunk_tokens"),
+          md5(expr("cast(array_join(chunk, ' ') as binary)")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // greedy sequence packing — filling fixed-length training examples:
+    // docs ride a deterministic md5 order, a running token sum assigns
+    // pack_id = cum div 2048 (first-fit in hash order). Packing happens
+    // WITHIN 16 hash shards, not one global order — the window is
+    // partitioned, so the pass parallelizes like any keyed shuffle and a
+    // coordinator-free writer can emit shards independently; a global
+    // greedy order would serialize the corpus through one partition.
+    "q61_packing" -> ((s, d) => {
+      val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.bpeTokenCount(col("text")).as("toks"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .withColumn("shard", substring(col("h"), 1, 1))
+        .withColumn("cum_before", coalesce(
+          sum("toks").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("pack_id", expr("cum_before div 2048"))
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+          round(sum("toks").cast("double") / 2048.0, 6).as("fill"))
+        .orderBy("shard", "pack_id")
+    }),
+
     "q27_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "lang",
         n = 3, threshold = 0.5)
@@ -1467,6 +1510,40 @@ object Oracles {
                 CAST(sum(toks) AS BIGINT) AS n_tokens_kept
          FROM x WHERE cum_before < budget
          GROUP BY lang ORDER BY lang""",
+
+    // 64-token chunks at stride 48; md5 of the re-joined chunk text is
+    // the cross-engine chunk identity
+    "q60_chunking" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '[ \t\n\x0b\f\r]+') AS t
+                     FROM documents),
+              st AS (SELECT doc_id, t,
+                            unnest(range(0, len(t), 48)) AS start,
+                            unnest(range(0, CAST(ceil(len(t)/48.0) AS BIGINT))) AS chunk_id
+                     FROM tk),
+              ch AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                            t[start+1 : least(start+64, len(t))] AS chunk
+                     FROM st)
+         SELECT doc_id, chunk_id,
+                CAST(len(chunk) AS INT) AS n_chunk_tokens,
+                md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM ch ORDER BY doc_id, chunk_id""",
+
+    // first-fit packing in md5 order within 16 hash shards; integer
+    // cum-sum div 2048, fill = one exact division
+    "q61_packing" ->
+      s"""WITH s AS (SELECT doc_id,
+                            len(regexp_extract_all(text, '$bpePatternSql')) AS toks,
+                            md5(CAST(doc_id AS VARCHAR)) AS h
+                     FROM documents),
+              x AS (SELECT *, substr(h, 1, 1) AS shard FROM s),
+              y AS (SELECT *,
+                           coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS pack_id
+                    FROM x)
+         SELECT shard, CAST(pack_id AS BIGINT) AS pack_id,
+                count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+                round(CAST(sum(toks) AS DOUBLE) / 2048.0, 6) AS fill
+         FROM y GROUP BY shard, pack_id ORDER BY shard, pack_id""",
 
     // md5 hash-bucket split (q18's sampling promoted to train/val/test)
     // with per-split BPE-ish token budgets

@@ -46,6 +46,21 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(math.abs(approx - n) <= n * 0.06, s"HLL estimate $approx vs $n")
   }
 
+  test("freqItems (heavy hitters) finds every true-frequent token, one pass") {
+    // the third sketch of the family (quantiles, cardinality, frequency):
+    // freqItems guarantees every item with frequency > support appears in
+    // the result — false positives possible, false negatives not. One
+    // pass, mergeable partials, no vocabulary-sized shuffle.
+    import spark.implicits._
+    val hot = Seq.fill(5000)("hot_token")
+    val cold = (0 until 20000).map(i => s"tok_$i")
+    val df = (hot ++ cold).toDF("token").repartition(8)
+    val items = df.stat.freqItems(Seq("token"), 0.15)
+      .head().getSeq[String](0)
+    assert(items.contains("hot_token"),
+      s"heavy hitter missing from sketch result: $items")
+  }
+
   test("q56's grouped shape: sketch p50 within rank tolerance of exact per lang") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val joined = docs.groupBy("lang").agg(
