@@ -703,6 +703,56 @@ object Queries {
         .orderBy("shard", "pack_id")
     }),
 
+    // unigram surprisal scoring — the language-model quality filter
+    // (CCNet-style) with the corpus itself as the model: a doc's mean
+    // -log2 p(token) under corpus unigram frequencies. Same one-tokenize
+    // shape as q52 (vocab counts by window over the tf aggregate, 1-row
+    // total broadcast); per-token surprisal is rounded to 6dp THEN summed
+    // as DECIMAL so the per-doc sum is association-order-free — the only
+    // cross-engine float hazard in a floating aggregation.
+    "q62_unigram_surprisal" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val totals = tf.agg(sum("tf").as("total"))
+      tf.withColumn("cnt", sum("tf").over(Window.partitionBy("token")))
+        .crossJoin(broadcast(totals))
+        .withColumn("term",
+          round(log2(col("total").cast("double") / col("cnt")), 6)
+            .cast(DecimalType(18, 6)))
+        .groupBy("doc_id")
+        .agg(sum(col("term") * col("tf")).as("sdec"), sum("tf").as("n_tokens"))
+        // the mean stays in integer space: micro-scaled exact sum,
+        // integer division, one exact float division at the end. A final
+        // round(sum/n, 6) would re-open the cross-engine hazard — the
+        // engines' round() implementations themselves split on .5-at-6dp
+        // boundaries of the same double (observed at sf0.1)
+        .select(col("doc_id"), col("n_tokens"),
+          (expr("cast(sdec * 1000000 as bigint) div n_tokens").cast("double")
+            / lit(1000000.0)).as("avg_surprisal"))
+        .orderBy("doc_id")
+    }),
+
+    // split-coverage report: per (lang, source) doc counts in train vs
+    // test, FULL OUTER joined so a cell present in only one split still
+    // appears (the test split is ~5% — most cells have no test docs).
+    // The last join type the inventory lacked; both sides are aggregates,
+    // so the join is cell-count-sized, not corpus-sized.
+    "q63_full_outer" -> ((s, d) => {
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val base = t(s, d, "documents").select(col("lang"), col("source"),
+        when(h < "0d", "test").otherwise("train").as("split"))
+      val tr = base.where(col("split") === "train")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_train"))
+      val te = base.where(col("split") === "test")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_test"))
+      tr.join(te, Seq("lang", "source"), "full_outer")
+        .select(col("lang"), col("source"),
+          coalesce(col("n_train"), lit(0L)).as("n_train"),
+          coalesce(col("n_test"), lit(0L)).as("n_test"))
+        .orderBy("lang", "source")
+    }),
+
     "q27_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "lang",
         n = 3, threshold = 0.5)
@@ -1544,6 +1594,35 @@ object Oracles {
                 count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
                 round(CAST(sum(toks) AS DOUBLE) / 2048.0, 6) AS fill
          FROM y GROUP BY shard, pack_id ORDER BY shard, pack_id""",
+
+    // per-token surprisal rounded to 6dp then DECIMAL-summed: the
+    // association-order-free form of a floating aggregation
+    "q62_unigram_surprisal" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                      FROM documents),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+              x AS (SELECT *, sum(tf) OVER (PARTITION BY token) AS cnt FROM tf),
+              t2 AS (SELECT sum(tf) AS total FROM tf)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                CAST(CAST(sum(CAST(round(log2(CAST(total AS DOUBLE)/cnt), 6)
+                                   AS DECIMAL(18,6)) * tf) * 1000000 AS BIGINT)
+                     // sum(tf) AS DOUBLE) / 1000000.0 AS avg_surprisal
+         FROM x CROSS JOIN t2 GROUP BY doc_id ORDER BY doc_id""",
+
+    "q63_full_outer" ->
+      """WITH b AS (SELECT lang, source,
+                           CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0d'
+                                THEN 'test' ELSE 'train' END AS split
+                    FROM documents),
+              tr AS (SELECT lang, source, count(*) AS n_train FROM b
+                     WHERE split = 'train' GROUP BY lang, source),
+              te AS (SELECT lang, source, count(*) AS n_test FROM b
+                     WHERE split = 'test' GROUP BY lang, source)
+         SELECT lang, source,
+                coalesce(n_train, 0) AS n_train,
+                coalesce(n_test, 0) AS n_test
+         FROM tr FULL OUTER JOIN te USING (lang, source)
+         ORDER BY lang, source""",
 
     // md5 hash-bucket split (q18's sampling promoted to train/val/test)
     // with per-split BPE-ish token budgets
