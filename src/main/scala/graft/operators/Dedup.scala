@@ -279,7 +279,7 @@ object Dedup {
    */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, hotBucketCap: Int = Int.MaxValue): DataFrame = {
     val spark = docs.sparkSession
     val simUdf = udf((ts: Seq[String]) => simhash60(ts))
     val sig = docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
@@ -290,14 +290,42 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("sim"), c * 15).bitwiseAND(lit(0x7fffL))): _*))
         .as(Seq("chunk", "chunk_val")))
-    val left = chunked.select(col("chunk"), col("chunk_val"),
-      col("doc").as("doc_a"), col("sim").as("sim_a"))
-    val right = chunked.select(col("chunk"), col("chunk_val"),
-      col("doc").as("doc_b"), col("sim").as("sim_b"))
+    // same skew guard as minhashLshPairs: identical boilerplate docs
+    // share ALL four chunks, so one hot template makes a B²/2 bucket.
+    // Above the cap, star edges from the bucket-min doc (its sim rides a
+    // struct min — ordered by doc first, so it IS the rep's signature)
+    // keep connectivity linear; near-identical docs verify trivially at
+    // hamming ~0. Default = off, the exact all-pairs semantics q28
+    // oracles.
+    val candidates = if (hotBucketCap == Int.MaxValue) {
+      val left = chunked.select(col("chunk"), col("chunk_val"),
+        col("doc").as("doc_a"), col("sim").as("sim_a"))
+      val right = chunked.select(col("chunk"), col("chunk_val"),
+        col("doc").as("doc_b"), col("sim").as("sim_b"))
+      left.join(right, Seq("chunk", "chunk_val"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+    } else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk", "chunk_val")
+      val sized = chunked
+        .withColumn("bsz", count(lit(1)).over(w))
+        .withColumn("rep", min(struct(col("doc"), col("sim"))).over(w))
+      val cold = sized.where(col("bsz") <= hotBucketCap)
+      val coldPairs = cold.select(col("chunk"), col("chunk_val"),
+          col("doc").as("doc_a"), col("sim").as("sim_a"))
+        .join(cold.select(col("chunk"), col("chunk_val"),
+          col("doc").as("doc_b"), col("sim").as("sim_b")),
+          Seq("chunk", "chunk_val"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+      val hotPairs = sized
+        .where(col("bsz") > hotBucketCap && col("doc") =!= col("rep.doc"))
+        .select(col("rep.doc").as("doc_a"), col("doc").as("doc_b"),
+          col("rep.sim").as("sim_a"), col("sim").as("sim_b"))
+      coldPairs.union(hotPairs)
+    }
     val hamming = udf((a: Long, b: Long) => hammingDistance(a, b))
-    left.join(right, Seq("chunk", "chunk_val"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b")
+    candidates
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", hamming(col("sim_a"), col("sim_b")))
       .where(col("hamming") <= maxHamming)

@@ -68,6 +68,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(uncapped.count() == 59L * 60 / 2)
   }
 
+  test("simhash hot-bucket cap: star edges for identical docs, same clusters") {
+    import spark.implicits._
+    // identical docs share ALL four simhash chunks -> every chunk bucket
+    // is hot; the cap must keep edges linear with connectivity intact
+    val template = "the same boilerplate template text repeated on every page of the site"
+    val rows = (1L to 60L).map(i => (i, template)) ++ Seq(
+      (101L, "completely different first document about streams and engines"),
+      (102L, "another unrelated second document with its own words entirely"))
+    val docs = rows.toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3, hotBucketCap = 10)
+    val pairs = capped.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.length == 59, s"got ${pairs.length}")
+    assert(pairs.forall { case (a, b) => a == 1L && b > 1L && b <= 60L })
+    // identical docs: hamming 0 through the star representative
+    assert(capped.where(col("hamming") > 0).count() == 0)
+    val clusters = Dedup.dupClusters(capped.select("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 60 && clusters.values.forall(_ == 1L))
+    // uncapped semantics unchanged (the q28 oracle path): full quadratic
+    assert(Dedup.simhashPairs(docs, "doc_id", "text").count() == 59L * 60 / 2)
+  }
+
   test("simhash pairs have verified hamming distance") {
     import spark.implicits._
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
