@@ -42,9 +42,14 @@ object FloatVecOps {
 
   val FunctionName = "graft_float_dot"
 
+  /** Expression builder shared by session-local registration and
+    * [[graft.GraftExtensions]]. */
+  def builder(exprs: Seq[Expression]): Expression =
+    FloatArrayDot(exprs.head, exprs(1))
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, exprs => FloatArrayDot(exprs.head, exprs(1)), "scala_udf")
+      FunctionName, builder, "scala_udf")
 
   /** Column API: dot product of two array<float> columns (by name). */
   def floatDot(spark: SparkSession, a: String, b: String): Column = {

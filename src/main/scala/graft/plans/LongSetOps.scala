@@ -85,9 +85,14 @@ object LongSetOps {
   /** Register the expression in the session's function registry
     * (idempotent) — Column construction from a catalyst Expression is
     * session-internal in Spark 4, so the registry is the public bridge. */
+  /** Expression builder shared by session-local registration and
+    * [[graft.GraftExtensions]]. */
+  def builder(exprs: Seq[Expression]): Expression =
+    LongArrayIntersectSize(exprs.head, exprs(1))
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, exprs => LongArrayIntersectSize(exprs.head, exprs(1)), "scala_udf")
+      FunctionName, builder, "scala_udf")
 
   /** Column API: intersection size of two array<bigint> columns. The
     * columns must resolve by name in the calling plan. */

@@ -81,12 +81,15 @@ object MinHashSignature {
 
   val FunctionName = "graft_minhash_signature"
 
+  /** Expression builder shared by session-local registration and
+    * [[graft.GraftExtensions]]. */
+  def builder(exprs: Seq[Expression]): Expression =
+    MinHashSignatureExpr(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue())
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName,
-      exprs => MinHashSignatureExpr(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "scala_udf")
+      FunctionName, builder, "scala_udf")
 
   /** Column API; `hashesCol` must resolve by name in the calling plan. */
   def minhashSignature(spark: SparkSession, hashesCol: String, k: Int): Column = {

@@ -61,12 +61,15 @@ object SegEntropyAgg {
 
   val FunctionName = "graft_seg_entropy"
 
+  /** Expression builder shared by session-local registration and
+    * [[graft.GraftExtensions]]. */
+  def builder(exprs: Seq[Expression]): Expression =
+    SegEntropyAggExpr(exprs(0), exprs(1),
+      exprs(2).eval().asInstanceOf[Boolean])
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName,
-      exprs => SegEntropyAggExpr(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Boolean]),
-      "scala_udf")
+      FunctionName, builder, "scala_udf")
 
   /** Column API: aggregate over (valueCol, classCol) resolved by name. */
   def segEntropy(spark: SparkSession, valueCol: String, classCol: String,
