@@ -753,6 +753,20 @@ object Queries {
         .orderBy("lang", "source")
     }),
 
+    // the ranking-function trio the window surface still lacked:
+    // per-language length deciles (ntile), percent_rank and cume_dist.
+    // The (n_chars, doc_id) ordering is UNIQUE, so rank == row_number and
+    // both ratios are single divisions of identical integers — exact
+    // cross-engine with no round() (whose .5-boundary hazard q62 hit).
+    "q64_rank_functions" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("decile", ntile(10).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy("doc_id")
+    }),
+
     "q27_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "lang",
         n = 3, threshold = 0.5)
@@ -1608,6 +1622,15 @@ object Oracles {
                                    AS DECIMAL(18,6)) * tf) * 1000000 AS BIGINT)
                      // sum(tf) AS DOUBLE) / 1000000.0 AS avg_surprisal
          FROM x CROSS JOIN t2 GROUP BY doc_id ORDER BY doc_id""",
+
+    "q64_rank_functions" ->
+      """SELECT doc_id, lang, n_chars,
+                CAST(ntile(10) OVER w AS INT) AS decile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume
+         FROM documents
+         WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+         ORDER BY doc_id""",
 
     "q63_full_outer" ->
       """WITH b AS (SELECT lang, source,
