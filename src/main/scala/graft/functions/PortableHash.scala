@@ -29,8 +29,16 @@ object PortableHash {
     * convention every consumer implements: [[graft.functions.ShingleKernel]]
     * reads the same bits straight from the digest bytes on the hot path,
     * and the oracle SQL spells it `('0x'||substr(md5(s),1,n))::BIGINT`. */
+  // one digest per executor thread: getInstance is an allocation +
+  // provider lookup, and the simhash path calls this once per TOKEN
+  // INSTANCE; digest() resets the instance so reuse is safe
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def md5LongOf(s: String, hexChars: Int): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes(UTF_8))
+    val d = mdLocal.get().digest(s.getBytes(UTF_8))
     // first hexChars hex digits = high 4*hexChars bits of the big-endian prefix
     var v = 0L
     var i = 0

@@ -117,12 +117,17 @@ object TextFunctions {
     * signature: bit j is set iff the +/-1 votes of bit j across all token
     * instances sum positive. */
   def simhash60(tokens: Seq[String]): Long = {
+    // one md5 per DISTINCT token, votes weighted by its count — same
+    // signature as hashing every instance (votes are additive), md5
+    // calls drop from token instances to per-doc vocabulary
+    val counts = new java.util.HashMap[String, Int]()
+    tokens.foreach(t => counts.merge(t, 1, (a, b) => a + b))
     val acc = new Array[Int](60)
-    tokens.foreach { t =>
+    counts.forEach { (t, c) =>
       val h = PortableHash.md5LongOf(t, 15)
       var b = 0
       while (b < 60) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        if (((h >>> b) & 1L) == 1L) acc(b) += c else acc(b) -= c
         b += 1
       }
     }
