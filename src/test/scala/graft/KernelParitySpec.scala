@@ -36,6 +36,34 @@ class KernelParitySpec extends AnyFunSuite {
     "vertical\u000Btab and\fform-feed are whitespace in BOTH engines' class",
     (1 to 200).map(i => s"tok$i").mkString(" ")) // long doc
 
+  test("simhash60 distinct-token weighting equals the per-instance vote loop") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // naive reference: one md5 vote per token INSTANCE (the pre-r3 form)
+    def naive(tokens: Seq[String]): Long = {
+      val acc = new Array[Int](60)
+      tokens.foreach { t =>
+        val h = graft.functions.PortableHash.md5LongOf(t, 15)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 60) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    val tokensGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)), Gen.oneOf("dup", "dup", "the", "a", "")))
+    val prop = Prop.forAll(tokensGen) { ts =>
+      graft.functions.TextFunctions.simhash60(ts) == naive(ts)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("md5ShingleSet matches the column form it replaced") {
     import spark.implicits._
     val df = texts.toDF("text")
