@@ -767,6 +767,33 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // nearest-centroid classification eval — the confusion matrix of a
+    // mean-centroid inner-product classifier over the embeddings (the
+    // drift/quality check run after every embedding refresh). Everything
+    // that feeds the argmax is EXACT: quantized integer components, an
+    // integer dot against each label's component SUM, and score =
+    // double(dot)/n_members — one division of exact integers, so the
+    // per-vector ranking is bit-identical cross-engine with no rounding
+    // anywhere. The centroid table is (labels x 64) rows — broadcast;
+    // the dense vector x label expansion partial-aggregates map-side.
+    "q65_centroid_confusion" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val ev = e.select(col("vec_id"), col("label").as("true_label"),
+        posexplode(Similarity.quantized(col("embedding"))).as(Seq("pos", "vq")))
+      val cs = ev.groupBy(col("true_label").as("c_label"), col("pos"))
+        .agg(sum("vq").as("sq"), count(lit(1)).as("n_c"))
+      val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("c_label"))
+      ev.join(broadcast(cs), Seq("pos"))
+        .groupBy("vec_id", "true_label", "c_label", "n_c")
+        .agg(sum(col("vq") * col("sq")).as("dot"))
+        .withColumn("score", col("dot").cast("double") / col("n_c").cast("double"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") === 1)
+        .groupBy(col("true_label"), col("c_label").as("pred_label"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("true_label", "pred_label")
+    }),
+
     "q27_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "lang",
         n = 3, threshold = 0.5)
@@ -1622,6 +1649,26 @@ object Oracles {
                                    AS DECIMAL(18,6)) * tf) * 1000000 AS BIGINT)
                      // sum(tf) AS DOUBLE) / 1000000.0 AS avg_surprisal
          FROM x CROSS JOIN t2 GROUP BY doc_id ORDER BY doc_id""",
+
+    // exact integer dots against per-label component sums; score = one
+    // division of exact integers, so the argmax never touches rounding
+    "q65_centroid_confusion" ->
+      """WITH ev AS (SELECT vec_id, label AS true_label, i.pos AS pos,
+                            CAST(floor(CAST(embedding[i.pos + 1] AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+                     FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS pos) i),
+              cs AS (SELECT true_label AS c_label, pos, sum(vq) AS sq, count(*) AS n_c
+                     FROM ev GROUP BY true_label, pos),
+              dots AS (SELECT e.vec_id, e.true_label, c.c_label, c.n_c,
+                              sum(e.vq * c.sq) AS dot
+                       FROM ev e JOIN cs c USING (pos)
+                       GROUP BY e.vec_id, e.true_label, c.c_label, c.n_c),
+              ranked AS (SELECT *,
+                                row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY CAST(dot AS DOUBLE)/n_c DESC, c_label) AS rnk
+                         FROM dots)
+         SELECT true_label, c_label AS pred_label, count(*) AS n_vectors
+         FROM ranked WHERE rnk = 1
+         GROUP BY true_label, c_label ORDER BY true_label, pred_label""",
 
     "q64_rank_functions" ->
       """SELECT doc_id, lang, n_chars,
