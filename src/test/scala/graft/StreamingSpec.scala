@@ -204,6 +204,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.getSeq[String](2) == Seq("f1", "f2"))
   }
 
+  test("stream-static enrichment join stays broadcast (no stateful shuffle)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the ingest-time lookup join: a streaming fact enriched by a static
+    // dimension — no watermark, no state store, the dim side broadcasts
+    val dim = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    val input = MemoryStream[(Long, Double)]
+    val enriched = input.toDF().toDF("doc_id", "score")
+      .join(broadcast(dim), Seq("doc_id"), "left")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    input.addData((1L, 0.9), (2L, 0.4), (7L, 0.5))
+    q.processAllAvailable()
+    val out = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+    q.stop()
+    assert(out == Map(1L -> Some("en"), 2L -> Some("de"), 7L -> None))
+  }
+
   test("stream-stream interval join: purchases attribute to in-horizon clicks only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
