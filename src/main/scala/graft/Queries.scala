@@ -794,6 +794,21 @@ object Queries {
         .orderBy("true_label", "pred_label")
     }),
 
+    // sliding event-time windows in batch — Spark's window() generator
+    // with length 15 min, slide 5 min: every event lands in exactly three
+    // overlapping buckets (the shape streaming rollups use, replayed over
+    // recorded data). The generate is narrow; one (window, type) shuffle.
+    // Window starts go out as exact epoch microseconds; the oracle
+    // reproduces membership by integer floor-division arithmetic.
+    "q66_sliding_window" -> ((s, d) =>
+      t(s, d, "events")
+        .select(timestamp_micros(tsMicros).as("tts"), col("event_type"), col("value"))
+        .groupBy(window(col("tts"), "15 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")),
+
     "q27_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", "lang",
         n = 3, threshold = 0.5)
@@ -1649,6 +1664,16 @@ object Oracles {
                                    AS DECIMAL(18,6)) * tf) * 1000000 AS BIGINT)
                      // sum(tf) AS DOUBLE) / 1000000.0 AS avg_surprisal
          FROM x CROSS JOIN t2 GROUP BY doc_id ORDER BY doc_id""",
+
+    // sliding-window membership by integer arithmetic: window [s, s+15min)
+    // contains t iff s = (t div 5min - k)*5min for k in 0..2
+    "q66_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+              w AS (SELECT (us // 300000000 - k.k) * 300000000 AS w_start, event_type, value
+                    FROM e CROSS JOIN (SELECT unnest(range(3)) AS k) k)
+         SELECT w_start, event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM w GROUP BY w_start, event_type ORDER BY w_start, event_type""",
 
     // exact integer dots against per-label component sums; score = one
     // division of exact integers, so the argmax never touches rounding
