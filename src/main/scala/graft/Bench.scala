@@ -52,6 +52,9 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
       }
+      // drop any intermediate a query persisted (q52/q62's tf) so every
+      // timed run does the full work and nothing leaks across queries
+      finally spark.catalog.clearCache()
     }
 
     def median(xs: Seq[Double]): Double = {
@@ -84,7 +87,13 @@ object Bench {
     // flag completeness explicitly
     val nErr = results.count(r => r._2.isEmpty && r._3.isDefined)
     val total = good.map(_._2.min).sum + nErr * 3600.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"errors":$errs,"n_ok":${good.size},"n_err":$nErr,"runs":$runs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"errors":$errs,"n_ok":${good.size},"n_err":$nErr,"runs":$runs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout of an sbt run is buried in [info] noise — also write the line
+    // to a file so the driver (and any harness) can parse it reliably
+    sys.env.get("SPARK_GRAFT_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
   }
 }

@@ -508,24 +508,32 @@ object Queries {
 
     // corpus TF-IDF top-3 terms per document — the classic relevance
     // weighting tf * ln(N/df). The corpus is scanned and tokenized ONCE:
-    // document frequency is a count window over the (doc_id, token) tf
-    // aggregate (each tf row = one distinct doc containing the token), so
-    // the plan is explode -> tf shuffle -> token-keyed window -> doc-keyed
-    // ranking window, all over aggregated rows. (A join against a separate
-    // df aggregate re-tokenizes the corpus a second time — Catalyst can't
-    // reuse the exchange because pruning makes the two aggregates differ;
-    // audited on the plan.) The 1-row corpus count is a footer-only scan,
-    // broadcast. Ranking uses the ROUNDED score (the q38 determinism rule:
-    // round before any ordering decision) with the token as tiebreak; the
-    // rank<=3 predicate compiles to WindowGroupLimit per-partition heaps.
+    // the (doc_id, token) tf aggregate is PERSISTED, document frequency is
+    // a partial-aggregated groupBy(token) over it (each tf row = one
+    // distinct doc containing the token) joined back. A window partitioned
+    // by token would put every tf row of one token in ONE task — token
+    // frequencies are Zipfian, so at 1B docs the "the" partition is ~1B
+    // rows with no partial aggregation and no AQE rescue (skew handling
+    // does not apply to windows). The groupBy collapses the hot token
+    // map-side to one row per map partition (HotTokenSpec proves <1% of
+    // input rows cross the shuffle on a 90%-hot fixture); the join back is
+    // AQE-skew-splittable and broadcastable when the vocabulary is small.
+    // The 1-row corpus count is a footer-only scan, broadcast. Ranking
+    // uses the ROUNDED score (the q38 determinism rule: round before any
+    // ordering decision) with the token as tiebreak; the rank<=3 predicate
+    // compiles to WindowGroupLimit per-partition heaps (the remaining
+    // window partitions by doc_id — bounded by document length, not
+    // corpus size).
     "q52_tfidf" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val tf = docs
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .persist()
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val ndocs = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
-      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      tf.join(dfreq, Seq("token"))
         .crossJoin(broadcast(ndocs))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
@@ -570,7 +578,11 @@ object Queries {
     // primitive behind rate limits and burst detection. RANGE frame over
     // integer microseconds: one keyed shuffle + sorted pass, state
     // bounded by the hour span. The sum rides a DECIMAL cast so the
-    // frame's running arithmetic is exact in both engines.
+    // frame's running arithmetic is exact in both engines, and the mean
+    // is the q62 micro-scaled integer form — round(sum/n, 6) is itself a
+    // cross-engine hazard on .5-at-6dp boundaries of the same double
+    // (BASELINE.md boundary discipline). The sum is non-negative (value
+    // >= 0), so Spark's truncating `div` and DuckDB's floor `//` agree.
     "q55_rolling_window" -> ((s, d) => {
       val e = t(s, d, "events")
         .select(col("user_id"), col("event_id"), tsMicros.as("us"), col("value"))
@@ -578,8 +590,11 @@ object Queries {
         .rangeBetween(-3600L * 1000000L, 0L)
       e.select(col("event_id"), col("user_id"), col("us"),
           count(lit(1)).over(w).as("n_1h"),
-          sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double").as("sum_1h"))
-        .withColumn("avg_1h", round(col("sum_1h") / col("n_1h"), 6))
+          sum(col("value").cast(DecimalType(18, 2))).over(w).as("sum_dec"))
+        .select(col("event_id"), col("user_id"), col("us"), col("n_1h"),
+          col("sum_dec").cast("double").as("sum_1h"),
+          (expr("cast(sum_dec * 1000000 as bigint) div n_1h").cast("double")
+            / lit(1000000.0)).as("avg_1h"))
         .orderBy("event_id")
     }),
 
@@ -641,24 +656,21 @@ object Queries {
     // a deterministic md5-ordered greedy prefix of its docs until 20% of
     // its token mass is reached — how a mixture plan downsamples an
     // over-represented source without a coordinator (the hash order is
-    // reproducible from ids alone; all arithmetic integer-exact). One
-    // keyed window pass; the budget is a second frame over the same
-    // partitioning, so no extra shuffle.
-    "q59_token_budget" -> ((s, d) => {
-      val w = Window.partitionBy("lang").orderBy("h", "doc_id")
-      t(s, d, "documents")
-        .select(col("doc_id"), col("lang"),
-          TF.bpeTokenCount(col("text")).as("toks"),
-          md5(col("doc_id").cast("string").cast("binary")).as("h"))
-        .withColumn("cum_before", coalesce(
-          sum("toks").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("budget", expr("(sum(toks) over (partition by lang)) div 5"))
-        .where(col("cum_before") < col("budget"))
+    // reproducible from ids alone; all arithmetic integer-exact).
+    // Computed TWO-LEVEL (CorpusSharding.tokenBudgetPrefix): per-(lang,
+    // shard) running sums + an aggregate-sized shard-offset join — a
+    // single per-language window would serialize each language (few,
+    // huge) through one task at corpus scale. The hash order is
+    // shard-major, so the two-level form is exactly the single-window
+    // answer for every shard count (ShardingSpec proves p=1 == p=2);
+    // the shard count scales with the corpus via shardHexCharsFor.
+    "q59_token_budget" -> ((s, d) =>
+      CorpusSharding.tokenBudgetPrefix(t(s, d, "documents"),
+          TF.bpeTokenCount(col("text")), prefixHexChars = 1, budgetDenom = 5)
         .groupBy("lang")
         .agg(max("budget").as("budget"), count(lit(1)).as("n_docs_kept"),
           sum("toks").as("n_tokens_kept"))
-        .orderBy("lang")
-    }),
+        .orderBy("lang")),
 
     // document chunking — the pre-tokenization splitter every training
     // pipeline runs: 64-token windows at stride 48 (16-token overlap so
@@ -684,38 +696,37 @@ object Queries {
     // greedy sequence packing — filling fixed-length training examples:
     // docs ride a deterministic md5 order, a running token sum assigns
     // pack_id = cum div 2048 (first-fit in hash order). Packing happens
-    // WITHIN 16 hash shards, not one global order — the window is
+    // WITHIN 16^p hash shards, not one global order — the window is
     // partitioned, so the pass parallelizes like any keyed shuffle and a
     // coordinator-free writer can emit shards independently; a global
-    // greedy order would serialize the corpus through one partition.
-    "q61_packing" -> ((s, d) => {
-      val w = Window.partitionBy("shard").orderBy("h", "doc_id")
-      t(s, d, "documents")
-        .select(col("doc_id"), TF.bpeTokenCount(col("text")).as("toks"),
-          md5(col("doc_id").cast("string").cast("binary")).as("h"))
-        .withColumn("shard", substring(col("h"), 1, 1))
-        .withColumn("cum_before", coalesce(
-          sum("toks").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("pack_id", expr("cum_before div 2048"))
-        .groupBy("shard", "pack_id")
-        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
-          round(sum("toks").cast("double") / 2048.0, 6).as("fill"))
-        .orderBy("shard", "pack_id")
-    }),
+    // greedy order would serialize the corpus through one partition. The
+    // shard count is a PARAMETER (CorpusSharding.shardHexCharsFor sizes
+    // p so each shard stays ~1M docs at any corpus size — p=3 at 1B
+    // docs); the oracle pins the fixture-scale p=1. Conservation (every
+    // doc in exactly one pack, token mass preserved) holds for every p
+    // (ShardingSpec).
+    "q61_packing" -> ((s, d) =>
+      CorpusSharding.packShards(t(s, d, "documents"),
+          TF.bpeTokenCount(col("text")), prefixHexChars = 1, packTokens = 2048L)
+        .orderBy("shard", "pack_id")),
 
     // unigram surprisal scoring — the language-model quality filter
     // (CCNet-style) with the corpus itself as the model: a doc's mean
     // -log2 p(token) under corpus unigram frequencies. Same one-tokenize
-    // shape as q52 (vocab counts by window over the tf aggregate, 1-row
-    // total broadcast); per-token surprisal is rounded to 6dp THEN summed
-    // as DECIMAL so the per-doc sum is association-order-free — the only
-    // cross-engine float hazard in a floating aggregation.
+    // shape as q52 (persisted tf aggregate; vocab counts via a
+    // partial-aggregated groupBy(token) joined back — NOT a token-keyed
+    // window, which would serialize each Zipfian-hot token through one
+    // task; 1-row total broadcast); per-token surprisal is rounded to 6dp
+    // THEN summed as DECIMAL so the per-doc sum is association-order-free
+    // — the only cross-engine float hazard in a floating aggregation.
     "q62_unigram_surprisal" -> ((s, d) => {
       val tf = t(s, d, "documents")
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .persist()
+      val vocab = tf.groupBy("token").agg(sum("tf").as("cnt"))
       val totals = tf.agg(sum("tf").as("total"))
-      tf.withColumn("cnt", sum("tf").over(Window.partitionBy("token")))
+      tf.join(vocab, Seq("token"))
         .crossJoin(broadcast(totals))
         .withColumn("term",
           round(log2(col("total").cast("double") / col("cnt")), 6)
@@ -1548,9 +1559,12 @@ object Oracles {
     // quantized integer pooling: floor(x*1024) sums are exact in any
     // engine; the only float ops are two divisions of identical operands
     "q48_label_centroid" ->
-      """WITH q AS (SELECT label, i.pos AS pos,
-                           CAST(floor(CAST(embedding[i.pos + 1] AS DOUBLE) * 1024.0) AS BIGINT) AS qv
-                    FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS pos) i)
+      """WITH u AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                           unnest(embedding) AS v
+                    FROM embeddings),
+              q AS (SELECT label, pos,
+                           CAST(floor(CAST(v AS DOUBLE) * 1024.0) AS BIGINT) AS qv
+                    FROM u)
          SELECT label, pos,
                 round(CAST(sum(qv) AS DOUBLE) / count(*) / 1024.0, 6) AS centroid
          FROM q GROUP BY label, pos ORDER BY label, pos""",
@@ -1678,9 +1692,13 @@ object Oracles {
     // exact integer dots against per-label component sums; score = one
     // division of exact integers, so the argmax never touches rounding
     "q65_centroid_confusion" ->
-      """WITH ev AS (SELECT vec_id, label AS true_label, i.pos AS pos,
-                            CAST(floor(CAST(embedding[i.pos + 1] AS DOUBLE) * 1024.0) AS BIGINT) AS vq
-                     FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS pos) i),
+      """WITH u AS (SELECT vec_id, label AS true_label,
+                           generate_subscripts(embedding, 1) - 1 AS pos,
+                           unnest(embedding) AS v
+                    FROM embeddings),
+              ev AS (SELECT vec_id, true_label, pos,
+                            CAST(floor(CAST(v AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+                     FROM u),
               cs AS (SELECT true_label AS c_label, pos, sum(vq) AS sq, count(*) AS n_c
                      FROM ev GROUP BY true_label, pos),
               dots AS (SELECT e.vec_id, e.true_label, c.c_label, c.n_c,
@@ -1766,14 +1784,16 @@ object Oracles {
          FROM events GROUP BY user_id ORDER BY user_id""",
 
     // trailing 1-hour RANGE frame over integer microseconds; DECIMAL sum
-    // keeps the frame arithmetic exact in both engines
+    // keeps the frame arithmetic exact in both engines; the mean is the
+    // micro-scaled integer form (round() itself diverges on .5-at-6dp
+    // boundaries — boundary discipline)
     "q55_rolling_window" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
          SELECT event_id, user_id, us,
                 count(*) OVER w AS n_1h,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h,
-                round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-                      / (count(*) OVER w), 6) AS avg_1h
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w * 1000000 AS BIGINT)
+                     // (count(*) OVER w) AS DOUBLE) / 1000000.0 AS avg_1h
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY us
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-parameterized hash-sharded prefix sums — the primitive behind
+ * greedy sequence packing (q61) and token-budget subsampling (q59).
+ *
+ * Both queries ride a deterministic md5 order and a running token sum.
+ * A running sum is ONE window partition per key — with few huge keys
+ * (16 fixed hex shards, or one partition per language) that serializes
+ * a corpus-scale stage through a handful of tasks. The fix in both
+ * cases is the same shape as `Similarity.lshBitsFor`: make the shard
+ * count a PARAMETER sized to the corpus, not a fixture constant.
+ *
+ * - `packShards`: packing within 16^p hash shards; p chosen by
+ *   `shardHexCharsFor` so each shard's serialized pass stays
+ *   executor-sized at any corpus size. The shard id is part of the
+ *   output contract (packs are emitted per shard), so p is semantic —
+ *   conservation invariants (every doc in exactly one pack, token mass
+ *   preserved) hold for every p (ShardingSpec).
+ * - `tokenBudgetPrefix`: the per-language greedy budget prefix computed
+ *   two-level — per-(lang, shard) running sums plus a shard-offset
+ *   join — which is EXACTLY the single-window answer for every p,
+ *   because the global (h, doc_id) order is shard-major: the shard is
+ *   the leading hex chars of h, so concatenating shards in shard order
+ *   reproduces the global hash order. p only changes the parallelism
+ *   (ShardingSpec proves p=1 and p=2 give identical output).
+ */
+object CorpusSharding {
+
+  /** Hex-prefix length so one shard holds ~`targetDocsPerShard` docs:
+    * smallest p with 16^p >= nDocs / targetDocsPerShard (min 1). A 1B-doc
+    * corpus at the 1M-docs-per-shard default gives p=3 (4,096 shards);
+    * the sf0.1 fixture gives p=1 — the value the oracle pins. */
+  def shardHexCharsFor(nDocs: Long, targetDocsPerShard: Long = 1000000L): Int = {
+    val shardsNeeded = math.max(1.0, nDocs.toDouble / targetDocsPerShard)
+    math.max(1, math.ceil(math.log(shardsNeeded) / math.log(16.0)).toInt)
+  }
+
+  private def withHashShard(docs: DataFrame, tokenCount: Column, prefixHexChars: Int,
+                            extraCols: Seq[String] = Nil): DataFrame =
+    docs
+      .select(col("doc_id") +: extraCols.map(col) :+ tokenCount.as("toks")
+        :+ md5(col("doc_id").cast("string").cast("binary")).as("h"): _*)
+      .withColumn("shard", substring(col("h"), 1, prefixHexChars))
+
+  /** Greedy sequence packing: docs in md5 order, pack_id = running-sum
+    * div packTokens, packed independently within 16^prefixHexChars hash
+    * shards so the pass parallelizes and a coordinator-free writer can
+    * emit shards independently. Returns (shard, pack_id, n_docs,
+    * n_tokens, fill). */
+  def packShards(docs: DataFrame, tokenCount: Column, prefixHexChars: Int,
+                 packTokens: Long): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    withHashShard(docs, tokenCount, prefixHexChars)
+      .withColumn("cum_before", coalesce(
+        sum("toks").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $packTokens"))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+        round(sum("toks").cast("double") / packTokens.toDouble, 6).as("fill"))
+  }
+
+  /** Per-language greedy token-budget prefix, two-level: (1) per-(lang,
+    * shard) partial running sums, (2) aggregate-sized shard totals give
+    * each shard its prefix offset and each language its budget, (3) the
+    * offset joins back (broadcast — 16^p * n_langs rows). cum_before =
+    * offset + within-shard running sum equals the single-window global
+    * cumulative sum for every p. Returns the kept docs with (doc_id,
+    * lang, toks, budget). `budgetDenom` keeps 1/denom of each
+    * language's token mass. */
+  def tokenBudgetPrefix(docs: DataFrame, tokenCount: Column, prefixHexChars: Int,
+                        budgetDenom: Long): DataFrame = {
+    val base = withHashShard(docs, tokenCount, prefixHexChars, Seq("lang")).persist()
+    val shardTotals = base.groupBy("lang", "shard").agg(sum("toks").as("st"))
+    val wOff = Window.partitionBy("lang").orderBy("shard")
+    val offsets = shardTotals
+      .withColumn("offset", coalesce(
+        sum("st").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("budget",
+        expr(s"(sum(st) over (partition by lang)) div $budgetDenom"))
+      .select("lang", "shard", "offset", "budget")
+    val wIn = Window.partitionBy("lang", "shard").orderBy("h", "doc_id")
+    base
+      .withColumn("cum_in_shard", coalesce(
+        sum("toks").over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("cum_before", col("offset") + col("cum_in_shard"))
+      .where(col("cum_before") < col("budget"))
+      .select("doc_id", "lang", "toks", "budget")
+  }
+}

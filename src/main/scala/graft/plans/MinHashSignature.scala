@@ -82,10 +82,17 @@ object MinHashSignature {
   val FunctionName = "graft_minhash_signature"
 
   /** Expression builder shared by session-local registration and
-    * [[graft.GraftExtensions]]. */
-  def builder(exprs: Seq[Expression]): Expression =
+    * [[graft.GraftExtensions]]. The k argument is folded at plan time, so
+    * a pure-SQL caller passing a non-constant gets a clear analysis-time
+    * error instead of an opaque eval-time NPE. */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"$FunctionName expects (hashes, k), got ${exprs.length} args")
+    if (!exprs(1).foldable)
+      throw new IllegalArgumentException(
+        s"$FunctionName: the k argument must be a constant (literal), got ${exprs(1).sql}")
     MinHashSignatureExpr(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue())
+  }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -62,10 +62,18 @@ object SegEntropyAgg {
   val FunctionName = "graft_seg_entropy"
 
   /** Expression builder shared by session-local registration and
-    * [[graft.GraftExtensions]]. */
-  def builder(exprs: Seq[Expression]): Expression =
+    * [[graft.GraftExtensions]]. The worst-case flag is folded at plan
+    * time, so a pure-SQL caller passing a non-constant gets a clear
+    * analysis-time error instead of an opaque eval-time exception. */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"$FunctionName expects (value, class, worst_case), got ${exprs.length} args")
+    if (!exprs(2).foldable)
+      throw new IllegalArgumentException(
+        s"$FunctionName: the worst_case argument must be a constant (literal), got ${exprs(2).sql}")
     SegEntropyAggExpr(exprs(0), exprs(1),
       exprs(2).eval().asInstanceOf[Boolean])
+  }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -42,6 +42,19 @@ class ExtensionsSpec extends AnyFunSuite {
            FROM VALUES (1.0, 0), (2.0, 1) AS t(v, c)""").head().getDouble(0)
       assert(ent >= 0.0)
 
+      // non-constant folded arguments fail loudly at plan time (the
+      // builder's foldable guard), not with an opaque eval-time exception
+      val badK = intercept[Exception](spark.sql(
+        """SELECT graft_minhash_signature(array(1L), cast(v AS INT))
+           FROM VALUES (1.0) AS t(v)""").collect())
+      assert(badK.getMessage.contains("must be a constant"),
+        s"unexpected error: ${badK.getMessage}")
+      val badFlag = intercept[Exception](spark.sql(
+        """SELECT graft_seg_entropy(CAST(v AS DOUBLE), CAST(c AS INT), c = 1)
+           FROM VALUES (1.0, 0) AS t(v, c)""").collect())
+      assert(badFlag.getMessage.contains("must be a constant"),
+        s"unexpected error: ${badFlag.getMessage}")
+
       import org.apache.spark.sql.catalyst.FunctionIdentifier
       Seq(graft.plans.LongSetOps.FunctionName, graft.plans.FloatVecOps.FunctionName,
         graft.plans.MinHashSignature.FunctionName, graft.plans.SegEntropyAgg.FunctionName)

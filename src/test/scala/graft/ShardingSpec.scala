@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CorpusSharding
+
+/**
+ * The round-3 verdict's scale-parameterization contract for the
+ * running-sum queries: the shard count must be a corpus-sized parameter,
+ * and changing it must change the parallelism WITHOUT changing the
+ * answer (q59 — exact equality for every p, because the hash order is
+ * shard-major) or while preserving the packing invariants (q61 — the
+ * shard id is part of the output contract, so conservation is the
+ * invariant).
+ */
+class ShardingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("sharding-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/documents.parquet")
+  }
+  private def toks = graft.functions.TextFunctions.bpeTokenCount(col("text"))
+
+  test("sizing rule: shardHexCharsFor scales with the corpus") {
+    assert(CorpusSharding.shardHexCharsFor(10000L) == 1) // fixture scale
+    assert(CorpusSharding.shardHexCharsFor(100000000L) == 2) // 100M docs
+    assert(CorpusSharding.shardHexCharsFor(1000000000L) == 3) // 1B docs
+    assert(CorpusSharding.shardHexCharsFor(1L) == 1) // never below 1
+  }
+
+  test("q59 two-level budget prefix: p=1 and p=2 give the identical answer, more partitions") {
+    def result(p: Int) =
+      CorpusSharding.tokenBudgetPrefix(docs, toks, p, budgetDenom = 5)
+        .groupBy("lang")
+        .agg(max("budget").as("budget"), count(lit(1)).as("n_docs_kept"),
+          sum("toks").as("n_tokens_kept"))
+        .orderBy("lang")
+    val r1 = result(1).collect().map(_.toSeq)
+    spark.catalog.clearCache()
+    val r2 = result(2).collect().map(_.toSeq)
+    spark.catalog.clearCache()
+    assert(r1.nonEmpty && r1.toSeq == r2.toSeq)
+
+    // the parameter actually changes the window parallelism: distinct
+    // (lang, shard) window partitions multiply with p
+    def nParts(p: Int) = {
+      val d = CorpusSharding.tokenBudgetPrefix(docs, toks, p, 5)
+      val n = d.select("lang").distinct().count() // force, then count shards
+      spark.catalog.clearCache()
+      n
+    }
+    val shards1 = docs.select(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)).distinct().count()
+    val shards2 = docs.select(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)).distinct().count()
+    assert(shards2 > shards1, "prefix length must multiply the shard count")
+    nParts(1) // smoke: both parameterizations execute
+  }
+
+  test("q61 packing: conservation invariants hold for every p; shard count changes") {
+    def packs(p: Int) = CorpusSharding.packShards(docs, toks, p, packTokens = 2048L)
+    val total = docs.select(sum(toks)).first().getLong(0)
+    val nDocs = docs.count()
+    for (p <- Seq(1, 2)) {
+      val agg = packs(p).agg(
+        sum("n_docs").as("d"), sum("n_tokens").as("t"),
+        countDistinct("shard").as("s")).first()
+      // every doc lands in exactly one pack; token mass is preserved
+      assert(agg.getLong(0) == nDocs, s"p=$p dropped or duplicated docs")
+      assert(agg.getLong(1) == total, s"p=$p lost token mass")
+      if (p == 1) assert(agg.getLong(2) <= 16)
+      if (p == 2) assert(agg.getLong(2) > 16, "p=2 must yield more shards")
+    }
+    // each shard's pack ids are a dense prefix 0..max (first-fit order)
+    val bad = packs(1).groupBy("shard")
+      .agg(min("pack_id").as("mn"), max("pack_id").as("mx"), count(lit(1)).as("n"))
+      .where(col("mn") =!= 0 || col("n") =!= col("mx") + 1)
+    assert(bad.count() == 0, "pack ids must be dense per shard")
+  }
+}
