@@ -53,9 +53,8 @@ object ExstreamPipeline {
       } else obsSel
 
     // step 3: entropy reward + leap cutoff
-    val idxUdf = udf((f: String) => featIdx.getOrElse(f, Int.MaxValue))
     val rewards = EntropyReward.rewards(obsFiltered, cfg.applyWorstCase)
-      .withColumn("feat_idx", idxUdf(col("feature")))
+      .withColumn("feat_idx", EntropyReward.featIdxCol(featIdx, col("feature")))
     LeapFilter.explanations(rewards)
   }
 
@@ -168,9 +167,8 @@ object ExstreamPipeline {
       } else obsSel
 
     // step 3: rewards + leap cutoff, all instances through one shuffle
-    val idxUdf = udf((f: String) => featIdx.getOrElse(f, Int.MaxValue))
     val rewards = EntropyReward.rewards(obsFiltered, cfg.applyWorstCase)
-      .withColumn("feat_idx", idxUdf(col("feature")))
+      .withColumn("feat_idx", EntropyReward.featIdxCol(featIdx, col("feature")))
     val expl = LeapFilter.explanations(rewards)
       .withColumn("rs", split(col("window_key"), "#", 2).getItem(0).cast("int"))
       .withColumn("window_key", split(col("window_key"), "#", 2).getItem(1))
@@ -179,7 +177,6 @@ object ExstreamPipeline {
     val resamples = expl.where(col("rs") >= 0)
       .groupBy("window_key").agg(collect_list(col("features")).as("exps"))
 
-    val idxsUdf = udf((fs: Seq[String]) => fs.map(f => featIdx.getOrElse(f, -1)))
     val instabilityUdf = udf { (exps: Seq[Seq[String]]) =>
       graft.functions.EntropyCore.instabilityEntropy(
         Option(exps).getOrElse(Seq.empty).filter(_ != null))
@@ -194,7 +191,8 @@ object ExstreamPipeline {
 
     keyed.join(main, Seq("window_key"), "inner")
       .join(resamples, Seq("window_key"), "left")
-      .withColumn("explanation", idxsUdf(col("features")))
+      .withColumn("explanation", transform(col("features"),
+        f => EntropyReward.featIdxCol(featIdx, f, default = -1)))
       .withColumn("exp_size", size(col("explanation")))
       .withColumn("exp_instability", instabilityUdf(col("exps")))
       .select("trace_id", "ano_id", "explanation", "exp_size", "exp_instability")

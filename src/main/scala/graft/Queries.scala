@@ -1010,11 +1010,10 @@ object Queries {
     * exact-float semantics — this is purely the cross-engine
     * determinism boundary. */
   private def eventRewards(obs: DataFrame): DataFrame = {
-    val idxUdf = udf((f: String) => eventFeatIdx.getOrElse(f, Int.MaxValue))
     EntropyReward.rewards(obs, applyWorstCase = true)
       .where(col("n_ano") > 0 && col("n_ref") > 0) // feature must observe both halves
       .withColumn("reward", round(col("reward"), 6))
-      .withColumn("feat_idx", idxUdf(col("feature")))
+      .withColumn("feat_idx", EntropyReward.featIdxCol(eventFeatIdx, col("feature")))
   }
 
   def exstreamExplain(s: SparkSession, d: String): DataFrame = {

@@ -276,6 +276,17 @@ object Dedup {
    * hashes (PortableHash — a SQL oracle recomputes the signature exactly);
    * candidates share one of four 15-bit chunks (guarantees recall for
    * hamming <= 3 by pigeonhole); verified by popcount hamming distance.
+   *
+   * `hotBucketCap` is an APPROXIMATION, not a transparent optimization:
+   * above the cap a bucket emits only star edges from its minimum doc, so
+   * a member pair within `maxHamming` of each other but more than
+   * `maxHamming` from the bucket-min representative is dropped —
+   * connectivity through the representative is only guaranteed when the
+   * hot bucket's members are near-identical (hamming ~0, the boilerplate
+   * case that creates hot buckets in practice). Size it with
+   * [[hotBucketCapFor]] for production corpora; keep the default (off)
+   * for any oracle-checked path, which needs the exact all-pairs
+   * semantics.
    */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -324,11 +335,32 @@ object Dedup {
           col("rep.sim").as("sim_a"), col("sim").as("sim_b"))
       coldPairs.union(hotPairs)
     }
-    val hamming = udf((a: Long, b: Long) => hammingDistance(a, b))
     candidates
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", hamming(col("sim_a"), col("sim_b")))
+      // codegen built-in popcount — never a scalar UDF where a built-in
+      // exists (TextFunctions.hammingDistance remains the JVM-side
+      // definition the unit tests pin this against)
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /**
+   * Deployment default for `hotBucketCap` (the sizing-rule companion to
+   * [[Similarity.lshBitsFor]]): ~100x the expected bucket occupancy, so
+   * ordinary buckets are never touched and only genuinely pathological
+   * ones (a viral boilerplate template) switch to star edges.
+   *
+   * `nBuckets` is the candidate-bucket key space: for banded minhash the
+   * band hash is effectively unique per distinct content, so nBuckets ~
+   * corpusSize (expected occupancy ~1, cap 100); for simhash's 15-bit
+   * chunks nBuckets = 2^15 per chunk. Keep the default (off) on any
+   * oracle-checked path — the cap is an approximation (see
+   * [[simhashPairs]]).
+   */
+  def hotBucketCapFor(corpusSize: Long, nBuckets: Long): Int = {
+    require(corpusSize > 0 && nBuckets > 0)
+    val occupancy = math.max(1L, (corpusSize + nBuckets - 1) / nBuckets)
+    if (occupancy > Int.MaxValue / 100) Int.MaxValue else (100L * occupancy).toInt
   }
 }

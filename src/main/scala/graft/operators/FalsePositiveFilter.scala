@@ -89,7 +89,6 @@ object FalsePositiveFilter {
         $"type_data".cast("int").as("c"),
         $"value".cast("double").as("v"))).as("pattern"))
 
-    val idxUdf = udf((f: String) => featIdx.getOrElse(f, Int.MaxValue))
     val counted = patterns
       .join(series, "feature" +: seriesAlignKeys) // AQE: broadcast while small, SMJ at scale
       // explicit-N repartition (AQE honors user-specified counts): the
@@ -102,7 +101,7 @@ object FalsePositiveFilter {
         matchCountUdf(col("pattern"), col("series"), lit(maxDistance)))
       .groupBy("window_key", "feature")
       .agg(sum("trace_matches").cast("int").as("n_matches"))
-      .withColumn("feat_idx", idxUdf(col("feature")))
+      .withColumn("feat_idx", EntropyReward.featIdxCol(featIdx, col("feature")))
       .select("window_key", "feature", "feat_idx", "n_matches")
 
     // kept iff n <= threshold; argmin-fallback if a window keeps nothing

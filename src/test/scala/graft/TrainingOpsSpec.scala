@@ -207,6 +207,37 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(Similarity.lshBitsFor(129, 64) == 2)
   }
 
+  test("hotBucketCapFor: ~100x expected bucket occupancy, and the sized cap keeps clusters") {
+    import spark.implicits._
+    // minhash band hashes are ~unique per distinct content: occupancy ~1
+    assert(Dedup.hotBucketCapFor(1000000000L, 1000000000L) == 100)
+    // simhash 15-bit chunks at 1B docs: ~30.5k/bucket -> cap 3.06M
+    assert(Dedup.hotBucketCapFor(1000000000L, 32768L) == 3051800)
+    // never truncates to zero, never overflows Int
+    assert(Dedup.hotBucketCapFor(1L, 32768L) == 100)
+    assert(Dedup.hotBucketCapFor(Long.MaxValue / 4, 1L) == Int.MaxValue)
+    // the deployment-sized cap (here 100 for a 63-doc corpus with ~unique
+    // band hashes) leaves a healthy fixture's pair list EXACTLY the
+    // uncapped one — the cap only engages on pathological buckets
+    val template = "the same boilerplate template text repeated on every page of the site"
+    val rows = (1L to 60L).map(i => (i, template)) ++ Seq(
+      (101L, "completely different first document about streams and engines"),
+      (102L, "another unrelated second document with its own words entirely"))
+    val docs = rows.toDF("doc_id", "text")
+    val cap = Dedup.hotBucketCapFor(63L, 63L)
+    val capped = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      threshold = 0.8, hotBucketCap = cap)
+    assert(capped.count() == 59L * 60 / 2) // 60-doc bucket < 100: untouched
+    // a tighter-than-default cap still reproduces the same components
+    val starred = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      threshold = 0.8, hotBucketCap = 10)
+    val a = Dedup.dupClusters(capped.select("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.dupClusters(starred.select("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("multimodal: packed binary metadata + deterministic frame features") {
     import spark.implicits._
     val packed = Multimodal.packBinary(docs, "doc_id", "text", mime = "text/plain")
