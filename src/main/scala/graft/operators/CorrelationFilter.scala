@@ -48,31 +48,84 @@ object CorrelationFilter {
     (pairs, aggs)
   }
 
+  /** The pure graph core: union-find clustering with an edge iff
+    * |corr(i,j)| > threshold (NaN = undefined = no edge); each cluster's
+    * representative is its smallest original column index. Shared by the
+    * distributed moment-row path and the streaming window-local path. */
+  private[graft] def selectByCorr(
+      featureOrder: Seq[String],
+      correlationThreshold: Double,
+      pairs: IndexedSeq[(Int, Int)],
+      corr: Int => Double): Seq[String] = {
+    val parent = Array.tabulate(featureOrder.size)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); parent(x) = r; r }
+    def union(a: Int, b: Int): Unit = { val ra = find(a); val rb = find(b); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    pairs.zipWithIndex.foreach { case ((i, j), k) =>
+      val c = corr(k)
+      if (!c.isNaN && math.abs(c) > correlationThreshold) union(i, j)
+    }
+    featureOrder.indices.filter(i => find(i) == i).map(featureOrder)
+  }
+
+  /** Pearson correlation from pairwise-deleted moment sums; NaN when
+    * undefined (zero variance or no overlap) — pandas' semantics. */
+  private def corrFromMoments(n: Double, sx: Double, sy: Double,
+                              sxx: Double, syy: Double, sxy: Double): Double = {
+    val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    if (den > 0.0) (n * sxy - sx * sy) / math.sqrt(den) else Double.NaN
+  }
+
   /** Union-find over one moment row; `offset` = leading non-moment columns. */
   private def selectFromMomentRow(
       row: org.apache.spark.sql.Row,
       offset: Int,
       pairs: IndexedSeq[(Int, Int)],
       featureOrder: Seq[String],
-      correlationThreshold: Double): Seq[String] = {
-    // edge iff |corr| > threshold (undefined -> no edge)
-    val parent = Array.tabulate(featureOrder.size)(identity)
-    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); parent(x) = r; r }
-    def union(a: Int, b: Int): Unit = { val ra = find(a); val rb = find(b); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
-    pairs.zipWithIndex.foreach { case ((i, j), k) =>
+      correlationThreshold: Double): Seq[String] =
+    selectByCorr(featureOrder, correlationThreshold, pairs, { k =>
       val base = offset + k * 6
-      if (!row.isNullAt(base + 1)) { // null sums = no overlapping rows
-        val n = row.getLong(base).toDouble
-        val (sx, sy, sxx, syy, sxy) = (row.getDouble(base + 1), row.getDouble(base + 2),
-          row.getDouble(base + 3), row.getDouble(base + 4), row.getDouble(base + 5))
-        val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
-        if (den > 0.0) {
-          val c = (n * sxy - sx * sy) / math.sqrt(den)
-          if (!c.isNaN && math.abs(c) > correlationThreshold) union(i, j)
+      if (row.isNullAt(base + 1)) Double.NaN // null sums = no overlapping rows
+      else corrFromMoments(row.getLong(base).toDouble,
+        row.getDouble(base + 1), row.getDouble(base + 2),
+        row.getDouble(base + 3), row.getDouble(base + 4), row.getDouble(base + 5))
+    })
+
+  /**
+   * Window-local pure variant for the streaming at-close path: the same
+   * moment math and union-find over ONE closed window's buffered
+   * observations (the only data an online operator has at close). Batch
+   * computes the moments over every window in one distributed pass; on a
+   * single-window input the two are identical, which is what the
+   * streaming/batch parity test pins.
+   *
+   * @param rows (timestamp, type_data, feature, value) — one value per
+   *             (timestamp, type_data, feature), the wide-pivot contract
+   */
+  def selectFeaturesLocal(
+      rows: Iterable[(Long, Int, String, Double)],
+      featureOrder: Seq[String],
+      correlationThreshold: Double): Seq[String] = {
+    if (featureOrder.size <= 1) return featureOrder
+    val idx = featureOrder.zipWithIndex.toMap
+    // wide pivot: (ts, class) -> dense feature-value row (NaN = absent)
+    val wide = rows.groupBy(r => (r._1, r._2)).map { case (_, g) =>
+      val arr = Array.fill(featureOrder.size)(Double.NaN)
+      g.foreach(r => idx.get(r._3).foreach(i => arr(i) = r._4))
+      arr
+    }
+    val pairs = for { i <- featureOrder.indices; j <- 0 until i } yield (i, j)
+    selectByCorr(featureOrder, correlationThreshold, pairs.toIndexedSeq, { k =>
+      val (i, j) = pairs(k)
+      var n = 0L; var sx = 0.0; var sy = 0.0; var sxx = 0.0; var syy = 0.0; var sxy = 0.0
+      wide.foreach { arr =>
+        val x = arr(i); val y = arr(j)
+        if (!x.isNaN && !y.isNaN) { // pairwise null deletion
+          n += 1; sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
         }
       }
-    }
-    featureOrder.indices.filter(i => find(i) == i).map(featureOrder)
+      if (n == 0) Double.NaN
+      else corrFromMoments(n.toDouble, sx, sy, sxx, syy, sxy)
+    })
   }
 
   /**

@@ -174,6 +174,23 @@ object StreamingOps {
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout(),
       timeoutDuration: String = "1 hour",
       timeoutSpanMs: Long = 3600000L,
+      watermarkDelay: String = "10 seconds"): Dataset[StreamExplanation] =
+    explainOnCloseCfg(obs, featureOrder,
+      graft.ExstreamConfig(applyWorstCase = applyWorstCase),
+      maxBuffered, timeout, timeoutDuration, timeoutSpanMs, watermarkDelay)
+
+  /** [[explainOnClose]] with the FULL batch configuration surface: all
+    * four (cluster, falsePositiveFiltering) configs of the reference's
+    * loop run online, so a streaming deployment answers exactly what the
+    * batch pipeline answers (StreamingSpec pins the parity per config). */
+  def explainOnCloseCfg(
+      obs: Dataset[StreamObs],
+      featureOrder: Seq[String],
+      cfg: graft.ExstreamConfig,
+      maxBuffered: Int = 100000,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout(),
+      timeoutDuration: String = "1 hour",
+      timeoutSpanMs: Long = 3600000L,
       watermarkDelay: String = "10 seconds"): Dataset[StreamExplanation] = {
     import obs.sparkSession.implicits._
     val procTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout()
@@ -193,7 +210,7 @@ object StreamingOps {
           if (close || state.hasTimedOut) {
             state.remove()
             Iterator.single(StreamExplanation(
-              key, buf.n, explainBuffered(buf.rows, featureOrder, applyWorstCase)))
+              key, buf.n, explainBuffered(buf.rows, featureOrder, cfg)))
           } else {
             state.update(buf)
             armTimeout(state, buf, procTimeout, eventTimeout, timeoutDuration, timeoutSpanMs)
@@ -202,30 +219,91 @@ object StreamingOps {
       }
   }
 
+  /** Rewards + leap filter only — the original cluster=F fp=F close path. */
+  def explainBuffered(
+      buf: Seq[StreamObs],
+      featureOrder: Seq[String],
+      applyWorstCase: Boolean): Seq[String] =
+    explainBuffered(buf, featureOrder,
+      graft.ExstreamConfig(applyWorstCase = applyWorstCase))
+
   /**
-   * Pure per-window explanation over a closed buffer — the batch
-   * rewards + leap-filter semantics via the EntropyCore kernels. Input
-   * order is irrelevant: the segmentation kernel canonicalizes to
-   * (value, class) order internally, so arrival-order nondeterminism on
-   * the stream cannot change the answer.
+   * Pure per-window explanation over a closed buffer — ALL FOUR batch
+   * configs, via the same pure kernels the batch plan uses, in the batch
+   * stage order:
+   *
+   *  1. correlation-cluster feature dedup
+   *     ([[graft.operators.CorrelationFilter.selectFeaturesLocal]] — the
+   *     identical moment math + union-find, over this window's rows);
+   *  2. subsequence-match false-positive filter
+   *     ([[graft.functions.MatchKernel.matchCount]] with the batch
+   *     threshold/fallback semantics);
+   *  3. entropy rewards + leap cutoff ([[graft.functions.EntropyCore]]).
+   *
+   * Input order is irrelevant: every stage canonicalizes internally
+   * (moments are order-free sums, patterns/series sort by timestamp, the
+   * segmentation kernel sorts by (value, class)), so arrival-order
+   * nondeterminism on the stream cannot change the answer.
+   *
+   * Scope note (the online boundary): steps 1-2 see THIS window's
+   * buffered rows — the only data an online operator has at close. Batch
+   * computes step 1's moments over all windows and step 2's reference
+   * series over all windows of the trace, so streaming == batch exactly
+   * when the batch input is the single closing window (the parity test's
+   * shape); across multiple windows the streaming answer is the
+   * window-local approximation, bounded by the same reasoning as the
+   * multi-trace series note in [[graft.operators.FalsePositiveFilter]].
    */
   def explainBuffered(
       buf: Seq[StreamObs],
       featureOrder: Seq[String],
-      applyWorstCase: Boolean = true): Seq[String] = {
-    import graft.functions.EntropyCore
+      cfg: graft.ExstreamConfig): Seq[String] = {
+    import graft.functions.{EntropyCore, MatchKernel}
+
+    // step 1: correlation-cluster dedup over the window's wide pivot
+    val selected: Seq[String] =
+      if (cfg.cluster)
+        graft.operators.CorrelationFilter.selectFeaturesLocal(
+          buf.map(r => (r.timestamp, r.type_data, r.feature, r.value)),
+          featureOrder, cfg.correlationThreshold)
+      else featureOrder
     val byFeature = buf.groupBy(_.feature)
-    val rewards = featureOrder.flatMap { f =>
-      byFeature.get(f).flatMap { rows =>
-        val nAno = rows.count(_.type_data == 1).toLong
-        val nRef = rows.count(_.type_data == 0).toLong
-        if (nAno > 0 && nRef > 0) {
-          val values = rows.map(_.value).toArray
-          val classes = rows.map(_.type_data).toArray
-          Some(f -> EntropyCore.reward(
-            EntropyCore.classEntropy(nAno, nRef), values, classes, applyWorstCase))
-        } else None
-      }
+    val present = selected.filter(byFeature.contains)
+
+    // step 2: FP filter — kept iff the window pattern matches the ref
+    // series <= matchCountKeep times; argmin fallback if nothing survives
+    val featIdx = featureOrder.zipWithIndex.toMap
+    val fpKept: Set[String] =
+      if (cfg.falsePositiveFiltering && present.nonEmpty) {
+        val patternClass = if (cfg.patternFromRefWindow) 0 else 1
+        // batch inner-join semantics: a feature participates only with a
+        // non-empty pattern AND a non-empty reference series
+        val counts = present.flatMap { f =>
+          val rows = byFeature(f)
+          val series = rows.filter(_.type_data == 0)
+            .sortBy(r => (r.timestamp, r.value)).map(_.value).toArray
+          val pattern = rows.filter(_.type_data == patternClass)
+            .sortBy(r => (r.timestamp, r.value)).map(_.value).toArray
+          if (pattern.isEmpty || series.isEmpty) None
+          else Some(f -> MatchKernel.matchCount(pattern, series, cfg.maxDistance))
+        }
+        val passing = counts.filter(_._2 <= cfg.matchCountKeep).map(_._1)
+        if (passing.nonEmpty) passing.toSet
+        else if (counts.isEmpty) Set.empty[String]
+        else Set(counts.minBy { case (f, n) => (n, featIdx.getOrElse(f, Int.MaxValue)) }._1)
+      } else present.toSet
+
+    // step 3: rewards + leap cutoff
+    val rewards = present.filter(fpKept).flatMap { f =>
+      val rows = byFeature(f)
+      val nAno = rows.count(_.type_data == 1).toLong
+      val nRef = rows.count(_.type_data == 0).toLong
+      if (nAno > 0 && nRef > 0) {
+        val values = rows.map(_.value).toArray
+        val classes = rows.map(_.type_data).toArray
+        Some(f -> EntropyCore.reward(
+          EntropyCore.classEntropy(nAno, nRef), values, classes, cfg.applyWorstCase))
+      } else None
     }.toMap
     EntropyCore.rewardLeapFilter(EntropyCore.rankRewards(rewards, featureOrder))
   }

@@ -67,7 +67,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.getAs[Int]("n_obs") == 10)
     assert(out.head.getSeq[String](2) == Seq("f1"))
     // and the streaming answer is exactly the pure-kernel (= batch) answer
-    assert(StreamingOps.explainBuffered(w1, Seq("f1", "f2", "f3")) == Seq("f1"))
+    assert(StreamingOps.explainBuffered(w1, Seq("f1", "f2", "f3"), applyWorstCase = true) == Seq("f1"))
+  }
+
+  test("streaming explanation matches batch on ALL FOUR configs (cluster x fp)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // One labeled window, engineered so each pipeline stage changes the
+    // answer visibly:
+    //  fa: oscillating ref / high separated ano -> the true explanation;
+    //  fc = 2*fa+1: perfectly correlated clone (corr 1.0) -> dropped by
+    //      the cluster stage; z-normalization makes its FP profile
+    //      identical to fa's, so only clustering distinguishes them;
+    //  fb: sawtooth ref whose shape the ano pattern repeats EXACTLY
+    //      twice (z-norm distance 0 at offsets 0 and 3, outside the
+    //      ceil(4/4) exclusion zone) -> 2 matches > matchCountKeep=1 ->
+    //      dropped by the FP stage (corr(fa,fb)=0.714, so the 0.95
+    //      threshold keeps the cluster stage out of fb's fate);
+    //  fd: class-interleaved noise -> leap-cut in every config.
+    val refTs = (1L to 8L)
+    val anoTs = (21L to 24L)
+    def obsFor(f: String, refVals: Seq[Double], anoVals: Seq[Double]) =
+      refTs.zip(refVals).map { case (t, v) => StreamObs("w1", f, t, 0, v) } ++
+        anoTs.zip(anoVals).map { case (t, v) => StreamObs("w1", f, t, 1, v) }
+    val faR = Seq(5.0, 1.0, 5.0, 1.0, 5.0, 1.0, 5.0, 1.0)
+    val faA = Seq(9.0, 9.5, 10.0, 9.7)
+    val w1: Seq[StreamObs] =
+      obsFor("fa", faR, faA) ++
+        obsFor("fb", Seq(1.0, 2.0, 3.0, 1.0, 2.0, 3.0, 1.0, 2.0), Seq(5.0, 10.0, 15.0, 5.0)) ++
+        obsFor("fc", faR.map(2 * _ + 1), faA.map(2 * _ + 1)) ++
+        (refTs.take(4).zip(Seq(1.0, 9.0, 2.0, 8.0)).map { case (t, v) => StreamObs("w1", "fd", t, 0, v) } ++
+          anoTs.zip(Seq(1.5, 8.5, 2.5, 9.5)).map { case (t, v) => StreamObs("w1", "fd", t, 1, v) })
+    val order = Seq("fa", "fb", "fc", "fd")
+    val batchObs = w1.map(o =>
+        (o.window_key, "trace1", o.timestamp, o.type_data, o.feature, o.value))
+      .toDF("window_key", "trace_id", "timestamp", "type_data", "feature", "value")
+
+    val results = for {
+      cluster <- Seq(false, true)
+      fp <- Seq(false, true)
+    } yield {
+      val cfg = ExstreamConfig(cluster = cluster, correlationThreshold = 0.95,
+        falsePositiveFiltering = fp, maxDistance = 1.0, matchCountKeep = 1,
+        patternFromRefWindow = false, applyWorstCase = true)
+      val batch = ExstreamPipeline.explanatoryFeatures(batchObs, order, cfg)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val streamed = StreamingOps.explainBuffered(w1, order, cfg)
+      assert(batch("w1") == streamed,
+        s"cluster=$cluster fp=$fp: batch=${batch("w1")} stream=$streamed")
+      (cluster, fp) -> streamed
+    }
+    val byCfg = results.toMap
+    // every stage visibly does its job, matching the hand-derived design
+    assert(byCfg.values.forall(_.contains("fa")))
+    assert(byCfg.values.forall(!_.contains("fd")))
+    assert(byCfg((false, false)).contains("fc") && byCfg((false, false)).contains("fb"))
+    assert(Seq(true).forall(c => !byCfg((c, false)).contains("fc") && !byCfg((c, true)).contains("fc")))
+    assert(Seq(true).forall(f => !byCfg((false, f)).contains("fb") && !byCfg((true, f)).contains("fb")))
+
+    // and the full cluster=T fp=T config runs ONLINE through the real
+    // stateful operator, emitting the same answer at window close
+    val cfgTT = ExstreamConfig(cluster = true, correlationThreshold = 0.95,
+      falsePositiveFiltering = true, maxDistance = 1.0, matchCountKeep = 1,
+      patternFromRefWindow = false, applyWorstCase = true)
+    val input = MemoryStream[StreamObs]
+    val exps = StreamingOps.explainOnCloseCfg(input.toDS(), order, cfgTT)
+    val q = exps.writeStream.outputMode("append")
+      .format("memory").queryName("exps_cfg").start()
+    input.addData(w1: _*)
+    q.processAllAvailable()
+    assert(spark.table("exps_cfg").count() == 0) // window still open
+    input.addData(StreamObs("w1", "", 30L, -1, 0.0))
+    q.processAllAvailable()
+    val out = spark.table("exps_cfg").collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out.head.getSeq[String](2) == byCfg((true, true)))
   }
 
   test("event-time timeout: a window whose close marker was LOST still emits " +
