@@ -117,6 +117,50 @@ class MatchKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("vendored reference golden: MatchKernel reproduces every stumpy.match count " +
+      "the reference's false_positive_filter computed") {
+    // src/test/resources/fp_match_golden.csv is generated by
+    // scripts/e2e_compare/gen_fp_golden.py: the REFERENCE'S OWN
+    // false_positive_filter (false_positive_filtering.py) run over
+    // reference-shaped fixture data, with stumpy.match provided by a
+    // numpy shim written strictly from stumpy's public documentation.
+    // Every call the reference made is captured verbatim (exact pattern,
+    // exact all-traces-concatenated series, max_distance, resulting
+    // count + keep decision). The two implementations share no code or
+    // algorithmic form (numpy direct z-norm L2 there, Pearson-form MASS
+    // here), so count equality is a genuine cross-implementation check —
+    // the closest possible stand-in for stumpy itself, which has no
+    // offline install path in this environment.
+    val in = getClass.getResourceAsStream("/fp_match_golden.csv")
+    assert(in != null, "fp_match_golden.csv missing from test resources")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+    val rows = lines.tail.map { l =>
+      val f = l.split(",", -1)
+      assert(f.length == 6, s"unexpected csv row: $l")
+      (f(0), f(1).toDouble, f(2).toInt, f(3) == "1",
+        f(4).split(";").map(_.toDouble), f(5).split(";").map(_.toDouble))
+    }
+    assert(rows.length >= 50)
+    rows.foreach { case (id, maxd, n, _, pattern, series) =>
+      val got = MatchKernel.matchCount(pattern, series, maxd)
+      assert(got == n, s"$id: kernel=$got reference=$n (maxd=$maxd)")
+    }
+    // the reference's keep rule (count <= 5, else first-argmin fallback)
+    // reconstructed from the kernel's counts reproduces its keep flags
+    rows.groupBy { case (id, maxd, _, _, _, _) => (id.takeWhile(_ != ':'), maxd) }
+      .foreach { case (_, group) =>
+        val counts = group.map { case (_, maxd, _, _, p, s) =>
+          MatchKernel.matchCount(p, s, maxd)
+        }
+        val anyPass = counts.exists(_ <= 5)
+        val keepIdx = counts.zipWithIndex.minBy { case (c, i) => (c, i) }._2
+        group.zipWithIndex.foreach { case ((id, _, _, kept, _, _), i) =>
+          val expect = if (anyPass) counts(i) <= 5 else i == keepIdx
+          assert(kept == expect, s"keep-rule mismatch at $id")
+        }
+      }
+  }
+
   test("multi-trace golden: per-trace counts equal the reference's concatenated " +
       "counts away from trace boundaries; divergence is exactly the boundary phantom") {
     // The FP filter matches per (feature, trace) and SUMS counts; the
