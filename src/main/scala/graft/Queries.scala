@@ -865,6 +865,111 @@ object Queries {
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("id_a", "id_b")),
 
+    // Bloom-pruned decontamination — q45's semantics at the scale where
+    // the held-out shingle SET outgrows a broadcast hash set: a Bloom
+    // filter over the held-out shingles (one distributed aggregation,
+    // ~1.2 MB per million keys at 1% fpp vs tens of bytes per key for
+    // the exact set) prunes the corpus shingle stream MAP-SIDE; only
+    // true hits plus the ~1% false positives reach the exact semi-join,
+    // so the answer is EXACTLY q45's (Bloom filters have no false
+    // negatives — BloomPruneSpec asserts both the equality and that the
+    // pre-filter actually discards the overwhelming share of shingles).
+    "q67_bloom_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (heldout, corpusShingles) = contaminationSides(docs)
+      val heldoutCached = heldout.persist()
+      val bf = heldoutCached.stat.bloomFilter("shingle",
+        math.max(1000L, heldoutCached.count()), 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((x: String) => bfB.value.mightContain(x))
+      val hits = corpusShingles
+        .where(mightContain(col("shingle"))) // map-side Bloom prune
+        .join(broadcast(heldoutCached), Seq("shingle"), "left_semi") // exact
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      docs.where(col("doc_id") % 97 =!= 0).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_contaminated_shingles"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // stratified mixture rebalancing: downsample every language to the
+    // SMALLEST language's document count, deterministically (md5 order —
+    // any engine reproduces the exact kept set from ids alone). The
+    // per-language head rides the same two-level sharded prefix as
+    // q59/q61 (CorpusSharding), so no language serializes through one
+    // task; the min count is one aggregate-sized scalar.
+    "q68_stratified_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nMin = docs.groupBy("lang").count().agg(min("count")).first().getLong(0)
+      CorpusSharding.stratumHead(docs, prefixHexChars = 1, nPerStratum = nMin)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // interval-overlap join via bucketized equi-join — "which sessions
+    // overlap each incident window" without a range cross product: both
+    // interval sets explode to the fixed-width time buckets they cover,
+    // candidates pair on the bucket (an equi-join that shuffles on a
+    // bounded key and AQE-splits if a bucket runs hot), the exact
+    // overlap predicate verifies, distinct collapses multi-bucket pairs.
+    // The sessions are q50's; incidents are 30-minute windows after each
+    // error event. All arithmetic integer microseconds.
+    "q69_interval_overlap" -> ((s, d) => {
+      val gapUs = 43200L * 1000000L
+      val bucketUs = 86400L * 1000000L // 1-day candidate buckets
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), tsMicros.as("us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val sessions = e
+        .withColumn("new_s",
+          when(lag("us", 1).over(w).isNull ||
+            col("us") - lag("us", 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(min("us").as("s_start"), max("us").as("s_end"))
+      val incidents = e.where(col("event_type") === "error")
+        .select(col("event_id").as("inc_id"), col("us").as("i_start"),
+          (col("us") + 1800L * 1000000L).as("i_end"))
+      val sb = sessions.withColumn("bkt",
+        explode(expr(s"sequence(s_start div $bucketUs, s_end div $bucketUs)")))
+      val ib = incidents.withColumn("bkt",
+        explode(expr(s"sequence(i_start div $bucketUs, i_end div $bucketUs)")))
+      sb.join(ib, Seq("bkt"))
+        .where(col("s_start") <= col("i_end") && col("i_start") <= col("s_end"))
+        .select("inc_id", "user_id", "session_id").distinct()
+        .groupBy("inc_id").agg(count(lit(1)).as("n_overlapping_sessions"))
+        .orderBy("inc_id")
+    }),
+
+    // conversion funnel via CHAINED as-of joins: each purchase picks up
+    // the latest click at or before it, and that click picks up the
+    // latest view at or before IT — ordered-sequence analytics with two
+    // co-partitioned as-of passes (AsofJoin's union + running-last), no
+    // row-exploding range join, no per-user event buffering. Refs dedup
+    // to max event_id per (user, us) per the as-of input contract.
+    "q70_funnel" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), tsMicros.as("us"), col("event_type"))
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy("user_id", "us").agg(max("event_id").as("click_id"))
+      val views = e.where(col("event_type") === "view")
+        .groupBy("user_id", "us").agg(max("event_id").as("view_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("us"))
+      val withClick = AsofJoin.asofJoin(purchases, clicks, "user_id", "us", Seq("click_id"))
+        .where(col("ref_click_id").isNotNull) // funnel needs the click
+        .select(col("user_id"), col("purchase_id"), col("us").as("purchase_us"),
+          col("ref_us").as("us"), col("ref_click_id").as("click_id"))
+      AsofJoin.asofJoin(withClick, views, "user_id", "us", Seq("view_id"), refPrefix = "v_")
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("v_view_id").as("view_id"),
+          col("v_view_id").isNotNull.as("full_funnel"))
+        .orderBy("purchase_id")
+    }),
+
     // ---- multimodal plumbing ----
     "q32_multimodal_meta" -> ((s, d) => {
       val packed = Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text")
@@ -1583,6 +1688,78 @@ object Oracles {
          FROM sh s LEFT JOIN hits USING (doc_id)
          WHERE s.doc_id % 97 <> 0
          ORDER BY doc_id""",
+
+    // the Bloom pre-filter is answer-preserving (no false negatives ->
+    // the exact semi-join sees every true hit), so the oracle is q45's
+    // decontamination SQL verbatim
+    "q67_bloom_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
+              sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+              held AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0),
+              corp AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 97 <> 0),
+              hits AS (SELECT doc_id, count(*) AS n
+                       FROM corp JOIN held USING (shingle) GROUP BY doc_id)
+         SELECT s.doc_id,
+                CAST(coalesce(n, 0) AS BIGINT) AS n_contaminated_shingles,
+                coalesce(n, 0) > 0 AS contaminated
+         FROM sh s LEFT JOIN hits USING (doc_id)
+         WHERE s.doc_id % 97 <> 0
+         ORDER BY doc_id""",
+
+    // the two-level sharded head equals row_number over the per-language
+    // md5 order (the hash order is shard-major)
+    "q68_stratified_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+              m AS (SELECT min(n) AS n_min FROM c),
+              r AS (SELECT doc_id, lang,
+                           row_number() OVER (PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                    FROM documents)
+         SELECT doc_id, lang FROM r CROSS JOIN m WHERE rn <= n_min
+         ORDER BY doc_id""",
+
+    // the oracle verifies the overlap SEMANTICS with a plain theta join —
+    // the bucketized equi-join is the engine's scale mechanism, not a
+    // semantic change
+    "q69_interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+              s1 AS (SELECT user_id, event_id, us,
+                            CASE WHEN lag(us) OVER w IS NULL
+                                      OR us - lag(us) OVER w > 43200000000
+                                 THEN 1 ELSE 0 END AS new_s
+                     FROM e
+                     WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+              s2 AS (SELECT user_id, us,
+                            sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                     FROM s1),
+              sessions AS (SELECT user_id, sid, min(us) AS s_start, max(us) AS s_end
+                           FROM s2 GROUP BY user_id, sid),
+              inc AS (SELECT event_id AS inc_id, us AS i_start,
+                             us + 1800000000 AS i_end
+                      FROM e WHERE event_type = 'error')
+         SELECT inc_id, count(*) AS n_overlapping_sessions
+         FROM inc JOIN sessions ON s_start <= i_end AND i_start <= s_end
+         GROUP BY inc_id ORDER BY inc_id""",
+
+    // chained native ASOF joins: inner for the purchase->click hop (the
+    // funnel requires the click), left for click->view
+    "q70_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+              p AS (SELECT user_id, event_id AS purchase_id, us FROM e
+                    WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, us, max(event_id) AS click_id FROM e
+                    WHERE event_type = 'click' GROUP BY user_id, us),
+              v AS (SELECT user_id, us, max(event_id) AS view_id FROM e
+                    WHERE event_type = 'view' GROUP BY user_id, us),
+              pc AS (SELECT p.user_id, p.purchase_id, c.us AS click_us, c.click_id
+                     FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us),
+              pcv AS (SELECT pc.user_id, pc.purchase_id, pc.click_id, v.view_id
+                      FROM pc ASOF LEFT JOIN v
+                        ON pc.user_id = v.user_id AND pc.click_us >= v.us)
+         SELECT user_id, purchase_id, click_id, view_id,
+                view_id IS NOT NULL AS full_funnel
+         FROM pcv ORDER BY purchase_id""",
 
     "q58_set_ops" ->
       """WITH tk AS (SELECT lang, string_split_regex(text, '[ \t\n\x0b\f\r]+') AS t

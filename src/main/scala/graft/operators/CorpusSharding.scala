@@ -73,15 +73,31 @@ object CorpusSharding {
     * lang, toks, budget). `budgetDenom` keeps 1/denom of each
     * language's token mass. */
   def tokenBudgetPrefix(docs: DataFrame, tokenCount: Column, prefixHexChars: Int,
-                        budgetDenom: Long): DataFrame = {
+                        budgetDenom: Long): DataFrame =
+    hashOrderPrefix(docs, tokenCount, prefixHexChars,
+      expr(s"(sum(st) over (partition by lang)) div $budgetDenom"))
+
+  /** Stratified head — mixture REBALANCING: keep the first `nPerStratum`
+    * docs of each language in deterministic md5 order (e.g. downsample
+    * every language to the smallest language's size). Same two-level
+    * machinery with a unit token count, so `cum_before < n` is exactly
+    * `row_number() <= n` over the per-language hash order. */
+  def stratumHead(docs: DataFrame, prefixHexChars: Int, nPerStratum: Long): DataFrame =
+    hashOrderPrefix(docs, lit(1L), prefixHexChars, lit(nPerStratum))
+
+  /** Shared two-level core: `budgetCol` is evaluated against the
+    * aggregate-sized per-(lang, shard) totals frame (column `st`, window
+    * over `lang` allowed), so a budget can be a corpus-derived expression
+    * (q59's 20% of token mass) or a constant (q68's per-stratum head). */
+  private def hashOrderPrefix(docs: DataFrame, tokenCount: Column, prefixHexChars: Int,
+                              budgetCol: Column): DataFrame = {
     val base = withHashShard(docs, tokenCount, prefixHexChars, Seq("lang")).persist()
     val shardTotals = base.groupBy("lang", "shard").agg(sum("toks").as("st"))
     val wOff = Window.partitionBy("lang").orderBy("shard")
     val offsets = shardTotals
       .withColumn("offset", coalesce(
         sum("st").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("budget",
-        expr(s"(sum(st) over (partition by lang)) div $budgetDenom"))
+      .withColumn("budget", budgetCol)
       .select("lang", "shard", "offset", "budget")
     val wIn = Window.partitionBy("lang", "shard").orderBy("h", "doc_id")
     base
