@@ -908,14 +908,22 @@ object Queries {
         .orderBy("doc_id")
     }),
 
-    // interval-overlap join via bucketized equi-join — "which sessions
-    // overlap each incident window" without a range cross product: both
-    // interval sets explode to the fixed-width time buckets they cover,
-    // candidates pair on the bucket (an equi-join that shuffles on a
-    // bounded key and AQE-splits if a bucket runs hot), the exact
+    // interval-overlap join via bucketized equi-join — "which of the
+    // user's sessions overlap each of the user's incident windows"
+    // without a range cross product: both interval sets explode to the
+    // fixed-width time buckets they cover, candidates pair on (user,
+    // bucket) — an equi-join that shuffles on a bounded key — the exact
     // overlap predicate verifies, distinct collapses multi-bucket pairs.
-    // The sessions are q50's; incidents are 30-minute windows after each
-    // error event. All arithmetic integer microseconds.
+    // Keyed per user the pair volume is LINEAR in the corpus (each
+    // user's incidents only meet that user's sessions). The unkeyed
+    // "how many sessions, of anyone, were active during the incident"
+    // question is a different beast — its pair count grows with
+    // incidents x concurrent sessions (quadratic in scale factor), so
+    // the scale-safe form is not a join at all but a sweep count
+    // (#starts <= t minus #ends < t, two running sums) — documented
+    // here so nobody reintroduces the cross join. Sessions are q50's;
+    // incidents are 30-minute windows after each error event; all
+    // arithmetic integer microseconds.
     "q69_interval_overlap" -> ((s, d) => {
       val gapUs = 43200L * 1000000L
       val bucketUs = 86400L * 1000000L // 1-day candidate buckets
@@ -931,13 +939,13 @@ object Queries {
         .groupBy("user_id", "session_id")
         .agg(min("us").as("s_start"), max("us").as("s_end"))
       val incidents = e.where(col("event_type") === "error")
-        .select(col("event_id").as("inc_id"), col("us").as("i_start"),
+        .select(col("user_id"), col("event_id").as("inc_id"), col("us").as("i_start"),
           (col("us") + 1800L * 1000000L).as("i_end"))
       val sb = sessions.withColumn("bkt",
         explode(expr(s"sequence(s_start div $bucketUs, s_end div $bucketUs)")))
       val ib = incidents.withColumn("bkt",
         explode(expr(s"sequence(i_start div $bucketUs, i_end div $bucketUs)")))
-      sb.join(ib, Seq("bkt"))
+      sb.join(ib, Seq("user_id", "bkt"))
         .where(col("s_start") <= col("i_end") && col("i_start") <= col("s_end"))
         .select("inc_id", "user_id", "session_id").distinct()
         .groupBy("inc_id").agg(count(lit(1)).as("n_overlapping_sessions"))
@@ -1735,11 +1743,12 @@ object Oracles {
                      FROM s1),
               sessions AS (SELECT user_id, sid, min(us) AS s_start, max(us) AS s_end
                            FROM s2 GROUP BY user_id, sid),
-              inc AS (SELECT event_id AS inc_id, us AS i_start,
+              inc AS (SELECT user_id, event_id AS inc_id, us AS i_start,
                              us + 1800000000 AS i_end
                       FROM e WHERE event_type = 'error')
          SELECT inc_id, count(*) AS n_overlapping_sessions
-         FROM inc JOIN sessions ON s_start <= i_end AND i_start <= s_end
+         FROM inc JOIN sessions USING (user_id)
+         WHERE s_start <= i_end AND i_start <= s_end
          GROUP BY inc_id ORDER BY inc_id""",
 
     // chained native ASOF joins: inner for the purchase->click hop (the
