@@ -71,6 +71,21 @@ object Queries {
     (heldout, corpusShingles)
   }
 
+  /** q50's 12-hour-gap session spans — the interval set q69/q71 analyze:
+    * one definition so the session semantics can't diverge between the
+    * rollup, the overlap join and the concurrency sweep. */
+  private def sessionSpans(e: DataFrame): DataFrame = {
+    val gapUs = 43200L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e.withColumn("new_s",
+        when(lag("us", 1).over(w).isNull ||
+          col("us") - lag("us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("us").as("s_start"), max("us").as("s_end"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
@@ -925,19 +940,10 @@ object Queries {
     // incidents are 30-minute windows after each error event; all
     // arithmetic integer microseconds.
     "q69_interval_overlap" -> ((s, d) => {
-      val gapUs = 43200L * 1000000L
       val bucketUs = 86400L * 1000000L // 1-day candidate buckets
       val e = t(s, d, "events")
         .select(col("user_id"), col("event_id"), tsMicros.as("us"), col("event_type"))
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      val sessions = e
-        .withColumn("new_s",
-          when(lag("us", 1).over(w).isNull ||
-            col("us") - lag("us", 1).over(w) > gapUs, 1L).otherwise(0L))
-        .withColumn("session_id",
-          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "session_id")
-        .agg(min("us").as("s_start"), max("us").as("s_end"))
+      val sessions = sessionSpans(e)
       val incidents = e.where(col("event_type") === "error")
         .select(col("user_id"), col("event_id").as("inc_id"), col("us").as("i_start"),
           (col("us") + 1800L * 1000000L).as("i_end"))
@@ -949,6 +955,28 @@ object Queries {
         .where(col("s_start") <= col("i_end") && col("i_start") <= col("s_end"))
         .select("inc_id", "user_id", "session_id").distinct()
         .groupBy("inc_id").agg(count(lit(1)).as("n_overlapping_sessions"))
+        .orderBy("inc_id")
+    }),
+
+    // the cross-entity concurrency question q69 refuses to answer with a
+    // join: "how many sessions, of ANYONE, were active at each error" —
+    // answered by a SWEEP, active(t) = #(s_start <= t) - #(s_end < t),
+    // two global time-ordered ranks with ZERO pairs materialized. Each
+    // rank is a two-level prefix (SweepCount.markerRank): per-time-shard
+    // marker counts give aggregate-sized offsets, a per-shard running
+    // sum finishes — the shard is the leading bits of the time, so the
+    // shard-major order IS the global order for every shard width
+    // (SweepCountSpec). A join here would materialize incidents x
+    // concurrent-sessions pairs: quadratic in scale factor.
+    "q71_session_concurrency" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), tsMicros.as("us"), col("event_type"))
+      val sessions = sessionSpans(e)
+        .select(col("s_start").as("start"), col("s_end").as("end"))
+      val incidents = e.where(col("event_type") === "error")
+        .select(col("event_id").as("probe_id"), col("us").as("t"))
+      SweepCount.activeIntervals(sessions, incidents, shardUs = 86400L * 1000000L)
+        .select(col("probe_id").as("inc_id"), col("n_active").as("n_active_sessions"))
         .orderBy("inc_id")
     }),
 
@@ -1750,6 +1778,43 @@ object Oracles {
          FROM inc JOIN sessions USING (user_id)
          WHERE s_start <= i_end AND i_start <= s_end
          GROUP BY inc_id ORDER BY inc_id""",
+
+    // the sweep mirrored as ONE global window per rank (oracle scale is
+    // fine with a single partition; the engine shards it): inclusive
+    // rank sorts markers before probes at equal time, strict rank after
+    "q71_session_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+              s1 AS (SELECT user_id, event_id, us,
+                            CASE WHEN lag(us) OVER w IS NULL
+                                      OR us - lag(us) OVER w > 43200000000
+                                 THEN 1 ELSE 0 END AS new_s
+                     FROM e
+                     WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+              s2 AS (SELECT user_id, us,
+                            sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                     FROM s1),
+              sessions AS (SELECT user_id, sid, min(us) AS s_start, max(us) AS s_end
+                           FROM s2 GROUP BY user_id, sid),
+              inc AS (SELECT event_id AS inc_id, us FROM e WHERE event_type = 'error'),
+              st AS (SELECT s_start AS time, 1 AS delta, CAST(NULL AS BIGINT) AS inc_id, 0 AS ord
+                     FROM sessions
+                     UNION ALL SELECT us, 0, inc_id, 1 FROM inc),
+              cs AS (SELECT inc_id,
+                            sum(delta) OVER (ORDER BY time, ord
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_started
+                     FROM st),
+              en AS (SELECT s_end AS time, 1 AS delta, CAST(NULL AS BIGINT) AS inc_id, 1 AS ord
+                     FROM sessions
+                     UNION ALL SELECT us, 0, inc_id, 0 FROM inc),
+              ce AS (SELECT inc_id,
+                            sum(delta) OVER (ORDER BY time, ord
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_ended
+                     FROM en)
+         SELECT cs.inc_id AS inc_id, CAST(n_started - n_ended AS BIGINT) AS n_active_sessions
+         FROM cs JOIN ce ON cs.inc_id = ce.inc_id
+         WHERE cs.inc_id IS NOT NULL
+         ORDER BY cs.inc_id""",
 
     // chained native ASOF joins: inner for the purchase->click hop (the
     // funnel requires the click), left for click->view
