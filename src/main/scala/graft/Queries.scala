@@ -759,6 +759,40 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // bigram conditional surprisal — the next LM-quality rung above
+    // q62's unigram model: a doc's mean -log2 P(w2|w1) with the corpus
+    // as the model, P = c(w1 w2) / c(w1 as left context), so every
+    // probability is a ratio of exact corpus counts and every scored
+    // bigram is in-model by construction. Same de-skew shape as
+    // q52/q62: the per-doc bigram tf PERSISTS, corpus bigram counts and
+    // left-context counts are partial-aggregated groupBys joined back
+    // (never a window over the Zipfian bigram/context keys); the mean
+    // rides the round-then-DECIMAL-sum + micro-scaled-division
+    // discipline.
+    "q72_bigram_surprisal" -> ((s, d) => {
+      val bt = t(s, d, "documents")
+        .withColumn("tk", TF.tokens(col("text")))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+        .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+        .persist()
+      val cb = bt.groupBy("w1", "bigram").agg(sum("tf").as("c2"))
+      val c1 = cb.groupBy("w1").agg(sum("c2").as("c1"))
+      bt.join(cb, Seq("w1", "bigram"))
+        .join(c1, Seq("w1"))
+        .withColumn("term",
+          round(log2(col("c1").cast("double") / col("c2")), 6)
+            .cast(DecimalType(18, 6)))
+        .groupBy("doc_id")
+        .agg(sum(col("term") * col("tf")).as("sdec"), sum("tf").as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (expr("cast(sdec * 1000000 as bigint) div n_bigrams").cast("double")
+            / lit(1000000.0)).as("avg_surprisal"))
+        .orderBy("doc_id")
+    }),
+
     // split-coverage report: per (lang, source) doc counts in train vs
     // test, FULL OUTER joined so a cell present in only one split still
     // appears (the test split is ~5% — most cells have no test docs).
@@ -1928,6 +1962,30 @@ object Oracles {
                                    AS DECIMAL(18,6)) * tf) * 1000000 AS BIGINT)
                      // sum(tf) AS DOUBLE) / 1000000.0 AS avg_surprisal
          FROM x CROSS JOIN t2 GROUP BY doc_id ORDER BY doc_id""",
+
+    // bigram surprisal: exact-count ratios, round-then-DECIMAL-sum,
+    // micro-scaled mean — q62's discipline one n-gram up
+    "q72_bigram_surprisal" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '[ \t\n\x0b\f\r]+') AS t
+                     FROM documents),
+              bg AS (SELECT doc_id,
+                            unnest(list_transform(range(1, len(t)),
+                                                  i -> t[i] || ' ' || t[i+1])) AS bigram
+                     FROM tk),
+              bt AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
+              cb AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c2 FROM bt GROUP BY bigram),
+              c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(tf) AS BIGINT) AS c1
+                     FROM bt GROUP BY 1),
+              x AS (SELECT bt.doc_id, bt.tf,
+                           CAST(round(log2(CAST(c1 AS DOUBLE) / c2), 6)
+                                AS DECIMAL(18,6)) AS term
+                    FROM bt
+                    JOIN cb USING (bigram)
+                    JOIN c1 ON split_part(bt.bigram, ' ', 1) = c1.w1)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                CAST(CAST(sum(term * tf) * 1000000 AS BIGINT)
+                     // sum(tf) AS DOUBLE) / 1000000.0 AS avg_surprisal
+         FROM x GROUP BY doc_id ORDER BY doc_id""",
 
     // sliding-window membership by integer arithmetic: window [s, s+15min)
     // contains t iff s = (t div 5min - k)*5min for k in 0..2

@@ -66,9 +66,9 @@ class HotTokenSpec extends AnyFunSuite {
       s"expected map-side combine to collapse the hot token; $shuffled of $n rows crossed the shuffle")
   }
 
-  test("q52/q62 executed plans have no window partitioned by token") {
+  test("q52/q62/q72 executed plans have no window partitioned by token") {
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq("q52_tfidf", "q62_unigram_surprisal")) {
+    for (q <- Seq("q52_tfidf", "q62_unigram_surprisal", "q72_bigram_surprisal")) {
       val res = SparkEntry.queries(q)(spark, sf)
       assert(res.count() > 0)
       val windows = collectPlans(res.queryExecution.executedPlan)
