@@ -793,6 +793,20 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // the Z-order curve itself, oracle-checked: Morton interleave of two
+    // 12-bit event coordinates via shift-mask spreads — pure integer
+    // arithmetic, bit-identical in any engine. Sorting by z is what
+    // gives 2-D box predicates row-group locality (ZOrderSpec proves
+    // the pruning on scan metrics); this query pins the curve's bits so
+    // the layout is portable.
+    "q73_zorder_curve" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_id"),
+        (col("user_id") % 4096).as("ux"),
+        (floor(col("value")).cast("long") % 4096).as("vy"))
+      e.withColumn("z", graft.functions.ZOrder.zValue(col("ux"), col("vy")))
+        .orderBy("event_id")
+    }),
+
     // split-coverage report: per (lang, source) doc counts in train vs
     // test, FULL OUTER joined so a cell present in only one split still
     // appears (the test split is ~5% — most cells have no test docs).
@@ -1962,6 +1976,27 @@ object Oracles {
                                    AS DECIMAL(18,6)) * tf) * 1000000 AS BIGINT)
                      // sum(tf) AS DOUBLE) / 1000000.0 AS avg_surprisal
          FROM x CROSS JOIN t2 GROUP BY doc_id ORDER BY doc_id""",
+
+    // the Morton spread chain written out twice (x and y) — same
+    // shift-mask arithmetic, exact in both engines
+    "q73_zorder_curve" ->
+      """WITH s AS (SELECT event_id, user_id % 4096 AS ux,
+                           CAST(floor(value) AS BIGINT) % 4096 AS vy
+                    FROM events),
+              e1 AS (SELECT event_id, ux, vy,
+                            ((ux | (ux << 8)) & 16711935) AS x1,
+                            ((vy | (vy << 8)) & 16711935) AS y1 FROM s),
+              e2 AS (SELECT event_id, ux, vy,
+                            ((x1 | (x1 << 4)) & 252645135) AS x2,
+                            ((y1 | (y1 << 4)) & 252645135) AS y2 FROM e1),
+              e3 AS (SELECT event_id, ux, vy,
+                            ((x2 | (x2 << 2)) & 858993459) AS x3,
+                            ((y2 | (y2 << 2)) & 858993459) AS y3 FROM e2),
+              e4 AS (SELECT event_id, ux, vy,
+                            ((x3 | (x3 << 1)) & 1431655765) AS x4,
+                            ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM e3)
+         SELECT event_id, ux, vy, CAST(x4 | (y4 << 1) AS BIGINT) AS z
+         FROM e4 ORDER BY event_id""",
 
     // bigram surprisal: exact-count ratios, round-then-DECIMAL-sum,
     // micro-scaled mean — q62's discipline one n-gram up
