@@ -793,6 +793,25 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // feature hashing (the hashing trick / HashingTF): tokens map to a
+    // fixed 64-bucket space by portable md5 (PortableHash convention),
+    // with the companion SIGN hash (a second md5 nibble) that makes the
+    // hashed estimator unbiased under collisions. The fixed-width output
+    // is what downstream trainers consume when the vocabulary is
+    // unbounded; one partial-aggregated shuffle on (doc, bucket), no
+    // vocabulary state anywhere. All-integer -> exact in any engine.
+    "q74_feature_hash" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .withColumn("bucket",
+          expr("cast(conv(substr(md5(cast(token as binary)), 1, 8), 16, 10) as bigint) % 64"))
+        .withColumn("sign",
+          lit(1L) - lit(2L) *
+            expr("cast(conv(substr(md5(cast(token as binary)), 9, 1), 16, 10) as bigint) % 2"))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("tf_sum"), sum("sign").as("signed_sum"))
+        .orderBy("doc_id", "bucket")),
+
     // the Z-order curve itself, oracle-checked: Morton interleave of two
     // 12-bit event coordinates via shift-mask spreads — pure integer
     // arithmetic, bit-identical in any engine. Sorting by z is what
@@ -1976,6 +1995,19 @@ object Oracles {
                                    AS DECIMAL(18,6)) * tf) * 1000000 AS BIGINT)
                      // sum(tf) AS DOUBLE) / 1000000.0 AS avg_surprisal
          FROM x CROSS JOIN t2 GROUP BY doc_id ORDER BY doc_id""",
+
+    // feature hashing: bucket and sign from the PortableHash md5
+    // convention; counts and signed sums are exact integers
+    "q74_feature_hash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                      FROM documents),
+              b AS (SELECT doc_id,
+                           ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket,
+                           1 - 2 * (('0x' || substr(md5(token), 9, 1))::BIGINT % 2) AS sign
+                    FROM tok)
+         SELECT doc_id, bucket, count(*) AS tf_sum,
+                CAST(sum(sign) AS BIGINT) AS signed_sum
+         FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
 
     // the Morton spread chain written out twice (x and y) — same
     // shift-mask arithmetic, exact in both engines
