@@ -812,6 +812,26 @@ object Queries {
         .agg(count(lit(1)).as("tf_sum"), sum("sign").as("signed_sum"))
         .orderBy("doc_id", "bucket")),
 
+    // per-group z-score normalization — the feature-scaling primitive
+    // training pipelines run before any model sees a numeric column.
+    // The per-language moments are EXACT integer sums (count, sum,
+    // sum-of-squares), broadcast back; z = (x*n - s) / sqrt(n*ss - s^2)
+    // is one derivation over identical integers in both engines, so the
+    // doubles agree bit-for-bit before the final round. One aggregate
+    // shuffle + a broadcast join; the normalize itself is map-side.
+    "q75_zscore_norm" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val m = docs.groupBy("lang").agg(
+        count(lit(1)).as("n"), sum("n_chars").as("sm"),
+        sum(col("n_chars") * col("n_chars")).as("ss"))
+      docs.join(broadcast(m), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round((col("n_chars") * col("n") - col("sm")).cast("double") /
+            sqrt((col("n") * col("ss") - col("sm") * col("sm")).cast("double")), 6)
+            .as("z"))
+        .orderBy("doc_id")
+    }),
+
     // the Z-order curve itself, oracle-checked: Morton interleave of two
     // 12-bit event coordinates via shift-mask spreads — pure integer
     // arithmetic, bit-identical in any engine. Sorting by z is what
@@ -1995,6 +2015,19 @@ object Oracles {
                                    AS DECIMAL(18,6)) * tf) * 1000000 AS BIGINT)
                      // sum(tf) AS DOUBLE) / 1000000.0 AS avg_surprisal
          FROM x CROSS JOIN t2 GROUP BY doc_id ORDER BY doc_id""",
+
+    // z-score over exact integer moments: one derivation, identical
+    // doubles in both engines before the round
+    "q75_zscore_norm" ->
+      """WITH m AS (SELECT lang, count(*) AS n,
+                           CAST(sum(n_chars) AS BIGINT) AS sm,
+                           CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+                    FROM documents GROUP BY lang)
+         SELECT doc_id, lang, n_chars,
+                round(CAST(n_chars * n - sm AS DOUBLE)
+                      / sqrt(CAST(n * ss - sm * sm AS DOUBLE)), 6) AS z
+         FROM documents JOIN m USING (lang)
+         ORDER BY doc_id""",
 
     // feature hashing: bucket and sign from the PortableHash md5
     // convention; counts and signed sums are exact integers

@@ -61,6 +61,32 @@ class QuantileSketchSpec extends AnyFunSuite {
       s"heavy hitter missing from sketch result: $items")
   }
 
+  test("count-min sketch: every estimate >= truth, overestimate within eps*n") {
+    // the fourth sketch of the family (quantiles, cardinality, frequency
+    // membership — and now per-item COUNTS): CMS never underestimates,
+    // and with depth d = ceil(ln(1/delta)), width w = ceil(e/eps) the
+    // overestimate stays under eps * n with probability 1 - delta. A few
+    // KB of state per partition, merged associatively — per-token counts
+    // at corpus scale without a vocabulary-sized shuffle.
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // Zipf-ish: token_k appears ~ 20000/k times
+    val rows = (1 to 50).flatMap(k => Seq.fill(20000 / k)(s"token_$k"))
+    val shuffled = rnd.shuffle(rows)
+    val df = shuffled.toDF("token").repartition(8)
+    val eps = 0.001
+    val cms = df.stat.countMinSketch(col("token"), eps = eps, confidence = 0.99, seed = 17)
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    for (k <- Seq(1, 2, 5, 10, 50)) {
+      val est = cms.estimateCount(s"token_$k")
+      val t = truth(s"token_$k")
+      assert(est >= t, s"CMS underestimated token_$k: $est < $t")
+      assert(est - t <= (eps * n).toLong * 2,
+        s"CMS overestimate ${est - t} beyond 2*eps*n for token_$k")
+    }
+  }
+
   test("q56's grouped shape: sketch p50 within rank tolerance of exact per lang") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val joined = docs.groupBy("lang").agg(
