@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The plan audit as CI: the properties each round's `.explain` review
+ * checks by hand — pushed filters, pruned schemas, broadcast star
+ * joins, top-K without a global sort, narrow chunking — asserted on the
+ * EXECUTED plans so a regression fails a test instead of waiting for
+ * the next manual audit. (HotTokenSpec guards the no-Zipfian-window
+ * property the same way; this spec covers the rest of the checklist.)
+ */
+class PlanGuardSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-guard-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def collectPlans(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => collectPlans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: collectPlans(q.plan)
+    case other =>
+      other +: (other.children ++ other.subqueries).flatMap(collectPlans)
+  }
+
+  private def executedPlans(q: String): Seq[SparkPlan] = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.write.mode("overwrite").format("noop").save()
+    val plans = collectPlans(df.queryExecution.executedPlan)
+    spark.catalog.clearCache()
+    plans
+  }
+
+  test("q01: filter pushed to the parquet scan, schema pruned to the projection") {
+    val scans = executedPlans("q01_scan_filter_project")
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.metadata.get("PushedFilters").exists(f => f != "[]" && f.nonEmpty),
+      s"no pushed filters: ${scan.metadata.get("PushedFilters")}")
+    // 4 projected columns, not the full 16-column lineitem schema
+    assert(scan.schema.fields.length <= 4,
+      s"scan reads ${scan.schema.fields.length} columns: ${scan.schema.fieldNames.mkString(",")}")
+  }
+
+  test("q04: the star join is ALL broadcast — no sort-merge join, no shuffle before the agg") {
+    val plans = executedPlans("q04_join_broadcast_star")
+    assert(plans.collect { case j: BroadcastHashJoinExec => j }.size == 3,
+      "expected 3 broadcast hash joins for supplier/nation/region")
+    assert(plans.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "star join fell back to sort-merge")
+  }
+
+  test("q51: global top-K compiles to TakeOrderedAndProject, never a full vocabulary sort") {
+    val plans = executedPlans("q51_top_tokens")
+    assert(plans.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "top-K is not TakeOrderedAndProject")
+  }
+
+  test("q60: chunking stays narrow — only the output sort exchanges") {
+    val exchanges = executedPlans("q60_chunking")
+      .collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.size <= 1,
+      s"chunking grew ${exchanges.size} exchanges — expected only the ORDER BY range partition")
+  }
+
+  test("q45: the held-out side broadcasts; corpus ids ride a left-semi broadcast join") {
+    val plans = executedPlans("q45_decontamination")
+    val semis = plans.collect { case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j }
+    assert(semis.nonEmpty, "decontamination semi-join is not broadcast")
+  }
+}
