@@ -812,6 +812,41 @@ object Queries {
         .agg(count(lit(1)).as("tf_sum"), sum("sign").as("signed_sum"))
         .orderBy("doc_id", "bucket")),
 
+    // BM25 top-3 terms per document — the retrieval scorer TF-IDF
+    // graduates into: IDF damped by the +0.5 smoothing, tf saturated by
+    // k1, and document length normalized by b against the corpus mean.
+    // Same de-skew shape as q52 (persisted tf; df and per-doc length via
+    // partial-aggregated groupBys joined back; 1-row corpus stats
+    // broadcast). Every input to the formula is an exact integer (tf,
+    // df, N, doc length, total tokens), the formula is evaluated
+    // IDENTICALLY in both engines, and ranking uses the rounded score
+    // (round-before-order discipline) with the token tiebreak.
+    "q76_bm25" -> ((s, d) => {
+      val (k1, b) = (1.2, 0.75)
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .persist()
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = tf.agg(countDistinct("doc_id").as("n_docs"), sum("tf").as("total_toks"))
+      val w = Window.partitionBy("doc_id").orderBy(col("bm25").desc, col("token"))
+      tf.join(dfreq, Seq("token"))
+        .join(dlen, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(
+          (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("norm",
+          col("tf") * (k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1 - b) + col("dl") * lit(b) /
+              (col("total_toks").cast("double") / col("n_docs")))))
+        .withColumn("bm25", round(col("idf") * col("norm"), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("bm25"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // per-group z-score normalization — the feature-scaling primitive
     // training pipelines run before any model sees a numeric column.
     // The per-language moments are EXACT integer sums (count, sum,
@@ -2015,6 +2050,32 @@ object Oracles {
                                    AS DECIMAL(18,6)) * tf) * 1000000 AS BIGINT)
                      // sum(tf) AS DOUBLE) / 1000000.0 AS avg_surprisal
          FROM x CROSS JOIN t2 GROUP BY doc_id ORDER BY doc_id""",
+
+    // BM25 with the identical formula over identical exact integers;
+    // rank on the rounded score, token tiebreak
+    "q76_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                      FROM documents),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+              dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+              dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+              st AS (SELECT count(DISTINCT doc_id) AS n_docs,
+                            CAST(sum(tf) AS BIGINT) AS total_toks FROM tf),
+              scored AS (SELECT tf.doc_id, tf.token,
+                                round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                                      * (tf * (1.2 + 1) /
+                                         (tf + 1.2 * (1 - 0.75 + 0.75 * dl /
+                                            (CAST(total_toks AS DOUBLE) / n_docs)))), 6) AS bm25
+                         FROM tf
+                         JOIN dfq USING (token)
+                         JOIN dl USING (doc_id)
+                         CROSS JOIN st),
+              r AS (SELECT doc_id, token, bm25,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY bm25 DESC, token) AS rank
+                    FROM scored)
+         SELECT doc_id, CAST(rank AS INT) AS rank, token, bm25
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     // z-score over exact integer moments: one derivation, identical
     // doubles in both engines before the round
