@@ -396,6 +396,29 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    // quality-aware dedup — the production "keep one per cluster" rule:
+    // q43 keeps the MIN-ID member (the deterministic default); curation
+    // keeps the HIGHEST-QUALITY member. One integer-exact argmax per
+    // cluster (max of a (rounded-quality, -doc_id) struct — round
+    // BEFORE the argmax per the determinism rule, id as tiebreak) over
+    // the cluster table; cluster-count-sized rows, no extra corpus scan
+    // beyond the quality projection.
+    "q77_dedup_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val clusters = Dedup.dupClusters(
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 64, bands = 16, shingleN = 3, threshold = 0.5))
+      val scored = docs.select(col("doc_id"),
+        round(TF.qualityScore(col("text")), 6).as("q"))
+      clusters.join(scored, Seq("doc_id"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("q"), (-col("doc_id")).as("neg_id"))).as("m"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("m.neg_id")).as("kept_doc_id"), col("m.q").as("best_q"))
+        .orderBy("cluster_id")
+    }),
+
     // corpus-wide exact top-K tokens — the vocabulary head every corpus
     // report starts with. explode -> count -> global top-K compiles to
     // partial aggregation + TakeOrderedAndProject (per-partition heaps,
@@ -2306,6 +2329,37 @@ object Oracles {
                 SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
          SELECT src AS doc_id, min(dst) AS cluster_id
          FROM reach GROUP BY src ORDER BY doc_id""",
+
+    // q43's recursive-CTE clusters + q24's quality formula; the keep
+    // decision is a rank over (rounded quality DESC, doc_id ASC)
+    "q77_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+              p AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+              edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                        UNION SELECT doc_b, doc_a FROM p),
+              reach(src, dst) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+              cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                     FROM reach GROUP BY src),
+              qbase AS (SELECT doc_id,
+                               CAST(len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS n,
+                               CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) /
+                                 greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
+                               CAST(length(text) AS DOUBLE) AS n_chars
+                        FROM documents),
+              qx AS (SELECT doc_id,
+                            round((least(1.0, n/64.0) + alpha +
+                                   least(1.0, (n_chars/greatest(n, 1.0))/8.0)) / 3.0, 6) AS q
+                     FROM qbase),
+              r AS (SELECT cluster_id, doc_id, q,
+                           row_number() OVER (PARTITION BY cluster_id
+                                              ORDER BY q DESC, doc_id ASC) AS rn,
+                           count(*) OVER (PARTITION BY cluster_id) AS n_members
+                    FROM cl JOIN qx USING (doc_id))
+         SELECT cluster_id, n_members, doc_id AS kept_doc_id, q AS best_q
+         FROM r WHERE rn = 1 ORDER BY cluster_id""",
 
     "q28_simhash" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok FROM documents),

@@ -34,6 +34,26 @@ object StreamingOps {
         min("value").as("min_value"),
         max("value").as("max_value"))
 
+  /** Watermarked windowed CARDINALITY rollup: distinct users per
+    * tumbling window via the HLL++ sketch — `approx_count_distinct` is
+    * a mergeable kilobyte aggregation state, so the streaming state per
+    * open window is bounded regardless of how many distinct keys the
+    * window sees (exact distinct would buffer every key). The
+    * batch-side sketch error bound is pinned by QuantileSketchSpec; the
+    * streaming test checks exactness at test cardinalities. */
+  def windowedDistinctUsers(
+      events: DataFrame, // (ts: timestamp, user_id, ...)
+      watermark: String = "10 minutes",
+      windowLen: String = "5 minutes",
+      rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(approx_count_distinct("user_id", rsd).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("n_users_approx"), col("n_events"))
+
   /** Streaming analogue of the batch gap-sessionization (q50): session
     * windows per key close when a gap exceeds `gap`, finalized by the
     * watermark — state per open session only, bounded like any session

@@ -38,6 +38,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(cpu.getAs[Double]("sum_value") == 4.0)
   }
 
+  test("windowed distinct-user rollup rides the HLL++ sketch (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = StreamingOps.windowedDistinctUsers(
+      input.toDF().toDF("ts", "user_id"), watermark = "1 minute", windowLen = "1 minute")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("distinct_users").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // window 1: users 1,2,3 (user 1 twice); window 2: user 9 only
+    input.addData((ts(0), 1L), (ts(5), 2L), (ts(10), 3L), (ts(15), 1L), (ts(70), 9L))
+    q.processAllAvailable()
+    val out = spark.table("distinct_users").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start") ->
+        (r.getAs[Long]("n_users_approx"), r.getAs[Long]("n_events"))).toMap
+    q.stop()
+    // HLL++ is exact at these cardinalities
+    assert(out.values.toSet == Set((3L, 4L), (1L, 1L)), s"got $out")
+  }
+
   test("explanation emitted the moment a window closes (paper's online path)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
