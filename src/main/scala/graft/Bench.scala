@@ -109,6 +109,9 @@ object Bench {
       val exact = Similarity.bruteForceKnn(embs, queries, "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // an empty ground truth would make recall 0/0 = NaN — which is not
+      // JSON; fail into the catch (extras omitted) instead
+      require(exact.nonEmpty, "ivf extras: empty brute-force ground truth")
       def run(model: Option[Seq[Array[Float]]]): (Double, Double) = {
         val t0 = System.nanoTime()
         val got = Similarity.ivfKnn(embs, queries, "vec_id", "embedding",

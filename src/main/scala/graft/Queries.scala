@@ -874,9 +874,14 @@ object Queries {
     // training pipelines run before any model sees a numeric column.
     // The per-language moments are EXACT integer sums (count, sum,
     // sum-of-squares), broadcast back; z = (x*n - s) / sqrt(n*ss - s^2)
-    // is one derivation over identical integers in both engines, so the
-    // doubles agree bit-for-bit before the final round. One aggregate
-    // shuffle + a broadcast join; the normalize itself is map-side.
+    // is one derivation over identical inputs in both engines, so the
+    // doubles agree bit-for-bit before the final round. The variance
+    // PRODUCTS are computed in double space — n*ss in long overflows
+    // silently (non-ANSI wrap) at ~3M docs per language, the exact
+    // invisible-at-fixture-scale divergence the scale rules forbid; the
+    // double products lose the same low bits in both engines, so parity
+    // is unaffected. One aggregate shuffle + a broadcast join; the
+    // normalize itself is map-side.
     "q75_zscore_norm" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val m = docs.groupBy("lang").agg(
@@ -885,7 +890,8 @@ object Queries {
       docs.join(broadcast(m), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           round((col("n_chars") * col("n") - col("sm")).cast("double") /
-            sqrt((col("n") * col("ss") - col("sm") * col("sm")).cast("double")), 6)
+            sqrt(col("n").cast("double") * col("ss").cast("double") -
+              col("sm").cast("double") * col("sm").cast("double")), 6)
             .as("z"))
         .orderBy("doc_id")
     }),
@@ -2109,7 +2115,8 @@ object Oracles {
                     FROM documents GROUP BY lang)
          SELECT doc_id, lang, n_chars,
                 round(CAST(n_chars * n - sm AS DOUBLE)
-                      / sqrt(CAST(n * ss - sm * sm AS DOUBLE)), 6) AS z
+                      / sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                             - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)), 6) AS z
          FROM documents JOIN m USING (lang)
          ORDER BY doc_id""",
 
@@ -2127,14 +2134,19 @@ object Oracles {
          FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
 
     // the Morton spread chain written out twice (x and y) — same
-    // shift-mask arithmetic, exact in both engines
+    // shift-mask arithmetic, exact in both engines. The leading & 65535
+    // mirrors the engine's spread16 input mask so the two stay identical
+    // even for NEGATIVE coordinates (a negative % result carries high
+    // two's-complement bits that the chain would otherwise spread)
     "q73_zorder_curve" ->
       """WITH s AS (SELECT event_id, user_id % 4096 AS ux,
                            CAST(floor(value) AS BIGINT) % 4096 AS vy
                     FROM events),
+              s0 AS (SELECT event_id, ux, vy,
+                            (ux & 65535) AS x0, (vy & 65535) AS y0 FROM s),
               e1 AS (SELECT event_id, ux, vy,
-                            ((ux | (ux << 8)) & 16711935) AS x1,
-                            ((vy | (vy << 8)) & 16711935) AS y1 FROM s),
+                            ((x0 | (x0 << 8)) & 16711935) AS x1,
+                            ((y0 | (y0 << 8)) & 16711935) AS y1 FROM s0),
               e2 AS (SELECT event_id, ux, vy,
                             ((x1 | (x1 << 4)) & 252645135) AS x2,
                             ((y1 | (y1 << 4)) & 252645135) AS y2 FROM e1),

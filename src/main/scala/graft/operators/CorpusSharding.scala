@@ -88,7 +88,15 @@ object CorpusSharding {
   /** Shared two-level core: `budgetCol` is evaluated against the
     * aggregate-sized per-(lang, shard) totals frame (column `st`, window
     * over `lang` allowed), so a budget can be a corpus-derived expression
-    * (q59's 20% of token mass) or a constant (q68's per-stratum head). */
+    * (q59's 20% of token mass) or a constant (q68's per-stratum head).
+    *
+    * CACHING CONTRACT: the sharded base is persisted (it feeds both the
+    * totals aggregation and the main pass) and the lazily-returned plan
+    * keeps referencing it, so it cannot be unpersisted here. Long-lived
+    * sessions must release it after materializing the result —
+    * `spark.catalog.clearCache()` (what Verify/Bench do between queries)
+    * or an eviction-tolerant storage policy; otherwise repeated calls
+    * accumulate InMemoryRelations until storage-memory eviction. */
   private def hashOrderPrefix(docs: DataFrame, tokenCount: Column, prefixHexChars: Int,
                               budgetCol: Column): DataFrame = {
     val base = withHashShard(docs, tokenCount, prefixHexChars, Seq("lang")).persist()

@@ -23,13 +23,17 @@ import org.apache.spark.sql.functions._
 object EntropyReward {
 
   /** Feature-name -> column-position lookup as a codegen'd expression
-    * (M6): `element_at` over a literal map instead of a scalar UDF — the
-    * map is driver-side tiny (one entry per feature) and the lookup
+    * (M6): `try_element_at` over a literal map instead of a scalar UDF —
+    * the map is driver-side tiny (one entry per feature) and the lookup
     * inlines into whole-stage codegen, per the project rule that a UDF is
-    * never used where a built-in expresses the same thing. */
+    * never used where a built-in expresses the same thing. try_ (not
+    * plain element_at): under ANSI mode — Spark 4's default, which
+    * library consumers may run with — element_at THROWS on a missing
+    * key before coalesce can apply the default, where the udf this
+    * replaced returned getOrElse(default). */
   def featIdxCol(featIdx: Map[String, Int], feature: Column,
                  default: Int = Int.MaxValue): Column =
-    coalesce(element_at(typedLit(featIdx), feature), lit(default))
+    coalesce(try_element_at(typedLit(featIdx), feature), lit(default))
 
   /** H_class as a codegen'd column expression (log base 2, `entropy_...py:35-37`).
     * The reference raises when either class is empty (`:30-34`); here such
