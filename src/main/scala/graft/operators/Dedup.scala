@@ -124,49 +124,66 @@ object Dedup {
    *              buckets, star edges verify trivially). Default = off,
    *              the exact all-pairs semantics q26 oracles.
    */
-  def minhashLshPairs(
+  /** (doc, hset, sig): one md5-32 hash per distinct shingle plus the
+    * k-permutation minhash signature — the shared front end of the LSH
+    * pair join and the streaming ingest flagger. One string hash per
+    * shingle, then k cheap integer permutations over the deduped hash
+    * set (the min is unaffected by duplicates, and the same sorted hash
+    * set drives exact verification downstream). The shingle hash is the
+    * 32-bit md5 prefix (PortableHash convention, computed in the fused
+    * ShingleKernel — measured 14 s -> sub-second at sf0.1 vs the
+    * interpreted per-element HOF) — a DuckDB oracle reproduces hashes,
+    * signatures, banding, and verification exactly. The repartition
+    * AFTER the signature projection is load-bearing twice over: it fans
+    * the hashing work out of a single file split, and the exchange
+    * materializes `sig` so CollapseProject cannot inline the
+    * 64-expression signature into each band hash. (Streaming callers
+    * skip the repartition — a stream is already micro-batched and a
+    * repartition would force an exchange per batch.) */
+  private[graft] def shingleSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      threshold: Double = 0.5, hotBucketCap: Int = Int.MaxValue): DataFrame = {
-    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    val rows = k / bands
-
-    // one string hash per shingle, then k cheap integer permutations over
-    // the deduped hash set (the min is unaffected by duplicates, and the
-    // same sorted hash set drives exact verification below). The shingle
-    // hash is the 32-bit md5 prefix (PortableHash convention, computed in
-    // the fused ShingleKernel — measured 14 s -> sub-second at sf0.1 vs
-    // the interpreted per-element HOF) — a DuckDB oracle reproduces
-    // hashes, signatures, banding, and verification exactly.
-    // The repartition AFTER the signature projection is load-bearing twice
-    // over: it fans the hashing work out of a single file split, and the
-    // exchange materializes `sig` so CollapseProject cannot inline the
-    // 64-expression signature into each of the 16 band hashes below.
+      k: Int, shingleN: Int, repartitionForBatch: Boolean = true,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val hsetUdf = udf((text: String) =>
       graft.functions.ShingleKernel.md5ShingleSet(text, shingleN))
-    val sig = docs.select(
-      col(idCol).as("doc"),
-      hsetUdf(col(textCol)).as("hset"))
+    val base = docs.select(
+      col(idCol).as("doc") +: extraCols.map(col) :+
+        hsetUdf(col(textCol)).as("hset"): _*)
       .where(size(col("hset")) > 0)
       // single-pass custom expression (graft.plans.MinHashSignature): the
       // composable array_min(transform(...))*k form allocates boxed
       // intermediates and was the measured bottleneck of this operator
       .withColumn("sig",
         graft.plans.MinHashSignature.minhashSignature(docs.sparkSession, "hset", k))
-      // explicit partition count: AQE may coalesce a column-only
-      // repartition of byte-light data back onto one core
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc"))
+    // explicit partition count: AQE may coalesce a column-only
+    // repartition of byte-light data back onto one core
+    if (repartitionForBatch)
+      base.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc"))
+    else base
+  }
 
-    // band hash per (doc, band): xxhash64 over the band's signature slice.
-    // IDs ONLY travel through the band explosion and the pair-dedup
-    // shuffle — the (fat) hash sets are joined back onto the distinct
-    // candidate pairs afterwards, so the heavy payload crosses the wire
-    // once per doc, not once per bucket collision.
-    val banded = sig.select(
-      col("doc"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
-      }: _*)).as(Seq("band", "band_hash")))
+  /** Band hash per (doc, band): xxhash64 over the band's signature
+    * slice. IDs ONLY travel through the band explosion and downstream
+    * shuffles — the (fat) hash sets are joined back onto survivors
+    * afterwards, so the heavy payload crosses the wire once per doc,
+    * not once per bucket collision. */
+  private[graft] def bandHashes(sig: DataFrame, k: Int, bands: Int,
+                                extraCols: Seq[String] = Nil): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    sig.select(
+      col("doc") +: extraCols.map(col) :+
+        posexplode(array((0 until bands).map { b =>
+          xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
+        }: _*)).as(Seq("band", "band_hash")): _*)
+  }
+
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      threshold: Double = 0.5, hotBucketCap: Int = Int.MaxValue): DataFrame = {
+    val sig = shingleSignatures(docs, idCol, textCol, k, shingleN)
+    val banded = bandHashes(sig, k, bands)
 
     val candidates = (if (hotBucketCap == Int.MaxValue) {
       banded.select(col("band"), col("band_hash"), col("doc").as("doc_a"))

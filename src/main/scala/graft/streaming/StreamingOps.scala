@@ -122,6 +122,48 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /**
+   * Streaming NEAR-dup flagging at ingest — the registry check that
+   * keeps near-copies of the EXISTING corpus out of the stream, where
+   * [[dedupIngest]] only catches byte-exact repeats. The static corpus
+   * is banded once (minhash signatures -> per-band hashes, the same
+   * kernels the batch LSH join uses); each arriving document computes
+   * its own bands (a narrow, stateless projection — fused shingle
+   * kernel + the single-pass signature expression) and LEFT SEMI joins
+   * the static bucket table: a band collision = candidate near-dup.
+   * The emitted stream is the QUARANTINE side (doc ids sharing >= 1
+   * band with the corpus, deduped within the watermark); exact
+   * verification of quarantined docs is the batch side's job
+   * (minhashLshPairs' verify stage) — the standard split of a
+   * recall-biased streaming gate and a precision batch confirm.
+   *
+   * Scale shape: the bucket table is (band, band_hash) pairs — 16
+   * longs per corpus doc; beyond broadcast size Spark runs the
+   * stream-static join shuffled per micro-batch, still stateless.
+   */
+  def nearDupCandidatesIngest(
+      docs: DataFrame, // streaming: (idCol, textCol, tsCol)
+      corpus: DataFrame, // static: (idCol, textCol)
+      idCol: String, textCol: String,
+      tsCol: String = "ts",
+      watermark: String = "1 hour",
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    val corpusBuckets = graft.operators.Dedup.bandHashes(
+        graft.operators.Dedup.shingleSignatures(corpus, idCol, textCol, k, shingleN),
+        k, bands)
+      .select("band", "band_hash").distinct()
+    val streamBands = graft.operators.Dedup.bandHashes(
+      graft.operators.Dedup.shingleSignatures(
+        docs, idCol, textCol, k, shingleN,
+        repartitionForBatch = false, extraCols = Seq(tsCol)),
+      k, bands, extraCols = Seq(tsCol))
+    streamBands
+      .join(corpusBuckets, Seq("band", "band_hash"), "left_semi")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("doc") // one quarantine row per doc
+      .select(col("doc").as(idCol), col(tsCol))
+  }
+
   /** A labeled observation arriving on the stream. `type_data` -1 marks a
     * span-close control record for the window key. */
   case class StreamObs(window_key: String, feature: String, timestamp: Long,

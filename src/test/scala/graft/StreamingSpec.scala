@@ -277,6 +277,31 @@ class StreamingSpec extends AnyFunSuite {
     assert((ids intersect Set(1L, 2L, 4L)).size == 1) // exactly one alpha-beta survives
   }
 
+  test("ingest near-dup flagging quarantines a near-copy of the static corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val template = "the quick brown fox jumps over the lazy dog again and again every day"
+    val corpus = Seq((100L, template),
+      (101L, "an entirely different corpus document about engines and plans"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val flagged = StreamingOps.nearDupCandidatesIngest(
+      input.toDF().toDF("ts", "doc_id", "text"), corpus,
+      idCol = "doc_id", textCol = "text", watermark = "10 minutes")
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("quarantine").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData(
+      // near-copy: one word changed -> most shingles (and bands) shared
+      (t0, 1L, "the quick brown fox jumps over the lazy cat again and again every day"),
+      // novel doc: shares no 3-gram shingle with the corpus
+      (t0, 2L, "completely novel text with fresh words nowhere in the registry at all"))
+    q.processAllAvailable()
+    val out = spark.table("quarantine").collect().map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(out == Set(1L), s"quarantine stream got $out")
+  }
+
   test("stateful span assembly emits a closed window on the close marker") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
