@@ -55,6 +55,22 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(badFlag.getMessage.contains("must be a constant"),
         s"unexpected error: ${badFlag.getMessage}")
 
+      // featIdxCol must keep its getOrElse-default semantics under ANSI
+      // mode (Spark 4's default for library consumers): try_element_at
+      // yields null -> coalesce default on a missing key, where plain
+      // element_at would throw MAP_KEY_DOES_NOT_EXIST
+      val saved = spark.conf.get("spark.sql.ansi.enabled", "true")
+      try {
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        import spark.implicits._
+        val out = Seq("known", "missing").toDF("feature")
+          .select(graft.operators.EntropyReward
+            .featIdxCol(Map("known" -> 7), org.apache.spark.sql.functions.col("feature"))
+            .as("idx"))
+          .collect().map(_.getInt(0)).toSet
+        assert(out == Set(7, Int.MaxValue), s"got $out")
+      } finally spark.conf.set("spark.sql.ansi.enabled", saved)
+
       import org.apache.spark.sql.catalyst.FunctionIdentifier
       Seq(graft.plans.LongSetOps.FunctionName, graft.plans.FloatVecOps.FunctionName,
         graft.plans.MinHashSignature.FunctionName, graft.plans.SegEntropyAgg.FunctionName)
