@@ -52,7 +52,8 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
       }
-      // drop any intermediate a query persisted (q52/q62's tf) so every
+      // belt-and-braces (intermediates ride localCheckpoint, not the
+      // catalog cache): drop anything persisted so every
       // timed run does the full work and nothing leaks across queries
       finally spark.catalog.clearCache()
     }
@@ -134,10 +135,18 @@ object Bench {
 
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"errors":$errs,"n_ok":${good.size},"n_err":$nErr,"runs":$runs,"sf":"$sfDir"$extras}"""
     println(line)
-    // stdout of an sbt run is buried in [info] noise — also write the line
-    // to a file so the driver (and any harness) can parse it reliably
+    // The full per-query line is ~2.5 KB and grows with every query; a
+    // harness that captures only a fixed-size stdout TAIL can truncate it
+    // mid-object (BENCH_r04.json: "parsed": null). Emit a second, compact
+    // summary line AFTER it so any tail window always ends with one
+    // complete parseable JSON object carrying the headline numbers.
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${good.size},"n_err":$nErr,"runs":$runs,"sf":"$sfDir"}"""
+    println(summary)
+    // stdout of an sbt run is buried in [info] noise — also write both
+    // lines to a file so the driver (and any harness) can parse the full
+    // per-query detail reliably
     sys.env.get("SPARK_GRAFT_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n" + summary + "\n")
     }
     spark.stop()
   }

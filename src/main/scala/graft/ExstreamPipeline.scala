@@ -110,7 +110,7 @@ object ExstreamPipeline {
       cfg: ExstreamConfig): DataFrame = {
     val (traceLong, featureOrder) = Sources.readAllTraces(spark, dataFolder, labelFilename)
     val labels = Sources.readLabels(spark, s"$dataFolder/$labelFilename.csv")
-      .withColumn("ano_type", udf(Sources.anomalyTypeForTrace _).apply(col("trace_id")))
+      .withColumn("ano_type", Sources.anomalyTypeCol(col("trace_id")))
     val obs0 = IntervalLabeler.labelObservations(traceLong, labels)
 
     // instability: the explanation query re-run on N 80% resamples

@@ -546,7 +546,8 @@ object Queries {
 
     // corpus TF-IDF top-3 terms per document — the classic relevance
     // weighting tf * ln(N/df). The corpus is scanned and tokenized ONCE:
-    // the (doc_id, token) tf aggregate is PERSISTED, document frequency is
+    // the (doc_id, token) tf aggregate is MATERIALIZED ONCE (lazy
+    // localCheckpoint), document frequency is
     // a partial-aggregated groupBy(token) over it (each tf row = one
     // distinct doc containing the token) joined back. A window partitioned
     // by token would put every tf row of one token in ONE task — token
@@ -567,7 +568,7 @@ object Queries {
       val tf = docs
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .persist()
+        .localCheckpoint(false)
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val ndocs = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
@@ -751,7 +752,9 @@ object Queries {
     // unigram surprisal scoring — the language-model quality filter
     // (CCNet-style) with the corpus itself as the model: a doc's mean
     // -log2 p(token) under corpus unigram frequencies. Same one-tokenize
-    // shape as q52 (persisted tf aggregate; vocab counts via a
+    // shape as q52 (tf aggregate materialized once via lazy
+    // localCheckpoint — blocks freed by the ContextCleaner, no catalog
+    // cache entry; vocab counts via a
     // partial-aggregated groupBy(token) joined back — NOT a token-keyed
     // window, which would serialize each Zipfian-hot token through one
     // task; 1-row total broadcast); per-token surprisal is rounded to 6dp
@@ -761,7 +764,7 @@ object Queries {
       val tf = t(s, d, "documents")
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .persist()
+        .localCheckpoint(false)
       val vocab = tf.groupBy("token").agg(sum("tf").as("cnt"))
       val totals = tf.agg(sum("tf").as("total"))
       tf.join(vocab, Seq("token"))
@@ -787,7 +790,8 @@ object Queries {
     // as the model, P = c(w1 w2) / c(w1 as left context), so every
     // probability is a ratio of exact corpus counts and every scored
     // bigram is in-model by construction. Same de-skew shape as
-    // q52/q62: the per-doc bigram tf PERSISTS, corpus bigram counts and
+    // q52/q62: the per-doc bigram tf is materialized once, corpus bigram
+    // counts and
     // left-context counts are partial-aggregated groupBys joined back
     // (never a window over the Zipfian bigram/context keys); the mean
     // rides the round-then-DECIMAL-sum + micro-scaled-division
@@ -800,7 +804,7 @@ object Queries {
             " (a, b) -> concat(a, ' ', b))")).as("bigram"))
         .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
         .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
-        .persist()
+        .localCheckpoint(false)
       val cb = bt.groupBy("w1", "bigram").agg(sum("tf").as("c2"))
       val c1 = cb.groupBy("w1").agg(sum("c2").as("c1"))
       bt.join(cb, Seq("w1", "bigram"))
@@ -838,7 +842,8 @@ object Queries {
     // BM25 top-3 terms per document — the retrieval scorer TF-IDF
     // graduates into: IDF damped by the +0.5 smoothing, tf saturated by
     // k1, and document length normalized by b against the corpus mean.
-    // Same de-skew shape as q52 (persisted tf; df and per-doc length via
+    // Same de-skew shape as q52 (tf materialized once via lazy
+    // localCheckpoint; df and per-doc length via
     // partial-aggregated groupBys joined back; 1-row corpus stats
     // broadcast). Every input to the formula is an exact integer (tf,
     // df, N, doc length, total tokens), the formula is evaluated
@@ -849,7 +854,7 @@ object Queries {
       val tf = t(s, d, "documents")
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .persist()
+        .localCheckpoint(false)
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       val stats = tf.agg(countDistinct("doc_id").as("n_docs"), sum("tf").as("total_toks"))
@@ -1043,7 +1048,7 @@ object Queries {
     "q67_bloom_decontaminate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val (heldout, corpusShingles) = contaminationSides(docs)
-      val heldoutCached = heldout.persist()
+      val heldoutCached = heldout.localCheckpoint(false)
       val bf = heldoutCached.stat.bloomFilter("shingle",
         math.max(1000L, heldoutCached.count()), 0.01)
       val bfB = s.sparkContext.broadcast(bf)

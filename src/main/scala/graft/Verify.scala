@@ -25,7 +25,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries that persist an intermediate (q52/q62's tf) must not leak
+      // belt-and-braces: intermediates now ride localCheckpoint (no catalog
+      // entry), but any future persist must not leak
       // cached blocks into the next query's run
       finally spark.catalog.clearCache()
     }

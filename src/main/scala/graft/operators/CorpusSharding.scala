@@ -90,16 +90,18 @@ object CorpusSharding {
     * over `lang` allowed), so a budget can be a corpus-derived expression
     * (q59's 20% of token mass) or a constant (q68's per-stratum head).
     *
-    * CACHING CONTRACT: the sharded base is persisted (it feeds both the
-    * totals aggregation and the main pass) and the lazily-returned plan
-    * keeps referencing it, so it cannot be unpersisted here. Long-lived
-    * sessions must release it after materializing the result —
-    * `spark.catalog.clearCache()` (what Verify/Bench do between queries)
-    * or an eviction-tolerant storage policy; otherwise repeated calls
-    * accumulate InMemoryRelations until storage-memory eviction. */
+    * LIFECYCLE: the sharded base feeds both the totals aggregation and
+    * the main pass, so it is materialized ONCE behind a lazy
+    * `localCheckpoint` (computed with the first action, plan truncated).
+    * Unlike `persist()`, the checkpoint blocks live outside the catalog
+    * cache and are released by the ContextCleaner as soon as the
+    * returned plan is dropped — the operator owns its lifecycle and
+    * long-lived sessions calling it repeatedly accumulate nothing
+    * (ShardingSpec asserts the catalog cache stays empty). */
   private def hashOrderPrefix(docs: DataFrame, tokenCount: Column, prefixHexChars: Int,
                               budgetCol: Column): DataFrame = {
-    val base = withHashShard(docs, tokenCount, prefixHexChars, Seq("lang")).persist()
+    val base = withHashShard(docs, tokenCount, prefixHexChars, Seq("lang"))
+      .localCheckpoint(eager = false)
     val shardTotals = base.groupBy("lang", "shard").agg(sum("toks").as("st"))
     val wOff = Window.partitionBy("lang").orderBy("shard")
     val offsets = shardTotals

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -21,12 +20,29 @@ import graft.functions.TextFunctions._
 object Dedup {
 
   /** Exact duplicate groups via content hash. Returns per-doc rows with
-    * the group size (dup_count > 1 = duplicated). */
+    * the group size (dup_count > 1 = duplicated).
+    *
+    * Scale shape: exact duplicates are the MOST Zipfian key at web scale
+    * (a boilerplate page or empty string is byte-identical across
+    * millions of docs), so the group size comes from a partial-aggregated
+    * `groupBy(content_hash).count()` joined back — NEVER a content_hash
+    * window: a window puts every row of one hash in ONE task with no
+    * partial aggregation, and AQE skew handling does not apply to
+    * windows. The groupBy collapses the hot hash map-side to one row per
+    * map partition (HotTokenSpec reads it off the exchange metrics), and
+    * the join back broadcasts when the dup-group table is small, else it
+    * is AQE-skew-splittable — both rescues the window forecloses. The
+    * (id, hash) projection rides a lazy localCheckpoint so the corpus
+    * text is scanned and hashed ONCE for both sides of the join; the
+    * checkpoint blocks live outside the catalog cache and are released
+    * by the ContextCleaner when the plan is dropped, so no caller
+    * clearCache() contract is needed. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy("content_hash")
-    docs
-      .withColumn("content_hash", md5(col(textCol)))
-      .withColumn("dup_count", count(lit(1)).over(w))
+    val hashed = docs
+      .select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .localCheckpoint(eager = false)
+    val counts = hashed.groupBy("content_hash").agg(count(lit(1)).as("dup_count"))
+    hashed.join(counts, Seq("content_hash"))
       .select(col(idCol), col("content_hash"), col("dup_count"))
   }
 

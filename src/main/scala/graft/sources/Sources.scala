@@ -37,12 +37,24 @@ object Sources {
       .schema(labelSchema)
       .csv(path)
 
-  /** Filename-prefix -> anomaly type (`get_data.py:26-53`). */
+  /** Filename-prefix -> anomaly type (`get_data.py:26-53`). JVM-side
+    * definition, pinned by the Sources unit tests; the pipeline uses the
+    * codegen [[anomalyTypeCol]] — never a scalar UDF where a built-in
+    * `when` chain exists. */
   def anomalyTypeForTrace(traceId: String): String =
     if (traceId.startsWith("1")) "bursty input"
     else if (traceId.startsWith("2")) "stalled input"
     else if (traceId.startsWith("3")) "CPU contention"
     else throw new IllegalArgumentException(s"Unknown file $traceId.")
+
+  /** Column form of [[anomalyTypeForTrace]]: a whole-stage-codegen `when`
+    * chain with the same unknown-prefix failure semantics
+    * (`raise_error`), so the batch pipeline plan carries no scalar UDF. */
+  def anomalyTypeCol(traceId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(traceId.startsWith("1"), "bursty input")
+      .when(traceId.startsWith("2"), "stalled input")
+      .when(traceId.startsWith("3"), "CPU contention")
+      .otherwise(raise_error(concat(lit("Unknown file "), traceId, lit("."))))
 
   /** Trace files in a folder, excluding the label file (`get_data.py:8-23`). */
   def listTraceIds(spark: SparkSession, dataFolder: String, labelFilename: String): Seq[String] = {

@@ -66,6 +66,48 @@ class HotTokenSpec extends AnyFunSuite {
       s"expected map-side combine to collapse the hot token; $shuffled of $n rows crossed the shuffle")
   }
 
+  test("hot exact-dup hash collapses map-side: <1% of rows cross the aggregate shuffle") {
+    // The r4 verdict's one surviving scale-killer: Dedup.exact windowed by
+    // content_hash — at web scale exact duplicates are the most Zipfian key
+    // there is (one boilerplate template = one window task holding 90% of
+    // the corpus). The fix is the same shape as the token df: groupBy
+    // joined back. This fixture makes one hash cover 90% of 1M rows and
+    // reads the map-side collapse off the aggregate exchange's own SQL
+    // metrics.
+    val n = 1000000L
+    val docs = spark.range(0, n, 1, 8).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 9, lit("the same boilerplate page"))
+        .otherwise(concat(lit("cold text "), (col("id") % 100).cast("string"))).as("text"))
+    val res = graft.operators.Dedup.exact(docs, "doc_id", "text")
+    res.write.mode("overwrite").format("noop").save()
+
+    // correctness on the skewed fixture: the hot hash's group size is 900k;
+    // cold ids are ≡9 (mod 10), so id%100 yields 10 distinct cold texts of
+    // 10k docs each — and no row was lost
+    val sizes = res.groupBy("dup_count").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(n * 9 / 10 -> n * 9 / 10, 10000L -> n / 10))
+
+    val plans = collectPlans(res.queryExecution.executedPlan)
+    // the banned pattern stays gone: no window anywhere in the plan
+    assert(plans.collect { case w: WindowExec => w }.isEmpty,
+      "Dedup.exact regressed to a content_hash window")
+    // the count aggregate's exchange (the one fed by a partial aggregate)
+    // collapsed map-side: ~1 row per (map partition, hash), not per doc.
+    // (The join-back probe shuffle is measured separately by SkewSpec's
+    // AQE skew-split proof; at fixture scale AQE turns it into a
+    // broadcast anyway once the dup-group table's true size is known.)
+    val aggExchanges = plans.collect {
+      case e: ShuffleExchangeLike if collectPlans(e.child).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]) => e
+    }
+    assert(aggExchanges.nonEmpty, "expected a shuffle fed by a partial aggregate")
+    val shuffled = aggExchanges.map(_.metrics("shuffleRecordsWritten").value).sum
+    assert(shuffled < n / 100,
+      s"expected map-side combine to collapse the hot hash; $shuffled of $n rows crossed the aggregate shuffle")
+  }
+
   test("q52/q62/q72 executed plans have no window partitioned by token") {
     val sf = "/root/testdata/sf0.001"
     for (q <- Seq("q52_tfidf", "q62_unigram_surprisal", "q72_bigram_surprisal")) {

@@ -85,4 +85,26 @@ class ShardingSpec extends AnyFunSuite {
       .where(col("mn") =!= 0 || col("n") =!= col("mx") + 1)
     assert(bad.count() == 0, "pack ids must be dense per shard")
   }
+
+  test("owned lifecycle: repeated calls leave the catalog cache empty") {
+    // The r4 verdict's footgun: hashOrderPrefix persisted its sharded base
+    // and relied on callers running clearCache(). The base now rides a
+    // lazy localCheckpoint — blocks live outside the catalog cache and are
+    // freed by the ContextCleaner once the returned plan is dropped — so a
+    // long-lived library session calling the operator repeatedly
+    // accumulates no InMemoryRelations.
+    for (_ <- 1 to 3) {
+      assert(CorpusSharding.tokenBudgetPrefix(docs, toks, 1, budgetDenom = 5).count() > 0)
+      assert(CorpusSharding.stratumHead(docs, 1, 10L).count() > 0)
+    }
+    // probe: a FRESH identical plan would be rewritten over any cached
+    // fragment the calls above had registered (CacheManager matches by
+    // canonicalized plan) — so an InMemoryRelation in withCachedData
+    // means the operator leaked a persist
+    val probe = CorpusSharding.tokenBudgetPrefix(docs, toks, 1, budgetDenom = 5)
+    val leaked = probe.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(leaked.isEmpty, "operator leaked an InMemoryRelation into the catalog cache")
+  }
 }
