@@ -419,6 +419,29 @@ object Queries {
         .orderBy("cluster_id")
     }),
 
+    // PageRank authority over the user-journey transition graph (edge =
+    // event_type -> next event_type within a user's stream, distinct) —
+    // the ADVICE-r4 pairing that puts GraphRank behind the driver oracle.
+    // Deterministic mode: tol = 0 runs EXACTLY 20 rounds (no early-exit
+    // scalar, loop schedules back-to-back) and the oracle unrolls the
+    // same 20 iterations as chained CTEs; dangling redistribution on, so
+    // ranks are a probability distribution (here the transition graph
+    // has no sinks, making dm identically 0 in both engines). The lag
+    // window partitions by user_id — bounded per-user event counts, not
+    // a Zipfian key. round-before-order discipline on the rank.
+    "q78_event_pagerank" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("prev").as("src"), col("event_type").as("dst"))
+      GraphRank.pageRank(edges, damping = 0.85, maxIterations = 20, tol = 0.0,
+          redistributeDangling = true)
+        .select(col("node").as("event_type"), round(col("rank"), 6).as("rank"))
+        .orderBy("event_type")
+    }),
+
     // corpus-wide exact top-K tokens — the vocabulary head every corpus
     // report starts with. explode -> count -> global top-K compiles to
     // partial aggregation + TakeOrderedAndProject (per-partition heaps,
@@ -2377,6 +2400,39 @@ object Oracles {
                     FROM cl JOIN qx USING (doc_id))
          SELECT cluster_id, n_members, doc_id AS kept_doc_id, q AS best_q
          FROM r WHERE rn = 1 ORDER BY cluster_id""",
+
+    // GraphRank's 20 damped iterations UNROLLED as chained CTEs (no
+    // recursive aggregation needed — each prN references only prN-1), on
+    // the same distinct event-type transition edges; dangling mass term
+    // included for formulation parity (identically 0 on this graph).
+    "q78_event_pagerank" -> {
+      val n = "(SELECT n FROM nn)"
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS MATERIALIZED (
+              SELECT nd.node,
+                     (1-0.85)/$n + 0.85*(coalesce(s.in_sum, 0) +
+                       (SELECT coalesce(sum(p.rank), 0) FROM $prev p
+                        WHERE p.node NOT IN (SELECT src FROM outdeg))/$n) AS rank
+              FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node, sum(p.rank/o.deg) AS in_sum
+                FROM edges e JOIN $prev p ON e.src = p.node
+                             JOIN outdeg o ON e.src = o.src
+                GROUP BY e.dst) s ON nd.node = s.node)"""
+      val iters = (1 to 20).map(i => iter(s"pr${i - 1}", s"pr$i")).mkString(",\n              ")
+      s"""WITH eseq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events),
+          edges AS MATERIALIZED (SELECT DISTINCT prev AS src, event_type AS dst
+                    FROM eseq WHERE prev IS NOT NULL),
+          nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+          nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+          outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+          pr0 AS MATERIALIZED (SELECT node, 1.0/$n AS rank FROM nodes),
+          $iters
+         SELECT node AS event_type, round(rank, 6) AS rank FROM pr20
+         ORDER BY event_type"""
+    },
 
     "q28_simhash" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok FROM documents),

@@ -14,13 +14,26 @@ import org.apache.spark.sql.functions._
  * the current rank table, one partial-aggregated groupBy(dst) — only
  * edges and (node, rank) rows ever shuffle, never any payload — and a
  * `localCheckpoint` so the plan stays O(1) deep across iterations (the
- * same truncation discipline as dupClusters' propagation rounds). The
- * driver sees one scalar (the node count) before the loop and nothing
- * per iteration, so the loop schedules back-to-back.
+ * same truncation discipline as dupClusters' propagation rounds).
  *
- * Semantics: the standard damped formulation without dangling-mass
- * redistribution (rank leaking through sinks), which GraphRankSpec pins
- * against a dense driver-side power iteration of the same formulation.
+ * Termination is tolerance-based (the r4 verdict item): each round also
+ * computes ONE aggregate-sized scalar, max |Δrank| over the node table
+ * (the dupClustersWithRounds changed-count shape), and the loop exits as
+ * soon as it drops under `tol` — at 100× scale a graph that converges in
+ * 12 rounds must not pay for 20. `tol = 0` disables the early exit AND
+ * its per-round scalar (the loop then schedules back-to-back with no
+ * driver round-trip), running exactly `maxIterations` rounds — the
+ * deterministic mode the q78 oracle and the dense-reference spec pin.
+ *
+ * Dangling nodes: with `redistributeDangling = true` the rank mass
+ * sitting on sink nodes (no out-edges) is returned uniformly to every
+ * node each round — the standard teleport completion — so ranks sum to
+ * exactly 1 and downstream weighting can treat them as a probability
+ * distribution. `false` keeps the leaky formulation (sum < 1 with
+ * sinks); GraphRankSpec pins BOTH against dense power iterations of the
+ * matching formulation. The dangling mass is an aggregate-sized 1-row
+ * frame cross-joined back (broadcast), not a driver scalar.
+ *
  * Float note: the per-node contribution sum is a parallel float
  * reduction, so ranks are deterministic only to accumulation order —
  * callers that need cross-run stability round before thresholding
@@ -32,29 +45,62 @@ object GraphRank {
   def pageRank(
       edges: DataFrame, // (src, dst) — directed; pass both directions for undirected
       damping: Double = 0.85,
-      iterations: Int = 20): DataFrame = {
+      maxIterations: Int = 20,
+      tol: Double = 1e-6,
+      redistributeDangling: Boolean = false): DataFrame =
+    pageRankWithRounds(edges, damping, maxIterations, tol, redistributeDangling)._1
+
+  /** [[pageRank]] plus the number of rounds actually run — the testable
+    * convergence bound (early exit must FIRE, not just exist). */
+  def pageRankWithRounds(
+      edges: DataFrame,
+      damping: Double = 0.85,
+      maxIterations: Int = 20,
+      tol: Double = 1e-6,
+      redistributeDangling: Boolean = false): (DataFrame, Int) = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
-    val n = nodes.count() // the one driver scalar
+    val n = nodes.count() // the one up-front driver scalar
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    // sinks: nodes with no out-edges — aggregate-sized, computed once,
+    // and only if the redistribution path actually needs it
+    lazy val danglers = nodes.join(
+      outDeg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var i = 0
-    while (i < iterations) {
+    var delta = Double.MaxValue
+    while (i < maxIterations && delta >= tol) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outDeg, "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("in_sum"))
-      ranks = nodes
+      val withDm =
+        if (redistributeDangling) {
+          val dm = ranks.join(danglers, Seq("node"), "left_semi")
+            .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+          nodes.crossJoin(broadcast(dm))
+        } else nodes.withColumn("dm", lit(0.0))
+      val next = withDm
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit((1 - damping) / n) +
-            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("in_sum"), lit(0.0)) + col("dm") / n)).as("rank"))
         .localCheckpoint()
+      // the convergence scalar is only worth a driver round-trip when the
+      // early exit is armed; tol = 0 keeps the loop fully pipelined
+      if (tol > 0.0) {
+        delta = next
+          .join(ranks.select(col("node"), col("rank").as("prev")), "node")
+          .agg(max(abs(col("rank") - col("prev"))).as("d"))
+          .first().getDouble(0)
+      }
+      ranks = next
       i += 1
     }
-    ranks
+    (ranks, i)
   }
 }
