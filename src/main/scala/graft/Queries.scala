@@ -915,11 +915,17 @@ object Queries {
       val m = docs.groupBy("lang").agg(
         count(lit(1)).as("n"), sum("n_chars").as("sm"),
         sum(col("n_chars") * col("n_chars")).as("ss"))
+      // zero-variance guard (ADVICE r4): a single-doc or constant-length
+      // stratum makes n*ss - sm² exactly 0, and 0/0 NaN semantics differ
+      // across engines — emit NULL instead, decided on the SAME double
+      // expression in both engines (<= 0 also absorbs any tiny negative
+      // float residue)
+      val varD = col("n").cast("double") * col("ss").cast("double") -
+        col("sm").cast("double") * col("sm").cast("double")
       docs.join(broadcast(m), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           round((col("n_chars") * col("n") - col("sm")).cast("double") /
-            sqrt(col("n").cast("double") * col("ss").cast("double") -
-              col("sm").cast("double") * col("sm").cast("double")), 6)
+            when(varD <= 0.0, lit(null)).otherwise(sqrt(varD)), 6)
             .as("z"))
         .orderBy("doc_id")
     }),
@@ -2143,8 +2149,12 @@ object Oracles {
                     FROM documents GROUP BY lang)
          SELECT doc_id, lang, n_chars,
                 round(CAST(n_chars * n - sm AS DOUBLE)
-                      / sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
-                             - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)), 6) AS z
+                      / CASE WHEN CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                                  - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) <= 0
+                             THEN NULL
+                             ELSE sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                                       - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)) END,
+                      6) AS z
          FROM documents JOIN m USING (lang)
          ORDER BY doc_id""",
 

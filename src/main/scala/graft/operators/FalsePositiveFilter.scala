@@ -41,7 +41,14 @@ object FalsePositiveFilter {
 
   private val matchCountUdf = udf {
     (pattern: Seq[Row], series: Seq[Double], maxDistance: Double) =>
-      val q = pattern.sortBy(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      // value is the FINAL tie-break (ADVICE r4): without it, rows sharing
+      // (trace, ts, class) would sort by collect_list arrival order —
+      // nondeterministic across runs and silently divergent from
+      // streaming, which sorts its window buffer by (timestamp, value).
+      // Within one window's pattern trace and class are constant, so the
+      // effective order IS streaming's (ts, value).
+      val q = pattern.sortBy(r =>
+          (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
         .map(_.getDouble(3)).toArray
       MatchKernel.matchCount(q, series.toArray, maxDistance)
   }

@@ -459,4 +459,25 @@ class TrainingOpsSpec extends AnyFunSuite {
       Seq(10.0, 10.0, 10.0, 20.0, 20.0, 20.0, 30.0, 30.0))
     assert(Multimodal.resizeNearest(Array.emptyDoubleArray, 4).isEmpty)
   }
+
+  test("q75 z-score: zero-variance stratum yields NULL, not NaN (ADVICE r4)") {
+    import spark.implicits._
+    // a single-document language and a constant-length language both have
+    // variance exactly 0 — invisible at fixture scale, a real shape at
+    // corpus scale (rare langs). The guarded query emits NULL for them
+    // (mirrored in the DuckDB oracle's CASE), never an engine-specific
+    // NaN.
+    val dir = java.nio.file.Files.createTempDirectory("q75guard").toString
+    Seq(
+      (1L, "aa", 10L), (2L, "aa", 20L),   // normal stratum
+      (3L, "zz", 7L),                      // singleton stratum
+      (4L, "cc", 5L), (5L, "cc", 5L)       // constant-length stratum
+    ).toDF("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val z = SparkEntry.queries("q75_zscore_norm")(spark, dir)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(z(1L).isDefined && z(2L).isDefined)
+    assert(z(3L).isEmpty, "singleton stratum must be NULL")
+    assert(z(4L).isEmpty && z(5L).isEmpty, "constant-length stratum must be NULL")
+  }
 }
