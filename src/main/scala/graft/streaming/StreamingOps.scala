@@ -164,6 +164,38 @@ object StreamingOps {
       .select(col("doc").as(idCol), col(tsCol))
   }
 
+  /**
+   * Trace-wide FP reference-series registry — the
+   * [[nearDupCandidatesIngest]] pattern applied to the streaming/batch
+   * FP boundary (r4 verdict #7): the batch FP filter matches a window's
+   * pattern against the reference series of the WHOLE trace
+   * (`FalsePositiveFilter.matchCounts` groups series per (feature,
+   * trace)), while an online operator only holds the closing window's
+   * buffer. Building the series ONCE from recorded history (the static
+   * side, exactly like the banded corpus registry) and handing the map
+   * to [[explainOnCloseCfg]] narrows that gap: a closing window then
+   * matches against the series batch would use, not just its own rows.
+   *
+   * Ordering is the batch canonicalization — (window_key, timestamp,
+   * value) — so the concatenation across windows is identical to the
+   * batch collect_list sort. The collect is driver-sized by the same
+   * argument as CorrelationFilter's k×k moments: one series per
+   * feature, bounded by the trace's reference span (the paper's system
+   * bounds buffered history the same way); deployments with unbounded
+   * traces keep the window-local default (empty registry).
+   */
+  def refSeriesRegistry(obs: DataFrame): Map[String, Array[Double]] =
+    obs.where(col("type_data") === 0)
+      .groupBy("feature")
+      .agg(transform(
+        array_sort(collect_list(struct(
+          col("window_key"), col("timestamp"),
+          col("value").cast("double").as("value")))),
+        x => x.getField("value")).as("series"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+
   /** A labeled observation arriving on the stream. `type_data` -1 marks a
     * span-close control record for the window key. */
   case class StreamObs(window_key: String, feature: String, timestamp: Long,
@@ -253,7 +285,8 @@ object StreamingOps {
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout(),
       timeoutDuration: String = "1 hour",
       timeoutSpanMs: Long = 3600000L,
-      watermarkDelay: String = "10 seconds"): Dataset[StreamExplanation] = {
+      watermarkDelay: String = "10 seconds",
+      refSeries: Map[String, Array[Double]] = Map.empty): Dataset[StreamExplanation] = {
     import obs.sparkSession.implicits._
     val procTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout()
     val eventTimeout = timeout == GroupStateTimeout.EventTimeTimeout()
@@ -272,7 +305,7 @@ object StreamingOps {
           if (close || state.hasTimedOut) {
             state.remove()
             Iterator.single(StreamExplanation(
-              key, buf.n, explainBuffered(buf.rows, featureOrder, cfg)))
+              key, buf.n, explainBuffered(buf.rows, featureOrder, cfg, refSeries)))
           } else {
             state.update(buf)
             armTimeout(state, buf, procTimeout, eventTimeout, timeoutDuration, timeoutSpanMs)
@@ -315,11 +348,18 @@ object StreamingOps {
    * shape); across multiple windows the streaming answer is the
    * window-local approximation, bounded by the same reasoning as the
    * multi-trace series note in [[graft.operators.FalsePositiveFilter]].
+   * A non-empty `refSeries` ([[refSeriesRegistry]]) removes the step-2
+   * half of that boundary: the FP match then runs against the recorded
+   * trace-wide series, and a multi-window trace's close reproduces the
+   * batch FP decision exactly (StreamingSpec's two-window case). Step
+   * 1's correlation moments remain window-local — a moments registry
+   * would be the same pattern if ever needed.
    */
   def explainBuffered(
       buf: Seq[StreamObs],
       featureOrder: Seq[String],
-      cfg: graft.ExstreamConfig): Seq[String] = {
+      cfg: graft.ExstreamConfig,
+      refSeries: Map[String, Array[Double]] = Map.empty): Seq[String] = {
     import graft.functions.{EntropyCore, MatchKernel}
 
     // step 1: correlation-cluster dedup over the window's wide pivot
@@ -342,8 +382,11 @@ object StreamingOps {
         // non-empty pattern AND a non-empty reference series
         val counts = present.flatMap { f =>
           val rows = byFeature(f)
-          val series = rows.filter(_.type_data == 0)
-            .sortBy(r => (r.timestamp, r.value)).map(_.value).toArray
+          // registry series (trace-wide, batch-identical) when available;
+          // the window's own ref rows otherwise
+          val series = refSeries.getOrElse(f,
+            rows.filter(_.type_data == 0)
+              .sortBy(r => (r.timestamp, r.value)).map(_.value).toArray)
           val pattern = rows.filter(_.type_data == patternClass)
             .sortBy(r => (r.timestamp, r.value)).map(_.value).toArray
           if (pattern.isEmpty || series.isEmpty) None

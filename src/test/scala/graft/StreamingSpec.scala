@@ -372,4 +372,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getAs[Long]("user_id") == 1L && r.getAs[Long]("click_id") == 100L &&
       r.getAs[Long]("purchase_id") == 900L && r.getAs[Double]("value") == 42.0)
   }
+  test("two-window trace: the FP series registry reproduces batch where window-local diverges") {
+    import spark.implicits._
+    // The r4 verdict's streaming boundary, narrowed: batch FP matches a
+    // window's pattern against the reference series of the WHOLE trace;
+    // an online close only holds one window. Fixture (hand-tuned against
+    // the kernels):
+    //  fa: the clean explanation — separated ano, matches nothing;
+    //  fb: w2's pattern (5,10,15,5.1) z-matches w1's sawtooth REFERENCE
+    //      twice but not w2's own alternating reference (value-separated
+    //      below the ano so its reward ties fa's — the reference's leap
+    //      rule needs a THIRD, low-reward feature to host the max leap,
+    //      otherwise a 0-width tie leap cuts the second feature);
+    //  fd: value-interleaved classes -> low reward (the leap host); its
+    //      ramp-shaped ano matches no oscillating reference, so FP keeps
+    //      it in every mode and the reward stage sees the same trio
+    //      everywhere.
+    // So: batch drops fb from w2 (2 trace-wide matches), window-local
+    // streaming keeps it (0 matches in w2's own refs), and streaming
+    // WITH the registry equals batch — on both windows.
+    def obsW(w: String, f: String, refTs: Seq[Long], refVals: Seq[Double],
+             anoTs: Seq[Long], anoVals: Seq[Double]): Seq[StreamObs] =
+      refTs.zip(refVals).map { case (t, v) => StreamObs(w, f, t, 0, v) } ++
+        anoTs.zip(anoVals).map { case (t, v) => StreamObs(w, f, t, 1, v) }
+    val faR = Seq(5.0, 1.0, 5.0, 1.0, 5.0, 1.0, 5.0, 1.0)
+    val faA = Seq(9.0, 9.5, 10.0, 9.7)
+    val saw = Seq(1.0, 2.0, 3.0, 1.0, 2.0, 3.0, 1.0, 2.0)
+    val osc = Seq(-30.0, -40.1, -30.2, -40.3, -30.4, -40.5, -30.6, -40.7)
+    val fdR = Seq(1.0, 9.3, 2.2, 8.1, 1.4, 9.9, 2.8, 8.6)
+    val fdA = Seq(2.0, 4.5, 7.0, 8.8)
+    val fbA = Seq(5.0, 10.0, 15.0, 5.1)
+    val w1 = obsW("w1", "fa", 1L to 8L, faR, 21L to 24L, faA) ++
+      obsW("w1", "fb", 1L to 8L, saw, 21L to 24L, fbA) ++
+      obsW("w1", "fd", 1L to 8L, fdR, 21L to 24L, fdA)
+    val w2 = obsW("w2", "fa", 31L to 38L, faR, 41L to 44L, faA) ++
+      obsW("w2", "fb", 31L to 38L, osc, 41L to 44L, fbA) ++
+      obsW("w2", "fd", 31L to 38L, fdR, 41L to 44L, fdA)
+    val order = Seq("fa", "fb", "fd")
+    val cfg = ExstreamConfig(cluster = false, falsePositiveFiltering = true,
+      maxDistance = 1.0, matchCountKeep = 1,
+      patternFromRefWindow = false, applyWorstCase = true)
+
+    val batchObs = (w1 ++ w2).map(o =>
+        (o.window_key, "trace1", o.timestamp, o.type_data, o.feature, o.value))
+      .toDF("window_key", "trace_id", "timestamp", "type_data", "feature", "value")
+    val batch = ExstreamPipeline.explanatoryFeatures(batchObs, order, cfg)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+
+    val registry = StreamingOps.refSeriesRegistry(batchObs)
+    assert(registry("fb").length == 16, "registry must span BOTH windows' refs")
+
+    val localW2 = StreamingOps.explainBuffered(w2, order, cfg)
+    val regW2 = StreamingOps.explainBuffered(w2, order, cfg, registry)
+    val regW1 = StreamingOps.explainBuffered(w1, order, cfg, registry)
+
+    // batch drops fb from w2 (its pattern matches w1's sawtooth twice);
+    // window-local streaming cannot see that and keeps fb
+    assert(!batch("w2").contains("fb") && batch("w2").contains("fa"))
+    assert(localW2.contains("fb"), "window-local must diverge on this fixture")
+    // the registry closes the gap for BOTH windows
+    assert(regW2 == batch("w2"), s"registry w2 ${regW2} != batch ${batch("w2")}")
+    assert(regW1 == batch("w1"), s"registry w1 ${regW1} != batch ${batch("w1")}")
+  }
 }
