@@ -113,10 +113,10 @@ object Bench {
       // an empty ground truth would make recall 0/0 = NaN — which is not
       // JSON; fail into the catch (extras omitted) instead
       require(exact.nonEmpty, "ivf extras: empty brute-force ground truth")
-      def run(model: Option[Seq[Array[Float]]]): (Double, Double) = {
+      def run(model: Option[Seq[Array[Float]]], cells: Int, probes: Int): (Double, Double) = {
         val t0 = System.nanoTime()
         val got = Similarity.ivfKnn(embs, queries, "vec_id", "embedding",
-          k = 5, nCentroids = 16, nProbe = 4, trainedCentroids = model)
+          k = 5, nCentroids = cells, nProbe = probes, trainedCentroids = model)
           .select("query_id", "neighbor_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         ((System.nanoTime() - t0) / 1e9, (exact intersect got).size.toDouble / exact.size)
@@ -124,11 +124,20 @@ object Bench {
       val tTrain0 = System.nanoTime()
       val model = Similarity.trainIvfCentroids(embs, "vec_id", "embedding", nCentroids = 16)
       val trainSec = (System.nanoTime() - tTrain0) / 1e9
-      run(None); run(Some(model)) // warm-up
-      val (seedSec, seedRecall) = run(None)
-      val (trainedSec, trainedRecall) = run(Some(model))
+      run(None, 16, 4); run(Some(model), 16, 4) // warm-up
+      val (seedSec, seedRecall) = run(None, 16, 4)
+      val (trainedSec, trainedRecall) = run(Some(model), 16, 4)
+      // the tight-PROBE budget is where k-means training visibly beats
+      // md5 seeding even on near-random fixture embeddings (trained
+      // cells balance occupancy, so few probes hit the right cell more
+      // often; at generous probe budgets the seeded cells catch up) —
+      // measured here so the trained path's value is bench DATA (r4
+      // verdict #8), not only a unit assertion. Same 16-cell model as
+      // the headline block, probes halved.
+      val (tSeedSec, tSeedRecall) = run(None, 16, 2)
+      val (tTrainedSec, tTrainedRecall) = run(Some(model), 16, 2)
       embs.unpersist()
-      s""","ivf_extras":{"train_sec":$trainSec,"seeded_sec":$seedSec,"seeded_recall":$seedRecall,"trained_sec":$trainedSec,"trained_recall":$trainedRecall}"""
+      s""","ivf_extras":{"train_sec":$trainSec,"seeded_sec":$seedSec,"seeded_recall":$seedRecall,"trained_sec":$trainedSec,"trained_recall":$trainedRecall,"tight_cells":16,"tight_probes":2,"tight_seeded_sec":$tSeedSec,"tight_seeded_recall":$tSeedRecall,"tight_trained_sec":$tTrainedSec,"tight_trained_recall":$tTrainedRecall}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ivf extras failed: ${e.getMessage}"); ""
     }

@@ -442,6 +442,48 @@ object Queries {
         .orderBy("event_type")
     }),
 
+    // DSIR-style importance-resampling weights (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling" — public
+    // method): score every raw document by how much its hashed-unigram
+    // feature profile resembles a TARGET distribution vs the raw pool,
+    // w(doc) = sum_b tf_b * log2(pt(b)/pr(b)) with Laplace-smoothed
+    // bucket probabilities. Target here: the 'en' slice (the predicate
+    // is arbitrary — the mechanism is the operator). Cross-engine
+    // exactness: bucket counts are exact integers; each bucket's
+    // log-ratio comes from ONE double ratio with both engines
+    // multiplying the same doubles in the same order, rounded to 6dp,
+    // then the per-doc weighted sum rides the q62 DECIMAL discipline.
+    // Scale shape: the 64-bucket stats table is aggregate-sized
+    // (broadcast); per-doc tf is q74's partial-aggregated shape,
+    // tokenized ONCE (lazy localCheckpoint); no vocabulary state and no
+    // Zipfian window anywhere.
+    "q79_dsir_weights" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), explode(TF.tokens(col("text"))).as("token"))
+        .withColumn("bucket",
+          expr("cast(conv(substr(md5(cast(token as binary)), 1, 8), 16, 10) as bigint) % 64"))
+        .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
+      val tgt = tf.where(col("lang") === "en").groupBy("bucket").agg(sum("tf").as("ct"))
+      val raw = tf.groupBy("bucket").agg(sum("tf").as("cr"))
+      val totals = tf.agg(
+        sum(when(col("lang") === "en", col("tf")).otherwise(lit(0L))).as("tt"),
+        sum("tf").as("tr"))
+      val stats = raw.join(tgt, Seq("bucket"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          round(log2(
+            ((coalesce(col("ct"), lit(0L)) + 1).cast("double") * (col("tr") + 64).cast("double")) /
+              ((col("cr") + 1).cast("double") * (col("tt") + 64).cast("double"))), 6)
+            .cast(DecimalType(18, 6)).as("lr"))
+      tf.join(broadcast(stats), Seq("bucket"))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_tokens"), sum(col("lr") * col("tf")).as("wdec"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("wdec").cast("double").as("dsir_weight"))
+        .orderBy("doc_id")
+    }),
+
     // corpus-wide exact top-K tokens — the vocabulary head every corpus
     // report starts with. explode -> count -> global top-K compiles to
     // partial aggregation + TakeOrderedAndProject (per-partition heaps,
@@ -2443,6 +2485,35 @@ object Oracles {
          SELECT node AS event_type, round(rank, 6) AS rank FROM pr20
          ORDER BY event_type"""
     },
+
+    // q74's hashed-bucket convention + q62's rounded-DECIMAL-sum
+    // discipline; the double ratio multiplies the same operands in the
+    // same order as the Spark side
+    "q79_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, lang,
+                             unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                      FROM documents),
+              tfb AS (SELECT doc_id, lang,
+                             ('0x'||substr(md5(token),1,8))::BIGINT % 64 AS bucket,
+                             CAST(count(*) AS BIGINT) AS tf
+                      FROM tok GROUP BY doc_id, lang, bucket),
+              tgt AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS ct
+                      FROM tfb WHERE lang = 'en' GROUP BY bucket),
+              rw AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS cr
+                     FROM tfb GROUP BY bucket),
+              tot AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS tt,
+                             CAST(sum(tf) AS BIGINT) AS tr
+                      FROM tfb),
+              stats AS (SELECT r.bucket,
+                               CAST(round(log2(
+                                 ((COALESCE(t.ct, 0) + 1)::DOUBLE * (tr + 64)::DOUBLE) /
+                                 ((r.cr + 1)::DOUBLE * (tt + 64)::DOUBLE)), 6)
+                                    AS DECIMAL(18,6)) AS lr
+                        FROM rw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot)
+         SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+                CAST(sum(lr * f.tf) AS DOUBLE) AS dsir_weight
+         FROM tfb f JOIN stats USING (bucket)
+         GROUP BY f.doc_id ORDER BY f.doc_id""",
 
     "q28_simhash" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok FROM documents),

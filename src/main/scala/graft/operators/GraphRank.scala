@@ -65,31 +65,45 @@ object GraphRank {
     val n = nodes.count() // the one up-front driver scalar
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
     // sinks: nodes with no out-edges — aggregate-sized, computed once,
-    // and only if the redistribution path actually needs it
+    // and only if the redistribution path actually needs it. A graph
+    // with NO sinks short-circuits the whole dm machinery (dm ≡ 0):
+    // otherwise every round pays a semi-join + aggregate + broadcast
+    // for a term that is identically zero — one upfront scalar buys
+    // back three stages per round.
     lazy val danglers = nodes.join(
       outDeg.select(col("src").as("node")), Seq("node"), "left_anti")
       .localCheckpoint()
+    val redistribute = redistributeDangling && danglers.count() > 0
+    // loop-invariant: attach each edge's source out-degree ONCE — the
+    // per-round plan is then a single join (ranks) + one partial
+    // aggregation, not two joins
+    val eDeg = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("deg")).localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var i = 0
     var delta = Double.MaxValue
     while (i < maxIterations && delta >= tol) {
-      val contribs = e
+      val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outDeg, "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("in_sum"))
       val withDm =
-        if (redistributeDangling) {
+        if (redistribute) {
           val dm = ranks.join(danglers, Seq("node"), "left_semi")
             .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
           nodes.crossJoin(broadcast(dm))
         } else nodes.withColumn("dm", lit(0.0))
+      // EAGER checkpoint: measured against lazy on the q78 fixture the
+      // per-round driver round-trip is a wash (the cost is per-round
+      // stage overhead, not scheduling), and eagerness keeps the delta
+      // scalar below a cheap scan of an already-materialized RDD while
+      // bounding live memory to two rank tables.
       val next = withDm
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("in_sum"), lit(0.0)) + col("dm") / n)).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(eager = true)
       // the convergence scalar is only worth a driver round-trip when the
       // early exit is armed; tol = 0 keeps the loop fully pipelined
       if (tol > 0.0) {
