@@ -484,6 +484,72 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // cross-doc duplicate n-gram fraction (the per-doc signal behind
+    // substring-level dedup, Lee et al. 2022 "Deduplicating Training Data
+    // Makes Language Models Better" — public method): what fraction of a
+    // doc's DISTINCT 3-gram shingles also appear in at least one other
+    // doc. Differs from q27 (pairwise doc similarity) and q47 (WITHIN-doc
+    // repetition): this is the corpus-level boilerplate detector. Scale
+    // shape: shingles hashed to 60-bit md5 prefixes (collisions identical
+    // in both engines by construction), doc frequency via one
+    // partial-aggregated groupBy(h) joined back to the once-materialized
+    // shingle table — the q52 de-skew family; a hot boilerplate shingle
+    // collapses map-side in the count and is join-side (AQE-splittable),
+    // never a window key.
+    "q80_dup_ngram_frac" -> ((s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), explode(TF.shingleSet(col("text"), 3)).as("sh"))
+        .select(col("doc_id"),
+          expr("cast(conv(substr(md5(cast(sh as binary)), 1, 15), 16, 10) as bigint)").as("h"))
+        .localCheckpoint(false)
+      val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      sh.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_dup"),
+          round(col("n_dup").cast("double") / col("n_ngrams"), 6).as("dup_ngram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // SemDeDup over the embeddings table: q31's semantic near-dup pruning
+    // at the shape that survives 100× — the quadratic bounded per Voronoi
+    // cell (16 cells here; `ivfCellsFor` sizes the count so cells stay
+    // O(1k) vectors at any corpus size). keep=0 marks the larger id of
+    // any within-cell pair with round(cosine,6) >= 0.4.
+    "q81_semdedup" -> ((s, d) =>
+      Similarity.semDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        nCells = 16, minCosine = 0.4)
+        .select(col("id").as("vec_id"), col("cell"),
+          col("keep").cast("int").as("keep"))
+        .orderBy("vec_id")),
+
+    // vocabulary growth curve (Heaps' law, the corpus-composition
+    // diagnostic): trigram shingles attributed to the doc-id bucket where
+    // they FIRST appear, cumulative vocabulary per bucket (shingles, not
+    // unigrams — the fixture's closed word set saturates in one bucket,
+    // while the n-gram space keeps growing like a real corpus's
+    // vocabulary does). Scale shape: the Zipfian shingle key is only ever
+    // a partial-aggregated groupBy (min(doc_id) combines map-side); the
+    // running sum runs over a FIXED-SIZE bucket table (16 buckets at any
+    // corpus size — the width derives from one up-front count scalar), so
+    // the global-order window is aggregate-sized by construction.
+    "q82_vocab_growth" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val width = math.max(1L, math.ceil(docs.count() / 16.0).toLong)
+      val firstSeen = docs
+        .select(col("doc_id"), explode(TF.shingleSet(col("text"), 3)).as("token"))
+        .groupBy("token").agg(min("doc_id").as("first_doc"))
+      val perBucket = firstSeen
+        .withColumn("bucket", floor(col("first_doc").cast("double") / width).cast("bigint"))
+        .groupBy("bucket").agg(count(lit(1)).as("new_tokens"))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perBucket
+        .withColumn("vocab_size", sum("new_tokens").over(w))
+        .orderBy("bucket")
+    }),
+
     // corpus-wide exact top-K tokens — the vocabulary head every corpus
     // report starts with. explode -> count -> global top-K compiles to
     // partial aggregation + TakeOrderedAndProject (per-partition heaps,
@@ -2514,6 +2580,54 @@ object Oracles {
                 CAST(sum(lr * f.tf) AS DOUBLE) AS dsir_weight
          FROM tfb f JOIN stats USING (bucket)
          GROUP BY f.doc_id ORDER BY f.doc_id""",
+
+    // q27's shingle convention, hashed to the 60-bit md5-prefix BIGINT
+    // (collisions, if any, are byte-identical in both engines)
+    "q80_dup_ngram_frac" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
+              sh AS (SELECT doc_id, $shSql AS sh FROM tk),
+              e AS (SELECT doc_id, ${graft.functions.PortableHash.duckdbMd5Long("s", 15)} AS h
+                    FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+              dfq AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY h)
+         SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)*1.0 / count(*), 6) AS dup_ngram_frac
+         FROM e JOIN dfq USING (h)
+         GROUP BY e.doc_id ORDER BY e.doc_id""",
+
+    // q39's seeded-cell assignment CTEs verbatim, then within-cell pairs
+    "q81_semdedup" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+              cn AS (SELECT cid, cv, sqrt(${dot("cv", "cv")}) AS c_norm FROM cents),
+              c AS (SELECT vec_id AS id, embedding AS v,
+                           sqrt(${dot("embedding", "embedding")}) AS norm FROM embeddings),
+              a0 AS (SELECT id, cid, v, norm,
+                            ${dot("v", "cv")} / (norm * c_norm) AS cos
+                     FROM c CROSS JOIN cn),
+              asgn AS (SELECT id, cid AS cell, v, norm FROM (
+                         SELECT *, row_number() OVER (PARTITION BY id
+                                     ORDER BY cos DESC, cid) AS rn FROM a0)
+                       WHERE rn = 1),
+              dom AS (SELECT DISTINCT a.id AS id
+                      FROM asgn a JOIN asgn b ON a.cell = b.cell AND b.id < a.id
+                      WHERE round(${dot("a.v", "b.v")} / (a.norm * b.norm), 6) >= 0.4)
+         SELECT s.id AS vec_id, s.cell,
+                CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+         FROM asgn s LEFT JOIN dom d USING (id) ORDER BY vec_id""",
+
+    "q82_vocab_growth" ->
+      s"""WITH n AS (SELECT CAST(ceil(count(*)/16.0) AS BIGINT) AS w FROM documents),
+              tk0 AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
+              tk AS (SELECT doc_id, unnest($shSql) AS token FROM tk0),
+              fo AS (SELECT token, min(doc_id) AS first_doc FROM tk GROUP BY token),
+              pb AS (SELECT CAST(floor(first_doc::DOUBLE / w) AS BIGINT) AS bucket,
+                            CAST(count(*) AS BIGINT) AS new_tokens
+                     FROM fo CROSS JOIN n GROUP BY 1)
+         SELECT bucket, new_tokens,
+                CAST(sum(new_tokens) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+         FROM pb ORDER BY bucket""",
 
     "q28_simhash" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok FROM documents),

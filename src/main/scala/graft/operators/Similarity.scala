@@ -288,12 +288,19 @@ object Similarity {
    * combine, so only one (id, cell, vec) row per document crosses the
    * wire. Queries (small) are broadcast to the assigned corpus for
    * verification — the corpus is never re-shuffled or cross-joined.
+   *
+   * (Doc applies to [[ivfCells]] + [[ivfKnn]] below; the assignment half
+   * lives in [[ivfCells]] so [[semDedup]] shares the exact cell
+   * structure.)
    */
-  def ivfKnn(
-      corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String,
-      k: Int, nCentroids: Int, nProbe: Int,
-      trainedCentroids: Option[Seq[Array[Float]]] = None): DataFrame = {
+  /** The Voronoi-cell assignment shared by [[ivfKnn]] and [[semDedup]]:
+    * returns (normalized centroid table, per-vector assignment
+    * `(id, cell, vec, norm)`). Centroid choice and the argmax tie-break
+    * (cos DESC, smaller cid) follow [[ivfKnn]]'s documented convention so
+    * an independent engine reproduces the exact cell structure. */
+  def ivfCells(
+      corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      trainedCentroids: Option[Seq[Array[Float]]] = None): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     val cents = trainedCentroids match {
       case Some(model) =>
@@ -304,7 +311,7 @@ object Similarity {
       case None =>
         corpus
           .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
-          .limit(nCentroids)
+          .limit(nCells)
           .select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
     }
     val centsN = cents.withColumn("c_norm", sqrt(fdot(cents, "c_vec", "c_vec")))
@@ -321,6 +328,65 @@ object Similarity {
         max(struct(col("cos"), (-col("cid")).as("neg_cid"))).as("m"),
         first("vec").as("vec"), first("norm").as("norm"))
       .select(col("id"), (-col("m.neg_cid")).as("cell"), col("vec"), col("norm"))
+    (centsN, asgn)
+  }
+
+  /** Cell-count sizing rule for [[semDedup]] (the `lshBitsFor` companion):
+    * cells scale WITH the corpus so the per-cell pair work stays
+    * O(targetCellSize) per vector and the whole pass stays linear — a
+    * fixed cell count would make every cell a quiet quadratic at 100×. */
+  def ivfCellsFor(corpusSize: Long, targetCellSize: Long = 1024): Int = {
+    require(corpusSize > 0 && targetCellSize > 0)
+    math.max(1, ((corpusSize + targetCellSize - 1) / targetCellSize).toInt)
+  }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication" — public method): embedding
+   * near-duplicate PRUNING with the quadratic bounded by clustering.
+   * Vectors are assigned to Voronoi cells ([[ivfCells]]); cosine pairs are
+   * examined only WITHIN a cell, and of any near-duplicate pair (cosine ≥
+   * `minCosine` after the repo's round-6-before-threshold rule) the larger
+   * id is marked dominated — `keep = false`. Cross-cell near-dups are
+   * deliberately out of scope (the method's documented recall trade: cells
+   * catch the dense semantic clusters that matter for training-data
+   * volume).
+   *
+   * Scale shape: the only quadratic is per-cell, and [[ivfCellsFor]] sizes
+   * the cell count so cells stay O(targetCellSize) regardless of corpus
+   * size; the pair join ships (id, vec, norm) keyed by cell — skewed cells
+   * split by AQE (joins, unlike windows, are runtime-splittable). Output:
+   * one (vec_id := id, cell, keep) row per corpus vector.
+   */
+  def semDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, minCosine: Double,
+      trainedCentroids: Option[Seq[Array[Float]]] = None): DataFrame = {
+    // multi-consumer intermediate (pair join probe + build, final join) —
+    // lazy localCheckpoint per the repo cache-lifecycle rule
+    val asgn = ivfCells(corpus, idCol, vecCol, nCells, trainedCentroids)
+      ._2.localCheckpoint(eager = false)
+    val a = asgn.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("norm").as("norm_a"))
+    val b = asgn.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("norm").as("norm_b"))
+    val pairs = a.join(b, "cell").where(col("id_b") < col("id_a"))
+    val dominated = pairs
+      .withColumn("cosine",
+        round(fdot(pairs, "vec_a", "vec_b") / (col("norm_a") * col("norm_b")), 6))
+      .where(col("cosine") >= minCosine)
+      .select(col("id_a").as("id")).distinct()
+    asgn.select("id", "cell")
+      .join(dominated.withColumn("dom", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dom").isNull.as("keep"))
+  }
+
+  def ivfKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, nCentroids: Int, nProbe: Int,
+      trainedCentroids: Option[Seq[Array[Float]]] = None): DataFrame = {
+    val (centsN, asgn) = ivfCells(corpus, idCol, vecCol, nCentroids, trainedCentroids)
 
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", sqrt(fdot(queries, "q_vec", "q_vec")))

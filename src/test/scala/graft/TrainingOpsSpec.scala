@@ -480,4 +480,64 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(z(3L).isEmpty, "singleton stratum must be NULL")
     assert(z(4L).isEmpty && z(5L).isEmpty, "constant-length stratum must be NULL")
   }
+
+  test("semDedup: keep flags match a driver-side dominance check per cell") {
+    import spark.implicits._
+    val out = Similarity.semDedup(embs, "vec_id", "embedding",
+      nCells = 16, minCosine = 0.4)
+      .select($"id", $"cell", $"keep").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out.length == embs.count())
+    // brute-force the same rule: within each OUTPUT cell, id is dominated
+    // iff some smaller id in the cell has round(cos, 6) >= 0.4 — cosine
+    // accumulated left-to-right in doubles like the FloatVecOps kernel
+    val vecs = embs.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    def cos6(a: Seq[Float], b: Seq[Float]): Double =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byCell = out.groupBy(_._2)
+    for ((_, members) <- byCell; (id, _, keep) <- members) {
+      val dominated = members.exists { case (other, _, _) =>
+        other < id && cos6(vecs(other), vecs(id)) >= 0.4 }
+      assert(keep == !dominated, s"vec $id: keep=$keep, dominated=$dominated")
+    }
+    // and near-dups actually exist on this fixture, so keep=false is exercised
+    assert(out.exists(!_._3), "fixture produced no dominated vectors")
+  }
+
+  test("semDedup: identical vectors collapse to the smallest id") {
+    import spark.implicits._
+    val v = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val u = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val rows = Seq(10L -> v, 11L -> v, 12L -> v, 20L -> u)
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+      nCells = 2, minCosine = 0.99)
+      .select($"id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(out(10L) && !out(11L) && !out(12L), "copies keep only the min id")
+    assert(out(20L), "orthogonal vector untouched")
+  }
+
+  test("semDedup: pair join is cell-keyed — no cartesian in the executed plan") {
+    val out = Similarity.semDedup(embs, "vec_id", "embedding",
+      nCells = 16, minCosine = 0.4)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "semDedup pair join went cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "semDedup pair join lost its cell equi-key")
+  }
+
+  test("ivfCellsFor: cells scale with the corpus, per-cell work stays O(target)") {
+    assert(Similarity.ivfCellsFor(1L) == 1)
+    assert(Similarity.ivfCellsFor(1024L) == 1)
+    assert(Similarity.ivfCellsFor(1025L) == 2)
+    assert(Similarity.ivfCellsFor(1000000L) == 977)
+    // 1B vectors: ~977k cells, each ~1k vectors -> ~500k pairs per cell,
+    // linear overall; a FIXED 16 cells would be ~2e15 pairs
+    assert(Similarity.ivfCellsFor(1000000000L) == 976563)
+  }
 }
