@@ -550,6 +550,77 @@ object Queries {
         .orderBy("bucket")
     }),
 
+    // temperature-based mixture sampling weights (the alpha-sampling rule
+    // from multilingual LM training, e.g. XLM / mT5 — public method):
+    // per-language sampling probability q_l proportional to p_l^alpha,
+    // upweighting low-resource languages. alpha = 0.5 so the power IS
+    // sqrt — IEEE-754 correctly-rounded in every engine, unlike pow()
+    // whose libm results differ; the normalizer is an exact DECIMAL sum
+    // of the 6dp-rounded weights (order-independent), and the final
+    // ratio divides the same two doubles in both engines. Scale shape:
+    // one partial-aggregated groupBy(lang); everything after is
+    // aggregate-sized (|langs| rows).
+    "q83_mixture_weights" -> ((s, d) => {
+      val cnt = t(s, d, "documents")
+        .select(col("lang"), TF.bpeTokenCount(col("text")).as("toks"))
+        .groupBy("lang").agg(sum("toks").as("n_tokens"))
+      val tot = cnt.agg(sum("n_tokens").as("nt"))
+      val w = cnt.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("nt"), 6).as("p_raw"),
+          round(sqrt(col("n_tokens").cast("double") / col("nt")), 6)
+            .cast(DecimalType(18, 6)).as("w"))
+      val z = w.agg(sum("w").as("z"))
+      w.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_tokens"), col("p_raw"),
+          round(col("w").cast("double") / col("z").cast("double"), 6)
+            .as("alpha_weight"))
+        .orderBy("lang")
+    }),
+
+    // train/val/test token-distribution drift: KL(train || split) in bits
+    // over the 64 hashed-unigram buckets (q74's bucket convention, q46's
+    // md5 split convention) — the monitoring signal that catches a
+    // mis-stratified split or upstream distribution shift before a
+    // training run does. Laplace-smoothed; each bucket term follows
+    // q79's parity discipline (ONE double ratio of exact integer counts
+    // cast to double, log2, rounded to 6dp, summed as exact DECIMAL).
+    // Scale shape: one partial-aggregated groupBy(split, bucket); the
+    // scaffold and every join after it are aggregate-sized (<= |splits|
+    // x 64 rows, broadcast).
+    "q84_distribution_drift" -> ((s, d) => {
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val tb = t(s, d, "documents")
+        .select(
+          when(h < "0d", "test").when(h < "1a", "val").otherwise("train").as("split"),
+          explode(TF.tokens(col("text"))).as("token"))
+        .withColumn("bucket",
+          expr("cast(conv(substr(md5(cast(token as binary)), 1, 8), 16, 10) as bigint) % 64"))
+        .groupBy("split", "bucket").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val scaffold = tb.select("split").where(col("split") =!= "train").distinct()
+        .crossJoin(tb.select("bucket").distinct())
+      val joined = scaffold
+        .join(tb.where(col("split") =!= "train")
+          .select(col("split"), col("bucket"), col("c").as("cq")),
+          Seq("split", "bucket"), "left")
+        .join(broadcast(tb.where(col("split") === "train")
+          .select(col("bucket"), col("c").as("cp"))), Seq("bucket"), "left")
+        .crossJoin(broadcast(tb.where(col("split") === "train")
+          .agg(sum("c").as("tp"))))
+        .join(broadcast(tb.where(col("split") =!= "train")
+          .groupBy("split").agg(sum("c").as("tq"))), Seq("split"))
+      joined
+        .select(col("split"),
+          (round(
+            ((coalesce(col("cp"), lit(0L)) + 1).cast("double") / (col("tp") + 64).cast("double")) *
+              log2(((coalesce(col("cp"), lit(0L)) + 1).cast("double") * (col("tq") + 64).cast("double")) /
+                ((coalesce(col("cq"), lit(0L)) + 1).cast("double") * (col("tp") + 64).cast("double"))), 6))
+            .cast(DecimalType(18, 6)).as("term"))
+        .groupBy("split").agg(sum("term").cast("double").as("kl_bits"))
+        .orderBy("split")
+    }),
+
     // corpus-wide exact top-K tokens — the vocabulary head every corpus
     // report starts with. explode -> count -> global top-K compiles to
     // partial aggregation + TakeOrderedAndProject (per-partition heaps,
@@ -2628,6 +2699,55 @@ object Oracles {
                 CAST(sum(new_tokens) OVER (ORDER BY bucket
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
          FROM pb ORDER BY bucket""",
+
+    // alpha = 0.5: the power is sqrt (correctly-rounded IEEE in both
+    // engines, unlike pow); normalizer is an exact DECIMAL sum of the
+    // 6dp-rounded weights
+    "q83_mixture_weights" ->
+      s"""WITH c AS (SELECT lang,
+                            CAST(sum(len(regexp_extract_all(text, '$bpePatternSql'))) AS BIGINT) AS n_tokens
+                     FROM documents GROUP BY lang),
+              tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nt FROM c),
+              w AS (SELECT lang, n_tokens,
+                           round(n_tokens::DOUBLE / nt, 6) AS p_raw,
+                           CAST(round(sqrt(n_tokens::DOUBLE / nt), 6) AS DECIMAL(18,6)) AS w
+                    FROM c CROSS JOIN tot),
+              z AS (SELECT sum(w) AS z FROM w)
+         SELECT lang, n_tokens, p_raw,
+                round(w::DOUBLE / z::DOUBLE, 6) AS alpha_weight
+         FROM w CROSS JOIN z ORDER BY lang""",
+
+    // q46's md5 split + q74's hashed-bucket convention; each KL term is
+    // q79's discipline — one double ratio of exact counts, log2, round
+    // 6, exact DECIMAL sum
+    "q84_distribution_drift" ->
+      """WITH tok AS (SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0d' THEN 'test'
+                                  WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'val'
+                                  ELSE 'train' END AS split,
+                             unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                      FROM documents),
+              tb AS (SELECT split, ('0x'||substr(md5(token),1,8))::BIGINT % 64 AS bucket,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM tok GROUP BY split, bucket),
+              scaffold AS (SELECT s.split, b.bucket
+                           FROM (SELECT DISTINCT split FROM tb WHERE split <> 'train') s
+                           CROSS JOIN (SELECT DISTINCT bucket FROM tb) b),
+              p AS (SELECT bucket, c AS cp FROM tb WHERE split = 'train'),
+              tp AS (SELECT CAST(sum(c) AS BIGINT) AS tp FROM tb WHERE split = 'train'),
+              tq AS (SELECT split, CAST(sum(c) AS BIGINT) AS tq
+                     FROM tb WHERE split <> 'train' GROUP BY split),
+              terms AS (SELECT sc.split,
+                               CAST(round(
+                                 ((COALESCE(cp, 0) + 1)::DOUBLE / (tp + 64)::DOUBLE) *
+                                 log2(((COALESCE(cp, 0) + 1)::DOUBLE * (tq + 64)::DOUBLE) /
+                                      ((COALESCE(q.c, 0) + 1)::DOUBLE * (tp + 64)::DOUBLE)), 6)
+                                    AS DECIMAL(18,6)) AS term
+                        FROM scaffold sc
+                        LEFT JOIN tb q ON q.split = sc.split AND q.bucket = sc.bucket
+                        LEFT JOIN p ON p.bucket = sc.bucket
+                        CROSS JOIN tp JOIN tq ON tq.split = sc.split)
+         SELECT split, CAST(sum(term) AS DOUBLE) AS kl_bits
+         FROM terms GROUP BY split ORDER BY split""",
 
     "q28_simhash" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok FROM documents),
