@@ -561,15 +561,20 @@ object Queries {
     // one partial-aggregated groupBy(lang); everything after is
     // aggregate-sized (|langs| rows).
     "q83_mixture_weights" -> ((s, d) => {
+      // multi-consumer aggregate (total + weights + normalizer all derive
+      // from it): checkpoint so the BPE-tokenizing scan runs ONCE, not
+      // once per consumer
       val cnt = t(s, d, "documents")
         .select(col("lang"), TF.bpeTokenCount(col("text")).as("toks"))
         .groupBy("lang").agg(sum("toks").as("n_tokens"))
+        .localCheckpoint(false)
       val tot = cnt.agg(sum("n_tokens").as("nt"))
       val w = cnt.crossJoin(broadcast(tot))
         .select(col("lang"), col("n_tokens"),
           round(col("n_tokens").cast("double") / col("nt"), 6).as("p_raw"),
           round(sqrt(col("n_tokens").cast("double") / col("nt")), 6)
             .cast(DecimalType(18, 6)).as("w"))
+        .localCheckpoint(false)
       val z = w.agg(sum("w").as("z"))
       w.crossJoin(broadcast(z))
         .select(col("lang"), col("n_tokens"), col("p_raw"),
@@ -619,6 +624,71 @@ object Queries {
             .cast(DecimalType(18, 6)).as("term"))
         .groupBy("split").agg(sum("term").cast("double").as("kl_bits"))
         .orderBy("split")
+    }),
+
+    // BPE tokenizer-training kernel (Sennrich et al. 2016 — public
+    // method): the adjacent-symbol-pair counting that drives every merge
+    // decision, here the first iteration (symbols = characters) with the
+    // winning merge at rank 1. The scale decomposition is the classic
+    // one: the CORPUS collapses into a distinct-word frequency table
+    // first (Zipfian word key only ever a partial-aggregated groupBy),
+    // and pairs explode over the VOCABULARY (|V| x avg_len rows, not
+    // corpus-sized) weighted by word frequency. substring-over-sequence
+    // generates pairs identically in both engines; 1-char words are
+    // filtered (Spark's sequence(1, 0) would go descending).
+    "q85_bpe_pairs" -> ((s, d) => {
+      val vocab = t(s, d, "documents")
+        .select(explode(TF.tokens(col("text"))).as("word"))
+        .where(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      vocab
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // triangle enumeration over the verified near-dup graph (q26's
+    // edges): triangles are 3-cliques of mutual near-duplicates — the
+    // density signal that tells template boilerplate (dense cliques)
+    // from chance pairwise collisions (sparse). Scale shape: the classic
+    // degree-ordered orientation — each edge points toward its
+    // higher-(deg, id) endpoint, bounding every vertex's out-degree by
+    // sqrt(2m), so the wedge self-join is O(m^1.5) worst case instead of
+    // sum(deg^2) (a hub vertex never fans out); the closing edge is an
+    // equi-join on the canonical (a < b) pair. Output rows are
+    // id-canonical (doc_a < doc_b < doc_c), matching the oracle's
+    // id-ordered enumeration exactly.
+    "q86_dup_triangles" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+          k = 64, bands = 16, shingleN = 3, threshold = 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint(false) // multi-consumer: degrees, orientation, closure
+      val deg = pairs.select(col("a").as("v"))
+        .union(pairs.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val aFirst = pairs
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .select(col("a"), col("b"),
+          (col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b"))).as("fwd"))
+      val oriented = aFirst.select(
+          when(col("fwd"), col("a")).otherwise(col("b")).as("u"),
+          when(col("fwd"), col("b")).otherwise(col("a")).as("w"))
+        .localCheckpoint(false) // self-joined below
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+        .select(col("e1.u").as("x"),
+          least(col("e1.w"), col("e2.w")).as("p"),
+          greatest(col("e1.w"), col("e2.w")).as("q"))
+      wedges.join(pairs, wedges("p") === pairs("a") && wedges("q") === pairs("b"),
+          "left_semi")
+        .select(array_sort(array(col("x"), col("p"), col("q"))).as("t"))
+        .select(col("t")(0).as("doc_a"), col("t")(1).as("doc_b"),
+          col("t")(2).as("doc_c"))
+        .orderBy("doc_a", "doc_b", "doc_c")
     }),
 
     // corpus-wide exact top-K tokens — the vocabulary head every corpus
@@ -2748,6 +2818,30 @@ object Oracles {
                         CROSS JOIN tp JOIN tq ON tq.split = sc.split)
          SELECT split, CAST(sum(term) AS DOUBLE) AS kl_bits
          FROM terms GROUP BY split ORDER BY split""",
+
+    // pair generation over the distinct-word vocabulary weighted by word
+    // frequency — range(1, len) is exclusive-end, matching Spark's
+    // inclusive sequence(1, len-1)
+    "q85_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS word
+                    FROM documents),
+              v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+                    FROM w WHERE len(word) >= 2 GROUP BY word),
+              p AS (SELECT unnest(list_transform(range(1, len(word)),
+                                 i -> substr(word, i, 2))) AS pair, freq
+                    FROM v),
+              c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY pair)
+         SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20""",
+
+    // q26's verified edges (a < b); id-ordered enumeration e(a,b) ⋈
+    // e(b,c) ⋈ e(a,c) yields each triangle once, equal to the engine's
+    // degree-oriented canonical output as a SET
+    "q86_dup_triangles" ->
+      s"""WITH $minhashPairsCte,
+              e AS (SELECT doc_a AS a, doc_b AS b FROM v WHERE jaccard >= 0.5)
+         SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
+         FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+         ORDER BY doc_a, doc_b, doc_c""",
 
     "q28_simhash" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok FROM documents),
