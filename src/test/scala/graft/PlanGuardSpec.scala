@@ -137,4 +137,19 @@ class PlanGuardSpec extends AnyFunSuite {
     }
     assert(pruned, "no Bloom-filter prune beneath the semi-join's streamed side")
   }
+
+  test("q85/q86: vocabulary top-K is TakeOrderedAndProject; triangle joins stay equi-keyed") {
+    assert(executedPlans("q85_bpe_pairs")
+      .collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "BPE pair top-20 regressed to a full sort")
+    // the wedge self-join and the closing-edge join must both be hash/merge
+    // equi-joins — a dropped join key turns triangle counting quadratic
+    val plans = executedPlans("q86_dup_triangles")
+    assert(plans.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j }.isEmpty,
+      "triangle enumeration went cartesian")
+    assert(plans.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "triangle enumeration lost an equi-key (nested-loop join)")
+  }
 }
