@@ -60,9 +60,15 @@ object Queries {
     * shingle kernel (KernelParitySpec locks it to the TF.shingleSet
     * column form) replaced interpreted HOF lambdas that were 8x the
     * query's wall-clock. */
+  /** Fused distinct-trigram-shingle kernel (one JVM call per doc) shared
+    * by q45/q67/q80/q82 — the interpreted HOF `TF.shingleSet` form
+    * measured 7+ s per corpus-wide query at sf0.1 vs sub-second fused
+    * (the q26/q27 lesson, re-measured on q80/q82 in r5). */
+  private val shingleSet3Udf = udf((text: String) =>
+    graft.functions.ShingleKernel.shingleStrings(text, 3))
+
   private def contaminationSides(docs: DataFrame): (DataFrame, DataFrame) = {
-    val shingleSetUdf = udf((text: String) =>
-      graft.functions.ShingleKernel.shingleStrings(text, 3))
+    val shingleSetUdf = shingleSet3Udf
     val heldout = docs.where(col("doc_id") % 97 === 0)
       .select(explode(shingleSetUdf(col("text"))).as("shingle"))
       .distinct()
@@ -498,7 +504,7 @@ object Queries {
     // never a window key.
     "q80_dup_ngram_frac" -> ((s, d) => {
       val sh = t(s, d, "documents")
-        .select(col("doc_id"), explode(TF.shingleSet(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), explode(shingleSet3Udf(col("text"))).as("sh"))
         .select(col("doc_id"),
           expr("cast(conv(substr(md5(cast(sh as binary)), 1, 15), 16, 10) as bigint)").as("h"))
         .localCheckpoint(false)
@@ -538,7 +544,7 @@ object Queries {
       val docs = t(s, d, "documents")
       val width = math.max(1L, math.ceil(docs.count() / 16.0).toLong)
       val firstSeen = docs
-        .select(col("doc_id"), explode(TF.shingleSet(col("text"), 3)).as("token"))
+        .select(col("doc_id"), explode(shingleSet3Udf(col("text"))).as("token"))
         .groupBy("token").agg(min("doc_id").as("first_doc"))
       val perBucket = firstSeen
         .withColumn("bucket", floor(col("first_doc").cast("double") / width).cast("bigint"))
