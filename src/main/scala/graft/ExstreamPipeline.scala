@@ -124,17 +124,21 @@ object ExstreamPipeline {
     // (window, class, timestamp) jointly (`script_1.py:228-230`) — kept
     // iff the 16-bit md5 prefix is under round(cfg.sampleFraction*65536)
     // (exact to 1/65536), seeded via cfg.seed.
-    // cache the 1x observation table, NOT the (rounds+1)x exploded view:
-    // the explode + md5 filter is a narrow, cheap projection recomputed
-    // per consuming subtree, while caching after the explode would pin
-    // ~6x the observation bytes — the difference between "fits in cluster
-    // memory" and "doesn't" at full scale
+    // checkpoint the 1x observation table, NOT the (rounds+1)x exploded
+    // view: the explode + md5 filter is a narrow, cheap projection
+    // recomputed per consuming subtree, while materializing after the
+    // explode would pin ~6x the observation bytes — the difference
+    // between "fits in cluster memory" and "doesn't" at full scale.
+    // localCheckpoint (owned lifecycle), not cache(): blocks stay out of
+    // the catalog cache and the ContextCleaner frees them when the plan
+    // drops, so repeated constructExplanations calls in a long-lived
+    // session don't accumulate InMemoryRelations.
     val rsValues = -1 until cfg.instabilityRounds
     val sampled =
       if (cfg.sampleFraction >= 1.0) lit(true)
       else md5(concat_ws("_", lit(cfg.seed), col("window_key"), col("type_data"),
         col("timestamp"), col("rs")).cast("binary")) < sampleCutoffHex(cfg.sampleFraction)
-    val obs = obs0.cache()
+    val obs = obs0.localCheckpoint(false)
       .withColumn("rs", explode(array(rsValues.map(lit(_)): _*)))
       .where(col("rs") === -1 || sampled)
       .withColumn("window_key", concat_ws("#", col("rs"), col("window_key")))

@@ -435,6 +435,15 @@ object Queries {
     // has no sinks, making dm identically 0 in both engines). The lag
     // window partitions by user_id — bounded per-user event counts, not
     // a Zipfian key. round-before-order discipline on the rank.
+    // ACCEPTED FRAGILITY (ADVICE r5): parity rests on round(rank,6)
+    // agreeing after 20 double iterations whose per-node sums are
+    // parallel float reductions; a rank within an ulp of a .5e-6
+    // boundary could flip between engines. Measured margin (DuckDB
+    // unrounded, sf0.01 AND sf0.1): the 5-event-type transition graph
+    // is complete with uniform out-degrees, so PageRank converges to
+    // EXACTLY uniform 0.2 per node — rank*1e6 lands on an integer,
+    // maximally far (0.5) from any .5 rounding boundary. Re-measure if
+    // the event-type vocabulary grows or edge weights diversify.
     "q78_event_pagerank" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val edges = t(s, d, "events")
@@ -540,6 +549,12 @@ object Queries {
     // running sum runs over a FIXED-SIZE bucket table (16 buckets at any
     // corpus size — the width derives from one up-front count scalar), so
     // the global-order window is aggregate-sized by construction.
+    // ASSUMES dense doc_ids starting near 0 (true of the testdata
+    // generator): width = ceil(count/16) buckets floor(first_doc/width)
+    // into exactly 16 bins only under that layout; sparse/offset ids
+    // would yield fewer or shifted buckets (still oracle-identical — the
+    // SQL mirrors the derivation — but the "16 buckets" claim is
+    // data-dependent). For arbitrary ids, substitute a rank over doc_id.
     "q82_vocab_growth" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val width = math.max(1L, math.ceil(docs.count() / 16.0).toLong)
@@ -610,7 +625,7 @@ object Queries {
         .groupBy("split", "bucket").agg(count(lit(1)).as("c"))
         .localCheckpoint(false)
       val scaffold = tb.select("split").where(col("split") =!= "train").distinct()
-        .crossJoin(tb.select("bucket").distinct())
+        .crossJoin(broadcast(tb.select("bucket").distinct()))
       val joined = scaffold
         .join(tb.where(col("split") =!= "train")
           .select(col("split"), col("bucket"), col("c").as("cq")),

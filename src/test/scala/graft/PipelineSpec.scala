@@ -221,4 +221,25 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy("trace_id", "ano_id").collect()
     assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq)
   }
+
+  test("constructExplanations: owned lifecycle adds no catalog cache entries") {
+    // The r5 rule (ShardingSpec probe) extended over the full pipeline:
+    // obs0 rides localCheckpoint, not cache(), so repeated
+    // constructExplanations calls must not accumulate InMemoryRelations.
+    // Delta-based because this suite's own `loaded` fixture caches an
+    // identical labelObservations plan — CacheManager matches by
+    // canonicalized plan, so an absolute catalog-empty probe would see
+    // the fixture's cache, not a pipeline leak.
+    val cfg = ExstreamConfig(cluster = false, applyWorstCase = false, instabilityRounds = 1)
+    def cachedFragments(): Int =
+      ExstreamPipeline.constructExplanations(spark, fixtureDir, "labels", cfg)
+        .queryExecution.withCachedData.collect {
+          case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+        }.size
+    val before = cachedFragments()
+    for (_ <- 1 to 2)
+      assert(ExstreamPipeline.constructExplanations(spark, fixtureDir, "labels", cfg).count() > 0)
+    assert(cachedFragments() == before,
+      "constructExplanations leaked an InMemoryRelation into the catalog cache")
+  }
 }
