@@ -712,6 +712,21 @@ object Queries {
         .orderBy("doc_a", "doc_b", "doc_c")
     }),
 
+    // the full BPE trainer loop (q85 is its round 1): K=6 merges over the
+    // distinct-word frequency table, each round = vocabulary-sized pair
+    // count + greedy sentinel-replace merge application (BpeTrainer
+    // scaladoc derives the cross-engine replace-semantics argument).
+    // Fixed-K deterministic mode (minCount=0) so the oracle unrolls the
+    // same 6 rounds as materialized chained CTEs — the q78 pattern;
+    // production uses the minCount early exit. Counts and pair strings
+    // are exact: no float discipline needed anywhere in the loop.
+    "q87_bpe_train" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(TF.tokens(col("text"))).as("word"))
+      BpeTrainer.train(BpeTrainer.vocabulary(words), merges = 6, minCount = 0L)
+        .orderBy("merge_rank")
+    }),
+
     // corpus-wide exact top-K tokens — the vocabulary head every corpus
     // report starts with. explode -> count -> global top-K compiles to
     // partial aggregation + TakeOrderedAndProject (per-partition heaps,
@@ -2863,6 +2878,51 @@ object Oracles {
          SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
          FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
          ORDER BY doc_a, doc_b, doc_c""",
+
+    // BpeTrainer's 6 fixed rounds UNROLLED as chained CTEs (the q78
+    // pattern): per round, adjacent-pair count over the sentinel-encoded
+    // vocabulary, winner by (n DESC, pair), greedy merge via replace()
+    // on the chr(1)/chr(2)-wrapped symbols — DuckDB's replace resumes
+    // after the matched region, matching Spark's UTF8String.replace
+    // (BpeTrainerSpec's run-of-4 case pins the shared semantics).
+    "q87_bpe_train" -> {
+      def round(k: Int): String = {
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""p$k AS (SELECT unnest(list_transform(range(1, len(l)),
+                            i -> l[i] || ' ' || l[i+1])) AS pair, freq
+                    FROM (SELECT string_split(substr(enc, 2, len(enc)-2),
+                                              chr(2)||chr(1)) AS l, freq
+                          FROM $prev)),
+              win$k AS MATERIALIZED (
+                    SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p$k
+                    GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+              v$k AS MATERIALIZED (
+                    SELECT replace(enc,
+                             chr(1)||split_part(pair,' ',1)||chr(2)||
+                               chr(1)||split_part(pair,' ',2)||chr(2),
+                             chr(1)||replace(pair,' ','')||chr(2)) AS enc,
+                           freq
+                    FROM $prev CROSS JOIN win$k)"""
+      }
+      val rounds = (1 to 6).map(round).mkString(",\n              ")
+      val finalSel = (1 to 6)
+        .map(k => s"SELECT $k AS merge_rank, pair, n FROM win$k")
+        .mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
+                     FROM documents),
+              v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+                    WHERE len(word) >= 2
+                      AND word NOT LIKE '%'||chr(1)||'%'
+                      AND word NOT LIKE '%'||chr(2)||'%'
+                    GROUP BY word),
+              v0 AS MATERIALIZED (
+                    SELECT array_to_string(list_transform(range(1, len(word)+1),
+                             i -> chr(1)||substr(word,i,1)||chr(2)), '') AS enc,
+                           freq
+                    FROM v),
+              $rounds
+         $finalSel ORDER BY merge_rank"""
+    },
 
     "q28_simhash" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok FROM documents),

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.BpeTrainer
+
+/**
+ * BPE multi-merge trainer: hand-computed merges on a closed corpus, the
+ * greedy-replace run semantics the sentinel encoding exists for, the
+ * early-exit duality, and round-1 parity with q85's pair count.
+ */
+class BpeTrainerSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("bpe-trainer-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def wordsDf(ws: (String, Int)*) = {
+    import spark.implicits._
+    ws.flatMap { case (w, n) => Seq.fill(n)(w) }.toDF("word")
+  }
+
+  test("hand-computed merge sequence on the classic low/lower corpus") {
+    // vocab: low x5, lower x2, newest x6, widest x3  (Sennrich's example,
+    // counts chosen to make every round's winner unique)
+    val vocab = BpeTrainer.vocabulary(wordsDf(
+      "low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3))
+    val merges = BpeTrainer.train(vocab, merges = 4, minCount = 0L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // round 1: "es" 9 (newest 6 + widest 3); tie "st" 9 broken by pair asc
+    assert(merges(0) == ((1, "e s", 9L)))
+    // round 2: after es-merge, "es t" counts 9 and beats everything
+    assert(merges(1) == ((2, "es t", 9L)))
+    // round 3: "l o" in low(5)+lower(2) = 7
+    assert(merges(2) == ((3, "l o", 7L)))
+    // round 4: "lo w" = 7
+    assert(merges(3) == ((4, "lo w", 7L)))
+  }
+
+  test("greedy non-overlapping runs: aaaa merges twice, aaa once") {
+    val vocab = BpeTrainer.vocabulary(wordsDf("aaaa" -> 1, "aaa" -> 1))
+    val (merges, enc) = BpeTrainer.trainWithVocab(vocab, merges = 1, minCount = 0L)
+    val m = merges.collect()
+    // counting sees overlaps: aaaa has 3 adjacent (a,a), aaa has 2
+    assert(m.head.getString(1) == "a a" && m.head.getLong(2) == 5L)
+    // application is greedy non-overlapping: aaaa -> [aa, aa], aaa -> [aa, a]
+    val encs = enc.select("enc").collect().map(_.getString(0)).toSet
+    val S = BpeTrainer.S; val E = BpeTrainer.E
+    assert(encs == Set(s"${S}aa$E${S}aa$E", s"${S}aa$E${S}a$E"))
+  }
+
+  test("minCount early exit fires; minCount=0 runs fixed-K") {
+    // "ab" x3: round 1 merges (a,b) n=3; afterwards every word is one
+    // symbol -> no pairs -> the loop must stop regardless of minCount
+    val vocab = BpeTrainer.vocabulary(wordsDf("ab" -> 3, "cd" -> 1))
+    val stopped = BpeTrainer.train(vocab, merges = 10, minCount = 2L).collect()
+    // (c,d) has n=1 < minCount -> early exit after the single ab merge
+    assert(stopped.map(_.getString(1)).toSeq == Seq("a b"))
+    val fixed = BpeTrainer.train(vocab, merges = 10, minCount = 0L).collect()
+    // fixed mode still merges (c,d), then runs dry and stops at 2 rounds
+    assert(fixed.map(_.getString(1)).toSeq == Seq("a b", "c d"))
+  }
+
+  test("round-1 pair counts match q85's substring convention") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    val q85Style = words.where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")).as("p2"))
+      .groupBy("p2").agg(sum("freq").as("n"))
+      .withColumn("pair", expr("concat(substring(p2,1,1), ' ', substring(p2,2,1))"))
+      .select("pair", "n")
+    val trainer = BpeTrainer.pairCounts(
+      BpeTrainer.encode(BpeTrainer.vocabulary(words)))
+    assert(trainer.except(q85Style).isEmpty && q85Style.except(trainer).isEmpty)
+  }
+}

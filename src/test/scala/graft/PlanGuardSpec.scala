@@ -152,4 +152,33 @@ class PlanGuardSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }.isEmpty,
       "triangle enumeration lost an equi-key (nested-loop join)")
   }
+
+  test("q87: BPE pair explode runs over the aggregated vocabulary, never the corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.BpeTrainer
+    // the per-round plan (q87's loop body): its Generate (pair explode)
+    // must sit ABOVE the word-level aggregate — pairs explode over |V|
+    // rows, and a regression that re-derives pairs from the un-aggregated
+    // corpus (corpus-sized explode per ROUND) loses that subtree order
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    val pc = BpeTrainer.pairCounts(BpeTrainer.encode(BpeTrainer.vocabulary(words)))
+    pc.write.mode("overwrite").format("noop").save()
+    val plans = collectPlans(pc.queryExecution.executedPlan)
+    val gens = plans.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.nonEmpty, "no Generate for pair extraction")
+    val pairGenAboveVocabAgg = gens.exists { g =>
+      collectPlans(g).exists {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          a.groupingExpressions.exists(_.toString.contains("word"))
+        case _ => false
+      }
+    }
+    assert(pairGenAboveVocabAgg,
+      "pair explode is not above the vocabulary aggregate — per-round work is corpus-sized")
+    // one corpus scan feeds the whole round, and the round's aggregation
+    // partial-aggregates the Zipfian word key (map-side combine)
+    assert(plans.collect { case s: FileSourceScanExec => s }.size == 1,
+      "BPE round re-scans the corpus")
+  }
 }
