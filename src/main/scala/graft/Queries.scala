@@ -92,6 +92,32 @@ object Queries {
       .agg(min("us").as("s_start"), max("us").as("s_end"))
   }
 
+  /** q83's temperature mixture weights (alpha = 0.5), factored so q88's
+    * sampler composes the EXACT same weight definition (one source of
+    * truth for the parity-sensitive sqrt/DECIMAL discipline). Returns
+    * (lang, n_tokens, p_raw, alpha_weight), unordered. */
+  private def mixtureWeights(s: SparkSession, d: String): DataFrame = {
+    // multi-consumer aggregate (total + weights + normalizer all derive
+    // from it): checkpoint so the BPE-tokenizing scan runs ONCE, not
+    // once per consumer
+    val cnt = t(s, d, "documents")
+      .select(col("lang"), TF.bpeTokenCount(col("text")).as("toks"))
+      .groupBy("lang").agg(sum("toks").as("n_tokens"))
+      .localCheckpoint(false)
+    val tot = cnt.agg(sum("n_tokens").as("nt"))
+    val w = cnt.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("nt"), 6).as("p_raw"),
+        round(sqrt(col("n_tokens").cast("double") / col("nt")), 6)
+          .cast(DecimalType(18, 6)).as("w"))
+      .localCheckpoint(false)
+    val z = w.agg(sum("w").as("z"))
+    w.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_tokens"), col("p_raw"),
+        round(col("w").cast("double") / col("z").cast("double"), 6)
+          .as("alpha_weight"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
@@ -581,28 +607,7 @@ object Queries {
     // ratio divides the same two doubles in both engines. Scale shape:
     // one partial-aggregated groupBy(lang); everything after is
     // aggregate-sized (|langs| rows).
-    "q83_mixture_weights" -> ((s, d) => {
-      // multi-consumer aggregate (total + weights + normalizer all derive
-      // from it): checkpoint so the BPE-tokenizing scan runs ONCE, not
-      // once per consumer
-      val cnt = t(s, d, "documents")
-        .select(col("lang"), TF.bpeTokenCount(col("text")).as("toks"))
-        .groupBy("lang").agg(sum("toks").as("n_tokens"))
-        .localCheckpoint(false)
-      val tot = cnt.agg(sum("n_tokens").as("nt"))
-      val w = cnt.crossJoin(broadcast(tot))
-        .select(col("lang"), col("n_tokens"),
-          round(col("n_tokens").cast("double") / col("nt"), 6).as("p_raw"),
-          round(sqrt(col("n_tokens").cast("double") / col("nt")), 6)
-            .cast(DecimalType(18, 6)).as("w"))
-        .localCheckpoint(false)
-      val z = w.agg(sum("w").as("z"))
-      w.crossJoin(broadcast(z))
-        .select(col("lang"), col("n_tokens"), col("p_raw"),
-          round(col("w").cast("double") / col("z").cast("double"), 6)
-            .as("alpha_weight"))
-        .orderBy("lang")
-    }),
+    "q83_mixture_weights" -> ((s, d) => mixtureWeights(s, d).orderBy("lang")),
 
     // train/val/test token-distribution drift: KL(train || split) in bits
     // over the 64 hashed-unigram buckets (q74's bucket convention, q46's
@@ -725,6 +730,32 @@ object Queries {
         .select(explode(TF.tokens(col("text"))).as("word"))
       BpeTrainer.train(BpeTrainer.vocabulary(words), merges = 6, minCount = 0L)
         .orderBy("merge_rank")
+    }),
+
+    // q83's weights APPLIED as a sampler: a 25%-of-corpus token budget is
+    // redistributed across languages by the temperature weights
+    // (budget_l = B * q_l — low-resource languages keep more than 25% of
+    // their mass, high-resource less), then each language keeps its
+    // deterministic md5-order greedy prefix via CorpusSharding's
+    // two-level machinery (per-(lang, shard) running sums + an
+    // aggregate-sized offset join — q59's proven shape, external budgets
+    // broadcast in). Budget parity: B * q_l is EXACT integer arithmetic —
+    // the 6dp weight is re-scaled to a bigint via round(w*1e6) (the
+    // micro-scaling rule; w*1e6 sits ~1e-9 from an integer, never near
+    // .5), so both engines floor the same product. Output is the
+    // aggregate-sized per-language sample report.
+    "q88_mixture_sample" -> ((s, d) => {
+      val wts = mixtureWeights(s, d)
+      val budgets = wts.crossJoin(broadcast(wts.agg(sum("n_tokens").as("nt"))))
+        .select(col("lang"), expr(
+          "((nt div 4) * cast(round(alpha_weight * 1e6, 0) as bigint)) div 1000000")
+          .as("budget"))
+      CorpusSharding.weightedBudgetPrefix(t(s, d, "documents"),
+          TF.bpeTokenCount(col("text")), prefixHexChars = 1, budgets)
+        .groupBy("lang")
+        .agg(max("budget").as("budget"), count(lit(1)).as("n_docs_kept"),
+          sum("toks").as("n_tokens_kept"))
+        .orderBy("lang")
     }),
 
     // corpus-wide exact top-K tokens — the vocabulary head every corpus
@@ -2878,6 +2909,37 @@ object Oracles {
          SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
          FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
          ORDER BY doc_a, doc_b, doc_c""",
+
+    // q83's weight CTEs verbatim, budget via exact micro-scaled integer
+    // arithmetic, then q59's single-window greedy prefix (the engine's
+    // two-level form equals it for every shard width — ShardingSpec)
+    "q88_mixture_sample" ->
+      s"""WITH c AS (SELECT lang,
+                            CAST(sum(len(regexp_extract_all(text, '$bpePatternSql'))) AS BIGINT) AS n_tokens
+                     FROM documents GROUP BY lang),
+              tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nt FROM c),
+              w AS (SELECT lang, n_tokens,
+                           CAST(round(sqrt(n_tokens::DOUBLE / nt), 6) AS DECIMAL(18,6)) AS w
+                    FROM c CROSS JOIN tot),
+              z AS (SELECT sum(w) AS z FROM w),
+              aw AS (SELECT lang, round(w::DOUBLE / z::DOUBLE, 6) AS alpha_weight
+                     FROM w CROSS JOIN z),
+              b AS (SELECT lang,
+                           ((nt // 4) * CAST(round(alpha_weight * 1e6, 0) AS BIGINT)) // 1000000 AS budget
+                    FROM aw CROSS JOIN tot),
+              s AS (SELECT doc_id, lang,
+                           len(regexp_extract_all(text, '$bpePatternSql')) AS toks,
+                           md5(CAST(doc_id AS VARCHAR)) AS h
+                    FROM documents),
+              x AS (SELECT s.*, b.budget,
+                           coalesce(sum(toks) OVER (PARTITION BY s.lang ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                    FROM s JOIN b USING (lang))
+         SELECT lang, CAST(max(budget) AS BIGINT) AS budget,
+                count(*) AS n_docs_kept,
+                CAST(sum(toks) AS BIGINT) AS n_tokens_kept
+         FROM x WHERE cum_before < budget
+         GROUP BY lang ORDER BY lang""",
 
     // BpeTrainer's 6 fixed rounds UNROLLED as chained CTEs (the q78
     // pattern): per round, adjacent-pair count over the sentinel-encoded

@@ -85,6 +85,20 @@ object CorpusSharding {
   def stratumHead(docs: DataFrame, prefixHexChars: Int, nPerStratum: Long): DataFrame =
     hashOrderPrefix(docs, lit(1L), prefixHexChars, lit(nPerStratum))
 
+  /** Per-language prefix against EXTERNAL budgets — the weight-driven
+    * sampler composition (q88): `budgets` is an aggregate-sized
+    * (lang, budget-in-tokens) frame from an upstream computation (e.g.
+    * temperature mixture weights), broadcast into the offset join.
+    * Languages absent from `budgets` are dropped; a budget exceeding a
+    * language's token mass keeps the whole language (upweighting
+    * saturates — epoch repetition, not subsampling, is the tool past
+    * 1.0). Same two-level core, so shard-major order IS the global
+    * md5 order at any prefix width. */
+  def weightedBudgetPrefix(docs: DataFrame, tokenCount: Column, prefixHexChars: Int,
+                           budgets: DataFrame): DataFrame =
+    hashOrderPrefixWith(docs, tokenCount, prefixHexChars,
+      offsets => offsets.join(broadcast(budgets), Seq("lang")))
+
   /** Shared two-level core: `budgetCol` is evaluated against the
     * aggregate-sized per-(lang, shard) totals frame (column `st`, window
     * over `lang` allowed), so a budget can be a corpus-derived expression
@@ -99,15 +113,23 @@ object CorpusSharding {
     * long-lived sessions calling it repeatedly accumulate nothing
     * (ShardingSpec asserts the catalog cache stays empty). */
   private def hashOrderPrefix(docs: DataFrame, tokenCount: Column, prefixHexChars: Int,
-                              budgetCol: Column): DataFrame = {
+                              budgetCol: Column): DataFrame =
+    hashOrderPrefixWith(docs, tokenCount, prefixHexChars,
+      _.withColumn("budget", budgetCol))
+
+  /** `attachBudget` attaches a `budget` column to the aggregate-sized
+    * per-(lang, shard) offsets frame (column `st` and window-over-lang
+    * expressions allowed, as is a broadcast join against an external
+    * aggregate-sized frame). */
+  private def hashOrderPrefixWith(docs: DataFrame, tokenCount: Column, prefixHexChars: Int,
+                                  attachBudget: DataFrame => DataFrame): DataFrame = {
     val base = withHashShard(docs, tokenCount, prefixHexChars, Seq("lang"))
       .localCheckpoint(eager = false)
     val shardTotals = base.groupBy("lang", "shard").agg(sum("toks").as("st"))
     val wOff = Window.partitionBy("lang").orderBy("shard")
-    val offsets = shardTotals
+    val offsets = attachBudget(shardTotals
       .withColumn("offset", coalesce(
-        sum("st").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("budget", budgetCol)
+        sum("st").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))))
       .select("lang", "shard", "offset", "budget")
     val wIn = Window.partitionBy("lang", "shard").orderBy("h", "doc_id")
     base
