@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 import graft.functions.{MatchKernel, TextFunctions => TF}
 import graft.operators._
 
@@ -24,22 +24,40 @@ import graft.operators._
 object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is nanosecond-precision parquet, which Spark rejects by
-    // default; read it as a long (nanoseconds since epoch). The generator
-    // emits whole microseconds, so ts/1000 is exact and matches DuckDB's
-    // micro-precision TIMESTAMP bit for bit.
+    // The generator's ts dtype has drifted across testdata regenerations
+    // (nano-precision INT64 through round 6, micro-precision TIMESTAMP
+    // since round 7), so normalize at the scan rather than assuming one:
+    // every downstream query sees ts as exact microseconds-since-epoch
+    // (LongType), matching DuckDB's `epoch_us(ts)` bit for bit.
+    // nanosAsLong only affects nano-precision columns (no-op on micro
+    // TIMESTAMP), so it stays on for the legacy shape; the timezone pin
+    // makes the NTZ→instant cast below deterministic.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      // nanos-as-long: `div` (integral division) is essential — `/` on
+      // longs is DOUBLE division, and nano timestamps (~1.7e18) exceed
+      // 2^53, so trunc(double(ts)/1000) lands one microsecond low on ~2%
+      // of rows — invisible in range predicates, fatal for
+      // md5-of-decimal-string parity (q38's resample membership).
+      case Some(LongType) => df.withColumn("ts", expr("ts div 1000"))
+      // parquet timestamp[us] with isAdjustedToUTC=false reads as
+      // TIMESTAMP_NTZ; DuckDB's epoch_us treats the same wall-clock as
+      // UTC, so cast through session-TZ-pinned TIMESTAMP to the instant.
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
+      case Some(TimestampType) => df.withColumn("ts", unix_micros(col("ts")))
+      case _ => df
+    }
   }
 
-  /** Event time as exact microseconds-since-epoch (LongType); the oracle
-    * counterpart is DuckDB's `epoch_us(ts)` — integer arithmetic on both
-    * sides, no float boundary risk in interval predicates. `div` (integral
-    * division) is essential: `/` on longs is DOUBLE division, and nano
-    * timestamps (~1.7e18) exceed 2^53, so trunc(double(ts)/1000) lands one
-    * microsecond low on ~2% of rows — invisible in range predicates, fatal
-    * for md5-of-decimal-string parity (q38's resample membership). */
-  private def tsMicros: Column = expr("ts div 1000")
+  /** Event time as exact microseconds-since-epoch (LongType) — the scan
+    * normalization in [[t]] guarantees the dtype regardless of the
+    * parquet's physical ts encoding; the oracle counterpart is DuckDB's
+    * `epoch_us(ts)` — integer arithmetic on both sides, no float boundary
+    * risk in interval predicates. */
+  private def tsMicros: Column = col("ts")
 
   private def decSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
