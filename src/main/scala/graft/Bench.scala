@@ -16,9 +16,9 @@ import org.apache.spark.sql.SparkSession
  * = host contention during the sweep, not a code regression). A query
  * that throws contributes NO timing: failed runs are excluded from
  * min/median, and a query with zero successful runs is reported under
- * "errors" instead of "queries" — and adds a 3600 s penalty to the
- * headline total, so a crash can never masquerade as a speedup even in
- * a total-to-total comparison (n_ok/n_err make completeness explicit).
+ * "errors" instead of "queries"; the headline `value` sums GREEN queries
+ * only, with completeness explicit in n_ok/n_err (any cross-round total
+ * comparison must first check n_err — no sentinel inflation).
  * Knobs: SPARK_GRAFT_RUNS (default 3), SPARK_GRAFT_WARMUP
  * (default 1, set 0 to skip), SPARK_GRAFT_ONLY=q26_...,q27_... to
  * micro-benchmark a subset.
@@ -81,13 +81,15 @@ object Bench {
     val meds = good.map { case (k, ok, _) => jStr(k) + ":" + median(ok) }.mkString("{", ",", "}")
     val errs = results.collect { case (k, ok, Some(m)) if ok.isEmpty => jStr(k) + ":" + jStr(m) }
       .mkString("{", ",", "}")
-    // a failed query contributes no timing, so the sum over the surviving
-    // queries would READ FASTER than a healthy sweep — inflate the total
-    // by each failed query's timeout-scale penalty so a crash can never
-    // be mistaken for a speedup in headline-to-headline comparisons, and
-    // flag completeness explicitly
+    // a failed query contributes no timing. The r6 design folded a 3600 s
+    // sentinel per failure into `value`, which destroyed the per-query
+    // information in any total-to-total read (r7: 57,645 s = 16 sentinels
+    // + 45 s real). Instead: `value` is the REAL sum over green queries
+    // only, and completeness is explicit and machine-checkable via
+    // n_ok/n_err plus the per-query `errors` map — a comparison that
+    // ignores n_err is wrong by contract, not protected by a sentinel.
     val nErr = results.count(r => r._2.isEmpty && r._3.isDefined)
-    val total = good.map(_._2.min).sum + nErr * 3600.0
+    val total = good.map(_._2.min).sum
 
     // IVF production-path extras: the trained-k-means variant MEASURED
     // (latency + recall vs brute force) alongside the md5-seeded oracle
@@ -151,11 +153,15 @@ object Bench {
     // complete parseable JSON object carrying the headline numbers.
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${good.size},"n_err":$nErr,"runs":$runs,"sf":"$sfDir"}"""
     println(summary)
-    // stdout of an sbt run is buried in [info] noise — also write both
-    // lines to a file so the driver (and any harness) can parse the full
-    // per-query detail reliably
-    sys.env.get("SPARK_GRAFT_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n" + summary + "\n")
+    // stdout of an sbt run is buried in [info] noise and tail-truncated
+    // by at least one harness — ALWAYS write both lines to a file
+    // (SPARK_GRAFT_OUT, defaulting to bench_last.json in the cwd) so the
+    // full per-query detail survives every sweep, failed queries included
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_last.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), line + "\n" + summary + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -23,7 +23,7 @@ import graft.operators._
  */
 object Queries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // The generator's ts dtype has drifted across testdata regenerations
     // (nano-precision INT64 through round 6, micro-precision TIMESTAMP
     // since round 7), so normalize at the scan rather than assuming one:
