@@ -413,6 +413,119 @@ object StreamingOps {
     EntropyCore.rewardLeapFilter(EntropyCore.rankRewards(rewards, featureOrder))
   }
 
+  /** An event entering the streaming funnel; `us` is epoch MICROseconds
+    * (the batch engine's canonical event time unit). */
+  case class FunnelEvent(user_id: Long, event_id: Long, us: Long, event_type: String)
+
+  /** One attributed purchase leaving the streaming funnel — the same row
+    * q70 emits: the latest click at or before the purchase, and the
+    * latest view at or before THAT click (null view = partial funnel).
+    * Purchases with no preceding click never emit, mirroring the batch
+    * inner funnel gate. */
+  case class FunnelHit(user_id: Long, purchase_id: Long, click_id: Long,
+                       view_id: Option[Long], full_funnel: Boolean)
+
+  /** Per-user funnel state: ts-distinct (us, max event_id) click/view
+    * registers plus unemitted purchases. Bounded by the watermark
+    * horizon: everything finalized below the watermark is evicted except
+    * the single latest click and view, which remain the as-of candidates
+    * for future purchases. */
+  case class FunnelState(clicks: List[(Long, Long)], views: List[(Long, Long)],
+                         purchases: List[(Long, Long)])
+
+  /**
+   * Streaming twin of the q70 conversion funnel (view -> click ->
+   * purchase via CHAINED as-of attribution), as watermarked per-user
+   * state instead of the batch union + running-last window.
+   *
+   * Semantics are parity-exact with the batch
+   * [[graft.operators.AsofJoin]] chain (StreamingSpec replays a fixture
+   * through both): clicks/views collapse to max event_id per (user, us)
+   * — the as-of input contract — attribution is at-or-before on both
+   * hops, and a purchase emits exactly once, when the watermark passes
+   * its event time (no event at or before it can still arrive, so the
+   * as-of answer is final; out-of-order arrival within the watermark
+   * slack cannot change it).
+   *
+   * Scale shape: state per user is the unemitted purchases inside the
+   * watermark horizon plus TWO finalized register rows (latest click,
+   * latest view) — eviction keeps everything else out, so state is
+   * bounded by the horizon regardless of stream length, and users shard
+   * across executors like any keyed stream. The event-time timeout
+   * flushes buffered purchases of otherwise-idle users as the watermark
+   * advances.
+   */
+  def funnelAttribution(
+      events: Dataset[FunnelEvent],
+      watermarkDelay: String = "10 seconds"): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+
+    // merge ts-duplicates to max id (the batch groupBy(user, us).max)
+    def mergeReg(old: List[(Long, Long)], add: Seq[(Long, Long)]): List[(Long, Long)] =
+      (old ++ add).groupBy(_._1).map { case (ts, xs) => (ts, xs.map(_._2).max) }.toList
+
+    def emitAndEvict(user: Long, st: FunnelState, watermarkMs: Long)
+        : (FunnelState, List[FunnelHit]) = {
+      val (done, pending) = st.purchases.partition(_._1 / 1000 < watermarkMs)
+      val hits = done.sortBy(identity).flatMap { case (pUs, pId) =>
+        val click = st.clicks.filter(_._1 <= pUs) match {
+          case Nil => None
+          case cs => Some(cs.maxBy(_._1))
+        }
+        click.map { case (cUs, cId) =>
+          val view = st.views.filter(_._1 <= cUs) match {
+            case Nil => None
+            case vs => Some(vs.maxBy(_._1)._2)
+          }
+          FunnelHit(user, pId, cId, view, view.isDefined)
+        }
+      }
+      // registers: keep the open-horizon rows plus the latest finalized
+      // one — the only below-watermark row a future purchase can attach
+      def evictReg(reg: List[(Long, Long)]): List[(Long, Long)] = {
+        val (closed, open) = reg.partition(_._1 / 1000 < watermarkMs)
+        open ++ (if (closed.isEmpty) Nil else List(closed.maxBy(_._1)))
+      }
+      (FunnelState(evictReg(st.clicks), evictReg(st.views), pending), hits)
+    }
+
+    events
+      .withColumn("event_ts", timestamp_micros(col("us")))
+      .withWatermark("event_ts", watermarkDelay)
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(Nil, Nil, Nil))
+          val (clicks, views, purchases) =
+            rows.foldLeft((List.empty[(Long, Long)], List.empty[(Long, Long)],
+                List.empty[(Long, Long)])) { case ((c, v, p), r) =>
+              r.event_type match {
+                case "click" => ((r.us, r.event_id) :: c, v, p)
+                case "view" => (c, (r.us, r.event_id) :: v, p)
+                case "purchase" => (c, v, (r.us, r.event_id) :: p)
+                case _ => (c, v, p)
+              }
+            }
+          st = FunnelState(mergeReg(st.clicks, clicks), mergeReg(st.views, views),
+            st.purchases ++ purchases)
+          val wm = state.getCurrentWatermarkMs()
+          val (next, hits) = emitAndEvict(user, st, wm)
+          if (next.purchases.isEmpty && next.clicks.isEmpty && next.views.isEmpty)
+            state.remove()
+          else {
+            state.update(next)
+            // flush pending purchases as the watermark advances, even if
+            // this user never produces another event
+            if (next.purchases.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(next.purchases.map(_._1 / 1000).min + 1, wm + 1))
+          }
+          hits.iterator
+      }
+  }
+
   /**
    * Stateful span assembly: buffer observations per window_key until the
    * close marker arrives (or the state times out), then emit the closed

@@ -180,5 +180,21 @@ class PlanGuardSpec extends AnyFunSuite {
     // partial-aggregates the Zipfian word key (map-side combine)
     assert(plans.collect { case s: FileSourceScanExec => s }.size == 1,
       "BPE round re-scans the corpus")
+
+    // the IN-LOOP round shape (what trainWithVocab actually executes K
+    // times): enc rides an eager localCheckpoint, so the round's plan
+    // must read the materialized RDD — zero file scans per round — and
+    // the winner pick (orderBy count desc limit 1) must compile to a
+    // TakeOrderedAndProject heap, never a full pair-table sort
+    val encCk = BpeTrainer.encode(BpeTrainer.vocabulary(words))
+      .localCheckpoint(true)
+    val round = BpeTrainer.pairCounts(encCk)
+      .orderBy(col("n").desc, col("pair")).limit(1)
+    round.write.mode("overwrite").format("noop").save()
+    val roundPlans = collectPlans(round.queryExecution.executedPlan)
+    assert(roundPlans.collect { case s: FileSourceScanExec => s }.isEmpty,
+      "per-round BPE plan re-scans parquet instead of the checkpointed vocabulary")
+    assert(roundPlans.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "per-round winner pick regressed to a full sort of the pair table")
   }
 }

@@ -434,4 +434,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(regW2 == batch("w2"), s"registry w2 ${regW2} != batch ${batch("w2")}")
     assert(regW1 == batch("w1"), s"registry w1 ${regW1} != batch ${batch("w1")}")
   }
+
+  test("streaming funnel attribution matches the batch chained as-of joins (q70's twin)") {
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    import graft.streaming.StreamingOps.FunnelEvent
+    implicit val sqlCtx = spark.sqlContext
+
+    val baseUs = 1700000000000000L // epoch micros
+    def us(s: Int) = baseUs + s * 1000000L
+    // the fixture exercises every parity hazard: at-or-before ties
+    // (click AT the purchase time wins over an earlier click), same-us
+    // click duplicates (collapse to max event_id), purchase before any
+    // click (dropped), click with no preceding view (partial funnel),
+    // and a view at exactly the click time (counts)
+    val fixture = Seq(
+      FunnelEvent(1L, 1L, us(1), "view"), FunnelEvent(1L, 2L, us(2), "click"),
+      FunnelEvent(1L, 3L, us(3), "view"), FunnelEvent(1L, 5L, us(4), "click"),
+      FunnelEvent(1L, 4L, us(4), "purchase"), FunnelEvent(1L, 6L, us(5), "purchase"),
+      FunnelEvent(2L, 10L, us(2), "purchase"), // no click yet -> never emits
+      FunnelEvent(2L, 11L, us(3), "click"), // no view before it
+      FunnelEvent(2L, 12L, us(6), "purchase"),
+      FunnelEvent(3L, 19L, us(2), "view"),
+      FunnelEvent(3L, 20L, us(2), "click"), FunnelEvent(3L, 21L, us(2), "click"),
+      FunnelEvent(3L, 22L, us(2), "purchase"))
+
+    // batch answer: q70's exact chain over the same rows
+    val e = fixture.toDF()
+    val clicks = e.where(col("event_type") === "click")
+      .groupBy("user_id", "us").agg(max("event_id").as("click_id"))
+    val views = e.where(col("event_type") === "view")
+      .groupBy("user_id", "us").agg(max("event_id").as("view_id"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("us"))
+    val withClick = AsofJoin.asofJoin(purchases, clicks, "user_id", "us", Seq("click_id"))
+      .where(col("ref_click_id").isNotNull)
+      .select(col("user_id"), col("purchase_id"), col("ref_us").as("us"),
+        col("ref_click_id").as("click_id"))
+    val batchHits = AsofJoin
+      .asofJoin(withClick, views, "user_id", "us", Seq("view_id"), refPrefix = "v_")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        Option(r.get(5)).map(_.asInstanceOf[Long]), !r.isNullAt(5)))
+      .toSet
+
+    // streaming answer: replay out of order across micro-batches (late
+    // arrivals stay within the 10 s watermark slack), then advance the
+    // watermark with sentinel traffic so timeouts flush idle users
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamingOps.funnelAttribution(input.toDS(), watermarkDelay = "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("funnel").start()
+    val (late, first) = fixture.partition(ev => ev.us <= us(2)) // deliver early rows LAST
+    input.addData(first: _*); q.processAllAvailable()
+    input.addData(late: _*); q.processAllAvailable()
+    input.addData(FunnelEvent(99L, 900L, us(100), "view")); q.processAllAvailable()
+    input.addData(FunnelEvent(99L, 901L, us(101), "view")); q.processAllAvailable()
+    val streamHits = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .toSet
+    q.stop()
+
+    assert(batchHits.nonEmpty && batchHits.exists(_._4.isEmpty),
+      "fixture must produce both full and partial funnels")
+    assert(streamHits == batchHits, s"stream $streamHits != batch $batchHits")
+    // the dropped no-click purchase stayed dropped on both sides
+    assert(!streamHits.exists(_._2 == 10L))
+  }
 }
