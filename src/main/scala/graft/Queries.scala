@@ -776,6 +776,113 @@ object Queries {
         .orderBy("lang")
     }),
 
+    // cross-SOURCE corpus overlap report — the provenance question asked
+    // before mixing corpora ("how much of source A is already in source
+    // B?"): exact pairwise shingle-set Jaccard via a per-hash source
+    // BITMASK — bit_or partial-aggregates, and the mask histogram is
+    // aggregate-sized (<= 2^|S| rows), so the pairwise sums never touch
+    // the corpus again — alongside the MERGEABLE minhash sketch estimate
+    // (element-wise min IS a partial-aggregable groupBy), which is the
+    // unbounded path when |S| outgrows the 64-bit mask; reporting est
+    // next to exact makes the sketch error measurable data. The only
+    // corpus-sized work is ONE distinct over (source, h); every
+    // downstream table is aggregate-sized and broadcast. Cross-engine
+    // exactness: md5-32 shingle hashes (PortableHash convention), the
+    // affine-mod-P permutations of graft.plans.MinHashSignature
+    // reconstructed literally in the oracle, counts exact integers,
+    // jaccard one double division of identical ints, est an exact
+    // dyadic matches/64.
+    "q89_source_overlap" -> ((s, d) => {
+      import graft.plans.MinHashSignature.{coeffA, coeffB, P}
+      val md5Sh = udf((text: String) =>
+        graft.functions.ShingleKernel.md5ShingleSet(text, 3))
+      val sh = t(s, d, "documents")
+        .select(col("source"), explode(md5Sh(col("text"))).as("h"))
+        .distinct()
+        .localCheckpoint(false) // three consumers: counts, masks, sketches
+      val srcIdx = sh.select("source").distinct()
+        .withColumn("idx",
+          (row_number().over(Window.orderBy("source")) - 1).cast("long"))
+      val cnt = sh.groupBy("source").agg(count(lit(1)).as("n_src"))
+        .join(broadcast(srcIdx), "source")
+      val hist = sh.join(broadcast(srcIdx), "source")
+        .groupBy("h")
+        .agg(bit_or(expr("shiftleft(cast(1 as bigint), cast(idx as int))")).as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("n"))
+      val mins = (0 until 64).map(i =>
+        min((col("h") * coeffA(i) + coeffB(i)) % P).as(s"m$i"))
+      val sig = sh.groupBy("source").agg(mins.head, mins.tail: _*)
+        .select(col("source"),
+          array((0 until 64).map(i => col(s"m$i")): _*).as("sig"))
+      val pairs = cnt.as("x").join(cnt.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+          col("x.idx").as("ia"), col("y.idx").as("ib"),
+          col("x.n_src").as("n_a"), col("y.n_src").as("n_b"))
+      val exact = pairs.crossJoin(broadcast(hist))
+        .groupBy("src_a", "src_b", "n_a", "n_b")
+        .agg(
+          sum(when(expr("((mask >> cast(ia as int)) & 1) = 1 and ((mask >> cast(ib as int)) & 1) = 1"),
+            col("n")).otherwise(0L)).as("n_inter"),
+          sum(when(expr("((mask >> cast(ia as int)) & 1) = 1 or ((mask >> cast(ib as int)) & 1) = 1"),
+            col("n")).otherwise(0L)).as("n_union"))
+      val est = sig.as("sx").join(sig.as("sy"), col("sx.source") < col("sy.source"))
+        .select(col("sx.source").as("src_a"), col("sy.source").as("src_b"),
+          (expr("aggregate(zip_with(sx.sig, sy.sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+            / 64.0).as("raw_est"))
+      exact.join(broadcast(est), Seq("src_a", "src_b"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_inter"),
+          round(col("n_inter").cast("double") / col("n_union").cast("double"), 6)
+            .as("jaccard"),
+          round(col("raw_est"), 6).as("minhash_est"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // NPMI collocation mining (Bouma 2009 — the phrase-detection score
+    // behind word2vec-phrases and topic-coherence metrics): npmi(w1,w2)
+    // = ln(p12/(p1*p2)) / -ln(p12) in [-1, 1], ranked to surface the
+    // multiword units a tokenizer or phrase vocabulary should learn;
+    // the c12 count floor keeps rare-pair noise out (PMI's classic
+    // failure mode). Distinct from q72 (which SCORES documents by
+    // conditional surprisal): this ranks the PAIRS themselves by
+    // association. Shape: unigram and bigram tables are
+    // partial-aggregated groupBys; all joins are on already-aggregated
+    // vocabulary keys (never a window over the Zipfian token key); the
+    // two corpus totals broadcast as singletons; rounded-then-ordered
+    // top-20 with a unique (w1, w2) tie-break compiles to
+    // TakeOrderedAndProject. Parity: counts exact ints; both logs
+    // taken of ratio expressions built in the same order from the same
+    // exact ints; round 6 after all arithmetic, before the ordering.
+    "q90_npmi_collocations" -> ((s, d) => {
+      val uni = t(s, d, "documents")
+        .select(explode(TF.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // three consumers: w1 side, w2 side, total
+      val n1 = uni.agg(sum("c").as("n1"))
+      val bi = t(s, d, "documents")
+        .withColumn("tk", TF.tokens(col("text")))
+        .select(explode(expr(
+          "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(false) // two consumers: pair scoring, total
+      val n2 = bi.agg(sum("c12").as("n2"))
+      bi.where(col("c12") >= 10)
+        .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+        .withColumn("w2", expr("split_part(bigram, ' ', 2)"))
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .withColumn("p12", col("c12").cast("double") / col("n2").cast("double"))
+        .withColumn("npmi", round(
+          log(col("p12") /
+            ((col("c1").cast("double") / col("n1").cast("double")) *
+              (col("c2").cast("double") / col("n1").cast("double")))) /
+            -log(col("p12")), 6))
+        .select(col("w1"), col("w2"), col("c12"), col("npmi"))
+        .orderBy(col("npmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // corpus-wide exact top-K tokens — the vocabulary head every corpus
     // report starts with. explode -> count -> global top-K compiles to
     // partial aggregation + TakeOrderedAndProject (per-partition heaps,
@@ -2148,6 +2255,47 @@ object Oracles {
          SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
 
+    "q89_source_overlap" -> {
+      import graft.plans.MinHashSignature.{coeffA, coeffB, P}
+      val sigMins = (0 until 64)
+        .map(i => s"min((${coeffA(i)}*h+${coeffB(i)})%$P) AS m$i")
+        .mkString(",\n                 ")
+      val sigMatches = (0 until 64)
+        .map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT source, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
+              shs AS (SELECT source, unnest($shSql) AS sg FROM tk),
+              sh AS (SELECT DISTINCT source, ('0x'||substr(md5(sg),1,8))::BIGINT AS h FROM shs),
+              idx AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
+                      FROM (SELECT DISTINCT source FROM sh)),
+              cnt AS (SELECT sh.source, idx, CAST(count(*) AS BIGINT) AS n_src
+                      FROM sh JOIN idx USING (source) GROUP BY sh.source, idx),
+              hist AS (SELECT mask, CAST(count(*) AS BIGINT) AS n FROM (
+                         SELECT h, bit_or(1::BIGINT << idx::INT) AS mask
+                         FROM sh JOIN idx USING (source) GROUP BY h)
+                       GROUP BY mask),
+              pairs AS (SELECT x.source AS src_a, y.source AS src_b,
+                               x.idx AS ia, y.idx AS ib, x.n_src AS n_a, y.n_src AS n_b
+                        FROM cnt x JOIN cnt y ON x.source < y.source),
+              ex AS (SELECT src_a, src_b, n_a, n_b,
+                            CAST(sum(CASE WHEN ((mask >> ia::INT) & 1) = 1
+                                           AND ((mask >> ib::INT) & 1) = 1 THEN n ELSE 0 END) AS BIGINT) AS n_inter,
+                            CAST(sum(CASE WHEN ((mask >> ia::INT) & 1) = 1
+                                            OR ((mask >> ib::INT) & 1) = 1 THEN n ELSE 0 END) AS BIGINT) AS n_union
+                     FROM pairs CROSS JOIN hist GROUP BY src_a, src_b, n_a, n_b),
+              sig AS (SELECT source,
+                 $sigMins
+                      FROM sh GROUP BY source),
+              est AS (SELECT x.source AS src_a, y.source AS src_b,
+                             ($sigMatches) / 64.0 AS raw_est
+                      FROM sig x JOIN sig y ON x.source < y.source)
+         SELECT ex.src_a, ex.src_b, n_a, n_b, n_inter,
+                round(n_inter::DOUBLE / n_union::DOUBLE, 6) AS jaccard,
+                round(raw_est, 6) AS minhash_est
+         FROM ex JOIN est ON ex.src_a = est.src_a AND ex.src_b = est.src_b
+         ORDER BY ex.src_a, ex.src_b"""
+    },
+
     // q24's quality + q40's token count + q43's clusters composed: drop
     // non-canonical near-dups and low-quality docs, budget tokens per lang
     "q44_corpus_curation" ->
@@ -2533,6 +2681,29 @@ object Oracles {
 
     // bigram surprisal: exact-count ratios, round-then-DECIMAL-sum,
     // micro-scaled mean — q62's discipline one n-gram up
+    "q90_npmi_collocations" ->
+      """WITH tk AS (SELECT string_split_regex(text, '[ \t\n\x0b\f\r]+') AS t FROM documents),
+              u0 AS (SELECT unnest(t) AS w FROM tk),
+              uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u0 GROUP BY w),
+              n1t AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uni),
+              b0 AS (SELECT unnest(list_transform(range(1, len(t)),
+                                                  i -> t[i] || ' ' || t[i+1])) AS bigram
+                     FROM tk),
+              bi AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c12 FROM b0 GROUP BY bigram),
+              n2t AS (SELECT CAST(sum(c12) AS BIGINT) AS n2 FROM bi),
+              j AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                           split_part(bigram, ' ', 2) AS w2, c12
+                    FROM bi WHERE c12 >= 10),
+              r AS (SELECT w1, w2, c12, x1.c AS c1, x2.c AS c2, n1, n2,
+                           c12::DOUBLE / n2::DOUBLE AS p12
+                    FROM j JOIN uni x1 ON j.w1 = x1.w
+                           JOIN uni x2 ON j.w2 = x2.w
+                           CROSS JOIN n1t CROSS JOIN n2t)
+         SELECT w1, w2, c12,
+                round(ln(p12 / ((c1::DOUBLE / n1::DOUBLE) * (c2::DOUBLE / n1::DOUBLE)))
+                      / -ln(p12), 6) AS npmi
+         FROM r ORDER BY npmi DESC, w1, w2 LIMIT 20""",
+
     "q72_bigram_surprisal" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(text, '[ \t\n\x0b\f\r]+') AS t
                      FROM documents),
