@@ -136,6 +136,28 @@ object Queries {
           .as("alpha_weight"))
   }
 
+  /** q65's centroid-assignment confusion matrix, shared with q92's
+    * agreement statistics (one source of truth for the assignment
+    * semantics): integer-quantized embeddings, per-label centroid sums
+    * broadcast, argmax by exact-integer dot/count ratio with the label
+    * tie-break. Output (true_label, pred_label, n_vectors), unordered. */
+  private def centroidConfusion(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val ev = e.select(col("vec_id"), col("label").as("true_label"),
+      posexplode(Similarity.quantized(col("embedding"))).as(Seq("pos", "vq")))
+    val cs = ev.groupBy(col("true_label").as("c_label"), col("pos"))
+      .agg(sum("vq").as("sq"), count(lit(1)).as("n_c"))
+    val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("c_label"))
+    ev.join(broadcast(cs), Seq("pos"))
+      .groupBy("vec_id", "true_label", "c_label", "n_c")
+      .agg(sum(col("vq") * col("sq")).as("dot"))
+      .withColumn("score", col("dot").cast("double") / col("n_c").cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .groupBy(col("true_label"), col("c_label").as("pred_label"))
+      .agg(count(lit(1)).as("n_vectors"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
@@ -837,6 +859,34 @@ object Queries {
         .orderBy("src_a", "src_b")
     }),
 
+    // cohort retention matrix — the temporal engagement report every
+    // event pipeline ships (cohort = a user's first active week; cell
+    // (c, k) = how many of cohort c's users were active in week c+k).
+    // Shape: ONE distinct over (user, week) — partial-aggregated, the
+    // corpus-sized step — then user-keyed aggregate joins and an
+    // aggregate-sized (weeks x offsets) result with cohort sizes
+    // broadcast back. No window functions anywhere; user_id is
+    // high-cardinality and un-skewed, weeks are bounded by calendar
+    // time. Integer week arithmetic end to end; retention is one double
+    // division of exact counts, round 6.
+    "q91_retention_cohorts" -> ((s, d) => {
+      val weekUs = 7L * 86400L * 1000000L
+      val uw = t(s, d, "events")
+        .select(col("user_id"), expr(s"ts div $weekUs").as("week"))
+        .distinct()
+        .localCheckpoint(false) // two consumers: cohort mins, activity join
+      val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users")) // rows are (user, week)-distinct
+        .join(broadcast(sizes), "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("n_users"), col("n_cohort"),
+          round(col("n_users").cast("double") / col("n_cohort").cast("double"), 6)
+            .as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // NPMI collocation mining (Bouma 2009 — the phrase-detection score
     // behind word2vec-phrases and topic-coherence metrics): npmi(w1,w2)
     // = ln(p12/(p1*p2)) / -ln(p12) in [-1, 1], ranked to surface the
@@ -1428,22 +1478,37 @@ object Queries {
     // per-vector ranking is bit-identical cross-engine with no rounding
     // anywhere. The centroid table is (labels x 64) rows — broadcast;
     // the dense vector x label expansion partial-aggregates map-side.
-    "q65_centroid_confusion" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val ev = e.select(col("vec_id"), col("label").as("true_label"),
-        posexplode(Similarity.quantized(col("embedding"))).as(Seq("pos", "vq")))
-      val cs = ev.groupBy(col("true_label").as("c_label"), col("pos"))
-        .agg(sum("vq").as("sq"), count(lit(1)).as("n_c"))
-      val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("c_label"))
-      ev.join(broadcast(cs), Seq("pos"))
-        .groupBy("vec_id", "true_label", "c_label", "n_c")
-        .agg(sum(col("vq") * col("sq")).as("dot"))
-        .withColumn("score", col("dot").cast("double") / col("n_c").cast("double"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") === 1)
-        .groupBy(col("true_label"), col("c_label").as("pred_label"))
-        .agg(count(lit(1)).as("n_vectors"))
-        .orderBy("true_label", "pred_label")
+    "q65_centroid_confusion" -> ((s, d) =>
+      centroidConfusion(s, d).orderBy("true_label", "pred_label")),
+
+    // Cohen's kappa over q65's centroid-vs-label confusion — the
+    // chance-corrected agreement number a labeling/auto-classification
+    // pipeline reports alongside raw accuracy (accuracy alone flatters
+    // any skewed label distribution). Composes the SHARED
+    // centroidConfusion definition (one source of truth with q65), so
+    // the agreement statistics can't drift from the matrix they
+    // describe; the confusion table is aggregate-sized (labels^2), so
+    // every downstream aggregate is driver-trivial and broadcast.
+    // Parity: all counts exact ints; po/pe/kappa are the same double
+    // expression tree in both engines, round 6 only on outputs.
+    "q92_label_agreement" -> ((s, d) => {
+      val conf = centroidConfusion(s, d)
+        .localCheckpoint(false) // four consumers: total, diagonal, rows, cols
+      val n = conf.agg(sum("n_vectors").as("n_total"))
+      val diag = conf.where(col("true_label") === col("pred_label"))
+        .agg(coalesce(sum("n_vectors"), lit(0L)).as("n_agree"))
+      val rw = conf.groupBy(col("true_label").as("l")).agg(sum("n_vectors").as("r"))
+      val cl = conf.groupBy(col("pred_label").as("l")).agg(sum("n_vectors").as("c"))
+      val pn = rw.join(cl, "l").agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("s"))
+      val po = col("n_agree").cast("double") / col("n_total").cast("double")
+      val pe = col("s").cast("double") /
+        (col("n_total").cast("double") * col("n_total").cast("double"))
+      n.crossJoin(broadcast(diag)).crossJoin(broadcast(pn))
+        .select(col("n_total"),
+          round(po, 6).as("accuracy"),
+          round(pe, 6).as("expected_agreement"),
+          round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+        .orderBy("n_total")
     }),
 
     // sliding event-time windows in batch — Spark's window() generator
@@ -1898,6 +1963,31 @@ object Oracles {
   // q26's shingle -> minhash -> band -> verify chain through `v`
   // (verified candidate pairs with exact jaccard) — shared by q26 and
   // q43's connected-components closure.
+  /** q65/q92's shared centroid-confusion pipeline as a DuckDB CTE chain
+    * ending in `conf(true_label, pred_label, n_vectors)` — the SQL twin
+    * of [[centroidConfusion]]. */
+  private lazy val centroidConfusionCte: String =
+    """u AS (SELECT vec_id, label AS true_label,
+                           generate_subscripts(embedding, 1) - 1 AS pos,
+                           unnest(embedding) AS v
+                    FROM embeddings),
+              ev AS (SELECT vec_id, true_label, pos,
+                            CAST(floor(CAST(v AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+                     FROM u),
+              cs AS (SELECT true_label AS c_label, pos, sum(vq) AS sq, count(*) AS n_c
+                     FROM ev GROUP BY true_label, pos),
+              dots AS (SELECT e.vec_id, e.true_label, c.c_label, c.n_c,
+                              sum(e.vq * c.sq) AS dot
+                       FROM ev e JOIN cs c USING (pos)
+                       GROUP BY e.vec_id, e.true_label, c.c_label, c.n_c),
+              ranked AS (SELECT *,
+                                row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY CAST(dot AS DOUBLE)/n_c DESC, c_label) AS rnk
+                         FROM dots),
+              conf AS (SELECT true_label, c_label AS pred_label, count(*) AS n_vectors
+                       FROM ranked WHERE rnk = 1
+                       GROUP BY true_label, c_label)"""
+
   private lazy val minhashPairsCte: String =
     s"""tk AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
               sh AS (SELECT doc_id, $shSql AS sh FROM tk),
@@ -2739,26 +2829,42 @@ object Oracles {
     // exact integer dots against per-label component sums; score = one
     // division of exact integers, so the argmax never touches rounding
     "q65_centroid_confusion" ->
-      """WITH u AS (SELECT vec_id, label AS true_label,
-                           generate_subscripts(embedding, 1) - 1 AS pos,
-                           unnest(embedding) AS v
-                    FROM embeddings),
-              ev AS (SELECT vec_id, true_label, pos,
-                            CAST(floor(CAST(v AS DOUBLE) * 1024.0) AS BIGINT) AS vq
-                     FROM u),
-              cs AS (SELECT true_label AS c_label, pos, sum(vq) AS sq, count(*) AS n_c
-                     FROM ev GROUP BY true_label, pos),
-              dots AS (SELECT e.vec_id, e.true_label, c.c_label, c.n_c,
-                              sum(e.vq * c.sq) AS dot
-                       FROM ev e JOIN cs c USING (pos)
-                       GROUP BY e.vec_id, e.true_label, c.c_label, c.n_c),
-              ranked AS (SELECT *,
-                                row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY CAST(dot AS DOUBLE)/n_c DESC, c_label) AS rnk
-                         FROM dots)
-         SELECT true_label, c_label AS pred_label, count(*) AS n_vectors
-         FROM ranked WHERE rnk = 1
-         GROUP BY true_label, c_label ORDER BY true_label, pred_label""",
+      s"""WITH $centroidConfusionCte
+         SELECT true_label, pred_label, n_vectors
+         FROM conf ORDER BY true_label, pred_label""",
+
+    "q92_label_agreement" ->
+      s"""WITH $centroidConfusionCte,
+              n AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n_total FROM conf),
+              di AS (SELECT CAST(coalesce(sum(n_vectors), 0) AS BIGINT) AS n_agree
+                     FROM conf WHERE true_label = pred_label),
+              rw AS (SELECT true_label AS l, CAST(sum(n_vectors) AS BIGINT) AS r
+                     FROM conf GROUP BY true_label),
+              cl AS (SELECT pred_label AS l, CAST(sum(n_vectors) AS BIGINT) AS c
+                     FROM conf GROUP BY pred_label),
+              pn AS (SELECT CAST(coalesce(sum(r * c), 0) AS BIGINT) AS s
+                     FROM rw JOIN cl USING (l))
+         SELECT n_total,
+                round(n_agree::DOUBLE / n_total::DOUBLE, 6) AS accuracy,
+                round(s::DOUBLE / (n_total::DOUBLE * n_total::DOUBLE), 6) AS expected_agreement,
+                round((n_agree::DOUBLE / n_total::DOUBLE
+                       - s::DOUBLE / (n_total::DOUBLE * n_total::DOUBLE))
+                      / (1.0 - s::DOUBLE / (n_total::DOUBLE * n_total::DOUBLE)), 6) AS kappa
+         FROM n CROSS JOIN di CROSS JOIN pn ORDER BY n_total""",
+
+    "q91_retention_cohorts" ->
+      """WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+              c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+              sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+                     FROM c GROUP BY cohort_week),
+              r AS (SELECT cohort_week, week - cohort_week AS week_offset,
+                           CAST(count(*) AS BIGINT) AS n_users
+                    FROM uw JOIN c USING (user_id)
+                    GROUP BY cohort_week, week - cohort_week)
+         SELECT r.cohort_week, week_offset, n_users, n_cohort,
+                round(n_users::DOUBLE / n_cohort::DOUBLE, 6) AS retention
+         FROM r JOIN sz USING (cohort_week)
+         ORDER BY cohort_week, week_offset""",
 
     "q64_rank_functions" ->
       """SELECT doc_id, lang, n_chars,
