@@ -197,4 +197,27 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(roundPlans.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
       "per-round winner pick regressed to a full sort of the pair table")
   }
+
+  test("q89: corpus read once into the checkpoint; downstream is aggregate passes") {
+    // the design contract: ONE corpus-sized distinct materializes
+    // (source, h); counts, masks, and the 64 sketch mins all read the
+    // materialized RDD. A second parquet scan in the executed plan means
+    // a consumer escaped the checkpoint and re-reads the corpus
+    val plans = executedPlans("q89_source_overlap")
+    assert(plans.collect { case s: FileSourceScanExec => s }.isEmpty,
+      "q89 re-scans parquet downstream of the (source, h) checkpoint")
+    assert(plans.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j }.isEmpty,
+      "q89 grew a non-broadcast cartesian (pair scaffold must broadcast)")
+  }
+
+  test("q91: retention matrix has no window functions and no cartesian") {
+    val plans = executedPlans("q91_retention_cohorts")
+    assert(plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "q91 grew a window function — the matrix must stay pure partial-aggregated groupBys")
+    assert(plans.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j }.isEmpty,
+      "q91 grew a cartesian join")
+  }
 }

@@ -540,4 +540,19 @@ class TrainingOpsSpec extends AnyFunSuite {
     // linear overall; a FIXED 16 cells would be ~2e15 pairs
     assert(Similarity.ivfCellsFor(1000000000L) == 976563)
   }
+
+  test("q89 sketch quality: 64-perm minhash estimate tracks the exact bitmask jaccard") {
+    // the report's point is est-vs-exact side by side; this pins that
+    // the sketch column actually estimates the exact column on live
+    // data (k=64 -> se ~ sqrt(j(1-j)/64) <= 0.0625; 0.2 is ~3 se with
+    // slack for the discrete 1/64 grid at near-zero jaccard)
+    val rows = Queries.queries("q89_source_overlap")(spark, "/root/testdata/sf0.001")
+      .select("jaccard", "minhash_est").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ex, est) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(ex - est) <= 0.2,
+        s"sketch estimate $est strayed from exact jaccard $ex")
+    }
+  }
 }
