@@ -772,6 +772,34 @@ object Queries {
         .orderBy("merge_rank")
     }),
 
+    // the trained tokenizer APPLIED to the corpus — the production
+    // encode path q87's training exists for: per-document token counts
+    // under the learned 6-merge vocabulary. ONE corpus pass builds the
+    // (doc, word, tf) table; the vocabulary derives from it (no second
+    // scan), trains as in q87 (K collected decision scalars), and the
+    // merge list replays as K literal sentinel replaces over the
+    // DISTINCT-word table — |V| replace chains, never one per corpus
+    // token — joined back to tf on the aggregated word key. Words the
+    // trainer never saw (single chars, by the vocabulary filter) fall
+    // back to character count. Counts exact integers end to end.
+    "q93_bpe_tokenize" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // two consumers: vocabulary, apply join
+      val vocab = BpeTrainer.vocabularyFromCounts(tf, "word", "tf")
+      val merges = BpeTrainer.train(vocab, merges = 6, minCount = 0L)
+        .orderBy("merge_rank").collect().map(_.getString(1)).toSeq
+      val encWords = BpeTrainer.applyMerges(vocab.select("word"), "word", merges)
+        .select(col("word"), BpeTrainer.symbolCount(col("enc")).as("n_sym"))
+      tf.join(encWords, Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_words"),
+          sum(col("tf") *
+            coalesce(col("n_sym"), length(col("word")).cast("long"))).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // q83's weights APPLIED as a sampler: a 25%-of-corpus token budget is
     // redistributed across languages by the temperature weights
     // (budget_l = B * q_l — low-resource languages keep more than 25% of
@@ -1987,6 +2015,49 @@ object Oracles {
               conf AS (SELECT true_label, c_label AS pred_label, count(*) AS n_vectors
                        FROM ranked WHERE rnk = 1
                        GROUP BY true_label, c_label)"""
+
+  /** BpeTrainer's fixed-round training UNROLLED as chained MATERIALIZED
+    * CTEs (the q78 pattern; inlined CTEs would expand exponentially):
+    * per round k, `p_k` pair-explodes the previous vocabulary, `win_k`
+    * picks the (n DESC, pair) winner, `v_k` applies the greedy sentinel
+    * replace — DuckDB's replace resumes after the matched region,
+    * matching Spark's UTF8String.replace (BpeTrainerSpec's run-of-4 case
+    * pins the shared semantics). The `word` column rides along so the
+    * final `v<rounds>` doubles as the trained word->encoding table for
+    * the APPLY oracle (q93); q87 reads only the `win_k`s. */
+  private def bpeTrainCtes(rounds: Int): String = {
+    def round(k: Int): String = {
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""p$k AS (SELECT unnest(list_transform(range(1, len(l)),
+                            i -> l[i] || ' ' || l[i+1])) AS pair, freq
+                    FROM (SELECT string_split(substr(enc, 2, len(enc)-2),
+                                              chr(2)||chr(1)) AS l, freq
+                          FROM $prev)),
+              win$k AS MATERIALIZED (
+                    SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p$k
+                    GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+              v$k AS MATERIALIZED (
+                    SELECT word, replace(enc,
+                             chr(1)||split_part(pair,' ',1)||chr(2)||
+                               chr(1)||split_part(pair,' ',2)||chr(2),
+                             chr(1)||replace(pair,' ','')||chr(2)) AS enc,
+                           freq
+                    FROM $prev CROSS JOIN win$k)"""
+    }
+    s"""w AS (SELECT unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
+                     FROM documents),
+              v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+                    WHERE len(word) >= 2
+                      AND word NOT LIKE '%'||chr(1)||'%'
+                      AND word NOT LIKE '%'||chr(2)||'%'
+                    GROUP BY word),
+              v0 AS MATERIALIZED (
+                    SELECT word, array_to_string(list_transform(range(1, len(word)+1),
+                             i -> chr(1)||substr(word,i,1)||chr(2)), '') AS enc,
+                           freq
+                    FROM v),
+              ${(1 to rounds).map(round).mkString(",\n              ")}"""
+  }
 
   private lazy val minhashPairsCte: String =
     s"""tk AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
@@ -3242,44 +3313,30 @@ object Oracles {
     // on the chr(1)/chr(2)-wrapped symbols — DuckDB's replace resumes
     // after the matched region, matching Spark's UTF8String.replace
     // (BpeTrainerSpec's run-of-4 case pins the shared semantics).
-    "q87_bpe_train" -> {
-      def round(k: Int): String = {
-        val prev = if (k == 1) "v0" else s"v${k - 1}"
-        s"""p$k AS (SELECT unnest(list_transform(range(1, len(l)),
-                            i -> l[i] || ' ' || l[i+1])) AS pair, freq
-                    FROM (SELECT string_split(substr(enc, 2, len(enc)-2),
-                                              chr(2)||chr(1)) AS l, freq
-                          FROM $prev)),
-              win$k AS MATERIALIZED (
-                    SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p$k
-                    GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
-              v$k AS MATERIALIZED (
-                    SELECT replace(enc,
-                             chr(1)||split_part(pair,' ',1)||chr(2)||
-                               chr(1)||split_part(pair,' ',2)||chr(2),
-                             chr(1)||replace(pair,' ','')||chr(2)) AS enc,
-                           freq
-                    FROM $prev CROSS JOIN win$k)"""
-      }
-      val rounds = (1 to 6).map(round).mkString(",\n              ")
-      val finalSel = (1 to 6)
-        .map(k => s"SELECT $k AS merge_rank, pair, n FROM win$k")
-        .mkString(" UNION ALL ")
-      s"""WITH w AS (SELECT unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
-                     FROM documents),
-              v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
-                    WHERE len(word) >= 2
-                      AND word NOT LIKE '%'||chr(1)||'%'
-                      AND word NOT LIKE '%'||chr(2)||'%'
-                    GROUP BY word),
-              v0 AS MATERIALIZED (
-                    SELECT array_to_string(list_transform(range(1, len(word)+1),
-                             i -> chr(1)||substr(word,i,1)||chr(2)), '') AS enc,
-                           freq
-                    FROM v),
-              $rounds
-         $finalSel ORDER BY merge_rank"""
-    },
+    "q87_bpe_train" ->
+      s"""WITH ${bpeTrainCtes(6)}
+         ${(1 to 6).map(k => s"SELECT $k AS merge_rank, pair, n FROM win$k")
+        .mkString(" UNION ALL ")} ORDER BY merge_rank""",
+
+    // the q87 chain (word column carried through the rounds), then the
+    // APPLY join: per-doc word counts x symbols-per-word from the final
+    // merged vocabulary; one end-sentinel per symbol makes the token
+    // count a pure length difference. Single-char words (outside the
+    // trainer's vocabulary filter) fall back to character count.
+    "q93_bpe_tokenize" ->
+      s"""WITH ${bpeTrainCtes(6)},
+              tokv AS (SELECT word,
+                              CAST(len(enc) - len(replace(enc, chr(2), '')) AS BIGINT) AS n_sym
+                       FROM v6),
+              dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                     FROM (SELECT doc_id,
+                                  unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
+                           FROM documents)
+                     GROUP BY doc_id, word)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+                CAST(sum(tf * coalesce(n_sym, len(word))) AS BIGINT) AS n_bpe_tokens
+         FROM dw LEFT JOIN tokv USING (word)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "q28_simhash" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok FROM documents),

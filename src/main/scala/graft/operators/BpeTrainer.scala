@@ -145,4 +145,40 @@ object BpeTrainer {
   /** [[trainWithVocab]], merge table only. */
   def train(vocab: DataFrame, merges: Int, minCount: Long = 2L): DataFrame =
     trainWithVocab(vocab, merges, minCount)._1
+
+  /** [[vocabulary]] from an already-aggregated (word, count) table —
+    * lets a caller that also needs per-document counts pay ONE corpus
+    * pass for both (q93: tf feeds the vocabulary AND the apply join).
+    * Same filter contract as [[vocabulary]]. */
+  def vocabularyFromCounts(
+      wordCounts: DataFrame, wordCol: String = "word",
+      countCol: String = "cnt"): DataFrame =
+    wordCounts
+      .where(length(col(wordCol)) >= 2 &&
+        !col(wordCol).contains(S) && !col(wordCol).contains(E))
+      .groupBy(col(wordCol).as("word")).agg(sum(col(countCol)).as("freq"))
+
+  /**
+   * The APPLY path — tokenize words under an already-trained merge list
+   * (what production runs per corpus batch once training is done): the
+   * K merges replay as K sentinel `replace`s in training order, a
+   * stateless narrow per-row transform (merge list lives in the plan as
+   * literals — no join, no state, nothing corpus-sized). Callers apply
+   * it to the DISTINCT-word table and join back to per-doc counts, so
+   * the replace chain runs |V| times, not once per corpus token.
+   * Greedy left-to-right semantics are byte-identical to training's
+   * (same `replace` kernel — the BpeTrainerSpec run-of-4 contract).
+   */
+  def applyMerges(words: DataFrame, wordCol: String, merges: Seq[String]): DataFrame =
+    merges.foldLeft(words.withColumn("enc", encodeChars(col(wordCol)))) {
+      (df, pair) =>
+        val Array(x, y) = pair.split(" ", 2)
+        df.withColumn("enc",
+          replace(col("enc"), lit(S + x + E + S + y + E), lit(S + x + y + E)))
+    }
+
+  /** Token count of a sentinel-encoded sequence: one symbol per end
+    * sentinel (single char, so two length calls — no split/array). */
+  def symbolCount(enc: Column): Column =
+    (length(enc) - length(replace(enc, lit(E), lit("")))).cast("long")
 }

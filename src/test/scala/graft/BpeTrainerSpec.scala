@@ -79,4 +79,33 @@ class BpeTrainerSpec extends AnyFunSuite {
       BpeTrainer.encode(BpeTrainer.vocabulary(words)))
     assert(trainer.except(q85Style).isEmpty && q85Style.except(trainer).isEmpty)
   }
+
+  test("applyMerges reproduces the trainer's own final encoding (train == apply)") {
+    // the apply path must segment exactly as training did — replaying
+    // the merge list over the raw words has to land on the same encoded
+    // vocabulary trainWithVocab materialized round by round
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    val vocab = BpeTrainer.vocabulary(words)
+    val (mergeDf, encFinal) = BpeTrainer.trainWithVocab(vocab, merges = 6, minCount = 0L)
+    val merges = mergeDf.orderBy("merge_rank").collect().map(_.getString(1)).toSeq
+    val applied = BpeTrainer.applyMerges(vocab, "word", merges).select("enc", "freq")
+    assert(applied.except(encFinal).isEmpty && encFinal.except(applied).isEmpty)
+    // symbolCount agrees with the split-based symbol list on every word
+    val counted = BpeTrainer.applyMerges(vocab, "word", merges)
+      .select(BpeTrainer.symbolCount(col("enc")).as("n"),
+        size(split(expr("substring(enc, 2, length(enc) - 2)"),
+          BpeTrainer.E + BpeTrainer.S)).cast("long").as("m"))
+      .where(col("n") =!= col("m")).count()
+    assert(counted == 0L, "symbolCount diverged from the split-based count")
+  }
+
+  test("vocabularyFromCounts equals vocabulary on the same corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    val direct = BpeTrainer.vocabulary(words)
+    val viaCounts = BpeTrainer.vocabularyFromCounts(
+      words.groupBy("word").agg(count(lit(1)).as("cnt")), "word", "cnt")
+    assert(direct.except(viaCounts).isEmpty && viaCounts.except(direct).isEmpty)
+  }
 }
