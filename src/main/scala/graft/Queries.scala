@@ -887,6 +887,58 @@ object Queries {
         .orderBy("src_a", "src_b")
     }),
 
+    // robust dispersion per group: median absolute deviation of document
+    // lengths — the outlier-resistant spread statistic a corpus report
+    // pairs with q56's quantiles (stddev is hostage to a single giant
+    // document; MAD is not). Two grouped exact percentiles with the
+    // aggregate-sized median table broadcast back between them. Parity:
+    // medians of integers and of the derived |x - med| halves are exact
+    // dyadic doubles in both engines' interpolation forms, so round 6
+    // is cosmetic, not load-bearing. At 100 TB the same shape swaps in
+    // approx_percentile partials (the q56 note; QuantileSketchSpec pins
+    // the sketch error).
+    "q94_mad_lengths" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("lang"), col("n_chars"))
+      val med = docs.groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.5D)").as("med"))
+      docs.join(broadcast(med), "lang")
+        .select(col("lang"), col("med"),
+          abs(col("n_chars").cast("double") - col("med")).as("dev"))
+        .groupBy("lang", "med")
+        .agg(count(lit(1)).as("n_docs"), expr("percentile(dev, 0.5D)").as("mad"))
+        .select(col("lang"), col("n_docs"),
+          round(col("med"), 6).as("median_chars"),
+          round(col("mad"), 6).as("mad_chars"))
+        .orderBy("lang")
+    }),
+
+    // grouped OLS — tokens-per-character regression per language (the
+    // fertility line a budget planner fits: how many whitespace tokens
+    // a character of this language buys). Five exact-integer moments
+    // from ONE partial-aggregated pass; slope/intercept are closed-form
+    // ratios of DECIMAL(38)-exact moment products (bigint products
+    // would overflow at petabyte corpus scale), one double division
+    // each, identical expression structure in the oracle. The unrounded
+    // slope feeds the intercept, mirrored in SQL, so rounding cannot
+    // cascade.
+    "q95_ols_tokens_chars" -> ((s, d) => {
+      val xy = t(s, d, "documents")
+        .select(col("lang"), col("n_chars").as("x"),
+          TF.tokenCount(col("text")).cast("long").as("y"))
+      val dec = DecimalType(38, 0)
+      val m = xy.groupBy("lang").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      val slopeRaw =
+        (col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy")).cast("double") /
+          (col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx")).cast("double")
+      m.select(col("lang"), col("n"),
+          round(slopeRaw, 6).as("slope"),
+          round((col("sy").cast("double") - slopeRaw * col("sx").cast("double")) /
+            col("n").cast("double"), 6).as("intercept"))
+        .orderBy("lang")
+    }),
+
     // cohort retention matrix — the temporal engagement report every
     // event pipeline ships (cohort = a user's first active week; cell
     // (c, k) = how many of cohort c's users were active in week c+k).
@@ -2922,6 +2974,33 @@ object Oracles {
                        - s::DOUBLE / (n_total::DOUBLE * n_total::DOUBLE))
                       / (1.0 - s::DOUBLE / (n_total::DOUBLE * n_total::DOUBLE)), 6) AS kappa
          FROM n CROSS JOIN di CROSS JOIN pn ORDER BY n_total""",
+
+    "q94_mad_lengths" ->
+      """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+                    FROM documents GROUP BY lang),
+              dv AS (SELECT d.lang, med, abs(n_chars::DOUBLE - med) AS dev
+                     FROM documents d JOIN m USING (lang))
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                round(med, 6) AS median_chars,
+                round(quantile_cont(dev, 0.5), 6) AS mad_chars
+         FROM dv GROUP BY lang, med ORDER BY lang""",
+
+    "q95_ols_tokens_chars" ->
+      """WITH xy AS (SELECT lang, n_chars AS x,
+                            CAST(len(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS BIGINT) AS y
+                     FROM documents),
+              m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                           CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+                    FROM xy GROUP BY lang)
+         SELECT lang, n,
+                round((CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy)::DOUBLE /
+                      (CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx)::DOUBLE, 6) AS slope,
+                round((sy::DOUBLE
+                       - ((CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy)::DOUBLE /
+                          (CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx)::DOUBLE)
+                         * sx::DOUBLE) / n::DOUBLE, 6) AS intercept
+         FROM m ORDER BY lang""",
 
     "q91_retention_cohorts" ->
       """WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
