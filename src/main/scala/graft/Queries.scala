@@ -887,6 +887,39 @@ object Queries {
         .orderBy("src_a", "src_b")
     }),
 
+    // session path mining — top 3-step event-type sequences WITHIN a
+    // session (q50's 12 h gap semantics), the pattern-frequency view of
+    // the event stream that q70's funnel attribution and q78's
+    // transition graph don't give: which exact paths dominate. Two
+    // leads over the same per-user window that sessionization already
+    // pays for (user_id is high-cardinality and un-skewed — the
+    // window-partition rule's allowed case), session-crossing triples
+    // filtered by id equality; the path alphabet is event_types^3 so
+    // the count table is aggregate-sized and top-20 compiles to
+    // TakeOrderedAndProject. All-integer + string — no float
+    // discipline needed.
+    "q96_session_paths" -> ((s, d) => {
+      val gapUs = 43200L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val sess = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), tsMicros.as("us"), col("event_type"))
+        .withColumn("new_s",
+          when(lag("us", 1).over(w).isNull ||
+            col("us") - lag("us", 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("s2", lead("session_id", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .withColumn("s3", lead("session_id", 2).over(w))
+        .where(col("s2") === col("session_id") && col("s3") === col("session_id"))
+        .select(concat_ws(" > ", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
+
     // robust dispersion per group: median absolute deviation of document
     // lengths — the outlier-resistant spread statistic a corpus report
     // pairs with q56's quantiles (stddev is hostage to a single giant
@@ -2974,6 +3007,27 @@ object Oracles {
                        - s::DOUBLE / (n_total::DOUBLE * n_total::DOUBLE))
                       / (1.0 - s::DOUBLE / (n_total::DOUBLE * n_total::DOUBLE)), 6) AS kappa
          FROM n CROSS JOIN di CROSS JOIN pn ORDER BY n_total""",
+
+    "q96_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+              x AS (SELECT user_id, event_id, us, event_type,
+                           CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 43200000000
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM e),
+              s2 AS (SELECT user_id, event_id, us, event_type,
+                            sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS sid
+                     FROM x),
+              t3 AS (SELECT event_type || ' > ' || lead(event_type, 1) OVER w2
+                              || ' > ' || lead(event_type, 2) OVER w2 AS path,
+                            sid,
+                            lead(sid, 1) OVER w2 AS sid2,
+                            lead(sid, 2) OVER w2 AS sid3
+                     FROM s2 WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id))
+         SELECT path, CAST(count(*) AS BIGINT) AS n
+         FROM t3 WHERE sid2 = sid AND sid3 = sid
+         GROUP BY path ORDER BY n DESC, path LIMIT 20""",
 
     "q94_mad_lengths" ->
       """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
