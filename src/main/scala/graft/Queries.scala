@@ -448,6 +448,44 @@ object Queries {
         .orderBy("lang")
     }),
 
+    // the curation pipeline's OBSERVABILITY report — what each stage of
+    // q44's machinery actually costs in documents and tokens (the
+    // number a pipeline owner watches before flipping a threshold):
+    // raw -> exact dedup (min doc_id per content hash, q21's
+    // groupBy-join-back shape) -> near-dup canonical-only (q43's
+    // clusters) -> quality gate (q44's rounded 0.8 rule). Every stage
+    // reuses the operator the standalone queries check, and the scored
+    // (id, q, toks, hash) projection rides ONE localCheckpoint so the
+    // corpus is scanned and scored once; the four stage rows are
+    // aggregate-sized unions.
+    "q97_curation_impact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id"),
+          TF.qualityScore(col("text")).as("q"),
+          TF.bpeTokenCount(col("text")).as("toks"),
+          md5(col("text")).as("content_hash"))
+        .localCheckpoint(false) // every stage derives from it
+      val keepExact = base.groupBy("content_hash").agg(min("doc_id").as("keep_id"))
+      val s1 = base.join(keepExact,
+        base("doc_id") === keepExact("keep_id"), "left_semi")
+      val clusters = Dedup.dupClusters(
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 64, bands = 16, shingleN = 3, threshold = 0.5))
+      val s2 = s1.join(clusters, Seq("doc_id"), "left")
+        .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .select(s1.columns.map(col): _*)
+      val s3 = s2.where(round(col("q"), 6) >= 0.8)
+      def stage(df: DataFrame, rank: Int, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+          .select(lit(rank).as("stage_rank"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      stage(base, 1, "raw")
+        .unionByName(stage(s1, 2, "exact_dedup"))
+        .unionByName(stage(s2, 3, "near_dedup"))
+        .unionByName(stage(s3, 4, "quality"))
+        .orderBy("stage_rank")
+    }),
+
     // as-of join: each click joined to the user's most recent prior (or
     // simultaneous) purchase — the time-series join Spark lacks natively,
     // expressed as one co-partitioned union + running-last window (see
@@ -2160,6 +2198,34 @@ object Oracles {
                            (len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset)) * 1.0) AS jaccard
                     FROM cand JOIN hs x ON doc_a = x.doc_id JOIN hs y ON doc_b = y.doc_id)"""
 
+  /** q44/q97's shared curation chain: the minhash pair graph, recursive
+    * components with min-label representatives (`cl`), and the scored
+    * corpus `sc(doc_id, lang, q, toks, content_hash)` — one source of
+    * truth so the curation composite and its impact report can't apply
+    * different dedup/quality semantics. Callers prepend `WITH RECURSIVE`. */
+  private lazy val curationCtes: String =
+    s"""$minhashPairsCte,
+              p AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+              edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                        UNION SELECT doc_b, doc_a FROM p),
+              reach(src, dst) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+              cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                     FROM reach GROUP BY src),
+              sc AS (SELECT doc_id, lang,
+                            (least(1.0, n/64.0) + alpha +
+                             least(1.0, (n_chars2/greatest(n, 1.0))/8.0)) / 3.0 AS q,
+                            len(regexp_extract_all(text, '$bpePatternSql')) AS toks,
+                            md5(text) AS content_hash
+                     FROM (SELECT doc_id, lang, text,
+                                  CAST(len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS n,
+                                  CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) /
+                                    greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
+                                  CAST(length(text) AS DOUBLE) AS n_chars2
+                           FROM documents))"""
+
   // MinHash signature (k=64) over the 32-bit md5 shingle hashes, with the
   // exact affine-mod-P permutation constants of graft.plans.MinHashSignature
   // — a line-by-line SQL reconstruction of the codegen'd kernel.
@@ -2545,26 +2611,7 @@ object Oracles {
     // q24's quality + q40's token count + q43's clusters composed: drop
     // non-canonical near-dups and low-quality docs, budget tokens per lang
     "q44_corpus_curation" ->
-      s"""WITH RECURSIVE $minhashPairsCte,
-              p AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
-              edges AS (SELECT doc_a AS a, doc_b AS b FROM p
-                        UNION SELECT doc_b, doc_a FROM p),
-              reach(src, dst) AS (
-                SELECT a, a FROM edges
-                UNION
-                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-              cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
-                     FROM reach GROUP BY src),
-              sc AS (SELECT doc_id, lang,
-                            (least(1.0, n/64.0) + alpha +
-                             least(1.0, (n_chars2/greatest(n, 1.0))/8.0)) / 3.0 AS q,
-                            len(regexp_extract_all(text, '$bpePatternSql')) AS toks
-                     FROM (SELECT doc_id, lang, text,
-                                  CAST(len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS n,
-                                  CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) /
-                                    greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
-                                  CAST(length(text) AS DOUBLE) AS n_chars2
-                           FROM documents))
+      s"""WITH RECURSIVE $curationCtes
          SELECT lang, count(*) AS n_docs,
                 CAST(sum(toks) AS BIGINT) AS n_tokens,
                 round(avg(q), 6) AS mean_quality
@@ -2572,6 +2619,25 @@ object Oracles {
          WHERE (cluster_id IS NULL OR cluster_id = doc_id)
            AND round(q, 6) >= 0.8
          GROUP BY lang ORDER BY lang""",
+
+    // the curation chain (shared CTEs with q44 — one source of truth)
+    // replayed as a per-stage funnel report
+    "q97_curation_impact" ->
+      s"""WITH RECURSIVE $curationCtes,
+              ke AS (SELECT content_hash, min(doc_id) AS keep_id
+                     FROM sc GROUP BY content_hash),
+              s1 AS (SELECT sc.* FROM sc JOIN ke ON sc.doc_id = ke.keep_id),
+              s2 AS (SELECT s1.* FROM s1 LEFT JOIN cl USING (doc_id)
+                     WHERE cluster_id IS NULL OR cluster_id = doc_id),
+              s3 AS (SELECT * FROM s2 WHERE round(q, 6) >= 0.8)
+         SELECT * FROM (
+           SELECT 1 AS stage_rank, 'raw' AS stage,
+                  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+           FROM sc
+           UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(sum(toks) AS BIGINT) FROM s1
+           UNION ALL SELECT 3, 'near_dedup', CAST(count(*) AS BIGINT), CAST(sum(toks) AS BIGINT) FROM s2
+           UNION ALL SELECT 4, 'quality', CAST(count(*) AS BIGINT), CAST(sum(toks) AS BIGINT) FROM s3)
+         ORDER BY stage_rank""",
 
     // DuckDB's NATIVE ASOF JOIN vs our union+running-last window plan —
     // two independent implementations of the same at-or-before semantics
