@@ -958,6 +958,67 @@ object Queries {
         .limit(20)
     }),
 
+    // Zipf slope of the token frequency curve — the tail-index companion
+    // to q82's Heaps law: fit log2(freq) = slope * log2(rank) + b over
+    // the top-100 vocabulary head (the linear regime). Float-sum hazard
+    // neutralized by the micro-scaling rule: each log2 rounds to an
+    // exact micro-scaled BIGINT, so the five OLS moments are exact
+    // integer sums (order-free in any engine) and slope/intercept are
+    // single double divisions of exact integers; the 1e6 scale cancels
+    // in the slope. The 100-row head is aggregate-sized: its ranking
+    // window and moments are driver-trivial, while the vocabulary count
+    // below stays the q51 partial-agg + TakeOrderedAndProject shape.
+    "q98_zipf_slope" -> ((s, d) => {
+      val top = t(s, d, "documents")
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(100)
+      val ranked = top
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("token"))).cast("long"))
+        .select(
+          expr("cast(round(log2(cast(rank as double)) * 1e6, 0) as bigint)").as("x"),
+          expr("cast(round(log2(cast(freq as double)) * 1e6, 0) as bigint)").as("y"))
+      val m = ranked.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      val slopeRaw =
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      m.select(col("n").as("n_points"),
+          round(slopeRaw, 6).as("slope"),
+          round((col("sy").cast("double") / 1e6 -
+            slopeRaw * (col("sx").cast("double") / 1e6)) / col("n").cast("double"), 6)
+            .as("intercept_log2"))
+        .orderBy("n_points")
+    }),
+
+    // seasonal anomaly flags over the event stream: per (event_type,
+    // hour-of-day) baseline from hourly counts, spikes by z-score — the
+    // rate-monitor every event pipeline runs against its own seasonality
+    // (a 9 a.m. surge is normal at 9 a.m., anomalous at 3 a.m.). Hourly
+    // counts and the 24x|types| baseline are partial-aggregated; the
+    // baseline broadcasts back. Variance rides exact integer moments
+    // (k*snn - sn^2), z is one double expression both engines share,
+    // rounded BEFORE the >= 2 spike decision (the q44 gate discipline).
+    "q99_seasonal_anomaly" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .select(expr("ts div 3600000000").as("bucket"), col("event_type"))
+        .groupBy("bucket", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("hod", col("bucket") % 24)
+      val base = hourly.groupBy("event_type", "hod").agg(
+        count(lit(1)).as("k"), sum("n").as("sn"),
+        sum(col("n") * col("n")).as("snn"))
+      val mean = col("sn").cast("double") / col("k").cast("double")
+      val variance = (col("k") * col("snn") - col("sn") * col("sn")).cast("double") /
+        (col("k") * (col("k") - 1)).cast("double")
+      hourly.join(broadcast(base), Seq("event_type", "hod"))
+        .where(col("k") >= 2)
+        .withColumn("z", round((col("n").cast("double") - mean) / sqrt(variance), 6))
+        .where(col("z") >= 2.0)
+        .select(col("event_type"), col("bucket"), col("hod"), col("n"), col("z"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // robust dispersion per group: median absolute deviation of document
     // lengths — the outlier-resistant spread statistic a corpus report
     // pairs with q56's quantiles (stddev is hostage to a single giant
@@ -3094,6 +3155,42 @@ object Oracles {
          SELECT path, CAST(count(*) AS BIGINT) AS n
          FROM t3 WHERE sid2 = sid AND sid3 = sid
          GROUP BY path ORDER BY n DESC, path LIMIT 20""",
+
+    "q98_zipf_slope" ->
+      """WITH tk AS (SELECT unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                     FROM documents),
+              vc AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tk GROUP BY token
+                     ORDER BY freq DESC, token LIMIT 100),
+              rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM vc),
+              xy AS (SELECT CAST(round(log2(rank::DOUBLE) * 1e6, 0) AS BIGINT) AS x,
+                            CAST(round(log2(freq::DOUBLE) * 1e6, 0) AS BIGINT) AS y
+                     FROM rk),
+              m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                           CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+                    FROM xy)
+         SELECT n AS n_points,
+                round((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE, 6) AS slope,
+                round((sy::DOUBLE / 1e6
+                       - ((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE)
+                         * (sx::DOUBLE / 1e6)) / n::DOUBLE, 6) AS intercept_log2
+         FROM m ORDER BY n_points""",
+
+    "q99_seasonal_anomaly" ->
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+              hh AS (SELECT bucket, event_type, n, bucket % 24 AS hod FROM h),
+              b AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS k,
+                           CAST(sum(n) AS BIGINT) AS sn, CAST(sum(n*n) AS BIGINT) AS snn
+                    FROM hh GROUP BY event_type, hod),
+              z AS (SELECT hh.event_type, bucket, hh.hod, n,
+                           round((n::DOUBLE - sn::DOUBLE / k::DOUBLE) /
+                                 sqrt((k*snn - sn*sn)::DOUBLE / (k*(k-1))::DOUBLE), 6) AS z
+                    FROM hh JOIN b ON hh.event_type = b.event_type AND hh.hod = b.hod
+                    WHERE k >= 2)
+         SELECT event_type, bucket, hod, n, z FROM z
+         WHERE z >= 2.0 ORDER BY event_type, bucket""",
 
     "q94_mad_lengths" ->
       """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
