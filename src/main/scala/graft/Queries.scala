@@ -958,6 +958,42 @@ object Queries {
         .limit(20)
     }),
 
+    // the dataset card — the per-language summary table a dataset
+    // release ships (docs, tokens, quality, median length, duplicate
+    // fraction, dominant source): ONE scored corpus pass (quality +
+    // token count + content hash, the q44/q97 scored projection) rides
+    // a localCheckpoint into three aggregate consumers; the dup flag is
+    // q21's hash groupBy joined back; the dominant source is a rank-1
+    // row over the aggregate-sized (lang, source) table. Float policy
+    // mirrors q44 (round(avg(q),6)) and q56 (exact percentiles).
+    "q100_dataset_card" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          TF.qualityScore(col("text")).as("q"),
+          TF.bpeTokenCount(col("text")).as("toks"),
+          md5(col("text")).as("content_hash"))
+        .localCheckpoint(false) // three consumers: dup hashes, stats, sources
+      val dupHashes = base.groupBy("content_hash").agg(count(lit(1)).as("dc"))
+      val stats = base.join(dupHashes, "content_hash")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+          round(avg("q"), 6).as("mean_quality"),
+          expr("percentile(n_chars, 0.5D)").as("p50c"),
+          sum(when(col("dc") > 1, 1L).otherwise(0L)).as("n_dup"))
+      val topSource = base.groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("cnt").desc, col("source"))))
+        .where(col("rnk") === 1)
+        .select(col("lang"), col("source").as("top_source"))
+      stats.join(topSource, "lang")
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("mean_quality"),
+          round(col("p50c"), 6).as("p50_chars"),
+          round(col("n_dup").cast("double") / col("n_docs").cast("double"), 6)
+            .as("dup_doc_frac"),
+          col("top_source"))
+        .orderBy("lang")
+    }),
+
     // Zipf slope of the token frequency curve — the tail-index companion
     // to q82's Heaps law: fit log2(freq) = slope * log2(rank) + b over
     // the top-100 vocabulary head (the linear regime). Float-sum hazard
@@ -2275,12 +2311,20 @@ object Oracles {
                 SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
               cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
                      FROM reach GROUP BY src),
-              sc AS (SELECT doc_id, lang,
+              $scoredDocsCte,
+              sc AS (SELECT doc_id, lang, q, toks, content_hash FROM scored)"""
+
+  /** The scored-corpus projection shared by the curation chain (q44/q97
+    * via `sc`) and the dataset card (q100): q24's quality formula, the
+    * BPE token count, and the exact-dedup content hash, one pass over
+    * `documents`. */
+  private lazy val scoredDocsCte: String =
+    s"""scored AS (SELECT doc_id, lang, source, n_chars,
                             (least(1.0, n/64.0) + alpha +
                              least(1.0, (n_chars2/greatest(n, 1.0))/8.0)) / 3.0 AS q,
                             len(regexp_extract_all(text, '$bpePatternSql')) AS toks,
                             md5(text) AS content_hash
-                     FROM (SELECT doc_id, lang, text,
+                     FROM (SELECT doc_id, lang, source, n_chars, text,
                                   CAST(len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS n,
                                   CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) /
                                     greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
@@ -3155,6 +3199,28 @@ object Oracles {
          SELECT path, CAST(count(*) AS BIGINT) AS n
          FROM t3 WHERE sid2 = sid AND sid3 = sid
          GROUP BY path ORDER BY n DESC, path LIMIT 20""",
+
+    "q100_dataset_card" ->
+      s"""WITH $scoredDocsCte,
+              dh AS (SELECT content_hash, count(*) AS dc FROM scored GROUP BY content_hash),
+              fl AS (SELECT scored.*, dc FROM scored JOIN dh USING (content_hash)),
+              a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(toks) AS BIGINT) AS n_tokens,
+                           round(avg(q), 6) AS mean_quality,
+                           quantile_cont(n_chars, 0.5) AS p50c,
+                           CAST(sum(CASE WHEN dc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+                    FROM fl GROUP BY lang),
+              st AS (SELECT lang, source, count(*) AS cnt FROM scored GROUP BY lang, source),
+              sr AS (SELECT lang, source AS top_source,
+                            row_number() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, source) AS rnk
+                     FROM st)
+         SELECT a.lang, n_docs, n_tokens, mean_quality,
+                round(p50c, 6) AS p50_chars,
+                round(n_dup::DOUBLE / n_docs::DOUBLE, 6) AS dup_doc_frac,
+                top_source
+         FROM a JOIN sr ON a.lang = sr.lang AND rnk = 1
+         ORDER BY a.lang""",
 
     "q98_zipf_slope" ->
       """WITH tk AS (SELECT unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
