@@ -211,6 +211,16 @@ class PlanGuardSpec extends AnyFunSuite {
       "q89 grew a non-broadcast cartesian (pair scaffold must broadcast)")
   }
 
+  test("q93: the apply join reads checkpointed word tables — zero parquet scans") {
+    // the corpus is scanned ONCE into the (doc, word, tf) checkpoint;
+    // the vocabulary, the trained merges, and the apply join all derive
+    // from it. A FileSourceScan in the final plan means the apply path
+    // re-tokenizes the corpus
+    val plans = executedPlans("q93_bpe_tokenize")
+    assert(plans.collect { case s: FileSourceScanExec => s }.isEmpty,
+      "q93 re-scans parquet — the apply path must ride the tf checkpoint")
+  }
+
   test("q91: retention matrix has no window functions and no cartesian") {
     val plans = executedPlans("q91_retention_cohorts")
     assert(plans.collect {
