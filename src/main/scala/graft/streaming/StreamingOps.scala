@@ -413,6 +413,55 @@ object StreamingOps {
     EntropyCore.rewardLeapFilter(EntropyCore.rankRewards(rewards, featureOrder))
   }
 
+  /**
+   * Streaming twin of the q99 seasonal anomaly monitor, in the shape it
+   * actually deploys: the per-(event_type, hour-of-day) baseline is
+   * TRAINED IN BATCH over recorded history ([[seasonalBaseline]]) and
+   * broadcast as the static side; the stream rolls hourly counts with a
+   * watermarked tumbling window and joins the baseline per closed
+   * window — a stateless stream-static join above a standard windowed
+   * aggregation, so state is the open windows only. Emits exactly the
+   * batch columns (event_type, bucket, hod, n, z) with the identical
+   * exact-integer-moment z formula and the same round-before-gate
+   * discipline, so a replay of recorded history reproduces the batch
+   * answer (StreamingSpec proves it on the live testdata).
+   */
+  def seasonalBaseline(events: DataFrame): DataFrame =
+    // events: (ts: timestamp, event_type); micro-exact hourly buckets
+    events
+      // `div`, not `/`: Column./ on longs is DOUBLE division, and a
+      // truncated double quotient can land one hour high just below a
+      // bucket boundary (the Queries.tsMicros lesson)
+      .select(expr("unix_micros(ts) div 3600000000").as("bucket"),
+        col("event_type"))
+      .groupBy("bucket", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("hod", col("bucket") % 24)
+      .groupBy("event_type", "hod").agg(
+        count(lit(1)).as("k"), sum("n").as("sn"),
+        sum(col("n") * col("n")).as("snn"))
+
+  def seasonalAnomalies(
+      events: DataFrame, // streaming: (ts: timestamp, event_type)
+      baseline: DataFrame, // static, from seasonalBaseline
+      watermark: String = "10 minutes",
+      zThreshold: Double = 2.0): DataFrame = {
+    val hourly = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(window.start) div 3600000000").as("bucket"),
+        col("event_type"), col("n"))
+      .withColumn("hod", col("bucket") % 24)
+    val mean = col("sn").cast("double") / col("k").cast("double")
+    val variance = (col("k") * col("snn") - col("sn") * col("sn")).cast("double") /
+      (col("k") * (col("k") - 1)).cast("double")
+    hourly.join(broadcast(baseline), Seq("event_type", "hod"))
+      .where(col("k") >= 2)
+      .withColumn("z", round((col("n").cast("double") - mean) / sqrt(variance), 6))
+      .where(col("z") >= zThreshold)
+      .select(col("event_type"), col("bucket"), col("hod"), col("n"), col("z"))
+  }
+
   /** An event entering the streaming funnel; `us` is epoch MICROseconds
     * (the batch engine's canonical event time unit). */
   case class FunnelEvent(user_id: Long, event_id: Long, us: Long, event_type: String)

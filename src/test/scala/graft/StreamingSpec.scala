@@ -13,6 +13,10 @@ class StreamingSpec extends AnyFunSuite {
     .master("local[4]")
     .appName("streaming-spec")
     .config("spark.sql.shuffle.partitions", "4")
+    // the engine contract (Verify/Bench): NumPy-faithful IEEE float
+    // semantics — q99's 0/0 -> NaN -> filtered path depends on it
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -500,5 +504,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamHits == batchHits, s"stream $streamHits != batch $batchHits")
     // the dropped no-click purchase stayed dropped on both sides
     assert(!streamHits.exists(_._2 == 10L))
+  }
+
+  test("streaming seasonal anomaly detector replays to the batch q99 answer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // batch answer over the LIVE testdata (the oracle-checked query)
+    val expected = Queries.queries("q99_seasonal_anomaly")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(expected.nonEmpty, "fixture data must contain seasonal spikes")
+
+    // baseline trained in batch over the same recorded history
+    val recorded = Queries.t(spark, sf, "events")
+      .select(timestamp_micros(col("ts")).as("ts"), col("event_type"))
+      .localCheckpoint(false)
+    val baseline = StreamingOps.seasonalBaseline(recorded)
+
+    // replay the recorded stream in event-time order across micro-batches
+    val rows = recorded.orderBy("ts")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingOps.seasonalAnomalies(
+        input.toDF().toDF("ts", "event_type"), baseline, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("seasonal").start()
+    rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    // advance the watermark past the last window so every hour closes
+    val flushTs = new java.sql.Timestamp(rows.last._1.getTime + 48L * 3600 * 1000)
+    input.addData((flushTs, "view")); q.processAllAvailable()
+    input.addData((new java.sql.Timestamp(flushTs.getTime + 3600000L), "view"))
+    q.processAllAvailable()
+    val got = spark.table("seasonal").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    q.stop()
+    // the flush sentinels sit 48 h past the recorded span in their own
+    // buckets; drop anything outside the recorded bucket range before
+    // comparing (the detector itself has no such notion of "fixture")
+    val maxRecordedBucket = expected.map(_._2).max max
+      (rows.last._1.getTime / 3600000L)
+    val gotRecorded = got.filter(_._2 <= maxRecordedBucket)
+    assert(gotRecorded == expected,
+      s"stream ${gotRecorded.size} anomalies != batch ${expected.size}")
   }
 }
