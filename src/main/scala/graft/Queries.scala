@@ -958,6 +958,63 @@ object Queries {
         .limit(20)
     }),
 
+    // frequent token-pair mining with Apriori pruning (Agrawal & Srikant
+    // 1994): co-occurring token pairs within documents, support-counted
+    // — the itemset miner behind phrase/topic seeding. The scale story
+    // IS the pruning: a pair's support cannot exceed either member's
+    // document frequency, so tokens below minsup are dropped BEFORE the
+    // within-doc pair explode (lossless for pairs >= minsup) — the
+    // quadratic explode runs over each doc's FREQUENT-distinct-token
+    // list only. df counts are a partial-aggregated groupBy; the
+    // per-doc pair generation is doc-bounded; top-20 rounded-free
+    // integer ordering. minsup is absolute here for oracle determinism;
+    // production expresses it as a corpus fraction (same sizing-rule
+    // pattern as lshBitsFor).
+    "q101_frequent_pairs" -> ((s, d) => {
+      val minsup = 20L
+      val docTok = t(s, d, "documents")
+        .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("token"))
+        .localCheckpoint(false) // two consumers: df counts, pair explode
+      val freq = docTok.groupBy("token").agg(count(lit(1)).as("df"))
+        .where(col("df") >= minsup)
+      docTok.join(freq.select("token"), Seq("token"))
+        .groupBy("doc_id").agg(sort_array(collect_list("token")).as("ts"))
+        .select(explode(expr(
+          "flatten(transform(ts, (x, i) -> " +
+            "transform(slice(ts, i + 2, size(ts)), y -> concat(x, ' ', y))))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("support"))
+        .where(col("support") >= minsup)
+        .orderBy(col("support").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // label-centroid cosine similarity matrix — the embedding-space
+    // collapse/drift diagnostic (centroids drifting together = labels
+    // becoming indistinguishable in the space): pairwise cosine over
+    // q48's integer-quantized centroid SUMS, so every dot product and
+    // norm is exact integer arithmetic and the only float op is one
+    // sqrt-ratio per pair, identical both engines, round 6. The
+    // centroid table is (labels x 64) — everything here is
+    // aggregate-sized after q48's one posexplode shuffle.
+    "q102_centroid_similarity" -> ((s, d) => {
+      val cs = t(s, d, "embeddings")
+        .select(col("label"),
+          posexplode(Similarity.quantized(col("embedding"))).as(Seq("pos", "qv")))
+        .groupBy("label", "pos").agg(sum("qv").as("sq"))
+        .localCheckpoint(false) // self-joined
+      val pairs = cs.as("a").join(cs.as("b"),
+          col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum(col("a.sq") * col("b.sq")).as("dot"),
+          sum(col("a.sq") * col("a.sq")).as("na"),
+          sum(col("b.sq") * col("b.sq")).as("nb"))
+      pairs.select(col("label_a"), col("label_b"),
+          round(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+            .as("cosine"))
+        .orderBy("label_a", "label_b")
+    }),
+
     // the dataset card — the per-language summary table a dataset
     // release ships (docs, tokens, quality, median length, duplicate
     // fraction, dominant source): ONE scored corpus pass (quality +
@@ -3199,6 +3256,41 @@ object Oracles {
          SELECT path, CAST(count(*) AS BIGINT) AS n
          FROM t3 WHERE sid2 = sid AND sid3 = sid
          GROUP BY path ORDER BY n DESC, path LIMIT 20""",
+
+    // dt replicates tokenSet's distinct-per-doc semantics; the pair
+    // generation is a doc-keyed self-join (equivalent to the engine's
+    // within-list explode: same ordered-pair set under binary collation)
+    "q101_frequent_pairs" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, token FROM (
+                       SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                       FROM documents)),
+              fq AS (SELECT token FROM dt GROUP BY token HAVING count(*) >= 20),
+              dtf AS (SELECT doc_id, token FROM dt JOIN fq USING (token)),
+              pr AS (SELECT a.token || ' ' || b.token AS pair
+                     FROM dtf a JOIN dtf b
+                       ON a.doc_id = b.doc_id AND a.token < b.token)
+         SELECT pair, CAST(count(*) AS BIGINT) AS support
+         FROM pr GROUP BY pair HAVING count(*) >= 20
+         ORDER BY support DESC, pair LIMIT 20""",
+
+    "q102_centroid_similarity" ->
+      """WITH u AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                           unnest(embedding) AS v
+                    FROM embeddings),
+              ev AS (SELECT label, pos,
+                            CAST(floor(CAST(v AS DOUBLE) * 1024.0) AS BIGINT) AS qv
+                     FROM u),
+              cs AS (SELECT label, pos, CAST(sum(qv) AS BIGINT) AS sq
+                     FROM ev GROUP BY label, pos),
+              p AS (SELECT a.label AS label_a, b.label AS label_b,
+                           CAST(sum(a.sq * b.sq) AS BIGINT) AS dot,
+                           CAST(sum(a.sq * a.sq) AS BIGINT) AS na,
+                           CAST(sum(b.sq * b.sq) AS BIGINT) AS nb
+                    FROM cs a JOIN cs b ON a.pos = b.pos AND a.label < b.label
+                    GROUP BY a.label, b.label)
+         SELECT label_a, label_b,
+                round(dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)), 6) AS cosine
+         FROM p ORDER BY label_a, label_b""",
 
     "q100_dataset_card" ->
       s"""WITH $scoredDocsCte,
