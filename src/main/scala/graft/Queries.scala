@@ -958,6 +958,43 @@ object Queries {
         .limit(20)
     }),
 
+    // Markov next-event backtest — the evaluation harness shape (train
+    // on the past, score on the future) applied to q78's transition
+    // structure: transitions BEFORE the corpus time midpoint train a
+    // first-order next-event model (argmax per prev type, count-desc
+    // tie-broken), transitions after it are scored top-1. The split
+    // scalar is the exact integer midpoint broadcast (the q05 pattern);
+    // the model is |types|^2 aggregate-sized and broadcast back; the
+    // per-user lead window is the established un-skewed case. A prev
+    // type unseen in training predicts null and scores zero — identical
+    // in both engines. Counts exact; accuracy one double division.
+    "q103_markov_backtest" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), tsMicros.as("us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val pairs = e
+        .withColumn("next", lead("event_type", 1).over(w))
+        .where(col("next").isNotNull)
+        .localCheckpoint(false) // two consumers: train counts, test scoring
+      val split = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val train = pairs.crossJoin(broadcast(split)).where(col("us") < col("mid"))
+      val model = train
+        .groupBy(col("event_type").as("prev"), col("next").as("pred"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("prev").orderBy(col("cnt").desc, col("pred"))))
+        .where(col("rnk") === 1).select(col("prev"), col("pred"))
+      pairs.crossJoin(broadcast(split)).where(col("us") >= col("mid"))
+        .join(broadcast(model), col("event_type") === col("prev"), "left")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("pred") === col("next"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("event_type"), col("n_test"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_test").cast("double"), 6)
+            .as("accuracy"))
+        .orderBy("event_type")
+    }),
+
     // frequent token-pair mining with Apriori pruning (Agrawal & Srikant
     // 1994): co-occurring token pairs within documents, support-counted
     // — the itemset miner behind phrase/topic seeding. The scale story
@@ -3256,6 +3293,29 @@ object Oracles {
          SELECT path, CAST(count(*) AS BIGINT) AS n
          FROM t3 WHERE sid2 = sid AND sid3 = sid
          GROUP BY path ORDER BY n DESC, path LIMIT 20""",
+
+    "q103_markov_backtest" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+              sp AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+              pr AS (SELECT user_id, us, event_type,
+                            lead(event_type) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS next
+                     FROM e),
+              p2 AS (SELECT * FROM pr WHERE next IS NOT NULL),
+              tr AS (SELECT event_type AS prev, next AS pred, count(*) AS cnt
+                     FROM p2 CROSS JOIN sp WHERE us < mid GROUP BY 1, 2),
+              md AS (SELECT prev, pred FROM (
+                       SELECT *, row_number() OVER (PARTITION BY prev
+                         ORDER BY cnt DESC, pred) AS rnk FROM tr)
+                     WHERE rnk = 1),
+              te AS (SELECT event_type AS prev, next FROM p2 CROSS JOIN sp
+                     WHERE us >= mid)
+         SELECT te.prev AS event_type, CAST(count(*) AS BIGINT) AS n_test,
+                CAST(sum(CASE WHEN pred = next THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                round(sum(CASE WHEN pred = next THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*)::DOUBLE, 6) AS accuracy
+         FROM te LEFT JOIN md USING (prev)
+         GROUP BY te.prev ORDER BY event_type""",
 
     // dt replicates tokenSet's distinct-per-doc semantics; the pair
     // generation is a doc-keyed self-join (equivalent to the engine's
