@@ -888,11 +888,15 @@ object Queries {
         .select(col("source"), explode(md5Sh(col("text"))).as("h"))
         .distinct()
         .localCheckpoint(false) // three consumers: counts, masks, sketches
-      val srcIdx = sh.select("source").distinct()
+      // ONE aggregate pass yields both the per-source counts and the
+      // dense index (a second distinct() would re-read the corpus-sized
+      // checkpoint per consumer); the aggregate-sized result is itself
+      // checkpointed so the window runs once, not once per consumer
+      val cnt = sh.groupBy("source").agg(count(lit(1)).as("n_src"))
         .withColumn("idx",
           (row_number().over(Window.orderBy("source")) - 1).cast("long"))
-      val cnt = sh.groupBy("source").agg(count(lit(1)).as("n_src"))
-        .join(broadcast(srcIdx), "source")
+        .localCheckpoint(false) // three consumers: pairs (x2 sides), hist
+      val srcIdx = cnt.select("source", "idx")
       val hist = sh.join(broadcast(srcIdx), "source")
         .groupBy("h")
         .agg(bit_or(expr("shiftleft(cast(1 as bigint), cast(idx as int))")).as("mask"))
