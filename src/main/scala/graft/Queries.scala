@@ -962,6 +962,46 @@ object Queries {
         .limit(20)
     }),
 
+    // incremental delta-dedup report — the "today's batch vs existing
+    // corpus" ingestion flow: each NEW document (md5-split ~10% stands
+    // in for the arriving batch, q46's convention) classified as
+    // exact_dup (content hash already in the base), near_dup (verified
+    // jaccard >= 0.5 against a BASE doc), or novel. The near side
+    // filters the shared full-corpus pair graph to cross (new, base)
+    // pairs so the oracle reuses the q26 CTE verbatim; the
+    // production-scale form bands ONLY the delta against the base
+    // bucket registry (StreamingOps.nearDupCandidatesIngest — the same
+    // kernels, spec-tested), which is linear in the delta, not the
+    // corpus. Exact side is two hash projections and a semi-join.
+    "q104_delta_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val isNew = md5(col("doc_id").cast("string").cast("binary")) < "1a"
+      val tagged = docs.select(col("doc_id"), isNew.as("is_new"),
+          md5(col("text")).as("ch"))
+        .localCheckpoint(false) // consumed by base hashes, new ids, joins
+      val baseH = tagged.where(!col("is_new")).select("ch").distinct()
+      val exactDup = tagged.where(col("is_new"))
+        .join(baseH, Seq("ch"), "left_semi")
+        .select(col("doc_id")).withColumn("e", lit(1))
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 64, bands = 16, shingleN = 3, threshold = 0.5)
+        .localCheckpoint(false) // read from both directions
+      val nearNew = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
+        .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("other")))
+        .join(tagged.where(col("is_new")).select("doc_id"), Seq("doc_id"))
+        .join(tagged.where(!col("is_new")).select(col("doc_id").as("other")),
+          Seq("other"))
+        .select("doc_id").distinct().withColumn("nr", lit(1))
+      tagged.where(col("is_new")).select("doc_id")
+        .join(exactDup, Seq("doc_id"), "left")
+        .join(nearNew, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("e") === 1, "exact_dup")
+            .when(col("nr") === 1, "near_dup")
+            .otherwise("novel").as("status"))
+        .orderBy("doc_id")
+    }),
+
     // Markov next-event backtest — the evaluation harness shape (train
     // on the past, score on the future) applied to q78's transition
     // structure: transitions BEFORE the corpus time midpoint train a
@@ -3297,6 +3337,27 @@ object Oracles {
          SELECT path, CAST(count(*) AS BIGINT) AS n
          FROM t3 WHERE sid2 = sid AND sid3 = sid
          GROUP BY path ORDER BY n DESC, path LIMIT 20""",
+
+    "q104_delta_dedup" ->
+      s"""WITH $minhashPairsCte,
+              tags AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) < '1a' AS isnew,
+                              md5(text) AS ch
+                       FROM documents),
+              baseh AS (SELECT DISTINCT ch FROM tags WHERE NOT isnew),
+              ex AS (SELECT DISTINCT t.doc_id FROM tags t JOIN baseh USING (ch)
+                     WHERE isnew),
+              np AS (SELECT doc_a AS doc_id, doc_b AS other FROM v WHERE jaccard >= 0.5
+                     UNION ALL SELECT doc_b, doc_a FROM v WHERE jaccard >= 0.5),
+              nr AS (SELECT DISTINCT np.doc_id FROM np
+                     JOIN tags tn ON np.doc_id = tn.doc_id AND tn.isnew
+                     JOIN tags tb ON np.other = tb.doc_id AND NOT tb.isnew)
+         SELECT t.doc_id,
+                CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                     WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                     ELSE 'novel' END AS status
+         FROM tags t LEFT JOIN ex ON t.doc_id = ex.doc_id
+                     LEFT JOIN nr ON t.doc_id = nr.doc_id
+         WHERE t.isnew ORDER BY t.doc_id""",
 
     "q103_markov_backtest" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
