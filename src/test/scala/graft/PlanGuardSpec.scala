@@ -221,6 +221,19 @@ class PlanGuardSpec extends AnyFunSuite {
       "q93 re-scans parquet — the apply path must ride the tf checkpoint")
   }
 
+  test("q104: delta classification stays equi-joined — no nested-loop fallback") {
+    // every stage (hash semi-join, cross-pair filters, status left
+    // joins) is an equi-join; a dropped key degrades to
+    // BroadcastNestedLoopJoin and turns the delta report quadratic
+    val plans = executedPlans("q104_delta_dedup")
+    assert(plans.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j }.isEmpty,
+      "q104 grew a cartesian join")
+    assert(plans.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "q104 lost an equi-key (nested-loop join)")
+  }
+
   test("q91: retention matrix has no window functions and no cartesian") {
     val plans = executedPlans("q91_retention_cohorts")
     assert(plans.collect {
