@@ -22,6 +22,20 @@ import org.apache.spark.sql.SparkSession
  * Knobs: SPARK_GRAFT_RUNS (default 3), SPARK_GRAFT_WARMUP
  * (default 1, set 0 to skip), SPARK_GRAFT_ONLY=q26_...,q27_... to
  * micro-benchmark a subset.
+ *
+ * Contention defense (r9, after the r8 misread: a host-contended driver
+ * sweep recorded q28 at 26.0 s where an isolated re-run of the same
+ * commit measured 1.02 s): the committed BENCH_ENVELOPE.json records
+ * each query's known-clean min per SF. After the sweep, any query whose
+ * sweep min exceeds 2x its envelope is RE-RUN at the end (the sweep is
+ * sequential, so the tail re-run sees whatever host load remains — if
+ * the number comes back clean the sweep reading was contention, if it
+ * repeats it is a real regression) and both numbers are emitted:
+ * "noisy": {query: isolated_sec}. The sweep-level load marker
+ * "load_ratio" (wall seconds / sum of per-query mins) self-diagnoses a
+ * contended sweep — a quiet host sits near (runs + warmup) / 1, far
+ * higher under external load. Consumers should prefer
+ * min(queries[q], noisy[q]) when noisy[q] exists.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -63,6 +77,7 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
+    val sweepT0 = System.nanoTime()
     val results = selected.map { case (name, fn) =>
       (1 to warmup).foreach(_ => runOnce(name, fn))
       val timed = (1 to runs).map(_ => runOnce(name, fn))
@@ -70,6 +85,7 @@ object Bench {
       val err = timed.collect { case Left(m) => m }.headOption
       (name, ok, err)
     }
+    val sweepWall = (System.nanoTime() - sweepT0) / 1e9
     def jStr(s: String) = "\"" + s.flatMap {
       case '\\' => "\\\\"
       case '"' => "\\\""
@@ -90,6 +106,32 @@ object Bench {
     // ignores n_err is wrong by contract, not protected by a sentinel.
     val nErr = results.count(r => r._2.isEmpty && r._3.isDefined)
     val total = good.map(_._2.min).sum
+    // wall / sum-of-mins: ~ (runs + warmup) on a quiet host; far higher
+    // when external load stretched the sweep (every extra second is
+    // contention — the queries themselves are the same work every run)
+    val loadRatio = if (total > 0) sweepWall / total else 0.0
+
+    // per-SF clean-min envelope (committed); sweep outliers re-run below
+    val sfKey = new java.io.File(sfDir).getName
+    val envelope: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_ENVELOPE", "BENCH_ENVELOPE.json")
+      try BenchEnvelope.load(path).getOrElse(sfKey, Map.empty)
+      catch { case _: Throwable => Map.empty }
+    }
+    // adversarial self-check: any query whose sweep min landed over 2x its
+    // committed clean envelope gets timed again at the tail of the sweep;
+    // a clean tail reading exonerates the code (host contention mid-sweep),
+    // a repeated overshoot is a genuine regression — either way the round's
+    // record carries both numbers instead of one polluted one.
+    val noisy: Seq[(String, Double)] = good.flatMap { case (name, ok, _) =>
+      envelope.get(name) match {
+        case Some(env) if ok.min > 2.0 * env =>
+          val fn = selected.toMap.apply(name)
+          val rerun = (1 to runs).map(_ => runOnce(name, fn)).collect { case Right(t) => t }
+          if (rerun.nonEmpty) Some(name -> rerun.min) else None
+        case _ => None
+      }
+    }
 
     // IVF production-path extras: the trained-k-means variant MEASURED
     // (latency + recall vs brute force) alongside the md5-seeded oracle
@@ -144,14 +186,16 @@ object Bench {
       System.err.println(s"[bench] ivf extras failed: ${e.getMessage}"); ""
     }
 
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"errors":$errs,"n_ok":${good.size},"n_err":$nErr,"runs":$runs,"sf":"$sfDir"$extras}"""
+    val noisyJson = noisy.map { case (k, v) => jStr(k) + ":" + v }.mkString("{", ",", "}")
+    val contention = s""","wall_sec":$sweepWall,"load_ratio":${math.round(loadRatio * 100) / 100.0},"noisy":$noisyJson"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"errors":$errs$contention,"n_ok":${good.size},"n_err":$nErr,"runs":$runs,"sf":"$sfDir"$extras}"""
     println(line)
     // The full per-query line is ~2.5 KB and grows with every query; a
     // harness that captures only a fixed-size stdout TAIL can truncate it
     // mid-object (BENCH_r04.json: "parsed": null). Emit a second, compact
     // summary line AFTER it so any tail window always ends with one
     // complete parseable JSON object carrying the headline numbers.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${good.size},"n_err":$nErr,"runs":$runs,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${good.size},"n_err":$nErr,"runs":$runs,"load_ratio":${math.round(loadRatio * 100) / 100.0},"n_noisy":${noisy.size},"sf":"$sfDir"}"""
     println(summary)
     // stdout of an sbt run is buried in [info] noise and tail-truncated
     // by at least one harness — ALWAYS write both lines to a file

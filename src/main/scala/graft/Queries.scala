@@ -895,6 +895,14 @@ object Queries {
       val cnt = sh.groupBy("source").agg(count(lit(1)).as("n_src"))
         .withColumn("idx",
           (row_number().over(Window.orderBy("source")) - 1).cast("long"))
+        // Enforce the 64-source limit of the exact-bitmask path at runtime:
+        // Spark masks shift amounts mod 64, so a 65th source would silently
+        // alias bit 0 and corrupt n_inter/n_union. The guard rides the
+        // aggregate-sized cnt table (one CASE per source, not per shingle);
+        // past 64 sources, use the minhash sketch path alone.
+        .withColumn("idx", expr(
+          "CASE WHEN idx < 64 THEN idx ELSE CAST(raise_error(" +
+            "'q89_source_overlap: exact bitmask path supports at most 64 sources') AS BIGINT) END"))
         .localCheckpoint(false) // three consumers: pairs (x2 sides), hist
       val srcIdx = cnt.select("source", "idx")
       val hist = sh.join(broadcast(srcIdx), "source")
@@ -1012,6 +1020,13 @@ object Queries {
     // per-user lead window is the established un-skewed case. A prev
     // type unseen in training predicts null and scores zero — identical
     // in both engines. Counts exact; accuracy one double division.
+    // Boundary convention: a (prev, next) transition is assigned to
+    // train/test by the FIRST event's timestamp (us < mid trains), so a
+    // transition straddling the midpoint trains on a post-split next
+    // event — a deliberate, documented convention mirrored exactly in
+    // the oracle. Strict-causality variants would split on the NEXT
+    // event's timestamp; the report's semantics don't change, only
+    // which side the straddling transitions land on.
     "q103_markov_backtest" -> ((s, d) => {
       val e = t(s, d, "events")
         .select(col("user_id"), col("event_id"), tsMicros.as("us"), col("event_type"))
@@ -1155,9 +1170,16 @@ object Queries {
           expr("cast(round(log2(cast(freq as double)) * 1e6, 0) as bigint)").as("y"))
       val m = ranked.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      // The top-100 head bounds every BIGINT sum (micro-scaled log2 values
+      // stay < 1e8, so sxy < ~3.3e16), but n*sxy sits within 3x of Long.Max
+      // at extreme corpus frequencies — take the q95 DECIMAL(38) discipline
+      // on the final moment products for headroom. The decimal value is the
+      // same exact integer the oracle's BIGINT product holds, so the
+      // double division is bit-identical.
+      val dec98 = DecimalType(38, 0)
       val slopeRaw =
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        (col("n").cast(dec98) * col("sxy") - col("sx").cast(dec98) * col("sy")).cast("double") /
+          (col("n").cast(dec98) * col("sxx") - col("sx").cast(dec98) * col("sx")).cast("double")
       m.select(col("n").as("n_points"),
           round(slopeRaw, 6).as("slope"),
           round((col("sy").cast("double") / 1e6 -
@@ -1232,9 +1254,15 @@ object Queries {
         .select(col("lang"), col("n_chars").as("x"),
           TF.tokenCount(col("text")).cast("long").as("y"))
       val dec = DecimalType(38, 0)
+      // The per-row products fit a BIGINT (counts <= ~1e9 per doc), but the
+      // SUMS are cast to DECIMAL(38) *before* aggregation: at petabyte row
+      // counts a BIGINT sum would wrap silently with ANSI off while the
+      // DuckDB oracle's HUGEINT sum would not — a quiet divergence instead
+      // of a loud failure. Decimal sums stay exact to 38 digits.
       val m = xy.groupBy("lang").agg(
         count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"))
       val slopeRaw =
         (col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy")).cast("double") /
           (col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx")).cast("double")

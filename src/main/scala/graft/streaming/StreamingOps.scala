@@ -503,10 +503,25 @@ object StreamingOps {
    * across executors like any keyed stream. The event-time timeout
    * flushes buffered purchases of otherwise-idle users as the watermark
    * advances.
+   *
+   * State-in-users trade-off: by default (`registerTtlMs = Long.MaxValue`)
+   * the two finalized registers are kept FOREVER, because unbounded as-of
+   * semantics demand it — a purchase arriving a year after the click must
+   * still attribute, exactly as the batch q70 join would. State is
+   * bounded per user but grows with the distinct-user count. When the
+   * business rule tolerates dropping attribution for very late purchases,
+   * pass a finite `registerTtlMs`: finalized registers idle longer than
+   * the TTL (measured against the watermark) are evicted, an event-time
+   * timeout sweeps register-only users out of the store entirely, and a
+   * purchase arriving after its click's TTL simply does not attribute —
+   * parity with batch is then "q70 restricted to purchases within TTL of
+   * their click", a documented relaxation, not a silent divergence.
    */
   def funnelAttribution(
       events: Dataset[FunnelEvent],
-      watermarkDelay: String = "10 seconds"): Dataset[FunnelHit] = {
+      watermarkDelay: String = "10 seconds",
+      registerTtlMs: Long = Long.MaxValue): Dataset[FunnelHit] = {
+    require(registerTtlMs > 0, "registerTtlMs must be positive")
     import events.sparkSession.implicits._
 
     // merge ts-duplicates to max id (the batch groupBy(user, us).max)
@@ -530,10 +545,20 @@ object StreamingOps {
         }
       }
       // registers: keep the open-horizon rows plus the latest finalized
-      // one — the only below-watermark row a future purchase can attach
+      // one — the only below-watermark row a future purchase can attach.
+      // A finite TTL additionally drops that finalized register once it
+      // has idled past the TTL (dropped attribution for later purchases
+      // is then the documented contract).
       def evictReg(reg: List[(Long, Long)]): List[(Long, Long)] = {
         val (closed, open) = reg.partition(_._1 / 1000 < watermarkMs)
-        open ++ (if (closed.isEmpty) Nil else List(closed.maxBy(_._1)))
+        val latest = closed match {
+          case Nil => Nil
+          case cs =>
+            val m = cs.maxBy(_._1)
+            if (registerTtlMs != Long.MaxValue && watermarkMs - m._1 / 1000 > registerTtlMs) Nil
+            else List(m)
+        }
+        open ++ latest
       }
       (FunnelState(evictReg(st.clicks), evictReg(st.views), pending), hits)
     }
@@ -570,6 +595,12 @@ object StreamingOps {
             if (next.purchases.nonEmpty)
               state.setTimeoutTimestamp(
                 math.max(next.purchases.map(_._1 / 1000).min + 1, wm + 1))
+            else if (registerTtlMs != Long.MaxValue) {
+              // register-only state under a finite TTL: revisit when the
+              // newest register ages out so this user leaves the store
+              val newestMs = (next.clicks ++ next.views).map(_._1 / 1000).max
+              state.setTimeoutTimestamp(math.max(newestMs + registerTtlMs + 1, wm + 1))
+            }
           }
           hits.iterator
       }

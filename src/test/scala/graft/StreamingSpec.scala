@@ -506,6 +506,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(!streamHits.exists(_._2 == 10L))
   }
 
+  test("funnel register TTL drops very late purchases; default keeps unbounded as-of") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps.FunnelEvent
+    implicit val sqlCtx = spark.sqlContext
+
+    val baseUs = 1700000000000000L
+    def us(s: Int) = baseUs + s * 1000000L
+    // click/view early, purchase ~94 s later; watermark sentinel in
+    // between ages the registers far past a 5 s TTL before the purchase
+    // arrives
+    def run(name: String, ttlMs: Long): Set[(Long, Long, Long)] = {
+      val input = MemoryStream[FunnelEvent]
+      val q = StreamingOps.funnelAttribution(input.toDS(),
+          watermarkDelay = "10 seconds", registerTtlMs = ttlMs)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      input.addData(FunnelEvent(1L, 1L, us(0), "view"), FunnelEvent(1L, 2L, us(1), "click"))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(99L, 900L, us(100), "view")); q.processAllAvailable()
+      input.addData(FunnelEvent(99L, 901L, us(101), "view")); q.processAllAvailable()
+      input.addData(FunnelEvent(1L, 3L, us(95), "purchase")); q.processAllAvailable()
+      input.addData(FunnelEvent(99L, 902L, us(200), "view")); q.processAllAvailable()
+      input.addData(FunnelEvent(99L, 903L, us(201), "view")); q.processAllAvailable()
+      val hits = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      q.stop()
+      hits
+    }
+
+    // default: unbounded as-of — the 94 s-late purchase still attributes
+    val unbounded = run("funnel_nottl", Long.MaxValue)
+    assert(unbounded == Set((1L, 3L, 2L)), s"default must attribute: $unbounded")
+    // finite TTL: the click register aged out before the purchase arrived,
+    // so attribution is (by contract) dropped — no emission at all
+    val ttl = run("funnel_ttl", 5000L)
+    assert(ttl.isEmpty, s"TTL'd register must not attribute: $ttl")
+  }
+
   test("streaming seasonal anomaly detector replays to the batch q99 answer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
