@@ -415,7 +415,8 @@ object Queries {
 
     "q26_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
-        k = 64, bands = 16, shingleN = 3, threshold = 0.5)
+        k = 64, bands = 16, shingleN = 3, threshold = 0.5,
+          hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
@@ -432,7 +433,8 @@ object Queries {
         TF.bpeTokenCount(col("text")).as("toks"))
       val clusters = Dedup.dupClusters(
         Dedup.minhashLshPairs(docs, "doc_id", "text",
-          k = 64, bands = 16, shingleN = 3, threshold = 0.5))
+          k = 64, bands = 16, shingleN = 3, threshold = 0.5,
+          hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */))
       scored
         .join(clusters, Seq("doc_id"), "left")
         .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
@@ -470,7 +472,8 @@ object Queries {
         base("doc_id") === keepExact("keep_id"), "left_semi")
       val clusters = Dedup.dupClusters(
         Dedup.minhashLshPairs(docs, "doc_id", "text",
-          k = 64, bands = 16, shingleN = 3, threshold = 0.5))
+          k = 64, bands = 16, shingleN = 3, threshold = 0.5,
+          hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */))
       val s2 = s1.join(clusters, Seq("doc_id"), "left")
         .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
         .select(s1.columns.map(col): _*)
@@ -517,7 +520,8 @@ object Queries {
       val docs = t(s, d, "documents")
       val clusters = Dedup.dupClusters(
         Dedup.minhashLshPairs(docs, "doc_id", "text",
-          k = 64, bands = 16, shingleN = 3, threshold = 0.5))
+          k = 64, bands = 16, shingleN = 3, threshold = 0.5,
+          hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */))
       val scored = docs.select(col("doc_id"),
         round(TF.qualityScore(col("text")), 6).as("q"))
       clusters.join(scored, Seq("doc_id"))
@@ -766,7 +770,8 @@ object Queries {
     // id-ordered enumeration exactly.
     "q86_dup_triangles" -> ((s, d) => {
       val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
-          k = 64, bands = 16, shingleN = 3, threshold = 0.5)
+          k = 64, bands = 16, shingleN = 3, threshold = 0.5,
+          hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
         .localCheckpoint(false) // multi-consumer: degrees, orientation, closure
       val deg = pairs.select(col("a").as("v"))
@@ -992,7 +997,8 @@ object Queries {
         .join(baseH, Seq("ch"), "left_semi")
         .select(col("doc_id")).withColumn("e", lit(1))
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-          k = 64, bands = 16, shingleN = 3, threshold = 0.5)
+          k = 64, bands = 16, shingleN = 3, threshold = 0.5,
+          hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */)
         .localCheckpoint(false) // read from both directions
       val nearNew = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
         .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("other")))
@@ -1007,6 +1013,73 @@ object Queries {
           when(col("e") === 1, "exact_dup")
             .when(col("nr") === 1, "near_dup")
             .otherwise("novel").as("status"))
+        .orderBy("doc_id")
+    }),
+
+    // exact substring-span REMOVAL (Lee et al. 2022 "Deduplicating
+    // Training Data Makes Language Models Better" — the operator q80's
+    // duplicate-span SIGNAL exists to feed): the corpus re-emitted with
+    // cross-doc duplicate K-token spans trimmed, keeping the FIRST
+    // occurrence (lexicographic (doc_id, pos) minimum — dedup also
+    // applies within a doc, so a phrase repeated in one document keeps
+    // only its first instance). Every K-token window whose hash has an
+    // earlier occurrence marks its K token positions; overlapping marks
+    // stitch into maximal spans (n_spans), and the trimmed text is the
+    // surviving tokens re-joined with single spaces (whitespace runs
+    // normalize — the standard output convention of span-level dedup).
+    // Scale shape: ONE tokenized corpus pass feeds both the shingle
+    // table and the reconstruction (lazy localCheckpoint);
+    // first-occurrence attribution is TWO partial-aggregated groupBys
+    // over the Zipfian shingle key (q82's min-combine pattern — never a
+    // window over h); dup classification is an h-keyed equi-join, hot
+    // shingles AQE-splittable; the coverage explode is xK linear; span
+    // stitching and reconstruction run per doc over arrays bounded by
+    // the doc's own token count — no token-level shuffle, no per-doc
+    // window. Identity is the md5-60-bit shingle hash (PortableHash
+    // convention): a cross-doc collision would trim a non-duplicate
+    // span with probability ~ n_shingles^2/2^61, IDENTICALLY in the
+    // oracle (shared hash), so parity is unaffected; Lee et al.'s
+    // suffix-array exactness is recovered by verifying trimmed spans if
+    // needed (the near-zero collision rate makes that a non-default).
+    "q105_span_removal" -> ((s, d) => {
+      val k = 5
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+        .localCheckpoint(false) // two consumers: shingle table, reconstruction
+      val sh = docs.where(size(col("t")) >= k)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(t) - ${k - 1}), i -> " +
+            s"cast(conv(substr(md5(cast(concat_ws(' ', slice(t, i, $k)) as binary)), 1, 15), 16, 10) as bigint))"))
+          .as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+        .localCheckpoint(false) // two consumers: first-occurrence, classification
+      val fd = sh.groupBy("h").agg(min("doc_id").as("fd"))
+      val fo = sh.join(fd, "h").where(col("doc_id") === col("fd"))
+        .groupBy("h", "fd").agg(min("pos").as("fp"))
+      val covered = sh.join(fo, "h")
+        .where(col("doc_id") =!= col("fd") || col("pos") =!= col("fp"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+        .distinct()
+      val covArr = covered.groupBy("doc_id")
+        .agg(sort_array(collect_list("cpos")).as("cov"))
+      docs.join(covArr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          // explicit isNull guards, not coalesce: with ANSI off (the
+          // NumPy-faithful session default) legacy sizeOfNull makes
+          // size(NULL) = -1, and sequence(1, -1) descends — both would
+          // corrupt the uncovered-doc rows silently
+          when(col("cov").isNull, lit(0L))
+            .otherwise(size(col("cov")).cast("long")).as("n_removed"),
+          when(col("cov").isNull, lit(0L)).otherwise(expr(
+            "size(filter(transform(sequence(1, size(cov)), i -> " +
+              "CASE WHEN i = 1 OR element_at(cov, i) - element_at(cov, i - 1) > 1 THEN 1 END), " +
+              "x -> x IS NOT NULL))").cast("long")).as("n_spans"),
+          expr(
+            "concat_ws(' ', filter(transform(sequence(1, size(t)), i -> " +
+              "CASE WHEN cov IS NULL OR NOT array_contains(cov, cast(i AS bigint)) " +
+              "THEN element_at(t, i) END), x -> x IS NOT NULL))").as("trimmed_text"))
         .orderBy("doc_id")
     }),
 
@@ -1468,7 +1541,8 @@ object Queries {
     // per cluster" becomes a filter on cluster_id = doc_id
     "q43_dedup_clusters" -> ((s, d) => {
       val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
-        k = 64, bands = 16, shingleN = 3, threshold = 0.5)
+        k = 64, bands = 16, shingleN = 3, threshold = 0.5,
+          hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */)
       Dedup.dupClusters(pairs).orderBy("doc_id")
     }),
 
@@ -1947,7 +2021,8 @@ object Queries {
         .orderBy("doc_a", "doc_b")),
 
     "q28_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3,
+        hotBucketCap = Int.MaxValue /* oracle: exact all-pairs chunks */)
         .orderBy("doc_a", "doc_b")),
 
     // ---- similarity search over embeddings ----
@@ -3386,6 +3461,46 @@ object Oracles {
          FROM tags t LEFT JOIN ex ON t.doc_id = ex.doc_id
                      LEFT JOIN nr ON t.doc_id = nr.doc_id
          WHERE t.isnew ORDER BY t.doc_id""",
+
+    // K=5 token shingles, md5-60bit identity (PortableHash convention);
+    // first occurrence = lexicographic (doc_id, pos) min, derived as
+    // min(doc_id) then min(pos)-within-that-doc exactly like the engine;
+    // coverage = K positions per non-first occurrence, spans by
+    // lag-gap, trimmed text by position anti-join
+    "q105_span_removal" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '[ \t\n\x0b\f\r]+') AS t
+                     FROM documents),
+              sh AS (SELECT doc_id, i AS pos,
+                            ('0x'||substr(md5(array_to_string(t[i:i+4], ' ')),1,15))::BIGINT AS h
+                     FROM tk, unnest(range(1, len(t)-3)) AS g(i)
+                     WHERE len(t) >= 5),
+              fdoc AS (SELECT h, min(doc_id) AS fd FROM sh GROUP BY h),
+              fo AS (SELECT s.h, s.doc_id AS fd, min(s.pos) AS fp
+                     FROM sh s JOIN fdoc f ON s.h = f.h AND s.doc_id = f.fd
+                     GROUP BY s.h, s.doc_id),
+              cov AS (SELECT DISTINCT s.doc_id, s.pos + j AS cpos
+                      FROM sh s JOIN fo ON s.h = fo.h
+                      CROSS JOIN unnest(range(0, 5)) AS u(j)
+                      WHERE s.doc_id != fo.fd OR s.pos != fo.fp),
+              st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed,
+                            CAST(sum(CASE WHEN prev IS NULL OR cpos - prev > 1
+                                          THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+                     FROM (SELECT doc_id, cpos,
+                                  lag(cpos) OVER (PARTITION BY doc_id ORDER BY cpos) AS prev
+                           FROM cov)
+                     GROUP BY doc_id),
+              tok AS (SELECT doc_id, t[i] AS w, i AS p
+                      FROM tk, unnest(range(1, len(t)+1)) AS g(i)),
+              kept AS (SELECT tok.doc_id, string_agg(w, ' ' ORDER BY p) AS trimmed
+                       FROM tok LEFT JOIN cov
+                         ON tok.doc_id = cov.doc_id AND tok.p = cov.cpos
+                       WHERE cov.cpos IS NULL GROUP BY tok.doc_id)
+         SELECT tk.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                CAST(coalesce(st.n_removed, 0) AS BIGINT) AS n_removed,
+                CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+                coalesce(kept.trimmed, '') AS trimmed_text
+         FROM tk LEFT JOIN st USING (doc_id) LEFT JOIN kept USING (doc_id)
+         ORDER BY tk.doc_id""",
 
     "q103_markov_backtest" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),

@@ -19,6 +19,15 @@ import graft.functions.TextFunctions._
  */
 object Dedup {
 
+  /** Sentinel default for `hotBucketCap`: resolve via the sizing rule
+    * ([[hotBucketCapFor]]) instead of running uncapped. The r8 verdict's
+    * finding: a caller invoking a pair generator bare at 100x scale
+    * would otherwise hit the quadratic bucket on one pathological
+    * template — production entry points must be sized BY DEFAULT, and
+    * the exact all-pairs semantics an oracle needs is the explicit
+    * opt-in (`hotBucketCap = Int.MaxValue`). */
+  val CapAuto: Int = -1
+
   /** Exact duplicate groups via content hash. Returns per-doc rows with
     * the group size (dup_count > 1 = duplicated).
     *
@@ -137,8 +146,11 @@ object Dedup {
    *              pairs whose only co-bucket was hot (and a star edge can
    *              fail verification where some member-member pair would
    *              have passed — for the near-identical docs that CAUSE hot
-   *              buckets, star edges verify trivially). Default = off,
-   *              the exact all-pairs semantics q26 oracles.
+   *              buckets, star edges verify trivially). Default =
+   *              [[CapAuto]], the sizing rule (band buckets have ~1
+   *              expected occupancy, so the sized cap is 100); pass
+   *              Int.MaxValue explicitly for the exact all-pairs
+   *              semantics q26 oracles.
    */
   /** (doc, hset, sig): one md5-32 hash per distinct shingle plus the
     * k-permutation minhash signature — the shared front end of the LSH
@@ -197,11 +209,17 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      threshold: Double = 0.5, hotBucketCap: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.5, hotBucketCap: Int = CapAuto): DataFrame = {
     val sig = shingleSignatures(docs, idCol, textCol, k, shingleN)
     val banded = bandHashes(sig, k, bands)
 
-    val candidates = (if (hotBucketCap == Int.MaxValue) {
+    // CapAuto: a band hash over 64-bit space is effectively unique per
+    // distinct content, so expected bucket occupancy is ~1 at ANY corpus
+    // size — hotBucketCapFor(n, n) = 100, no count job needed. Buckets
+    // past 100 are a pathological template by construction.
+    val cap: Long = if (hotBucketCap == CapAuto) 100L else hotBucketCap.toLong
+
+    val candidates = (if (cap == Int.MaxValue.toLong) {
       banded.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
         .join(banded.select(col("band"), col("band_hash"), col("doc").as("doc_b")),
           Seq("band", "band_hash"))
@@ -215,13 +233,13 @@ object Dedup {
       val sized = banded
         .withColumn("bsz", count(lit(1)).over(w))
         .withColumn("rep", min("doc").over(w))
-      val cold = sized.where(col("bsz") <= hotBucketCap)
+      val cold = sized.where(col("bsz") <= cap)
       val coldPairs = cold.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
         .join(cold.select(col("band"), col("band_hash"), col("doc").as("doc_b")),
           Seq("band", "band_hash"))
         .where(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b")
-      val hotPairs = sized.where(col("bsz") > hotBucketCap && col("doc") =!= col("rep"))
+      val hotPairs = sized.where(col("bsz") > cap && col("doc") =!= col("rep"))
         .select(col("rep").as("doc_a"), col("doc").as("doc_b")) // rep = min < doc
       coldPairs.union(hotPairs)
     }).dropDuplicates("doc_a", "doc_b")
@@ -316,14 +334,16 @@ object Dedup {
    * `maxHamming` from the bucket-min representative is dropped —
    * connectivity through the representative is only guaranteed when the
    * hot bucket's members are near-identical (hamming ~0, the boilerplate
-   * case that creates hot buckets in practice). Size it with
-   * [[hotBucketCapFor]] for production corpora; keep the default (off)
-   * for any oracle-checked path, which needs the exact all-pairs
-   * semantics.
+   * case that creates hot buckets in practice). Default = [[CapAuto]]:
+   * the [[hotBucketCapFor]] sizing rule evaluated LAZILY inside the plan
+   * (100x expected 15-bit-chunk occupancy from a broadcast corpus-count
+   * scalar, floor 100) so a bare production call can never hit the
+   * quadratic bucket. Oracle-checked paths pass Int.MaxValue explicitly
+   * for the exact all-pairs semantics.
    */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, hotBucketCap: Int = Int.MaxValue): DataFrame = {
+      maxHamming: Int = 3, hotBucketCap: Int = CapAuto): DataFrame = {
     val spark = docs.sparkSession
     val simUdf = udf((ts: Seq[String]) => simhash60(ts))
     val sig = docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
@@ -339,8 +359,7 @@ object Dedup {
     // Above the cap, star edges from the bucket-min doc (its sim rides a
     // struct min — ordered by doc first, so it IS the rep's signature)
     // keep connectivity linear; near-identical docs verify trivially at
-    // hamming ~0. Default = off, the exact all-pairs semantics q28
-    // oracles.
+    // hamming ~0.
     val candidates = if (hotBucketCap == Int.MaxValue) {
       val left = chunked.select(col("chunk"), col("chunk_val"),
         col("doc").as("doc_a"), col("sim").as("sim_a"))
@@ -350,11 +369,23 @@ object Dedup {
         .where(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b", "sim_a", "sim_b")
     } else {
+      // CapAuto: hotBucketCapFor(n_docs, 2^15) as a COLUMN from a
+      // broadcast single-row count — the sizing rule with zero eager
+      // actions (the count is a column-pruned partial aggregate) and no
+      // caller-supplied corpus size
+      val capCol =
+        if (hotBucketCap == CapAuto)
+          greatest(lit(100L), col("n_docs") * 100L / 32768L)
+        else lit(hotBucketCap.toLong)
+      val withN =
+        if (hotBucketCap == CapAuto)
+          chunked.crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        else chunked
       val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk", "chunk_val")
-      val sized = chunked
+      val sized = withN
         .withColumn("bsz", count(lit(1)).over(w))
         .withColumn("rep", min(struct(col("doc"), col("sim"))).over(w))
-      val cold = sized.where(col("bsz") <= hotBucketCap)
+      val cold = sized.where(col("bsz") <= capCol)
       val coldPairs = cold.select(col("chunk"), col("chunk_val"),
           col("doc").as("doc_a"), col("sim").as("sim_a"))
         .join(cold.select(col("chunk"), col("chunk_val"),
@@ -363,7 +394,7 @@ object Dedup {
         .where(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b", "sim_a", "sim_b")
       val hotPairs = sized
-        .where(col("bsz") > hotBucketCap && col("doc") =!= col("rep.doc"))
+        .where(col("bsz") > capCol && col("doc") =!= col("rep.doc"))
         .select(col("rep.doc").as("doc_a"), col("doc").as("doc_b"),
           col("rep.sim").as("sim_a"), col("sim").as("sim_b"))
       coldPairs.union(hotPairs)
@@ -387,9 +418,10 @@ object Dedup {
    * `nBuckets` is the candidate-bucket key space: for banded minhash the
    * band hash is effectively unique per distinct content, so nBuckets ~
    * corpusSize (expected occupancy ~1, cap 100); for simhash's 15-bit
-   * chunks nBuckets = 2^15 per chunk. Keep the default (off) on any
-   * oracle-checked path — the cap is an approximation (see
-   * [[simhashPairs]]).
+   * chunks nBuckets = 2^15 per chunk. [[CapAuto]] (the r9 default on
+   * both pair generators) applies exactly this rule without a
+   * caller-supplied corpus size; oracle-checked paths pass Int.MaxValue
+   * explicitly — the cap is an approximation (see [[simhashPairs]]).
    */
   def hotBucketCapFor(corpusSize: Long, nBuckets: Long): Int = {
     require(corpusSize > 0 && nBuckets > 0)

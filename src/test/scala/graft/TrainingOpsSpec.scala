@@ -63,9 +63,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     val clusters = Dedup.dupClusters(capped).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters.size == 60 && clusters.values.forall(_ == 1L))
-    // and uncapped finds the identical component (quadratic pair list)
-    val uncapped = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+    // and explicit uncapped (the oracle opt-in) finds the identical
+    // component as the full quadratic pair list
+    val uncapped = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8,
+      hotBucketCap = Int.MaxValue)
     assert(uncapped.count() == 59L * 60 / 2)
+  }
+
+  test("pair generators are sized-capped BY DEFAULT (bare call never goes quadratic)") {
+    import spark.implicits._
+    // 150 identical docs: above the CapAuto floor of 100, so a BARE call
+    // must emit linear star edges (149), not the 11,175 all-pairs the
+    // r8 verdict flagged as the silent-quadratic hazard; connectivity is
+    // preserved (one 150-doc cluster) so dedup output is unchanged
+    val template = "the same boilerplate template text repeated on every page of the site"
+    val docs150 = ((1L to 150L).map(i => (i, template)) :+
+      (999L, "one unrelated document about engines and graphs entirely")).toDF("doc_id", "text")
+    for (pairs <- Seq(
+        Dedup.minhashLshPairs(docs150, "doc_id", "text", threshold = 0.8),
+        Dedup.simhashPairs(docs150, "doc_id", "text"))) {
+      val got = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+      assert(got.length == 149, s"default must star-cap: got ${got.length} pairs")
+      assert(got.forall { case (a, b) => a == 1L && b > 1L && b <= 150L })
+      val clusters = Dedup.dupClusters(pairs.select("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(clusters.size == 150 && clusters.values.forall(_ == 1L))
+    }
+    // and the oracle opt-in still yields exact quadratic semantics
+    assert(Dedup.simhashPairs(docs150, "doc_id", "text",
+      hotBucketCap = Int.MaxValue).count() == 150L * 149 / 2)
   }
 
   test("simhash hot-bucket cap: star edges for identical docs, same clusters") {
@@ -87,8 +113,11 @@ class TrainingOpsSpec extends AnyFunSuite {
     val clusters = Dedup.dupClusters(capped.select("doc_a", "doc_b")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters.size == 60 && clusters.values.forall(_ == 1L))
-    // uncapped semantics unchanged (the q28 oracle path): full quadratic
-    assert(Dedup.simhashPairs(docs, "doc_id", "text").count() == 59L * 60 / 2)
+    // explicit-uncapped semantics unchanged (the q28 oracle path): full
+    // quadratic (the 60-doc bucket also sits under CapAuto's floor of
+    // 100, so even the bare default stays exact on this fixture)
+    assert(Dedup.simhashPairs(docs, "doc_id", "text",
+      hotBucketCap = Int.MaxValue).count() == 59L * 60 / 2)
   }
 
   test("simhash pairs have verified hamming distance") {
