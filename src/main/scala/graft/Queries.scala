@@ -455,17 +455,19 @@ object Queries {
     // number a pipeline owner watches before flipping a threshold):
     // raw -> exact dedup (min doc_id per content hash, q21's
     // groupBy-join-back shape) -> near-dup canonical-only (q43's
-    // clusters) -> quality gate (q44's rounded 0.8 rule). Every stage
+    // clusters) -> quality gate (q44's rounded 0.8 rule) -> Gopher
+    // rule bundle (q107's gopherKeep conjunction, r9). Every stage
     // reuses the operator the standalone queries check, and the scored
-    // (id, q, toks, hash) projection rides ONE localCheckpoint so the
-    // corpus is scanned and scored once; the four stage rows are
+    // (id, q, toks, hash, gk) projection rides ONE localCheckpoint so
+    // the corpus is scanned and scored once; the five stage rows are
     // aggregate-sized unions.
     "q97_curation_impact" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val base = docs.select(col("doc_id"),
           TF.qualityScore(col("text")).as("q"),
           TF.bpeTokenCount(col("text")).as("toks"),
-          md5(col("text")).as("content_hash"))
+          md5(col("text")).as("content_hash"),
+          TF.gopherKeep(col("text")).cast("int").as("gk"))
         .localCheckpoint(false) // every stage derives from it
       val keepExact = base.groupBy("content_hash").agg(min("doc_id").as("keep_id"))
       val s1 = base.join(keepExact,
@@ -478,6 +480,7 @@ object Queries {
         .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
         .select(s1.columns.map(col): _*)
       val s3 = s2.where(round(col("q"), 6) >= 0.8)
+      val s4 = s3.where(col("gk") === 1)
       def stage(df: DataFrame, rank: Int, name: String): DataFrame =
         df.agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
           .select(lit(rank).as("stage_rank"), lit(name).as("stage"),
@@ -486,6 +489,7 @@ object Queries {
         .unionByName(stage(s1, 2, "exact_dedup"))
         .unionByName(stage(s2, 3, "near_dedup"))
         .unionByName(stage(s3, 4, "quality"))
+        .unionByName(stage(s4, 5, "gopher_rules"))
         .orderBy("stage_rank")
     }),
 
@@ -1080,6 +1084,70 @@ object Queries {
             "concat_ws(' ', filter(transform(sequence(1, size(t)), i -> " +
               "CASE WHEN cov IS NULL OR NOT array_contains(cov, cast(i AS bigint)) " +
               "THEN element_at(t, i) END), x -> x IS NOT NULL))").as("trimmed_text"))
+        .orderBy("doc_id")
+    }),
+
+    // PII/sensitive-span redaction (the C4/CCNet-style cleaning stage
+    // every training pipeline runs before release): per-doc counts and
+    // redacted text for email / IPv4 / phone / id-number shapes —
+    // TextFunctions.piiPatterns, a Java-regex/RE2-portable subset run
+    // LITERALLY in both engines. Everything is a codegen'd
+    // regexp_count/regexp_replace projection in one corpus pass: no
+    // UDF, no shuffle at all before the output ORDER BY, trivially
+    // linear at any scale. The synthetic corpus carries no PII shapes
+    // (probed: zero digits in any document), so the fixture is
+    // AUGMENTED deterministically from doc_id with the identical
+    // expression in both engines — planted emails/IPs/phones/ids at
+    // known densities (mod 7/11/13/17) prove detection and redaction on
+    // real spans rather than vacuously matching nothing; the operator
+    // surface (redactPii) is fixture-independent. The four shapes are
+    // mutually non-overlapping (digit-group widths differ), so counts
+    // are order-independent and PiiRedactionSpec's span-count invariant
+    // (redacted tags == detected counts, zero residual matches) holds
+    // exactly.
+    "q106_pii_redaction" -> ((s, d) => {
+      val aug = concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now"))).otherwise(""),
+        when(col("doc_id") % 11 === 0, concat(lit(" server 10."),
+          (col("doc_id") % 200).cast("string"), lit(".0."),
+          (col("doc_id") % 50).cast("string"), lit(" up"))).otherwise(""),
+        when(col("doc_id") % 13 === 0, concat(lit(" call 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today"))).otherwise(""),
+        when(col("doc_id") % 17 === 0, concat(lit(" ssn 123-45-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" filed"))).otherwise(""))
+      val counts = TF.piiPatterns.map { case (name, rx, _) =>
+        regexp_count(col("atext"), lit(rx)).cast("long").as(s"n_$name")
+      }
+      t(s, d, "documents")
+        .select(col("doc_id"), aug.as("atext"))
+        .select(col("doc_id") +: counts :+ TF.redactPii(col("atext")).as("redacted_text"): _*)
+        .withColumn("n_pii",
+          col("n_email") + col("n_ipv4") + col("n_phone") + col("n_idnum"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style quality-rule bundle (Rae et al. 2021) — the
+    // multi-rule document gate q24's single scalar graduates into:
+    // per-rule booleans (word-count window, mean word length,
+    // symbol-to-word ratio, bullet/ellipsis line fractions,
+    // alphabetic-word fraction) plus the composite keep, ONE codegen'd
+    // corpus-pass projection (per-line/per-token counts are bounded
+    // per-row array HOFs, no shuffle before the output ORDER BY).
+    // Every threshold is an integer cross-multiplication
+    // (TextFunctions.gopherRules), so there is no float boundary to
+    // round — the oracle runs the same exact comparisons. q97's funnel
+    // composes the SAME gopherKeep definition as its stage 5, so the
+    // bundle is observable as a curation stage, not just a per-doc
+    // report.
+    "q107_gopher_rules" -> ((s, d) => {
+      val rules = TF.gopherRules(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id") +:
+          size(TF.tokens(col("text"))).cast("long").as("n_words") +:
+          rules.map { case (n, c) => c.cast("int").as(n) } :+
+          TF.gopherKeep(col("text")).cast("int").as("keep"): _*)
         .orderBy("doc_id")
     }),
 
@@ -2553,18 +2621,50 @@ object Oracles {
               cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
                      FROM reach GROUP BY src),
               $scoredDocsCte,
-              sc AS (SELECT doc_id, lang, q, toks, content_hash FROM scored)"""
+              sc AS (SELECT doc_id, lang, q, toks, content_hash, gk FROM scored)"""
+
+  // q107's Gopher rule bundle as SQL predicates over `text` — the exact
+  // integer cross-multiplied comparisons of TextFunctions.gopherRules.
+  // Regex fragments live in plain triple-quoted vals (escape-free) and
+  // are interpolated as VALUES, so the s-string never re-processes the
+  // backslashes.
+  private val wsSql = """'[ \t\n\x0b\f\r]+'"""
+  private val ellRx = """'\.\.\.'"""
+  private val ellEndRx = """'\.\.\.$'"""
+  private[graft] lazy val gopherRuleSqls: Seq[(String, String)] = {
+    val nWords = s"CAST(len(string_split_regex(text, $wsSql)) AS BIGINT)"
+    val nWChars = s"CAST(length(regexp_replace(text, $wsSql, '', 'g')) AS BIGINT)"
+    val nLines = "CAST(len(string_split(text, chr(10))) AS BIGINT)"
+    val nBullet = "CAST(len(list_filter(string_split(text, chr(10)), " +
+      "l -> regexp_matches(l, '^ *[-*]'))) AS BIGINT)"
+    val nEllLines = s"CAST(len(list_filter(string_split(text, chr(10)), " +
+      s"l -> regexp_matches(l, $ellEndRx))) AS BIGINT)"
+    val nHash = "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)"
+    val nEllipsis = s"CAST(len(regexp_extract_all(text, $ellRx)) AS BIGINT)"
+    val nAlphaWords = s"CAST(len(list_filter(string_split_regex(text, $wsSql), " +
+      "w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)"
+    Seq(
+      "r_word_count" -> s"($nWords >= 50 AND $nWords <= 100000)",
+      "r_mean_word_len" -> s"($nWChars >= $nWords * 3 AND $nWChars <= $nWords * 10)",
+      "r_symbol_ratio" -> s"(($nHash + $nEllipsis) * 10 <= $nWords)",
+      "r_bullet" -> s"($nBullet * 10 <= $nLines * 9)",
+      "r_ellipsis_lines" -> s"($nEllLines * 10 <= $nLines * 3)",
+      "r_alpha_words" -> s"($nAlphaWords * 5 >= $nWords * 4)")
+  }
+  private lazy val gopherKeepSql: String =
+    gopherRuleSqls.map(_._2).mkString(" AND ")
 
   /** The scored-corpus projection shared by the curation chain (q44/q97
     * via `sc`) and the dataset card (q100): q24's quality formula, the
-    * BPE token count, and the exact-dedup content hash, one pass over
-    * `documents`. */
+    * BPE token count, the exact-dedup content hash, and (r9) the q107
+    * Gopher composite gate `gk`, one pass over `documents`. */
   private lazy val scoredDocsCte: String =
     s"""scored AS (SELECT doc_id, lang, source, n_chars,
                             (least(1.0, n/64.0) + alpha +
                              least(1.0, (n_chars2/greatest(n, 1.0))/8.0)) / 3.0 AS q,
                             len(regexp_extract_all(text, '$bpePatternSql')) AS toks,
-                            md5(text) AS content_hash
+                            md5(text) AS content_hash,
+                            CAST(CASE WHEN $gopherKeepSql THEN 1 ELSE 0 END AS INT) AS gk
                      FROM (SELECT doc_id, lang, source, n_chars, text,
                                   CAST(len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS n,
                                   CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) /
@@ -2975,14 +3075,16 @@ object Oracles {
               s1 AS (SELECT sc.* FROM sc JOIN ke ON sc.doc_id = ke.keep_id),
               s2 AS (SELECT s1.* FROM s1 LEFT JOIN cl USING (doc_id)
                      WHERE cluster_id IS NULL OR cluster_id = doc_id),
-              s3 AS (SELECT * FROM s2 WHERE round(q, 6) >= 0.8)
+              s3 AS (SELECT * FROM s2 WHERE round(q, 6) >= 0.8),
+              s4 AS (SELECT * FROM s3 WHERE gk = 1)
          SELECT * FROM (
            SELECT 1 AS stage_rank, 'raw' AS stage,
                   CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
            FROM sc
            UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(sum(toks) AS BIGINT) FROM s1
            UNION ALL SELECT 3, 'near_dedup', CAST(count(*) AS BIGINT), CAST(sum(toks) AS BIGINT) FROM s2
-           UNION ALL SELECT 4, 'quality', CAST(count(*) AS BIGINT), CAST(sum(toks) AS BIGINT) FROM s3)
+           UNION ALL SELECT 4, 'quality', CAST(count(*) AS BIGINT), CAST(sum(toks) AS BIGINT) FROM s3
+           UNION ALL SELECT 5, 'gopher_rules', CAST(count(*) AS BIGINT), CAST(sum(toks) AS BIGINT) FROM s4)
          ORDER BY stage_rank""",
 
     // DuckDB's NATIVE ASOF JOIN vs our union+running-last window plan —
@@ -3501,6 +3603,60 @@ object Oracles {
                 coalesce(kept.trimmed, '') AS trimmed_text
          FROM tk LEFT JOIN st USING (doc_id) LEFT JOIN kept USING (doc_id)
          ORDER BY tk.doc_id""",
+
+    // the LITERAL piiPatterns regexes (interpolated, so the two engines
+    // cannot drift); deterministic doc_id-derived PII augmentation
+    // mirrored from the engine side; DuckDB regexp_replace needs the
+    // explicit 'g' flag (Spark replaces globally by default)
+    "q106_pii_redaction" -> {
+      val rx = graft.functions.TextFunctions.piiPatterns
+        .map { case (n, p, tag) => n -> (p, tag) }.toMap
+      val redact = graft.functions.TextFunctions.piiPatterns
+        .foldLeft("atext") { case (inner, (_, p, tag)) =>
+          s"regexp_replace($inner, '$p', '$tag', 'g')"
+        }
+      val countCols = graft.functions.TextFunctions.piiPatterns
+        .map { case (n, p, _) =>
+          s"CAST(len(regexp_extract_all(atext, '$p')) AS BIGINT) AS n_$n"
+        }.mkString(",\n                ")
+      s"""WITH aug AS (SELECT doc_id,
+                text || CASE WHEN doc_id % 7 = 0
+                             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' server 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                                  || CAST(doc_id % 50 AS VARCHAR) || ' up'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0
+                             THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' filed'
+                             ELSE '' END AS atext
+              FROM documents)
+         SELECT doc_id,
+                $countCols,
+                CAST(len(regexp_extract_all(atext, '${rx("email")._1}'))
+                   + len(regexp_extract_all(atext, '${rx("ipv4")._1}'))
+                   + len(regexp_extract_all(atext, '${rx("phone")._1}'))
+                   + len(regexp_extract_all(atext, '${rx("idnum")._1}')) AS BIGINT) AS n_pii,
+                $redact AS redacted_text
+         FROM aug ORDER BY doc_id"""
+    },
+
+    // the LITERAL gopherRuleSqls predicates (same fragments the shared
+    // curation CTE uses for q97's stage 5) — integer cross-multiplied
+    // comparisons, no float boundary anywhere
+    "q107_gopher_rules" -> {
+      val ruleCols = gopherRuleSqls.map { case (n, p) =>
+        s"CAST(CASE WHEN $p THEN 1 ELSE 0 END AS INT) AS $n"
+      }.mkString(",\n                ")
+      s"""SELECT doc_id,
+                CAST(len(string_split_regex(text, $wsSql)) AS BIGINT) AS n_words,
+                $ruleCols,
+                CAST(CASE WHEN $gopherKeepSql THEN 1 ELSE 0 END AS INT) AS keep
+         FROM documents ORDER BY doc_id"""
+    },
 
     "q103_markov_backtest" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),

@@ -103,6 +103,76 @@ object TextFunctions {
     (lenScore + alpha + tokScore) / 3.0
   }
 
+  /**
+   * Gopher-style quality-rule bundle (Rae et al. 2021, the document
+   * filters of Appendix A) composing the single q24 scalar into
+   * per-rule booleans: word-count window, mean word length window,
+   * symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+   * alphabetic-word fraction. Every comparison is INTEGER-exact
+   * (threshold fractions cross-multiplied — `10*symbols <= words`
+   * instead of a float ratio), so the same predicate evaluates
+   * bit-identically in any engine with no rounding discipline needed.
+   * The composite keep is the conjunction ([[gopherKeep]]).
+   * Per-line counts ride `filter` HOFs over the doc's own line array —
+   * bounded per row, no shuffle.
+   */
+  private val gopherMetricsUdf =
+    udf((text: String) => GopherKernel.metrics(text))
+
+  /** The eight Gopher metric counts as one fused-kernel column (the
+    * interpreted HOF form measured +1.5 s per corpus pass at sf0.01 —
+    * the ShingleKernel lesson again); subexpression elimination keeps
+    * the kernel at ONE evaluation per row however many rules read it. */
+  def gopherMetrics(text: Column): Column = gopherMetricsUdf(text)
+
+  def gopherRules(text: Column): Seq[(String, Column)] =
+    gopherRulesFromMetrics(gopherMetrics(text))
+
+  /** Rule predicates over a [[gopherMetrics]] column — pure codegen
+    * integer comparisons. */
+  def gopherRulesFromMetrics(m: Column): Seq[(String, Column)] = {
+    import GopherKernel._
+    def g(i: Int): Column = element_at(m, i + 1)
+    val nWords = g(N_WORDS)
+    Seq(
+      "r_word_count" -> (nWords >= 50 && nWords <= 100000),
+      "r_mean_word_len" ->
+        (g(N_WCHARS) >= nWords * 3 && g(N_WCHARS) <= nWords * 10),
+      "r_symbol_ratio" -> ((g(N_HASH) + g(N_ELLIPSIS)) * 10 <= nWords),
+      "r_bullet" -> (g(N_BULLET) * 10 <= g(N_LINES) * 9),
+      "r_ellipsis_lines" -> (g(N_ELL_LINES) * 10 <= g(N_LINES) * 3),
+      "r_alpha_words" -> (g(N_ALPHA_WORDS) * 5 >= nWords * 4))
+  }
+
+  /** The composite Gopher gate: every rule passes. */
+  def gopherKeep(text: Column): Column =
+    gopherRules(text).map(_._2).reduce(_ && _)
+
+  /**
+   * PII/sensitive-span shapes (C4/CCNet-style cleaning), restricted to
+   * the regex subset identical in Java regex and RE2 so the DuckDB
+   * oracle runs the LITERAL same patterns: character classes, bounded
+   * repetition, word boundaries — no lookaround, no backreferences.
+   * The four shapes are mutually non-overlapping by construction
+   * (digit-group widths differ: phone 3-3-4, id 3-2-4; IPv4 needs four
+   * dot-separated 1-3 digit groups; the email local part is anchored on
+   * '@'), so detection counts are independent of redaction order.
+   * Order of (name, pattern, replacement tag).
+   */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+    ("idnum", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<ID>"))
+
+  /** Redact every PII shape (all occurrences; replacement tags contain
+    * no digits, so later patterns cannot match across earlier
+    * replacements). Pure codegen `regexp_replace` chain — no UDF. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, rx, tag)) =>
+      regexp_replace(c, rx, tag)
+    }
+
   /** Min-hash-style document fingerprint: lexicographic min of per-token
     * md5 hex digests. Stable across engines (md5 is standardized), cheap,
     * and a 1-permutation MinHash — documents sharing it are near-dup
