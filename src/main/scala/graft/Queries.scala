@@ -85,6 +85,35 @@ object Queries {
   private val shingleSet3Udf = udf((text: String) =>
     graft.functions.ShingleKernel.shingleStrings(text, 3))
 
+  /** q106's deterministic PII augmentation over (doc_id, text) — the
+    * digit-free fixture corpus carries no PII shapes, so planted spans
+    * at known mod-densities prove detection on real spans; the identical
+    * expression is spelled in the oracle SQL. */
+  private[graft] def piiAugment: Column = concat(
+    col("text"),
+    when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com now"))).otherwise(""),
+    when(col("doc_id") % 11 === 0, concat(lit(" server 10."),
+      (col("doc_id") % 200).cast("string"), lit(".0."),
+      (col("doc_id") % 50).cast("string"), lit(" up"))).otherwise(""),
+    when(col("doc_id") % 13 === 0, concat(lit(" call 555-867-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today"))).otherwise(""),
+    when(col("doc_id") % 17 === 0, concat(lit(" ssn 123-45-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" filed"))).otherwise(""))
+
+  /** The PII detection/redaction projection over `(doc_id, atext)` —
+    * stateless and codegen-only, so the SAME definition runs in batch
+    * (q106) and as a streaming ingest stage
+    * ([[graft.streaming.StreamingOps.redactIngest]]). */
+  private[graft] def piiReport(in: DataFrame): DataFrame = {
+    val counts = TF.piiPatterns.map { case (name, rx, _) =>
+      regexp_count(col("atext"), lit(rx)).cast("long").as(s"n_$name")
+    }
+    in.select(col("doc_id") +: counts :+ TF.redactPii(col("atext")).as("redacted_text"): _*)
+      .withColumn("n_pii",
+        col("n_email") + col("n_ipv4") + col("n_phone") + col("n_idnum"))
+  }
+
   private def contaminationSides(docs: DataFrame): (DataFrame, DataFrame) = {
     val shingleSetUdf = shingleSet3Udf
     val heldout = docs.where(col("doc_id") % 97 === 0)
@@ -1105,28 +1134,9 @@ object Queries {
     // are order-independent and PiiRedactionSpec's span-count invariant
     // (redacted tags == detected counts, zero residual matches) holds
     // exactly.
-    "q106_pii_redaction" -> ((s, d) => {
-      val aug = concat(
-        col("text"),
-        when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
-          col("doc_id").cast("string"), lit("@example.com now"))).otherwise(""),
-        when(col("doc_id") % 11 === 0, concat(lit(" server 10."),
-          (col("doc_id") % 200).cast("string"), lit(".0."),
-          (col("doc_id") % 50).cast("string"), lit(" up"))).otherwise(""),
-        when(col("doc_id") % 13 === 0, concat(lit(" call 555-867-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today"))).otherwise(""),
-        when(col("doc_id") % 17 === 0, concat(lit(" ssn 123-45-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" filed"))).otherwise(""))
-      val counts = TF.piiPatterns.map { case (name, rx, _) =>
-        regexp_count(col("atext"), lit(rx)).cast("long").as(s"n_$name")
-      }
-      t(s, d, "documents")
-        .select(col("doc_id"), aug.as("atext"))
-        .select(col("doc_id") +: counts :+ TF.redactPii(col("atext")).as("redacted_text"): _*)
-        .withColumn("n_pii",
-          col("n_email") + col("n_ipv4") + col("n_phone") + col("n_idnum"))
-        .orderBy("doc_id")
-    }),
+    "q106_pii_redaction" -> ((s, d) =>
+      piiReport(t(s, d, "documents").select(col("doc_id"), piiAugment.as("atext")))
+        .orderBy("doc_id")),
 
     // Gopher-style quality-rule bundle (Rae et al. 2021) — the
     // multi-rule document gate q24's single scalar graduates into:
@@ -1150,6 +1160,106 @@ object Queries {
           TF.gopherKeep(col("text")).cast("int").as("keep"): _*)
         .orderBy("doc_id")
     }),
+
+    // sparse TF-IDF cosine similarity via an INVERTED INDEX — the
+    // IR-canonical weighted-similarity shape (distinct from q29's dense
+    // embedding kNN and q27's unweighted set Jaccard): documents as
+    // idf-weighted trigram-shingle vectors, pairwise cosine computed
+    // through df-capped posting lists. The scale story IS the df cap:
+    // a posting list of length df yields df^2/2 candidate pairs, so
+    // capping df <= 20 bounds pair volume by 20x the posting count —
+    // linear in the corpus — while stop-shingles (the Zipfian head that
+    // carries no discriminative weight anyway) leave the vector space
+    // entirely (dot AND norm — cosine is exact in the pruned space, not
+    // an approximation of the unpruned one). In production the cap is a
+    // corpus fraction (the sizing-rule pattern); absolute here for
+    // oracle determinism. Parity: weights are micro-scaled integers
+    // (round(idf * 1e6), the q98 pattern), so dots and norms are exact
+    // integer sums in any summation order; the only float ops are one
+    // ln per (shingle, doc) of identical int ratios and one
+    // sqrt-divide-round per pair. df counts ride a partial-aggregated
+    // groupBy (never a window over the Zipfian shingle key).
+    "q108_sparse_cosine_pairs" -> ((s, d) => {
+      val dfCap = 20L
+      val docs = t(s, d, "documents")
+      val sh = docs.select(col("doc_id"), explode(shingleSet3Udf(col("text"))).as("sh"))
+        .localCheckpoint(false) // two consumers: df counts, postings
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+      val postings = sh.join(dfreq.where(col("df") <= dfCap), Seq("sh"))
+        .crossJoin(broadcast(ndocs))
+        .withColumn("wq", expr(
+          "cast(round((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000, 0) as bigint)"))
+        .select(col("sh"), col("doc_id"), col("wq"))
+        .localCheckpoint(false) // two consumers: norms, pair join
+      val norms = postings.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("nrm"))
+      val pairs = postings.as("a").join(postings.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
+      pairs
+        .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+        .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("dot").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
+
+    // cross-source near-dup contamination matrix — the provenance
+    // report q89's shingle-overlap numbers graduate into once VERIFIED
+    // near-dup pairs exist: for each (source, source) cell, how many
+    // verified near-duplicate pairs cross it and at what mean
+    // similarity (a high src_a != src_b cell = one source is
+    // re-crawling another — double-counted training mass). Composes
+    // q26's exact pair machinery (uncapped, the oracle CTE) with a
+    // doc -> source map join; the matrix is |sources|^2 aggregate-sized.
+    // Mean jaccard rides the micro-scaled integer pattern: per-pair
+    // round(j*1e6) to BIGINT, exact sum, truncating integer division
+    // (q55's discipline) — no float summation order anywhere.
+    "q109_source_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 64, bands = 16, shingleN = 3, threshold = 0.5,
+        hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"),
+          expr("cast(round(jaccard * 1e6, 0) as bigint)").as("jm"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"), sum("jm").as("sjm"))
+        .select(col("src_a"), col("src_b"), col("n_pairs"),
+          (expr("sjm div n_pairs") / 1e6).as("mean_jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // power-of-two padding-waste report — the batch-shape planner for
+    // training ingestion (sequences pad to fixed power-of-two lengths;
+    // this is the cost table a pipeline owner reads before picking
+    // bucket boundaries, complementing q61's packer): per 2^k bucket,
+    // docs, real tokens, padded tokens, waste fraction. One
+    // partial-aggregated groupBy over a codegen'd projection. Parity:
+    // bucket = 2^ceil(log2(n)) — log2 of an exact small integer is
+    // exact IEEE at powers of two and has huge margin elsewhere, so
+    // ceil agrees across engines; everything after is exact integers
+    // and one rounded division.
+    "q110_padding_waste" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(TF.bpeTokenCount(col("text")).cast("long").as("n"))
+        .where(col("n") > 0)
+        .withColumn("bucket",
+          expr("cast(power(2, ceil(log2(cast(n as double)))) as bigint)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+        .withColumn("n_padded", col("bucket") * col("n_docs"))
+        .select(col("bucket"), col("n_docs"), col("n_tokens"), col("n_padded"),
+          round((col("n_padded") - col("n_tokens")).cast("double") / col("n_padded"), 6)
+            .as("waste_frac"))
+        .orderBy("bucket")),
 
     // Markov next-event backtest — the evaluation harness shape (train
     // on the past, score on the future) applied to q78's transition
@@ -3657,6 +3767,53 @@ object Oracles {
                 CAST(CASE WHEN $gopherKeepSql THEN 1 ELSE 0 END AS INT) AS keep
          FROM documents ORDER BY doc_id"""
     },
+
+    // df-capped inverted-index cosine with micro-scaled integer weights
+    // (identical idf expression text, exact integer dots/norms)
+    "q108_sparse_cosine_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
+              shl AS (SELECT doc_id, $shSql AS sh FROM tk),
+              e AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+              dfq AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY s),
+              nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+              po AS (SELECT e.doc_id, e.s,
+                            CAST(round((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000, 0) AS BIGINT) AS wq
+                     FROM e JOIN dfq USING (s) CROSS JOIN nd
+                     WHERE df <= 20),
+              nr AS (SELECT doc_id, CAST(sum(wq*wq) AS BIGINT) AS nrm FROM po GROUP BY doc_id),
+              pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            CAST(sum(a.wq*b.wq) AS BIGINT) AS dot
+                     FROM po a JOIN po b ON a.s = b.s AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(dot::DOUBLE / sqrt(na.nrm::DOUBLE * nb.nrm::DOUBLE), 6) AS cosine
+         FROM pr JOIN nr na ON pr.doc_a = na.doc_id
+                 JOIN nr nb ON pr.doc_b = nb.doc_id
+         ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""",
+
+    // q26's verified-pair CTE, mapped to (source, source) cells; mean
+    // jaccard via exact micro-scaled integer sum + truncating division
+    "q109_source_contamination" ->
+      s"""WITH $minhashPairsCte,
+              sp AS (SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5),
+              m AS (SELECT least(da.source, db.source) AS src_a,
+                           greatest(da.source, db.source) AS src_b,
+                           CAST(round(jaccard * 1e6, 0) AS BIGINT) AS jm
+                    FROM sp JOIN documents da ON sp.doc_a = da.doc_id
+                            JOIN documents db ON sp.doc_b = db.doc_id)
+         SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+                (CAST(sum(jm) AS BIGINT) // CAST(count(*) AS BIGINT)) / 1e6 AS mean_jaccard
+         FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""",
+
+    "q110_padding_waste" ->
+      s"""WITH n0 AS (SELECT len(regexp_extract_all(text, '$bpePatternSql')) AS n FROM documents),
+              b AS (SELECT CAST(power(2, ceil(log2(n::DOUBLE))) AS BIGINT) AS bucket, n
+                    FROM n0 WHERE n > 0)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS n_tokens,
+                CAST(bucket * count(*) AS BIGINT) AS n_padded,
+                round((bucket * count(*) - sum(n))::DOUBLE / (bucket * count(*))::DOUBLE, 6) AS waste_frac
+         FROM b GROUP BY bucket ORDER BY bucket""",
 
     "q103_markov_backtest" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),

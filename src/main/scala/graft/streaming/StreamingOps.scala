@@ -165,6 +165,19 @@ object StreamingOps {
   }
 
   /**
+   * q106's streaming twin — PII redaction AT INGEST, the place a
+   * production pipeline actually runs the cleaning stage (documents are
+   * redacted before they ever land in the lake, so raw PII never
+   * persists). A pure stateless codegen projection over `(doc_id,
+   * atext)` — no state store, no watermark, scales as a map stage —
+   * that DELEGATES to the same [[graft.Queries.piiReport]] definition
+   * the batch query checks against DuckDB, so the batch and streaming
+   * redaction semantics cannot drift (StreamingSpec replays the live
+   * fixture and proves row-set equality with the batch q106 output).
+   */
+  def redactIngest(docs: DataFrame): DataFrame = graft.Queries.piiReport(docs)
+
+  /**
    * Trace-wide FP reference-series registry — the
    * [[nearDupCandidatesIngest]] pattern applied to the streaming/batch
    * FP boundary (r4 verdict #7): the batch FP filter matches a window's

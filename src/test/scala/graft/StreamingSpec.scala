@@ -543,6 +543,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(ttl.isEmpty, s"TTL'd register must not attribute: $ttl")
   }
 
+  test("PII redaction at ingest reproduces the batch q106 rows exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = Queries.queries("q106_pii_redaction")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    // replay the SAME augmented rows as a stream through the ingest stage
+    val rows = Queries.t(spark, sf, "documents")
+      .select(col("doc_id"), Queries.piiAugment.as("atext"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.redactIngest(input.toDF().toDF("doc_id", "atext"))
+      .writeStream.outputMode("append").format("memory").queryName("pii_ingest").start()
+    rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    val got = spark.table("pii_ingest").collect().map(_.toSeq).toSet
+    q.stop()
+    assert(got == batch, s"stream ${got.size} rows != batch ${batch.size}")
+  }
+
   test("streaming seasonal anomaly detector replays to the batch q99 answer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
