@@ -1237,6 +1237,159 @@ object Queries {
         .orderBy("src_a", "src_b")
     }),
 
+    // Stupid Backoff bigram LM scoring (Brants et al. 2007 "Large
+    // Language Models in Machine Translation" — the web-scale LM score
+    // that skips normalization): S(w2|w1) = c(w1w2)/c(w1) when the
+    // bigram is attested, else 0.4 * c(w2)/N — the quality-filter form
+    // where a SMALL clean reference corpus (here the 1% doc_id%97
+    // slice; CCNet trains on Wikipedia) scores the huge crawl, so the
+    // backoff branch is live by construction (a large train split over
+    // the fixture's closed vocabulary would cover every bigram and
+    // leave backoff dead code — probed: 17,985/27,070 scored bigram
+    // instances back off at sf0.001). Per-doc mean surprisal rides
+    // q72's exact discipline: each term is log2 of a ratio of exact
+    // integers (identical expression text both engines), rounded to
+    // 6dp into DECIMAL(18,6), summed exactly, mean via micro-scaled
+    // integer division. LM tables are vocabulary-sized partial
+    // aggregates (broadcast-joined back); the corpus-sized work is one
+    // bigram explode.
+    "q111_stupid_backoff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bg = docs.withColumn("tk", TF.tokens(col("text")))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("bigram"))
+        .localCheckpoint(false) // two consumers: train counts, scoring
+      val c2 = bg.where(col("doc_id") % 97 === 0)
+        .groupBy("bigram").agg(count(lit(1)).as("c2"))
+      val c1 = c2.withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+        .groupBy("w1").agg(sum("c2").as("c1"))
+      val cw = docs.where(col("doc_id") % 97 === 0)
+        .select(explode(TF.tokens(col("text"))).as("w2"))
+        .groupBy("w2").agg(count(lit(1)).as("cw"))
+      val nTrain = docs.where(col("doc_id") % 97 === 0)
+        .agg(sum(TF.tokenCount(col("text")).cast("long")).as("n_train"))
+      val bt = bg.where(col("doc_id") % 97 =!= 0)
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+        .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+        .withColumn("w2", expr("split_part(bigram, ' ', 2)"))
+      bt.join(c2, Seq("bigram"), "left")
+        .join(c1, Seq("w1"), "left")
+        .join(cw, Seq("w2"), "left")
+        .crossJoin(broadcast(nTrain))
+        .withColumn("term", when(col("c2").isNotNull,
+            round(log2(col("c1").cast("double") / col("c2")), 6))
+          .otherwise(
+            round(log2(col("n_train").cast("double") * 2.5 / coalesce(col("cw"), lit(1L))), 6))
+          .cast(DecimalType(18, 6)))
+        .groupBy("doc_id")
+        .agg(sum(col("term") * col("tf")).as("sdec"), sum("tf").as("n_bigrams"),
+          sum(when(col("c2").isNull, col("tf")).otherwise(0L)).as("n_backoff"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+          (expr("cast(sdec * 1000000 as bigint) div n_bigrams").cast("double")
+            / lit(1000000.0)).as("avg_score"))
+        .orderBy("doc_id")
+    }),
+
+    // rank-biased overlap between the two halves' top-K token rankings
+    // (Webber et al. 2010, truncated base RBO at K=30, p=1/2) — the
+    // vocabulary-RANK drift monitor complementing q84's mass-based KL:
+    // two splits can agree in bucket mass while their frequency
+    // rankings reorder (or vice versa). p=1/2 is deliberate: its depth
+    // weights are exact dyadic doubles (power(0.5, d) is IEEE-exact),
+    // so the only inexactness is one a_d/d division per depth, rounded
+    // to 6dp into DECIMAL and summed exactly — no float-summation
+    // order anywhere. Everything after the two q51-shaped top-K
+    // aggregations (partial agg + TakeOrderedAndProject) is
+    // aggregate-sized: the rank join is K x K, the depth sweep 30
+    // rows. The row_number windows order 30-row relations — the
+    // allowed aggregate-sized window case.
+    "q112_rank_overlap" -> ((s, d) => {
+      val k = 30
+      val tf = t(s, d, "documents")
+        .select((col("doc_id") % 2).cast("int").as("side"),
+          explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("side", "token").agg(count(lit(1)).as("freq"))
+        .localCheckpoint(false) // two consumers: the two sides
+      def topK(side: Int) = tf.where(col("side") === side)
+        .orderBy(col("freq").desc, col("token")).limit(k)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+      val md = topK(0).select(col("token"), col("r").as("ra"))
+        .join(topK(1).select(col("token"), col("r").as("rb")), "token")
+        .select(greatest(col("ra"), col("rb")).as("mr"))
+      val terms = s.range(1, k + 1).select(col("id").cast("int").as("dpt"))
+        .join(md, col("mr") <= col("dpt"), "left")
+        .groupBy("dpt").agg(count(col("mr")).as("a_d"))
+        .withColumn("term",
+          round(pow(lit(0.5), col("dpt")) * col("a_d") / col("dpt"), 6)
+            .cast(DecimalType(18, 6)))
+      terms.agg(max(when(col("dpt") === k, col("a_d"))).as("n_common"),
+          sum("term").as("rbo_dec"))
+        .select(lit(k).as("depth"), col("n_common"),
+          round(col("rbo_dec"), 6).cast("double").as("rbo"))
+        .orderBy("depth")
+    }),
+
+    // MinHash CONTAINMENT pairs (Broder 1997's second resemblance
+    // measure): |A n B| / min(|A|, |B|) — the asymmetric near-dup
+    // Jaccard dedup structurally misses (a quote or excerpt inside a
+    // larger document scores containment ~1 but Jaccard ~|A|/|B|).
+    // Reported pairs are exactly those: containment >= 0.8 AND
+    // jaccard < 0.5 (round-before-threshold both). Candidates come
+    // from RARE-SHINGLE blocking (q108's df-capped posting join — a
+    // contained doc shares its rare shingles with its container, so
+    // recall needs only ONE shared shingle below the cap), NOT from
+    // jaccard-LSH banding, whose collision probability decays with
+    // jaccard and misses exactly the asymmetric pairs this query
+    // exists to find. The fixture has no length-asymmetric duplicates
+    // (generator emits same-length template variants — probed: zero
+    // pairs at any threshold), so excerpt docs are derived
+    // deterministically IN the query (first half of every doc_id%37
+    // doc, id-offset by 1e6), identically in the oracle — the q106
+    // augmentation pattern: the operator is proven on real asymmetric
+    // dups, not vacuously green.
+    "q113_containment_pairs" -> ((s, d) => {
+      val dfCap = 20L
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 37 === 0)
+          .withColumn("tk", TF.tokens(col("text")))
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("concat_ws(' ', slice(tk, 1, size(tk) div 2))").as("text")))
+      val hsetUdf = udf((text: String) =>
+        graft.functions.ShingleKernel.md5ShingleSet(text, 3))
+      val sets = base.select(col("doc_id").as("doc"), hsetUdf(col("text")).as("hset"))
+        .where(size(col("hset")) > 0)
+        // materialize the hashing behind an exchange (the q27 lesson)
+        .repartition(s.sparkContext.defaultParallelism, col("doc"))
+        .localCheckpoint(false) // consumers: postings, two verify fetches
+      val po = sets.select(col("doc"), explode(col("hset")).as("h"))
+      val rare = po.groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df") <= dfCap).select("h")
+      val rarePo = po.join(rare, Seq("h"))
+      val candidates = rarePo.select(col("h"), col("doc").as("doc_a"))
+        .join(rarePo.select(col("h"), col("doc").as("doc_b")), Seq("h"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+      val inter = graft.plans.LongSetOps
+        .longIntersectSize(s, "set_a", "set_b").cast("double")
+      candidates
+        .join(sets.select(col("doc").as("doc_a"), col("hset").as("set_a")), "doc_a")
+        .join(sets.select(col("doc").as("doc_b"), col("hset").as("set_b")), "doc_b")
+        .withColumn("li", inter)
+        .withColumn("containment",
+          round(col("li") / least(size(col("set_a")), size(col("set_b"))), 6))
+        .withColumn("jaccard",
+          round(col("li") / (size(col("set_a")) + size(col("set_b")) - col("li")), 6))
+        .where(col("containment") >= 0.8 && col("jaccard") < 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          size(col("set_a")).cast("long").as("n_a"),
+          size(col("set_b")).cast("long").as("n_b"),
+          col("containment"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // power-of-two padding-waste report — the batch-shape planner for
     // training ingestion (sequences pad to fixed power-of-two lengths;
     // this is the cost table a pipeline owner reads before picking
@@ -3804,6 +3957,103 @@ object Oracles {
          SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
                 (CAST(sum(jm) AS BIGINT) // CAST(count(*) AS BIGINT)) / 1e6 AS mean_jaccard
          FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""",
+
+    // identical log2-of-integer-ratio expressions, q72's round-6 DECIMAL
+    // sum + micro-scaled integer-division mean
+    "q111_stupid_backoff" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '[ \t\n\x0b\f\r]+') AS t
+                     FROM documents),
+              bg AS (SELECT doc_id,
+                            unnest(list_transform(range(1, len(t)),
+                                                  i -> t[i] || ' ' || t[i+1])) AS bigram
+                     FROM tk),
+              c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2 FROM bg
+                     WHERE doc_id % 97 = 0 GROUP BY bigram),
+              c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+                     FROM c2 GROUP BY 1),
+              cw AS (SELECT w2, CAST(count(*) AS BIGINT) AS cw FROM (
+                       SELECT unnest(t) AS w2 FROM tk WHERE doc_id % 97 = 0)
+                     GROUP BY w2),
+              nt AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_train FROM tk
+                     WHERE doc_id % 97 = 0),
+              bt AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf,
+                            split_part(bigram, ' ', 1) AS w1,
+                            split_part(bigram, ' ', 2) AS w2
+                     FROM bg WHERE doc_id % 97 != 0 GROUP BY doc_id, bigram),
+              x AS (SELECT bt.doc_id, bt.tf,
+                           CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS backoff,
+                           CAST(CASE WHEN c2.c2 IS NOT NULL
+                                     THEN round(log2(CAST(c1 AS DOUBLE) / c2.c2), 6)
+                                     ELSE round(log2(CAST(n_train AS DOUBLE) * 2.5
+                                                     / COALESCE(cw.cw, 1)), 6)
+                                END AS DECIMAL(18,6)) AS term
+                    FROM bt
+                    LEFT JOIN c2 USING (bigram)
+                    LEFT JOIN c1 USING (w1)
+                    LEFT JOIN cw USING (w2)
+                    CROSS JOIN nt)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                CAST(sum(backoff * tf) AS BIGINT) AS n_backoff,
+                CAST(CAST(sum(term * tf) * 1000000 AS BIGINT)
+                     // sum(tf) AS DOUBLE) / 1000000.0 AS avg_score
+         FROM x GROUP BY doc_id ORDER BY doc_id""",
+
+    // p=1/2 keeps depth weights exact dyadic; terms rounded to 6dp into
+    // DECIMAL and summed exactly — no float summation order
+    "q112_rank_overlap" ->
+      """WITH tf AS (SELECT doc_id % 2 AS side, token, count(*) AS freq FROM (
+                       SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                       FROM documents)
+                     GROUP BY 1, 2),
+              ra AS (SELECT token, row_number() OVER (ORDER BY freq DESC, token) AS r
+                     FROM (SELECT * FROM tf WHERE side = 0
+                           ORDER BY freq DESC, token LIMIT 30)),
+              rb AS (SELECT token, row_number() OVER (ORDER BY freq DESC, token) AS r
+                     FROM (SELECT * FROM tf WHERE side = 1
+                           ORDER BY freq DESC, token LIMIT 30)),
+              md AS (SELECT greatest(ra.r, rb.r) AS mr FROM ra JOIN rb USING (token)),
+              dpt AS (SELECT unnest(range(1, 31)) AS d),
+              ad AS (SELECT d, CAST(count(mr) AS BIGINT) AS a_d
+                     FROM dpt LEFT JOIN md ON mr <= d GROUP BY d),
+              tm AS (SELECT d, a_d,
+                            CAST(round(power(0.5, d) * a_d / d, 6) AS DECIMAL(18,6)) AS term
+                     FROM ad)
+         SELECT CAST(30 AS INT) AS depth,
+                max(CASE WHEN d = 30 THEN a_d END) AS n_common,
+                CAST(round(sum(term), 6) AS DOUBLE) AS rbo
+         FROM tm ORDER BY depth""",
+
+    // derived-excerpt augmentation + rare-shingle blocking; md5-32
+    // shingle hashes (PortableHash) so the set arithmetic is identical
+    "q113_containment_pairs" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+                        UNION ALL
+                        SELECT doc_id + 1000000,
+                               array_to_string(t[1:len(t)//2], ' ')
+                        FROM (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t
+                              FROM documents)
+                        WHERE doc_id % 37 = 0),
+              tk AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM base),
+              shl AS (SELECT doc_id, $shSql AS sh FROM tk),
+              hs AS (SELECT doc_id, list_sort(list_distinct(list_transform(sh,
+                            s -> ${graft.functions.PortableHash.duckdbMd5Long("s", 8)}))) AS hset
+                     FROM shl WHERE len(sh) > 0),
+              po AS (SELECT doc_id, unnest(hset) AS h FROM hs),
+              rare AS (SELECT h FROM po GROUP BY h HAVING count(*) <= 20),
+              cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                       FROM po a JOIN rare USING (h)
+                       JOIN po b ON a.h = b.h AND a.doc_id < b.doc_id),
+              v AS (SELECT doc_a, doc_b, len(x.hset) AS la, len(y.hset) AS lb,
+                           len(list_intersect(x.hset, y.hset)) AS li
+                    FROM cand JOIN hs x ON doc_a = x.doc_id
+                              JOIN hs y ON doc_b = y.doc_id)
+         SELECT doc_a, doc_b, CAST(la AS BIGINT) AS n_a, CAST(lb AS BIGINT) AS n_b,
+                round(li * 1.0 / least(la, lb), 6) AS containment,
+                round(li * 1.0 / (la + lb - li), 6) AS jaccard
+         FROM v
+         WHERE round(li * 1.0 / least(la, lb), 6) >= 0.8
+           AND round(li * 1.0 / (la + lb - li), 6) < 0.5
+         ORDER BY doc_a, doc_b""",
 
     "q110_padding_waste" ->
       s"""WITH n0 AS (SELECT len(regexp_extract_all(text, '$bpePatternSql')) AS n FROM documents),
