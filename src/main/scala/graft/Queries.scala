@@ -188,6 +188,115 @@ object Queries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // winnowing fingerprints (Schleimer et al. 2003 — the MOSS local
+    // document fingerprint, the coverage-GUARANTEED selection q25's
+    // single rolling hash lacks): per document, md5-60 k-shingle hashes
+    // at every position, minimum per sliding window of w consecutive
+    // hashes, distinct selected minima = the fingerprint set. The
+    // guarantee: any token run of length >= k + w - 1 shared by two
+    // documents yields at least one shared fingerprint, at expected
+    // density 2/(w+1) — tunable recall/cost unlike q25's single-min.
+    // One corpus pass, no shuffle before the output ORDER BY: the
+    // sliding min runs in a fused O(n) monotone-deque kernel
+    // (ShingleKernel.winnowSet — the HOF column form is O(n*w)
+    // interpreted per element, the ShingleKernel lesson), the oracle
+    // recomputes it as list_min over slices. Ties select by VALUE, so
+    // the min-of-window SET is convention-free (rightmost-vs-leftmost
+    // is unobservable in set semantics) and engine parity is exact.
+    // Density is micro-scaled integer division (no float rounding
+    // boundary).
+    "q114_winnow_fingerprint" -> ((s, d) => {
+      val k = 3; val w = 4
+      val fpUdf = udf((text: String) =>
+        graft.functions.ShingleKernel.winnowSet(text, k, w))
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+          fpUdf(col("text")).as("fp"))
+        .where(col("n_tokens") >= k + w - 1)
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - (k + w - 2)).as("n_windows"),
+          size(col("fp")).cast("long").as("n_fingerprints"))
+        .withColumn("density",
+          (expr("cast(n_fingerprints * 1000000 as bigint) div n_windows")
+            .cast("double") / lit(1000000.0)))
+        .orderBy("doc_id")
+    }),
+
+    // content-defined chunk dedup (the LBFS/FastCDC storage-dedup
+    // primitive at token granularity — the lake-side answer to "how
+    // much of each source is byte-shifted re-crawl?"): a chunk boundary
+    // closes where the rolling w-token window hash is divisible by the
+    // target mean length, so an insert/delete edit perturbs only its
+    // neighboring boundaries — unlike fixed-width chunking, where one
+    // leading token shifts every downstream chunk identity (the reason
+    // CDC exists). Per source: chunk instances, distinct chunks, dup
+    // instances, dedup ratio, mean chunk length. Scale shape: chunking
+    // is a fused per-row kernel (one pass, no shuffle), the only
+    // shuffles are the two partial-aggregated groupBys over (source,
+    // chunk-hash) then source — the Zipfian chunk key never sees a
+    // window or a join. The doc scan feeds chunking AND token totals
+    // once via localCheckpoint. Mean/ratio are micro-scaled integer
+    // divisions; chunk identity is md5-60 (collisions ~n^2/2^61,
+    // identical in the shared-hash oracle).
+    "q115_cdc_chunk_dedup" -> ((s, d) => {
+      val w = 3; val mod = 16
+      val chUdf = udf((text: String) =>
+        graft.functions.ShingleKernel.cdcChunkHashes(text, w, mod))
+      val docs = t(s, d, "documents")
+        .select(col("source"), TF.tokenCount(col("text")).cast("long").as("n"),
+          chUdf(col("text")).as("chs"))
+        .localCheckpoint(false) // two consumers: chunk explode, token totals
+      val sc = docs.select(col("source"), explode(col("chs")).as("h"))
+        .groupBy("source", "h").agg(count(lit(1)).as("c"))
+      val agg = sc.groupBy("source")
+        .agg(sum("c").as("n_chunks"), count(lit(1)).as("n_distinct_chunks"))
+      val tok = docs.groupBy("source").agg(sum("n").as("n_tokens"))
+      agg.join(tok, "source")
+        .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+          (col("n_chunks") - col("n_distinct_chunks")).as("n_dup_instances"),
+          (expr("cast(n_distinct_chunks * 1000000 as bigint) div n_chunks")
+            .cast("double") / lit(1000000.0)).as("dedup_ratio"),
+          (expr("cast(n_tokens * 1000000 as bigint) div n_chunks")
+            .cast("double") / lit(1000000.0)).as("mean_chunk_len"))
+        .orderBy("source")
+    }),
+
+    // per-source shingle novelty — the memorization-risk/provenance
+    // report (what fraction of a source's 5-gram mass is NEW relative
+    // to everything with a smaller doc_id — i.e. how much does this
+    // source add vs re-state the corpus): first-occurrence attribution
+    // by min(doc_id) per distinct shingle (q82/q105's min-combine
+    // pattern — two partial-aggregated groupBys over the shingle key,
+    // never a window), then an h-keyed equi-join back (AQE-splittable)
+    // and per-source rollup. Shingle identity is md5-60
+    // (ShingleKernel.md5ShingleSet60): at 32 bits the birthday rate
+    // would MIS-ATTRIBUTE first occurrences ~100x per million distinct
+    // shingles — novelty reads the collision rate, so the wide hash is
+    // semantic here, not cosmetic. Novelty is micro-scaled integer
+    // division.
+    "q116_shingle_novelty" -> ((s, d) => {
+      val k = 5
+      val setUdf = udf((text: String) =>
+        graft.functions.ShingleKernel.md5ShingleSet60(text, k))
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), setUdf(col("text")).as("hs"))
+        .where(size(col("hs")) > 0)
+        .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+        .localCheckpoint(false) // two consumers: first-occurrence, join back
+      val fd = sh.groupBy("h").agg(min("doc_id").as("fd"))
+      sh.join(fd, "h")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("ns"),
+          sum(when(col("doc_id") === col("fd"), 1L).otherwise(0L)).as("nv"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("ns").as("n_shingles"),
+          sum("nv").as("n_novel"))
+        .withColumn("novelty",
+          expr("cast(n_novel * 1000000 as bigint) div n_shingles")
+            .cast("double") / lit(1000000.0))
+        .orderBy("source")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -3052,6 +3161,77 @@ object Oracles {
          ORDER BY m.user_id"""
 
   val oracleSql: Map[String, String] = Map(
+    // sliding-window min over the positional hash list reproduces the
+    // deque kernel exactly (ties select by value — set semantics)
+    "q114_winnow_fingerprint" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t
+                      FROM documents),
+              hs AS (SELECT doc_id, len(t) AS n,
+                            list_transform(range(1, len(t)-1),
+                              i -> ${graft.functions.PortableHash
+                                .duckdbMd5Long("t[i]||' '||t[i+1]||' '||t[i+2]", 15)}) AS h
+                     FROM tk WHERE len(t) >= 6),
+              fp AS (SELECT doc_id, n,
+                            len(list_distinct(list_transform(range(4, len(h)+1),
+                              i -> list_min(list_slice(h, i-3, i))))) AS nf
+                     FROM hs)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                CAST(n - 5 AS BIGINT) AS n_windows,
+                CAST(nf AS BIGINT) AS n_fingerprints,
+                CAST((nf * 1000000) // (n - 5) AS DOUBLE) / 1000000.0 AS density
+         FROM fp ORDER BY doc_id""",
+
+    // boundary positions w..n-1 where the rolling window hash divides
+    // the target mean; final token always closes the last chunk
+    "q115_cdc_chunk_dedup" ->
+      s"""WITH tk AS (SELECT source, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t
+                      FROM documents),
+              hw AS (SELECT source, t, len(t) AS n,
+                            list_transform(range(1, len(t)-1),
+                              i -> ${graft.functions.PortableHash
+                                .duckdbMd5Long("t[i]||' '||t[i+1]||' '||t[i+2]", 15)}) AS h
+                     FROM tk),
+              bd AS (SELECT source, t, n,
+                            list_append(list_filter(range(3, n),
+                              i -> h[i-2] % 16 = 0), n) AS b
+                     FROM hw),
+              ch AS (SELECT source, unnest(list_transform(range(1, len(b)+1),
+                              j -> ${graft.functions.PortableHash.duckdbMd5Long(
+                                "array_to_string(list_slice(t, CASE WHEN j = 1 THEN 1 ELSE b[j-1]+1 END, b[j]), ' ')",
+                                15)})) AS h2
+                     FROM bd),
+              sc AS (SELECT source, h2, count(*) AS c FROM ch GROUP BY 1, 2),
+              ag AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_chunks,
+                            CAST(count(*) AS BIGINT) AS n_distinct_chunks
+                     FROM sc GROUP BY source),
+              tok AS (SELECT source, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+                      FROM tk GROUP BY source)
+         SELECT source, n_chunks, n_distinct_chunks,
+                n_chunks - n_distinct_chunks AS n_dup_instances,
+                CAST((n_distinct_chunks * 1000000) // n_chunks AS DOUBLE) / 1000000.0 AS dedup_ratio,
+                CAST((n_tokens * 1000000) // n_chunks AS DOUBLE) / 1000000.0 AS mean_chunk_len
+         FROM ag JOIN tok USING (source) ORDER BY source""",
+
+    // min(doc_id) first-occurrence attribution over md5-60 5-shingles
+    "q116_shingle_novelty" ->
+      s"""WITH tk AS (SELECT doc_id, source, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t
+                      FROM documents),
+              hx AS (SELECT doc_id, source,
+                            list_distinct(list_transform(range(1, len(t)-3),
+                              i -> ${graft.functions.PortableHash.duckdbMd5Long(
+                                "t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]", 15)})) AS hset
+                     FROM tk WHERE len(t) >= 5),
+              sh AS (SELECT doc_id, source, unnest(hset) AS h FROM hx),
+              fd AS (SELECT h, min(doc_id) AS fd FROM sh GROUP BY h),
+              per AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS ns,
+                             CAST(sum(CASE WHEN doc_id = fd THEN 1 ELSE 0 END) AS BIGINT) AS nv
+                      FROM sh JOIN fd USING (h) GROUP BY doc_id, source)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(ns) AS BIGINT) AS n_shingles,
+                CAST(sum(nv) AS BIGINT) AS n_novel,
+                CAST((sum(nv) * 1000000) // sum(ns) AS DOUBLE) / 1000000.0 AS novelty
+         FROM per GROUP BY source ORDER BY source""",
+
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""",
