@@ -297,6 +297,117 @@ object Queries {
         .orderBy("source")
     }),
 
+    // trained-BPE fertility per language (the tokenizer-fairness report
+    // read before fixing a vocabulary — Rust/ACL convention "fertility"
+    // = subword units per word; a tokenizer trained on a skewed mix
+    // quietly taxes low-resource languages with longer sequences):
+    // q93's full train+apply pipeline (corpus-wide 6-merge vocabulary,
+    // K collected decision scalars, sentinel-replace apply over the
+    // DISTINCT-word table) rolled up per language instead of per doc.
+    // ONE corpus pass builds (lang, word, tf); the vocabulary re-derives
+    // from it (no second scan); unseen words (single chars, outside the
+    // trainer's vocabulary filter) fall back to character count exactly
+    // as q93. Fertility is micro-scaled integer division; everything
+    // upstream is exact integers.
+    "q117_bpe_fertility" -> ((s, d) => {
+      val lw = t(s, d, "documents")
+        .select(col("lang"), explode(TF.tokens(col("text"))).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // two consumers: vocabulary, apply join
+      val vocab = BpeTrainer.vocabularyFromCounts(lw, "word", "tf")
+      val merges = BpeTrainer.train(vocab, merges = 6, minCount = 0L)
+        .orderBy("merge_rank").collect().map(_.getString(1)).toSeq
+      val encWords = BpeTrainer.applyMerges(vocab.select("word"), "word", merges)
+        .select(col("word"), BpeTrainer.symbolCount(col("enc")).as("n_sym"))
+      lw.join(encWords, Seq("word"), "left")
+        .groupBy("lang")
+        .agg(sum("tf").as("n_words"),
+          sum(col("tf") *
+            coalesce(col("n_sym"), length(col("word")).cast("long"))).as("n_bpe_tokens"))
+        .withColumn("fertility",
+          expr("cast(n_bpe_tokens * 1000000 as bigint) div n_words")
+            .cast("double") / lit(1000000.0))
+        .orderBy("lang")
+    }),
+
+    // greedy max-coverage data selection (Nemhauser et al. 1978's
+    // (1-1/e)-approximate submodular greedy — the facility-location
+    // shape of modern data-selection work: pick the K documents that
+    // together cover the most distinct 3-gram mass): per round, gain =
+    // per-doc count of still-uncovered shingles (one partial-aggregated
+    // groupBy over the anti-joined shingle table), winner = argmax
+    // (count desc, doc_id) — ONE collected row per round, the
+    // BpeTrainer/GraphRank aggregate-scalar discipline; the covered set
+    // grows by at most one doc's shingles per round and rides an eager
+    // localCheckpoint, so the anti-join's broadcast side stays K-doc
+    // bounded. The oracle unrolls the same K rounds as chained
+    // MATERIALIZED CTEs (the q78/q87 pattern). Gains are exact integers;
+    // no float anywhere.
+    "q118_greedy_coverage" -> ((s, d) => {
+      val rounds = 5
+      val setUdf = udf((text: String) =>
+        graft.functions.ShingleKernel.md5ShingleSet60(text, 3))
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), setUdf(col("text")).as("hs"))
+        .where(size(col("hs")) > 0)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .localCheckpoint(false) // scanned once per greedy round
+      var covered: DataFrame = s.range(0).select(col("id").as("h"))
+      var selected = List.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+      var total = 0L
+      var r = 1
+      while (r <= rounds) {
+        val win = sh
+          .where(if (selected.isEmpty) lit(true)
+            else !col("doc_id").isin(selected: _*))
+          .join(covered, Seq("h"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
+        if (win.isEmpty) r = rounds + 1
+        else {
+          val docId = win(0).getLong(0); val gain = win(0).getLong(1)
+          selected ::= docId
+          total += gain
+          covered = covered
+            .union(sh.where(col("doc_id") === docId).select("h"))
+            .distinct().localCheckpoint(eager = true)
+          out += ((r, docId, gain, total))
+          r += 1
+        }
+      }
+      import sh.sparkSession.implicits._
+      out.toSeq.toDF("round", "doc_id", "gain", "covered_total")
+        .orderBy("round")
+    }),
+
+    // per-source EXACT length deciles (the corpus-profile table read
+    // before choosing chunk/packing boundaries — percentile_disc
+    // semantics, NOT an approximate sketch and NOT interpolated
+    // quantiles, so there is no float boundary at all): decile p is the
+    // smallest length whose cumulative count reaches p/10 of the
+    // source, decided by the integer cross-multiplication 10*cum >=
+    // p*total. Scale shape: the ONLY corpus-sized step is the partial-
+    // aggregated groupBy (source, length); the cumulative window then
+    // runs over DISTINCT length values per source — bounded by the
+    // length-value range (hundreds), not the corpus — the established
+    // aggregate-sized window case (q112's 30-row precedent), not a
+    // few-key corpus window.
+    "q119_length_deciles" -> ((s, d) => {
+      val cnt = t(s, d, "documents")
+        .select(col("source"), TF.bpeTokenCount(col("text")).cast("long").as("n"))
+        .groupBy("source", "n").agg(count(lit(1)).as("c"))
+      val cum = cnt
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("source").orderBy("n")))
+        .withColumn("tot", sum("c").over(Window.partitionBy("source")))
+      cum.withColumn("p", explode(expr("sequence(1, 9)")))
+        .where(col("cum") * 10 >= col("p") * col("tot"))
+        .groupBy("source", "p").agg(min("n").as("value"))
+        .select(col("source"), col("p").cast("int").as("decile"), col("value"))
+        .orderBy("source", "decile")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -3231,6 +3342,82 @@ object Oracles {
                 CAST(sum(nv) AS BIGINT) AS n_novel,
                 CAST((sum(nv) * 1000000) // sum(ns) AS DOUBLE) / 1000000.0 AS novelty
          FROM per GROUP BY source ORDER BY source""",
+
+    // q93's train chain (v6 carries the merged vocabulary), apply join
+    // rolled up per language instead of per doc
+    "q117_bpe_fertility" ->
+      s"""WITH ${bpeTrainCtes(6)},
+              tokv AS (SELECT word,
+                              CAST(len(enc) - len(replace(enc, chr(2), '')) AS BIGINT) AS n_sym
+                       FROM v6),
+              dw AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS tf
+                     FROM (SELECT lang,
+                                  unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
+                           FROM documents)
+                     GROUP BY lang, word)
+         SELECT lang, CAST(sum(tf) AS BIGINT) AS n_words,
+                CAST(sum(tf * coalesce(n_sym, len(word))) AS BIGINT) AS n_bpe_tokens,
+                CAST((sum(tf * coalesce(n_sym, len(word))) * 1000000) // sum(tf) AS DOUBLE)
+                  / 1000000.0 AS fertility
+         FROM dw LEFT JOIN tokv USING (word)
+         GROUP BY lang ORDER BY lang""",
+
+    // the 5 greedy rounds unrolled as chained MATERIALIZED CTEs (the
+    // q78/q87 pattern); winner = (gain DESC, doc_id) LIMIT 1 each round
+    "q118_greedy_coverage" -> {
+      val md5sh = graft.functions.PortableHash
+        .duckdbMd5Long("t[i]||' '||t[i+1]||' '||t[i+2]", 15)
+      def roundCtes(k: Int): String = {
+        val prevSel = (1 until k).map(j => s"SELECT doc_id FROM s$j")
+          .mkString(" UNION ALL ")
+        val notSelected =
+          if (k == 1) "" else s"WHERE doc_id NOT IN ($prevSel)"
+        val uncovered =
+          if (k == 1) "" else s"AND h NOT IN (SELECT h FROM c${k - 1})"
+        val coveredPrev =
+          if (k == 1) s"SELECT DISTINCT h FROM sh JOIN s1 USING (doc_id)"
+          else s"SELECT h FROM c${k - 1} UNION " +
+            s"SELECT h FROM sh JOIN s$k USING (doc_id)"
+        s"""g$k AS MATERIALIZED (
+                    SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM sh
+                    $notSelected ${if (k == 1) "" else uncovered}
+                    GROUP BY doc_id),
+              s$k AS MATERIALIZED (
+                    SELECT doc_id, gain FROM g$k
+                    ORDER BY gain DESC, doc_id LIMIT 1),
+              c$k AS MATERIALIZED ($coveredPrev)"""
+      }
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t
+                      FROM documents),
+              sh AS MATERIALIZED (
+                    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+                      i -> $md5sh))) AS h
+                    FROM tk WHERE len(t) >= 3),
+              ${(1 to 5).map(roundCtes).mkString(",\n              ")}
+         ${(1 to 5).map(k =>
+        s"SELECT CAST($k AS INT) AS round, doc_id, gain, " +
+          s"(SELECT CAST(count(*) AS BIGINT) FROM c$k) AS covered_total FROM s$k")
+        .mkString(" UNION ALL ")}
+         ORDER BY round"""
+    },
+
+    // percentile_disc by integer cross-multiplication over the
+    // (source, length) partial aggregate — no float boundary anywhere
+    "q119_length_deciles" ->
+      s"""WITH n0 AS (SELECT source,
+                             CAST(len(regexp_extract_all(text, '$bpePatternSql')) AS BIGINT) AS n
+                      FROM documents),
+              c AS (SELECT source, n, CAST(count(*) AS BIGINT) AS c FROM n0
+                    GROUP BY source, n),
+              cum AS (SELECT source, n,
+                             sum(c) OVER (PARTITION BY source ORDER BY n) AS cum,
+                             sum(c) OVER (PARTITION BY source) AS tot
+                      FROM c),
+              d AS (SELECT source, p, min(n) AS value
+                    FROM cum CROSS JOIN (SELECT unnest(range(1, 10)) AS p)
+                    WHERE cum * 10 >= p * tot GROUP BY source, p)
+         SELECT source, CAST(p AS INT) AS decile, CAST(value AS BIGINT) AS value
+         FROM d ORDER BY source, decile""",
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
