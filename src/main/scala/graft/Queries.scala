@@ -408,6 +408,106 @@ object Queries {
         .orderBy("source", "decile")
     }),
 
+    // token burstiness (Church & Gale 1995 — "a word that has occurred
+    // once is far more likely to occur again soon": the per-token
+    // clustering statistic that separates topical content words from
+    // function words with the same collection frequency, read when
+    // choosing dedup shingle lengths and stopword cutoffs): for the
+    // top-50 tokens by collection frequency — df (docs containing), cf
+    // (total instances), max per-doc tf, and burstiness = cf/df (mean
+    // instances per CONTAINING doc). Scale shape: (doc, token) partial
+    // aggregate, then a token-keyed partial-aggregated groupBy (the
+    // Zipfian key never sees a window), top-50 compiles to
+    // TakeOrderedAndProject. Burstiness is micro-scaled integer
+    // division; everything else exact integers.
+    "q120_token_burstiness" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("df"), sum("tf").as("cf"), max("tf").as("max_tf"))
+        .withColumn("burstiness",
+          expr("cast(cf * 1000000 as bigint) div df").cast("double") / lit(1000000.0))
+        .orderBy(col("cf").desc, col("token")).limit(50)),
+
+    // Good-Turing count-of-counts (Good 1953; Gale & Sampson's SGT
+    // inputs): the frequency-of-frequencies table N_r for 3-gram counts
+    // r = 1..10 with the Turing-adjusted count r* = (r+1) N_{r+1}/N_r
+    // — the LM-smoothing primitive and the corpus-health diagnostic
+    // (N_1/N is the unseen-mass estimate; a crawl whose N_1 fraction
+    // jumps has a tokenization or boilerplate problem). Everything
+    // after the vocabulary groupBy is aggregate-sized (the
+    // count-of-counts table, a shifted self-join on r+1); r* is
+    // micro-scaled integer division of exact counts. Rows where N_r
+    // exists only (r <= 10); missing N_{r+1} yields r* = 0 — both
+    // engines identically. Unit is the token 3-GRAM, not the unigram:
+    // the fixture's templated 31-word vocabulary has min count ~26 (the
+    // unigram table is empty at r <= 10 — probed), while trigrams have
+    // 16k+ distinct values with the full 1..9 spectrum; on a natural
+    // corpus the same query runs on any n.
+    "q121_good_turing" -> ((s, d) => {
+      val shUdf = udf((text: String) =>
+        graft.functions.ShingleKernel.shingleInstances(text, 3))
+      val nr = t(s, d, "documents")
+        .select(explode(shUdf(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("r"))
+        .groupBy("r").agg(count(lit(1)).as("n_r"))
+        .localCheckpoint(false) // two consumers: rows, shifted self-join
+      nr.where(col("r") <= 10)
+        .join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")),
+          Seq("r"), "left")
+        .select(col("r"), col("n_r"), coalesce(col("n_r1"), lit(0L)).as("n_r1"))
+        .withColumn("r_star",
+          expr("cast((r + 1) * n_r1 * 1000000 as bigint) div n_r")
+            .cast("double") / lit(1000000.0))
+        .orderBy("r")
+    }),
+
+    // per-source length-distribution drift as a two-sample KS statistic
+    // (source vs rest-of-corpus over BPE token counts — the
+    // distribution-shift alarm that fires when one source's re-crawl
+    // changes shape even though its mean stays put; complements q84's
+    // token-mass KL and q119's deciles): KS = max |cdf_a - cdf_rest|
+    // over the shared length spine, with BOTH cdfs quantized to 1e-6
+    // by micro-scaled integer division BEFORE the difference — the
+    // statistic is defined on quantized cdfs, so no cross-engine float
+    // boundary exists anywhere, and no cum*tot product ever exceeds
+    // rows*1e6 (long-safe to ~9e12 rows per source, vs the cross-
+    // multiplied form whose cum*tot overflows at ~3e9). Scale shape:
+    // ONE corpus-sized partial aggregate (source, length); the spine
+    // (distinct lengths, bounded by the value range) and the
+    // source x spine grid are aggregate-sized — the windows run over
+    // the grid, never the corpus. Reports the KS distance and the
+    // length where it is attained (min such length — deterministic).
+    "q122_length_ks_drift" -> ((s, d) => {
+      val cnt = t(s, d, "documents")
+        .select(col("source"), TF.bpeTokenCount(col("text")).cast("long").as("n"))
+        .groupBy("source", "n").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // consumers: spine, grid
+      val spine = cnt.groupBy("n").agg(sum("c").as("cg"))
+        .withColumn("gcum", sum("cg").over(Window.orderBy("n")))
+        .crossJoin(broadcast(cnt.agg(sum("c").as("gtot"))))
+      val grid = cnt.select("source").distinct()
+        .crossJoin(spine.select("n", "gcum", "gtot"))
+        .join(cnt, Seq("source", "n"), "left")
+        .withColumn("cum",
+          coalesce(sum("c").over(
+            Window.partitionBy("source").orderBy("n")), lit(0L)))
+      val tots = cnt.groupBy("source").agg(sum("c").as("tot"))
+      val diffs = grid.join(tots, "source")
+        .select(col("source"), col("n"),
+          abs(expr("cast(cum * 1000000 as bigint) div tot") -
+            expr("cast((gcum - cum) * 1000000 as bigint) div (gtot - tot)"))
+            .as("diff"))
+        .localCheckpoint(false) // consumers: max, argmax join
+      val mx = diffs.groupBy("source").agg(max("diff").as("ksq"))
+      diffs.join(mx, "source").where(col("diff") === col("ksq"))
+        .groupBy("source").agg(min("n").as("n_at_max"), max("ksq").as("ksq"))
+        .select(col("source"), col("n_at_max"),
+          (col("ksq").cast("double") / lit(1000000.0)).as("ks"))
+        .orderBy("source")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -3418,6 +3518,61 @@ object Oracles {
                     WHERE cum * 10 >= p * tot GROUP BY source, p)
          SELECT source, CAST(p AS INT) AS decile, CAST(value AS BIGINT) AS value
          FROM d ORDER BY source, decile""",
+
+    "q120_token_burstiness" ->
+      """WITH dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+                       SELECT doc_id,
+                              unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                       FROM documents)
+                     GROUP BY doc_id, token),
+              tk AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+                            CAST(sum(tf) AS BIGINT) AS cf,
+                            CAST(max(tf) AS BIGINT) AS max_tf
+                     FROM dt GROUP BY token)
+         SELECT token, df, cf, max_tf,
+                CAST((cf * 1000000) // df AS DOUBLE) / 1000000.0 AS burstiness
+         FROM tk ORDER BY cf DESC, token LIMIT 50""",
+
+    "q121_good_turing" ->
+      """WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS r FROM (
+                       SELECT unnest(list_transform(range(1, len(t)-1),
+                                i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS word
+                       FROM (SELECT string_split_regex(text, '[ \t\n\x0b\f\r]+') AS t
+                             FROM documents))
+                     GROUP BY word),
+              nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM wc GROUP BY r)
+         SELECT a.r, a.n_r, coalesce(b.n_r, 0) AS n_r1,
+                CAST(((a.r + 1) * coalesce(b.n_r, 0) * 1000000) // a.n_r AS DOUBLE)
+                  / 1000000.0 AS r_star
+         FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+         WHERE a.r <= 10 ORDER BY a.r""",
+
+    // both cdfs quantized to 1e-6 by integer division BEFORE the
+    // difference — the statistic is defined on quantized cdfs
+    "q122_length_ks_drift" ->
+      s"""WITH n0 AS (SELECT source,
+                             CAST(len(regexp_extract_all(text, '$bpePatternSql')) AS BIGINT) AS n
+                      FROM documents),
+              c AS (SELECT source, n, CAST(count(*) AS BIGINT) AS c FROM n0
+                    GROUP BY source, n),
+              sp AS (SELECT n, sum(c) AS cg FROM c GROUP BY n),
+              sp2 AS (SELECT n, sum(cg) OVER (ORDER BY n) AS gcum,
+                             (SELECT sum(c) FROM c) AS gtot
+                      FROM sp),
+              src AS (SELECT DISTINCT source FROM c),
+              grid AS (SELECT source, n, gcum, gtot,
+                              coalesce(sum(c.c) OVER (PARTITION BY source ORDER BY n), 0) AS cum
+                       FROM src CROSS JOIN sp2 LEFT JOIN c USING (source, n)),
+              tt AS (SELECT source, sum(c) AS tot FROM c GROUP BY source),
+              df AS (SELECT g.source, n,
+                            abs((cum * 1000000) // tot
+                                - ((gcum - cum) * 1000000) // (gtot - tot)) AS diff
+                     FROM grid g JOIN tt USING (source)),
+              mx AS (SELECT source, max(diff) AS ksq FROM df GROUP BY source)
+         SELECT df.source, CAST(min(n) AS BIGINT) AS n_at_max,
+                CAST(max(df.diff) AS DOUBLE) / 1000000.0 AS ks
+         FROM df JOIN mx USING (source) WHERE diff = ksq
+         GROUP BY df.source ORDER BY df.source""",
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

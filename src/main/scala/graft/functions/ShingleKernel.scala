@@ -217,6 +217,32 @@ object ShingleKernel {
     out.toArray
   }
 
+  /** ALL word n-gram shingle strings in document order, duplicates kept
+    * — the non-distinct sibling of [[shingleStrings]] for operators that
+    * COUNT instances (q121's count-of-counts). Bit-parity contract with
+    * `TF.shingles` (the interpreted HOF form measured 7.6 s of q121's
+    * sf0.1 wall — this is one JVM call per row). */
+  def shingleInstances(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty[String]
+    val toks = ws.split(text, -1)
+    if (toks.length < n) return Array.empty[String]
+    val out = new Array[String](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
   /** One-pass token/bigram repetition counters (q47):
     * [n_tokens, n_distinct_tokens, n_bigrams, n_distinct_bigrams] —
     * exactly `size(tokens)`, `size(array_distinct(tokens))`,

@@ -109,6 +109,17 @@ class WinnowCdcSpec extends AnyFunSuite {
     assert(fShared <= 1, s"fixed-width unexpectedly stable: $fShared shared")
   }
 
+  test("shingleInstances keeps duplicates in document order (TF.shingles parity)") {
+    texts.foreach { t =>
+      val toks = t.split("[ \\t\\n\\x0B\\f\\r]+", -1).toSeq
+      val expect =
+        if (toks.length < K) Seq.empty
+        else toks.sliding(K).map(_.mkString(" ")).toSeq
+      assert(ShingleKernel.shingleInstances(t, K).toSeq == expect,
+        s"instance mismatch on '$t'")
+    }
+  }
+
   test("md5ShingleSet60 is the 60-bit widening of the 32-bit walk") {
     texts.foreach { t =>
       val s60 = ShingleKernel.md5ShingleSet60(t, K)
