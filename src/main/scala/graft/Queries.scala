@@ -508,6 +508,90 @@ object Queries {
         .orderBy("source")
     }),
 
+    // int8 scalar-quantization error report (the embedding-compression
+    // decision table — a 100 TB vector store ships int8, and this is
+    // the per-dimension evidence that it can): per-dimension min/max
+    // range, 255-level affine code, reconstruction error. EVERYTHING is
+    // exact integer arithmetic: values enter through the established
+    // floor(v*1024) quantization bridge (centroidConfusion's), the
+    // code/decode are truncating integer divisions over nonnegative
+    // operands (identical div semantics both engines), so max_abs_err
+    // is an exact integer and mse the micro-scaled division of exact
+    // sums — NO float boundary anywhere, in a query about float data.
+    // Scale shape: one posexplode pass, a 64-row min/max partial
+    // aggregate broadcast back, one more partial aggregate; nothing
+    // corpus-sized crosses a window.
+    "q123_int8_quantization" -> ((s, d) => {
+      val q = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          floor(col("v").cast("double") * 1024.0).cast("long").as("vq"))
+        .localCheckpoint(false) // consumers: range table, error pass
+      val mm = q.groupBy("pos").agg(min("vq").as("qmin"), max("vq").as("qmax"))
+      q.join(broadcast(mm), "pos")
+        .withColumn("c",
+          expr("((vq - qmin) * 255) div greatest(qmax - qmin, 1L)"))
+        .withColumn("err",
+          expr("vq - (qmin + (c * (qmax - qmin)) div 255)"))
+        .groupBy("pos")
+        .agg(max("qmin").as("qmin"), max("qmax").as("qmax"),
+          count(lit(1)).as("n_vectors"),
+          max(abs(col("err"))).as("max_abs_err"),
+          sum(col("err") * col("err")).as("sse"))
+        .withColumn("mse",
+          expr("cast(sse * 1000000 as bigint) div n_vectors")
+            .cast("double") / lit(1000000.0))
+        .drop("sse")
+        .orderBy("pos")
+    }),
+
+    // Johnson-Lindenstrauss random-projection distortion audit (the
+    // sign-matrix JL of Achlioptas 2003 — the dimensionality-reduction
+    // step a billion-vector store runs before indexing, and the audit
+    // that says whether k kept enough geometry): project the 64-dim
+    // vectors to k=16 by a +/-1 sign matrix derived from md5(pos, j) —
+    // deterministic, engine-reproducible, no RNG — and report, for all
+    // pairs among the first 16 vectors, the projected-over-original
+    // squared-distance ratio (expectation 1 under E||Rx||^2 = k||x||^2).
+    // Both distances are EXACT INTEGERS (the floor(v*1024) bridge;
+    // +/-1 sums stay integral), so the only float op is the final
+    // ratio of identical ints, rounded 6dp. Scale shape: the sign
+    // matrix is a 64 x 16 broadcast; projection is one partial-
+    // aggregated groupBy (vec, j); the pair stage runs on the k-dim
+    // PROJECTED table — the audit's cost is exactly the saving the
+    // projection buys.
+    "q124_jl_distortion" -> ((s, d) => {
+      val q = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          floor(col("v").cast("double") * 1024.0).cast("long").as("vq"))
+        .localCheckpoint(false) // consumers: projection, exact pairs
+      val signs = s.range(64).select(col("id").as("pos"))
+        .crossJoin(s.range(16).select(col("id").as("j")))
+        .withColumn("sgn", when(expr(
+          "cast(conv(substr(md5(cast(concat(pos, '_', j) as binary)), 1, 15), 16, 10) as bigint) % 2"
+        ) === 0, 1L).otherwise(-1L))
+      val proj = q.join(broadcast(signs), "pos")
+        .groupBy("vec_id", "j").agg(sum(col("sgn") * col("vq")).as("y"))
+        .where(col("vec_id") < 16)
+      val dProj = proj.select(col("vec_id").as("vec_a"), col("j"), col("y").as("ya"))
+        .join(proj.select(col("vec_id").as("vec_b"), col("j"), col("y").as("yb")), "j")
+        .where(col("vec_a") < col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(sum(expr("(ya - yb) * (ya - yb)")).as("d2_proj"))
+      val ua = q.where(col("vec_id") < 16)
+      val dOrig = ua.select(col("vec_id").as("vec_a"), col("pos"), col("vq").as("qa"))
+        .join(ua.select(col("vec_id").as("vec_b"), col("pos"), col("vq").as("qb")), "pos")
+        .where(col("vec_a") < col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(sum(expr("(qa - qb) * (qa - qb)")).as("d2_orig"))
+      dOrig.join(dProj, Seq("vec_a", "vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("d2_orig"), col("d2_proj"),
+          round(col("d2_proj").cast("double") /
+            (col("d2_orig").cast("double") * 16.0), 6).as("distortion"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -3573,6 +3657,62 @@ object Oracles {
                 CAST(max(df.diff) AS DOUBLE) / 1000000.0 AS ks
          FROM df JOIN mx USING (source) WHERE diff = ksq
          GROUP BY df.source ORDER BY df.source""",
+
+    // all-integer pipeline over the floor(v*1024) bridge; // and div
+    // agree because every operand is nonnegative
+    "q123_int8_quantization" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                           unnest(embedding) AS v
+                    FROM embeddings),
+              q AS (SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+                           CAST(floor(CAST(v AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+                    FROM u),
+              mm AS (SELECT pos, min(vq) AS qmin, max(vq) AS qmax FROM q GROUP BY pos),
+              e AS (SELECT q.pos, qmin, qmax, vq,
+                           ((vq - qmin) * 255) // greatest(qmax - qmin, 1) AS c
+                    FROM q JOIN mm USING (pos)),
+              e2 AS (SELECT pos, qmin, qmax,
+                            vq - (qmin + (c * (qmax - qmin)) // 255) AS err
+                     FROM e),
+              r AS (SELECT pos, max(qmin) AS qmin, max(qmax) AS qmax,
+                           CAST(count(*) AS BIGINT) AS n_vectors,
+                           CAST(max(abs(err)) AS BIGINT) AS max_abs_err,
+                           CAST(sum(err * err) AS BIGINT) AS sse
+                    FROM e2 GROUP BY pos)
+         SELECT pos, qmin, qmax, n_vectors, max_abs_err,
+                CAST((sse * 1000000) // n_vectors AS DOUBLE) / 1000000.0 AS mse
+         FROM r ORDER BY pos""",
+
+    // deterministic md5-derived sign matrix; both distances exact ints
+    "q124_jl_distortion" ->
+      s"""WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                            unnest(embedding) AS v
+                     FROM embeddings),
+              q AS (SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+                           CAST(floor(CAST(v AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+                    FROM u),
+              sg AS (SELECT p.pos, j.j,
+                            CASE WHEN ${graft.functions.PortableHash.duckdbMd5Long(
+                              "p.pos::VARCHAR || '_' || j.j::VARCHAR", 15)} % 2 = 0
+                                 THEN 1 ELSE -1 END AS sgn
+                     FROM (SELECT unnest(range(64)) AS pos) p
+                     CROSS JOIN (SELECT unnest(range(16)) AS j) j),
+              pr AS (SELECT vec_id, j, CAST(sum(sgn * vq) AS BIGINT) AS y
+                     FROM q JOIN sg USING (pos) GROUP BY vec_id, j
+                     HAVING vec_id < 16),
+              dp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                            CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2_proj
+                     FROM pr a JOIN pr b ON a.j = b.j AND a.vec_id < b.vec_id
+                     GROUP BY 1, 2),
+              dq AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                            CAST(sum((a.vq - b.vq) * (a.vq - b.vq)) AS BIGINT) AS d2_orig
+                     FROM q a JOIN q b ON a.pos = b.pos AND a.vec_id < b.vec_id
+                     WHERE a.vec_id < 16 AND b.vec_id < 16
+                     GROUP BY 1, 2)
+         SELECT vec_a, vec_b, d2_orig, d2_proj,
+                round(d2_proj / (d2_orig * 16.0), 6) AS distortion
+         FROM dq JOIN dp USING (vec_a, vec_b)
+         ORDER BY vec_a, vec_b""",
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
