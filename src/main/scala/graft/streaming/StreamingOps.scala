@@ -177,6 +177,67 @@ object StreamingOps {
    */
   def redactIngest(docs: DataFrame): DataFrame = graft.Queries.piiReport(docs)
 
+  /** One surviving counter of a sharded Misra-Gries summary: `est` is the
+    * residual count (true count minus at most `n_shard/(capacity+1)`),
+    * `n_shard` the shard's total instances so far — the error bound rides
+    * along so a consumer can qualify every estimate. */
+  case class MgEntry(shard: Int, token: String, est: Long, n_shard: Long)
+
+  /**
+   * Streaming heavy hitters by sharded Misra-Gries (Misra & Gries 1982;
+   * mergeable-summaries form of Agarwal et al. 2013) — the
+   * bounded-memory answer to "what are the hot tokens RIGHT NOW" that
+   * the batch top-K (q51) answers only after a full pass. Exact
+   * windowed counting of a Zipfian key would buffer every distinct key
+   * in the state store (unbounded); the MG summary keeps AT MOST
+   * `capacity` counters per shard, decrementing all of them when a new
+   * key finds the table full — the classical guarantee follows: any
+   * token whose true shard count exceeds n_shard/(capacity+1) is
+   * GUARANTEED present, and every estimate sits within
+   * [true - n_shard/(capacity+1), true]. StreamingHeavyHitterSpec
+   * replays a skewed fixture and asserts exactly that bound, plus the
+   * capacity ceiling on state.
+   *
+   * Scale shape: tokens shard by deterministic hash (String.hashCode —
+   * stable across JVMs) so the state store distributes like any keyed
+   * stream; each shard's state is a bounded Map (capacity counters + a
+   * count scalar) regardless of stream length or key cardinality.
+   * Update output mode: each micro-batch re-emits the summaries of
+   * shards that changed; a consumer keeps the latest row per
+   * (shard, token). Per-shard bounds compose to a global one (summing
+   * shard errors), the mergeable-summary property.
+   */
+  def heavyHittersIngest(
+      tokens: Dataset[String],
+      capacity: Int = 64,
+      shards: Int = 8): Dataset[MgEntry] = {
+    require(capacity > 0 && shards > 0)
+    import tokens.sparkSession.implicits._
+    tokens
+      .groupByKey(t => math.floorMod(if (t == null) 0 else t.hashCode, shards))
+      .flatMapGroupsWithState[(Map[String, Long], Long), MgEntry](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[String], state: GroupState[(Map[String, Long], Long)]) =>
+          var (m, n) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          rows.foreach { t =>
+            n += 1
+            m.get(t) match {
+              case Some(c) => m = m.updated(t, c + 1)
+              case None if m.size < capacity => m = m.updated(t, 1L)
+              case None =>
+                // the MG step: a full table decrements EVERY counter —
+                // one arrival cancels capacity+1 residuals at once,
+                // which is where the n/(capacity+1) bound comes from
+                m = m.iterator
+                  .map { case (k, v) => (k, v - 1) }
+                  .filter(_._2 > 0).toMap
+            }
+          }
+          state.update((m, n))
+          m.iterator.map { case (t, c) => MgEntry(shard, t, c, n) }
+      }
+  }
+
   /**
    * Trace-wide FP reference-series registry — the
    * [[nearDupCandidatesIngest]] pattern applied to the streaming/batch
