@@ -592,6 +592,116 @@ object Queries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // KMV (k-minimum-values) cardinality sketch, ORACLED — the
+    // distinct-count estimator whose arithmetic an independent engine
+    // can reproduce bit-for-bit (unlike HLL's engine-internal register
+    // layout, which is why the HLL rows are spec-only): per source, the
+    // k smallest md5-60 shingle hashes give est = (k-1) * 2^60 / h_k
+    // (Bar-Yossef et al. 2002), reported NEXT TO the exact distinct
+    // count so the sketch error is measurable data. Cross-engine
+    // parity: 63 * 2^60 is EXACTLY representable (6 significant bits),
+    // h_k is an identical integer, so the one division is identical;
+    // floor of the same double. Scale shape: the ONLY corpus-sized
+    // steps are the distinct over (source, h) and the h < 2^60/8
+    // prefilter (a codegen'd scan predicate); the k-th-smallest window
+    // runs over survivors — sized by the cutoff (expected D/8 per
+    // source, the kmvCutoffFor sizing-rule parameter in production),
+    // never the corpus. A source with < k survivors falls back to its
+    // exact count (n_survivors makes the fallback visible, not
+    // silent).
+    "q125_kmv_cardinality" -> ((s, d) => {
+      val k = 64
+      val cutoff = 1L << 57 // 2^60 / 8
+      val setUdf = udf((text: String) =>
+        graft.functions.ShingleKernel.md5ShingleSet60(text, 3))
+      val sh = t(s, d, "documents")
+        .select(col("source"), explode(setUdf(col("text"))).as("h"))
+        .distinct()
+        .localCheckpoint(false) // consumers: exact count, survivor ranks
+      val exact = sh.groupBy("source").agg(count(lit(1)).as("d_exact"))
+      val hk = sh.where(col("h") < cutoff)
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("source").orderBy("h")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_survivors"),
+          max(when(col("rn") === k, col("h"))).as("h_k"))
+      exact.join(hk, Seq("source"), "left")
+        .select(col("source"), col("d_exact"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+          when(col("h_k").isNotNull,
+            floor(lit(63.0) * lit(1152921504606846976.0) /
+              col("h_k").cast("double")).cast("long"))
+            .otherwise(col("d_exact")).as("d_est"))
+        .withColumn("rel_err",
+          round((col("d_est") - col("d_exact")).cast("double") / col("d_exact"), 6))
+        .orderBy("source")
+    }),
+
+    // Neyman allocation of a fixed sample budget across sources
+    // (Neyman 1934 — the survey-sampling optimum n_h ∝ N_h S_h that
+    // eval-set construction should use instead of proportional
+    // sampling; high-variance strata earn more draws): the weight
+    // N_h S_h collapses to sqrt(V_h) with V_h = N_h Σy² − (Σy)² — an
+    // EXACT integer (sums ride DECIMAL(38,0) per the q95 discipline,
+    // exact to ~1e19-token strata), so the only float op is one sqrt
+    // of identical integers, floored to a micro-scaled weight.
+    // Integerization is the largest-remainder (Hamilton) method — all
+    // integer div/mod over nonnegative operands, remainder rank
+    // tie-broken by source — so Σ n_alloc == budget EXACTLY (the spec
+    // invariant), with every post-aggregate step on the |sources|-row
+    // table. y is the BPE token count.
+    "q126_neyman_allocation" -> ((s, d) => {
+      val budget = 1000L
+      val st = t(s, d, "documents")
+        .select(col("source"), TF.bpeTokenCount(col("text")).cast("long").as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n").cast(DecimalType(38, 0))).as("sy"),
+          sum((col("n") * col("n")).cast(DecimalType(38, 0))).as("sy2"))
+        .withColumn("v",
+          col("n_docs").cast(DecimalType(38, 0)) * col("sy2") - col("sy") * col("sy"))
+        .withColumn("w", floor(sqrt(col("v").cast("double")) * lit(1000000.0)).cast("long"))
+      val tw = st.agg(sum("w").as("tw"))
+      val q0 = st.crossJoin(broadcast(tw))
+        .withColumn("base", expr(s"($budget * w) div tw"))
+        .withColumn("rem", expr(s"($budget * w) % tw"))
+      val extra = q0.agg((lit(budget) - sum("base")).as("extra"))
+      q0.crossJoin(broadcast(extra))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"), col("n_docs"),
+          (col("w").cast("double") / lit(1000000.0)).as("weight"),
+          (col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+            .as("n_alloc"))
+        .orderBy("source")
+    }),
+
+    // Wilson-score lower-bound ranking (Wilson 1927; the "how not to
+    // sort by average rating" fix — a 3/3 success rate must NOT outrank
+    // a 95/100): per event type, successes = events with value >= 100,
+    // ranked by the z=2 lower confidence bound. z=2 is deliberate
+    // (the standard ~95.45% rule-of-thumb): z² = 4 and z²/2 = 2 are
+    // exact dyadic constants, so both engines evaluate the IDENTICAL
+    // expression tree over identical integers — the only parity
+    // requirement is textual-formula identity, locked by writing the
+    // same associativity in both. Rounded 6dp BEFORE the ordering (the
+    // round-before-order discipline). One partial-aggregated groupBy;
+    // everything after is |types|-row.
+    "q127_wilson_ranking" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= 100.0, 1L).otherwise(0L)).as("s"))
+        .withColumn("p", col("s").cast("double") / col("n"))
+        .withColumn("wilson_lb", round(
+          (col("p") + lit(2.0) / col("n") -
+            lit(2.0) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+              lit(1.0) / (col("n") * col("n")))) /
+            (lit(1.0) + lit(4.0) / col("n")), 6))
+        .select(col("event_type"), col("n"), col("s"),
+          round(col("p"), 6).as("p_hat"), col("wilson_lb"))
+        .orderBy(col("wilson_lb").desc, col("event_type"))),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -3713,6 +3823,73 @@ object Oracles {
                 round(d2_proj / (d2_orig * 16.0), 6) AS distortion
          FROM dq JOIN dp USING (vec_a, vec_b)
          ORDER BY vec_a, vec_b""",
+
+    // 63 * 2^60 folds to the same exact double constant both engines;
+    // < k survivors falls back to the exact count, visibly
+    "q125_kmv_cardinality" ->
+      s"""WITH tk AS (SELECT source, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t
+                      FROM documents),
+              sh AS (SELECT DISTINCT source, h FROM (
+                       SELECT source,
+                              unnest(list_transform(range(1, len(t)-1),
+                                i -> ${graft.functions.PortableHash
+                                  .duckdbMd5Long("t[i]||' '||t[i+1]||' '||t[i+2]", 15)})) AS h
+                       FROM tk WHERE len(t) >= 3)),
+              ex AS (SELECT source, CAST(count(*) AS BIGINT) AS d_exact FROM sh
+                     GROUP BY source),
+              sv AS (SELECT source, h,
+                            row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                     FROM sh WHERE h < 144115188075855872),
+              hk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_survivors,
+                            max(CASE WHEN rn = 64 THEN h END) AS h_k
+                     FROM sv GROUP BY source),
+              r AS (SELECT ex.source, d_exact,
+                           coalesce(n_survivors, 0) AS n_survivors,
+                           CASE WHEN h_k IS NOT NULL
+                                THEN CAST(floor(63.0 * 1152921504606846976.0
+                                                / CAST(h_k AS DOUBLE)) AS BIGINT)
+                                ELSE d_exact END AS d_est
+                    FROM ex LEFT JOIN hk ON ex.source = hk.source)
+         SELECT source, d_exact, n_survivors, d_est,
+                round(CAST(d_est - d_exact AS DOUBLE) / d_exact, 6) AS rel_err
+         FROM r ORDER BY source""",
+
+    // V_h = N_h*sum(y^2) - sum(y)^2 exact via HUGEINT (= the engine's
+    // DECIMAL(38,0)); Hamilton rounding all-integer
+    "q126_neyman_allocation" ->
+      s"""WITH y AS (SELECT source,
+                            CAST(len(regexp_extract_all(text, '$bpePatternSql')) AS BIGINT) AS n
+                     FROM documents),
+              st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                            sum(CAST(n AS HUGEINT)) AS sy,
+                            sum(CAST(n AS HUGEINT) * n) AS sy2
+                     FROM y GROUP BY source),
+              wv AS (SELECT source, n_docs,
+                            CAST(floor(sqrt(CAST(CAST(n_docs AS HUGEINT) * sy2 - sy * sy
+                                                 AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+                     FROM st),
+              tw AS (SELECT sum(w) AS tw FROM wv),
+              q0 AS (SELECT source, n_docs, w,
+                            (1000 * w) // tw AS base, (1000 * w) % tw AS rem
+                     FROM wv CROSS JOIN tw),
+              ex AS (SELECT 1000 - sum(base) AS extra FROM q0),
+              rk AS (SELECT q0.*, extra,
+                            row_number() OVER (ORDER BY rem DESC, source) AS rk
+                     FROM q0 CROSS JOIN ex)
+         SELECT source, n_docs, CAST(w AS DOUBLE) / 1000000.0 AS weight,
+                CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+         FROM rk ORDER BY source""",
+
+    // identical expression tree; z=2 keeps every constant exact dyadic
+    "q127_wilson_ranking" ->
+      """WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS s
+                    FROM events GROUP BY event_type),
+              b AS (SELECT event_type, n, s, CAST(s AS DOUBLE) / n AS p FROM a)
+         SELECT event_type, n, s, round(p, 6) AS p_hat,
+                round((p + 2.0 / n - 2.0 * sqrt(p * (1.0 - p) / n + 1.0 / (n * n)))
+                      / (1.0 + 4.0 / n), 6) AS wilson_lb
+         FROM b ORDER BY wilson_lb DESC, event_type""",
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
