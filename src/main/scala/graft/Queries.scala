@@ -187,6 +187,36 @@ object Queries {
       .agg(count(lit(1)).as("n_vectors"))
   }
 
+  /** q126/q128's shared Neyman allocation (ONE definition so the
+    * reported table and the executed sample cannot drift): per source,
+    * weight = sqrt(V_h) with V_h = N_h*Σy² − (Σy)² exact through
+    * DECIMAL(38,0), Hamilton largest-remainder integerization of a
+    * 1000-doc budget — Σ n_alloc == budget exactly. */
+  private def neymanAlloc(s: SparkSession, d: String): DataFrame = {
+    val budget = 1000L
+    val st = t(s, d, "documents")
+      .select(col("source"), TF.bpeTokenCount(col("text")).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n").cast(DecimalType(38, 0))).as("sy"),
+        sum((col("n") * col("n")).cast(DecimalType(38, 0))).as("sy2"))
+      .withColumn("v",
+        col("n_docs").cast(DecimalType(38, 0)) * col("sy2") - col("sy") * col("sy"))
+      .withColumn("w", floor(sqrt(col("v").cast("double")) * lit(1000000.0)).cast("long"))
+    val tw = st.agg(sum("w").as("tw"))
+    val q0 = st.crossJoin(broadcast(tw))
+      .withColumn("base", expr(s"($budget * w) div tw"))
+      .withColumn("rem", expr(s"($budget * w) % tw"))
+    val extra = q0.agg((lit(budget) - sum("base")).as("extra"))
+    q0.crossJoin(broadcast(extra))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("n_docs"),
+        (col("w").cast("double") / lit(1000000.0)).as("weight"),
+        (col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+          .as("n_alloc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // winnowing fingerprints (Schleimer et al. 2003 — the MOSS local
     // document fingerprint, the coverage-GUARANTEED selection q25's
@@ -650,31 +680,10 @@ object Queries {
     // tie-broken by source — so Σ n_alloc == budget EXACTLY (the spec
     // invariant), with every post-aggregate step on the |sources|-row
     // table. y is the BPE token count.
-    "q126_neyman_allocation" -> ((s, d) => {
-      val budget = 1000L
-      val st = t(s, d, "documents")
-        .select(col("source"), TF.bpeTokenCount(col("text")).cast("long").as("n"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n").cast(DecimalType(38, 0))).as("sy"),
-          sum((col("n") * col("n")).cast(DecimalType(38, 0))).as("sy2"))
-        .withColumn("v",
-          col("n_docs").cast(DecimalType(38, 0)) * col("sy2") - col("sy") * col("sy"))
-        .withColumn("w", floor(sqrt(col("v").cast("double")) * lit(1000000.0)).cast("long"))
-      val tw = st.agg(sum("w").as("tw"))
-      val q0 = st.crossJoin(broadcast(tw))
-        .withColumn("base", expr(s"($budget * w) div tw"))
-        .withColumn("rem", expr(s"($budget * w) % tw"))
-      val extra = q0.agg((lit(budget) - sum("base")).as("extra"))
-      q0.crossJoin(broadcast(extra))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("rem").desc, col("source"))))
-        .select(col("source"), col("n_docs"),
-          (col("w").cast("double") / lit(1000000.0)).as("weight"),
-          (col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
-            .as("n_alloc"))
-        .orderBy("source")
-    }),
+    "q126_neyman_allocation" -> ((s, d) =>
+      neymanAlloc(s, d)
+        .select("source", "n_docs", "weight", "n_alloc")
+        .orderBy("source")),
 
     // Wilson-score lower-bound ranking (Wilson 1927; the "how not to
     // sort by average rating" fix — a 3/3 success rate must NOT outrank
@@ -701,6 +710,88 @@ object Queries {
         .select(col("event_type"), col("n"), col("s"),
           round(col("p"), 6).as("p_hat"), col("wilson_lb"))
         .orderBy(col("wilson_lb").desc, col("event_type"))),
+
+    // the Neyman allocation EXECUTED (q126 reports the optimal n_h;
+    // this draws them — q88's deterministic md5-order prefix machinery
+    // with doc-count budgets): per source, the first n_alloc documents
+    // in md5(doc_id) order (reproducible in any engine, no RNG) via
+    // CorpusSharding's two-level sharded prefix — per-shard running
+    // sums + an aggregate-sized offset join, shard-major order IS the
+    // md5 order (ShardingSpec), so no few-key corpus window exists.
+    // Sampled token mass rides one doc_id equi-join back to the scan.
+    // Invariant (spec'd): n_sampled == least(n_alloc, n_docs), and the
+    // allocation is the SAME neymanAlloc definition q126 checks — the
+    // report and the sample cannot drift.
+    "q128_neyman_sample" -> ((s, d) => {
+      val alloc = neymanAlloc(s, d)
+        .select(col("source").as("lang"), col("n_alloc").as("budget"))
+      val docs = t(s, d, "documents")
+      CorpusSharding.weightedBudgetPrefix(
+          docs.drop("lang").withColumnRenamed("source", "lang"), lit(1L), 1, alloc)
+        .join(docs.select(col("doc_id"),
+          TF.bpeTokenCount(col("text")).cast("long").as("nt")), "doc_id")
+        .groupBy("lang")
+        .agg(max("budget").as("n_alloc"), count(lit(1)).as("n_sampled"),
+          sum("nt").as("n_tokens_sampled"))
+        .select(col("lang").as("source"), col("n_alloc"), col("n_sampled"),
+          col("n_tokens_sampled"))
+        .orderBy("source")
+    }),
+
+    // functional-dependency profiling (the Metanome/data-quality
+    // primitive run before trusting a join key or a partition column:
+    // does det -> dep actually hold?): for a fixed determinant ->
+    // dependent catalog across three tables, the violating-key count
+    // and worst fan-out. Scale shape: each pair is TWO partial-
+    // aggregated groupBys ((det, dep) distinct then per-det variant
+    // count) — the exact-distinct two-phase form, no window, any key
+    // cardinality; the five per-pair scalars union into one
+    // catalog-sized result.
+    "q129_fd_profile" -> ((s, d) => {
+      def fd(tbl: DataFrame, tname: String, det: String, dep: String) =
+        tbl.select(col(det).cast("string").as("k"), col(dep).cast("string").as("v"))
+          .groupBy("k", "v").agg(count(lit(1)).as("c"))
+          .groupBy("k").agg(count(lit(1)).as("nv"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("nv") > 1, 1L).otherwise(0L)).as("n_violating"),
+            max("nv").as("max_variants"))
+          .select(lit(tname).as("tbl"), lit(det).as("det"), lit(dep).as("dep"),
+            col("n_keys"), col("n_violating"), col("max_variants"),
+            when(col("n_violating") === 0, 1).otherwise(0).as("fd_holds"))
+      val docs = t(s, d, "documents")
+      val ev = t(s, d, "events")
+      fd(docs, "documents", "lang", "source")
+        .unionByName(fd(docs, "documents", "source", "lang"))
+        .unionByName(fd(ev, "events", "event_id", "event_type"))
+        .unionByName(fd(ev, "events", "user_id", "event_type"))
+        .unionByName(fd(t(s, d, "orders"), "orders", "o_orderkey", "o_orderstatus"))
+        .orderBy("tbl", "det", "dep")
+    }),
+
+    // per-column data-quality profile of the documents table — the
+    // ingest-time contract check every pipeline runs before reading a
+    // new drop (the folder_2 dynamic-schema spirit: the column list
+    // comes from the SCHEMA at runtime, not a hardcoded set): rows,
+    // nulls, exact distincts, min/max stringified length per column.
+    // Exact distinct is the two-phase partial-aggregated groupBy per
+    // column; the five per-column scalar frames union aggregate-sized.
+    // Column values profile through CAST(x AS STRING) — the documents
+    // schema is int/string only, where the cast is format-identical
+    // across engines (floats would not be — excluded by contract).
+    "q130_column_profile" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.schema.fields.map { f =>
+        val c = col(f.name).cast("string")
+        docs.select(c.as("v"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(length(col("v"))).cast("long").as("min_len"),
+            max(length(col("v"))).cast("long").as("max_len"))
+          .select(lit(f.name).as("column_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_len"), col("max_len"))
+      }.reduce(_.unionByName(_)).orderBy("column_name")
+    }),
 
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
@@ -3285,6 +3376,55 @@ object Oracles {
   private val ceSql = // class entropy from n_ano/n_ref, mirroring classEntropyCol
     "(n_ano*1.0/(n_ano+n_ref))*log2(1.0/(n_ano*1.0/(n_ano+n_ref))) + " +
     "(n_ref*1.0/(n_ano+n_ref))*log2(1.0/(n_ref*1.0/(n_ano+n_ref)))"
+  /** q126/q128's shared Neyman-allocation CTE chain ending in
+    * `alloc(source, n_docs, weight, n_alloc)` — the SQL twin of
+    * [[Queries.neymanAlloc]] (HUGEINT = the engine's DECIMAL(38,0)). */
+  private lazy val neymanCtes: String =
+    s"""y AS (SELECT source,
+                            CAST(len(regexp_extract_all(text, '${graft.functions.TextFunctions.bpeTokenPattern.replace("'", "''")}')) AS BIGINT) AS n
+                     FROM documents),
+              st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                            sum(CAST(n AS HUGEINT)) AS sy,
+                            sum(CAST(n AS HUGEINT) * n) AS sy2
+                     FROM y GROUP BY source),
+              wv AS (SELECT source, n_docs,
+                            CAST(floor(sqrt(CAST(CAST(n_docs AS HUGEINT) * sy2 - sy * sy
+                                                 AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+                     FROM st),
+              tw AS (SELECT sum(w) AS tw FROM wv),
+              q0 AS (SELECT source, n_docs, w,
+                            (1000 * w) // tw AS base, (1000 * w) % tw AS rem
+                     FROM wv CROSS JOIN tw),
+              ex AS (SELECT 1000 - sum(base) AS extra FROM q0),
+              rk AS (SELECT q0.*, extra,
+                            row_number() OVER (ORDER BY rem DESC, source) AS rk
+                     FROM q0 CROSS JOIN ex),
+              alloc AS (SELECT source, n_docs, CAST(w AS DOUBLE) / 1000000.0 AS weight,
+                               CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+                        FROM rk)"""
+
+  /** One functional-dependency scalar block (q129). */
+  private def fdSql(tname: String, det: String, dep: String): String =
+    s"""SELECT '$tname' AS tbl, '$det' AS det, '$dep' AS dep,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+               CAST(max(nv) AS BIGINT) AS max_variants,
+               CAST(CASE WHEN sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0
+                         THEN 1 ELSE 0 END AS INT) AS fd_holds
+        FROM (SELECT k, CAST(count(*) AS BIGINT) AS nv FROM (
+                SELECT DISTINCT CAST($det AS VARCHAR) AS k, CAST($dep AS VARCHAR) AS v
+                FROM $tname)
+              GROUP BY k)"""
+
+  /** One per-column profile scalar block (q130). */
+  private def colProfileSql(cn: String): String =
+    s"""SELECT '$cn' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+               CAST(min(len(v)) AS BIGINT) AS min_len,
+               CAST(max(len(v)) AS BIGINT) AS max_len
+        FROM (SELECT CAST($cn AS VARCHAR) AS v FROM documents)"""
+
   private val shSql = // distinct 3-gram shingles of whitespace tokens
     """list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))"""
 
@@ -3857,28 +3997,38 @@ object Oracles {
     // V_h = N_h*sum(y^2) - sum(y)^2 exact via HUGEINT (= the engine's
     // DECIMAL(38,0)); Hamilton rounding all-integer
     "q126_neyman_allocation" ->
-      s"""WITH y AS (SELECT source,
-                            CAST(len(regexp_extract_all(text, '$bpePatternSql')) AS BIGINT) AS n
-                     FROM documents),
-              st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                            sum(CAST(n AS HUGEINT)) AS sy,
-                            sum(CAST(n AS HUGEINT) * n) AS sy2
-                     FROM y GROUP BY source),
-              wv AS (SELECT source, n_docs,
-                            CAST(floor(sqrt(CAST(CAST(n_docs AS HUGEINT) * sy2 - sy * sy
-                                                 AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
-                     FROM st),
-              tw AS (SELECT sum(w) AS tw FROM wv),
-              q0 AS (SELECT source, n_docs, w,
-                            (1000 * w) // tw AS base, (1000 * w) % tw AS rem
-                     FROM wv CROSS JOIN tw),
-              ex AS (SELECT 1000 - sum(base) AS extra FROM q0),
-              rk AS (SELECT q0.*, extra,
-                            row_number() OVER (ORDER BY rem DESC, source) AS rk
-                     FROM q0 CROSS JOIN ex)
-         SELECT source, n_docs, CAST(w AS DOUBLE) / 1000000.0 AS weight,
-                CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
-         FROM rk ORDER BY source""",
+      s"""WITH $neymanCtes
+         SELECT source, n_docs, weight, n_alloc FROM alloc ORDER BY source""",
+
+    // the allocation CTEs verbatim, then q88's single-window md5-order
+    // prefix (the engine's two-level form equals it — ShardingSpec)
+    "q128_neyman_sample" ->
+      s"""WITH $neymanCtes,
+              sdoc AS (SELECT doc_id, source,
+                              CAST(len(regexp_extract_all(text, '$bpePatternSql')) AS BIGINT) AS nt,
+                              md5(CAST(doc_id AS VARCHAR)) AS h
+                       FROM documents),
+              rked AS (SELECT sdoc.doc_id, sdoc.source, nt, n_alloc,
+                              row_number() OVER (PARTITION BY sdoc.source
+                                ORDER BY h, doc_id) AS rn
+                       FROM sdoc JOIN alloc ON sdoc.source = alloc.source)
+         SELECT source, CAST(max(n_alloc) AS BIGINT) AS n_alloc,
+                CAST(count(*) AS BIGINT) AS n_sampled,
+                CAST(sum(nt) AS BIGINT) AS n_tokens_sampled
+         FROM rked WHERE rn <= n_alloc GROUP BY source ORDER BY source""",
+
+    "q129_fd_profile" ->
+      (Seq(
+        ("documents", "lang", "source"), ("documents", "source", "lang"),
+        ("events", "event_id", "event_type"), ("events", "user_id", "event_type"),
+        ("orders", "o_orderkey", "o_orderstatus"))
+        .map { case (tn, det, dep) => fdSql(tn, det, dep) }
+        .mkString("", " UNION ALL ", " ORDER BY tbl, det, dep")),
+
+    "q130_column_profile" ->
+      (Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(colProfileSql)
+        .mkString("", " UNION ALL ", " ORDER BY column_name")),
 
     // identical expression tree; z=2 keeps every constant exact dyadic
     "q127_wilson_ranking" ->
