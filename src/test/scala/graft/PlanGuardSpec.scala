@@ -124,6 +124,38 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("r9 corpus ops: windowless where promised; windows only over aggregated input") {
+    // q115/q116/q120/q121 promise ZERO window operators (pure
+    // partial-aggregated groupBy shapes over Zipfian chunk/shingle/token
+    // keys — a window appearing here is the exact regression the scale
+    // rules ban)
+    for (q <- Seq("q115_cdc_chunk_dedup", "q116_shingle_novelty",
+                  "q120_token_burstiness", "q121_good_turing")) {
+      assert(windowsOf(executedPlans(q)).isEmpty, s"$q grew a window operator")
+    }
+    // q119/q122/q125 promise their windows run over bounded input: an
+    // aggregate node beneath every window (q119/q122 — the value-range-
+    // bounded grids), or, for q125, the h < 2^60/8 cutoff Filter — the
+    // checkpointed distinct truncates the visible lineage, so the
+    // boundedness witness THERE is the prefilter itself, which is also
+    // the actual sizing argument (survivors ~ D/8)
+    for (q <- Seq("q119_length_deciles", "q122_length_ks_drift",
+                  "q125_kmv_cardinality")) {
+      windowsOf(executedPlans(q)).foreach { w =>
+        val below = collectPlans(w.child)
+        val aggBeneath = below.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+        val cutoffBeneath = below.exists {
+          case f: org.apache.spark.sql.execution.FilterExec =>
+            f.condition.toString.contains("144115188075855872")
+          case _ => false
+        }
+        assert(aggBeneath || cutoffBeneath,
+          s"$q has a window over unbounded input:\n$w")
+      }
+    }
+  }
+
   test("q67: the Bloom prune filters the corpus stream BELOW the exact semi-join") {
     val plans = executedPlans("q67_bloom_decontaminate")
     val semis = plans.collect { case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j }
