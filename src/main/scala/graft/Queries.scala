@@ -793,6 +793,83 @@ object Queries {
       }.reduce(_.unionByName(_)).orderBy("column_name")
     }),
 
+    // class-based TF-IDF keyword extraction (Grootendorst's c-TF-IDF,
+    // the BERTopic labeling step — "which tokens CHARACTERIZE this
+    // source", where q52's document TF-IDF answers "which tokens
+    // characterize this document"): W(t,c) = tf(t,c) * ln((f(t)+A)/f(t))
+    // with A = mean tokens per class (integerized by div — documented)
+    // and f(t) the global count. Parity: ONE textual form of the log
+    // ratio both engines (ln((f+A)*1.0/f), rounded 6dp into DECIMAL
+    // before the tf multiply — the multiply is then exact); ranking on
+    // the (source, token) AGGREGATE (vocabulary x sources rows — the
+    // allowed aggregate-sized window), top-5 per source.
+    "q131_ctfidf_keywords" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // consumers: global counts, totals, rank
+      val ft = tf.groupBy("token").agg(sum("tf").as("f"))
+      val a = tf.agg(expr("sum(tf) div count(distinct source)").as("a"))
+      val scored = tf.join(ft, "token").crossJoin(broadcast(a))
+        .withColumn("w",
+          round(log((col("f") + col("a")) * lit(1.0) / col("f")), 6)
+            .cast(DecimalType(18, 6)) * col("tf"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("source").orderBy(col("w").desc, col("token"))))
+        .where(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("token"), col("tf"),
+          round(col("w"), 6).cast("double").as("score"))
+        .orderBy("source", "rank")
+    }),
+
+    // centroid silhouette (the linear-time clustering-quality audit —
+    // full silhouette is quadratic per cluster, the centroid form is
+    // the one a billion-vector store can actually run): per vector,
+    // cosine to its OWN label centroid (a) vs the best FOREIGN centroid
+    // (b); per label, the mean margin a-b and the misassignment rate
+    // (b > a). Exactness: dots and squared norms are exact integers
+    // through the floor(v*1024) bridge; each cosine is one double
+    // division of identical operands rounded 6dp INTO DECIMAL(18,6),
+    // so margins subtract exactly, sums are order-free, and the b > a
+    // comparison is the round-before-threshold discipline. Scale
+    // shape: centroids are a labels x dims aggregate broadcast; vector
+    // norms ride a vec_id equi-join; everything per-vector is one
+    // partial-aggregated groupBy.
+    "q132_centroid_silhouette" -> ((s, d) => {
+      val ev = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(Similarity.quantized(col("embedding"))).as(Seq("pos", "vq")))
+        .localCheckpoint(false) // consumers: norms, centroids, dots
+      val vnorm = ev.groupBy("vec_id").agg(sum(col("vq") * col("vq")).as("vn2"))
+      val cs = ev.groupBy(col("label").as("c_label"), col("pos"))
+        .agg(sum("vq").as("sq"))
+      val cnorm = cs.groupBy("c_label").agg(sum(col("sq") * col("sq")).as("cn2"))
+      val cosd = ev.join(broadcast(cs), Seq("pos"))
+        .groupBy("vec_id", "label", "c_label")
+        .agg(sum(col("vq") * col("sq")).as("dot"))
+        .join(vnorm, "vec_id").join(broadcast(cnorm), "c_label")
+        .withColumn("cos",
+          round(col("dot") / (sqrt(col("vn2")) * sqrt(col("cn2"))), 6)
+            .cast(DecimalType(18, 6)))
+      cosd.groupBy("vec_id", "label")
+        .agg(max(when(col("c_label") === col("label"), col("cos"))).as("a"),
+          max(when(col("c_label") =!= col("label"), col("cos"))).as("b"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("a") - col("b")).as("sm"),
+          sum(when(col("b") > col("a"), 1L).otherwise(0L)).as("n_misassigned"))
+        .select(col("label"), col("n_vectors"),
+          // sm can be NEGATIVE (a bad clustering): integer div would
+          // diverge (Spark truncates, DuckDB floors), so the mean is
+          // one double division of the exact decimal sum, rounded
+          round(col("sm").cast("double") / col("n_vectors"), 6).as("mean_margin"),
+          col("n_misassigned"),
+          (expr("cast(n_misassigned * 1000000 as bigint) div n_vectors")
+            .cast("double") / lit(1000000.0)).as("misassign_frac"))
+        .orderBy("label")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4040,6 +4117,57 @@ object Oracles {
                 round((p + 2.0 / n - 2.0 * sqrt(p * (1.0 - p) / n + 1.0 / (n * n)))
                       / (1.0 + 4.0 / n), 6) AS wilson_lb
          FROM b ORDER BY wilson_lb DESC, event_type""",
+
+    // one textual form of the log ratio; DECIMAL multiply exact
+    "q131_ctfidf_keywords" ->
+      """WITH tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf FROM (
+                       SELECT source,
+                              unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                       FROM documents)
+                     GROUP BY source, token),
+              ft AS (SELECT token, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY token),
+              aa AS (SELECT CAST(sum(tf) AS BIGINT) // count(DISTINCT source) AS a FROM tf),
+              sc AS (SELECT source, token, tf,
+                            CAST(round(ln((f + a) * 1.0 / f), 6) AS DECIMAL(18,6)) * tf AS w
+                     FROM tf JOIN ft USING (token) CROSS JOIN aa),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY source
+                              ORDER BY w DESC, token) AS rank
+                     FROM sc)
+         SELECT source, CAST(rank AS INT) AS rank, token, tf,
+                CAST(round(w, 6) AS DOUBLE) AS score
+         FROM rk WHERE rank <= 5 ORDER BY source, rank""",
+
+    // exact integer dots/norms via floor(v*1024); cosines rounded into
+    // DECIMAL so margins subtract exactly; mean is one double division
+    "q132_centroid_silhouette" ->
+      """WITH u AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+                           unnest(embedding) AS v
+                    FROM embeddings),
+              ev AS (SELECT vec_id, label, pos,
+                            CAST(floor(CAST(v AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+                     FROM u),
+              vn AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS vn2 FROM ev
+                     GROUP BY vec_id),
+              cs AS (SELECT label AS c_label, pos, CAST(sum(vq) AS BIGINT) AS sq
+                     FROM ev GROUP BY label, pos),
+              cn AS (SELECT c_label, CAST(sum(sq * sq) AS BIGINT) AS cn2 FROM cs
+                     GROUP BY c_label),
+              dt AS (SELECT vec_id, label, c_label, CAST(sum(vq * sq) AS BIGINT) AS dot
+                     FROM ev JOIN cs USING (pos) GROUP BY vec_id, label, c_label),
+              cd AS (SELECT vec_id, label, c_label,
+                            CAST(round(dot / (sqrt(vn2) * sqrt(cn2)), 6)
+                                 AS DECIMAL(18,6)) AS cos
+                     FROM dt JOIN vn USING (vec_id) JOIN cn USING (c_label)),
+              ab AS (SELECT vec_id, label,
+                            max(CASE WHEN c_label = label THEN cos END) AS a,
+                            max(CASE WHEN c_label != label THEN cos END) AS b
+                     FROM cd GROUP BY vec_id, label)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+                round(CAST(sum(a - b) AS DOUBLE) / count(*), 6) AS mean_margin,
+                CAST(sum(CASE WHEN b > a THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned,
+                CAST((CAST(sum(CASE WHEN b > a THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+                     // count(*) AS DOUBLE) / 1000000.0 AS misassign_frac
+         FROM ab GROUP BY label ORDER BY label""",
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
