@@ -870,6 +870,104 @@ object Queries {
         .orderBy("label")
     }),
 
+    // CUSUM changepoint detection (Page 1954 — the level-shift locator
+    // that flags WHEN a stream's daily volume changed, where q99's
+    // seasonal detector flags days off their weekly pattern): per event
+    // type, S_i = cum_i - i*mean over the observed-day index, located
+    // at max |S|. The statistic is CROSS-MULTIPLIED to integers
+    // (|cum*D - i*total| — no mean, no float, no rounding anywhere
+    // until the one reported division), so the argmax is exact;
+    // tie-break min day. Scale shape: one (type, day) partial
+    // aggregate; the cumulative windows run over the aggregate-sized
+    // day spine per type (the q119/q122 case).
+    "q133_cusum_changepoint" -> ((s, d) => {
+      val dc = t(s, d, "events")
+        .select(col("event_type"), expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val cum = dc
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("c").over(w))
+        .join(dc.groupBy("event_type")
+          .agg(sum("c").as("tot"), count(lit(1)).as("nd")), "event_type")
+        .withColumn("sS", abs(col("cum") * col("nd") - col("i") * col("tot")))
+        .localCheckpoint(false) // consumers: max, argmax join
+      cum.join(cum.groupBy("event_type").agg(max("sS").as("mx")), "event_type")
+        .where(col("sS") === col("mx"))
+        .groupBy("event_type")
+        .agg(max("nd").as("n_days"), min("day").as("change_day"),
+          round(max("mx").cast("double") / max("nd"), 6).as("cusum"))
+        .orderBy("event_type")
+    }),
+
+    // winsorized length statistics (the outlier-robust moments a corpus
+    // report should quote instead of raw means — one 10M-token
+    // pathological doc shifts a raw mean, not a winsorized one): per
+    // source, exact p5/p95 by q119's integer cross-multiplication, all
+    // values clipped into [p5, p95], clipped counts + winsorized mean
+    // (micro-scaled integer division of the exact clipped sum). The
+    // percentile table is aggregate-sized and broadcast back; one
+    // corpus pass + one (source, length) partial aggregate.
+    "q134_winsorized_stats" -> ((s, d) => {
+      val n0 = t(s, d, "documents")
+        .select(col("source"), TF.bpeTokenCount(col("text")).cast("long").as("n"))
+        .localCheckpoint(false) // consumers: percentile table, clip pass
+      val cum = n0.groupBy("source", "n").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("source").orderBy("n")))
+        .withColumn("tot", sum("c").over(Window.partitionBy("source")))
+        .localCheckpoint(false) // consumers: p05, p95
+      val p5 = cum.where(col("cum") * 100 >= col("tot") * 5)
+        .groupBy("source").agg(min("n").as("p05"))
+      val p95 = cum.where(col("cum") * 100 >= col("tot") * 95)
+        .groupBy("source").agg(min("n").as("p95"))
+      n0.join(broadcast(p5), "source").join(broadcast(p95), "source")
+        .withColumn("cl", least(greatest(col("n"), col("p05")), col("p95")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          max("p05").as("p05"), max("p95").as("p95"),
+          sum(when(col("n") < col("p05"), 1L).otherwise(0L)).as("n_clipped_low"),
+          sum(when(col("n") > col("p95"), 1L).otherwise(0L)).as("n_clipped_high"),
+          sum("cl").as("scl"))
+        .withColumn("win_mean",
+          expr("cast(scl * 1000000 as bigint) div n_docs").cast("double")
+            / lit(1000000.0))
+        .drop("scl")
+        .orderBy("source")
+    }),
+
+    // per-source character-distribution entropy (the encoding-anomaly
+    // detector: mojibake, base64 blobs, or a charset drift in one
+    // source's re-crawl all shift the char histogram before any
+    // token-level metric notices): Shannon entropy over the character
+    // histogram, each -p*log2(p) term computed from identical integer
+    // ratios and rounded 6dp INTO DECIMAL so the sum is order-free
+    // (q112's discipline); one char-explode pass into a (source, char)
+    // partial aggregate — the histogram is alphabet-sized, everything
+    // after aggregate-sized. Spark's empty-regex split emits a
+    // trailing "" (filtered); DuckDB's does not — the filter is the
+    // parity glue.
+    "q135_char_entropy" -> ((s, d) => {
+      val ch = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), "")).as("ch"))
+        .where(col("ch") =!= "")
+        .groupBy("source", "ch").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // consumers: totals, terms
+      val tot = ch.groupBy("source")
+        .agg(sum("c").as("tot"), count(lit(1)).as("n_distinct_chars"))
+      ch.join(broadcast(tot), "source")
+        .withColumn("term",
+          round(-(col("c") * lit(1.0) / col("tot")) *
+            log2(col("c") * lit(1.0) / col("tot")), 6).cast(DecimalType(18, 6)))
+        .groupBy("source")
+        .agg(max("tot").as("n_chars"),
+          max("n_distinct_chars").as("n_distinct_chars"),
+          sum("term").as("hdec"))
+        .select(col("source"), col("n_chars"), col("n_distinct_chars"),
+          round(col("hdec"), 6).cast("double").as("entropy"))
+        .orderBy("source")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4168,6 +4266,71 @@ object Oracles {
                 CAST((CAST(sum(CASE WHEN b > a THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
                      // count(*) AS DOUBLE) / 1000000.0 AS misassign_frac
          FROM ab GROUP BY label ORDER BY label""",
+
+    // |cum*D - i*total| all-integer; one division at the end
+    "q133_cusum_changepoint" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+              dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS c FROM e
+                     GROUP BY event_type, day),
+              tt AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS tot,
+                            CAST(count(*) AS BIGINT) AS nd
+                     FROM dc GROUP BY event_type),
+              cu AS (SELECT dc.event_type, day,
+                            CAST(row_number() OVER (PARTITION BY dc.event_type
+                              ORDER BY day) AS BIGINT) AS i,
+                            sum(c) OVER (PARTITION BY dc.event_type ORDER BY day) AS cum,
+                            tot, nd
+                     FROM dc JOIN tt ON dc.event_type = tt.event_type),
+              ss AS (SELECT event_type, day, nd, abs(cum * nd - i * tot) AS sS FROM cu),
+              mx AS (SELECT event_type, max(sS) AS mx FROM ss GROUP BY event_type)
+         SELECT ss.event_type, max(nd) AS n_days, CAST(min(day) AS BIGINT) AS change_day,
+                round(CAST(max(mx) AS DOUBLE) / max(nd), 6) AS cusum
+         FROM ss JOIN mx ON ss.event_type = mx.event_type AND sS = mx
+         GROUP BY ss.event_type ORDER BY ss.event_type""",
+
+    // q119's integer cross-multiplied percentiles, then clip + exact sums
+    "q134_winsorized_stats" ->
+      s"""WITH n0 AS (SELECT source,
+                             CAST(len(regexp_extract_all(text, '$bpePatternSql')) AS BIGINT) AS n
+                      FROM documents),
+              c AS (SELECT source, n, CAST(count(*) AS BIGINT) AS c FROM n0
+                    GROUP BY source, n),
+              cum AS (SELECT source, n,
+                             sum(c) OVER (PARTITION BY source ORDER BY n) AS cum,
+                             sum(c) OVER (PARTITION BY source) AS tot
+                      FROM c),
+              p5 AS (SELECT source, min(n) AS p05 FROM cum WHERE cum * 100 >= tot * 5
+                     GROUP BY source),
+              p95 AS (SELECT source, min(n) AS p95 FROM cum WHERE cum * 100 >= tot * 95
+                      GROUP BY source),
+              cl AS (SELECT n0.source, n, p05, p95,
+                            least(greatest(n, p05), p95) AS cl
+                     FROM n0 JOIN p5 ON n0.source = p5.source
+                             JOIN p95 ON n0.source = p95.source)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                max(p05) AS p05, max(p95) AS p95,
+                CAST(sum(CASE WHEN n < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+                CAST(sum(CASE WHEN n > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+                CAST((CAST(sum(cl) AS BIGINT) * 1000000) // count(*) AS DOUBLE)
+                  / 1000000.0 AS win_mean
+         FROM cl GROUP BY source ORDER BY source""",
+
+    // -p*log2(p) terms from identical integer ratios, DECIMAL-summed
+    "q135_char_entropy" ->
+      """WITH ch AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS c FROM (
+                       SELECT source, unnest(string_split_regex(text, '')) AS ch
+                       FROM documents)
+                     GROUP BY source, ch),
+              tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot,
+                            CAST(count(*) AS BIGINT) AS n_distinct_chars
+                     FROM ch GROUP BY source),
+              tm AS (SELECT ch.source, tot, n_distinct_chars,
+                            CAST(round(-(c * 1.0 / tot) * log2(c * 1.0 / tot), 6)
+                                 AS DECIMAL(18,6)) AS term
+                     FROM ch JOIN tt ON ch.source = tt.source)
+         SELECT source, max(tot) AS n_chars, max(n_distinct_chars) AS n_distinct_chars,
+                CAST(round(sum(term), 6) AS DOUBLE) AS entropy
+         FROM tm GROUP BY source ORDER BY source""",
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
