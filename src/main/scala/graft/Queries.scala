@@ -968,6 +968,88 @@ object Queries {
         .orderBy("source")
     }),
 
+    // k-core peeling of the near-dup graph (Seidman 1983 — the
+    // dense-boilerplate detector: nodes surviving k=2 peeling sit in
+    // CLUSTERS of mutual near-dups, the template farms q43's connected
+    // components can't distinguish from chains): 4 fixed peel rounds
+    // (the q78/q87 fixed-round oracle mode; production iterates to the
+    // fixpoint on the same aggregate-sized round scalars), each round =
+    // one partial-aggregated degree count + two left-semi filters, the
+    // edge set re-checkpointed eagerly so lineage stays one round deep
+    // (the GraphRank trade). Edges are the SAME minhashLshPairs call
+    // q43 clusters (one source of truth). Per-round report rows are
+    // driver scalars — everything is exact integer counts.
+    "q136_kcore_peeling" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 64, bands = 16, shingleN = 3, threshold = 0.5,
+        hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */)
+      var edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint(eager = true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      out += ((0,
+        edges.select(col("a").as("v")).unionByName(edges.select(col("b").as("v")))
+          .distinct().count(),
+        edges.count()))
+      for (r <- 1 to 4) {
+        val keep = edges.select(col("a").as("v"))
+          .unionByName(edges.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= 2).select("v")
+          .localCheckpoint(eager = true)
+        edges = edges
+          .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+          .select("a", "b")
+          .localCheckpoint(eager = true)
+        out += ((r, keep.count(), edges.count()))
+      }
+      import s.implicits._
+      out.toSeq.toDF("round", "n_nodes", "n_edges").orderBy("round")
+    }),
+
+    // mutual information between two categorical columns (the
+    // feature-selection / profiling statistic: how much does lang tell
+    // you about source? — q129's FD check answers yes/no, MI answers
+    // HOW MUCH, in bits): I(X;Y), H(X), H(Y), and the uncertainty
+    // coefficient U(X|Y) = I/H(X). Every log argument is a ratio of
+    // identical exact integers (n*c_xy/(c_x*c_y)), each term rounded
+    // 6dp into DECIMAL so sums are order-free; the contingency table
+    // is one partial-aggregated groupBy, everything after is
+    // |langs|x|sources|-sized.
+    "q137_mutual_information" -> ((s, d) => {
+      val xy = t(s, d, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("cxy"))
+        .localCheckpoint(false) // consumers: marginals, terms
+      val cx = xy.groupBy("lang").agg(sum("cxy").as("cx"))
+      val cy = xy.groupBy("source").agg(sum("cxy").as("cy"))
+      val n = xy.agg(sum("cxy").as("n"))
+      val terms = xy.join(cx, "lang").join(cy, "source").crossJoin(broadcast(n))
+        .select(
+          round((col("cxy") * lit(1.0) / col("n")) *
+            log2(col("n") * lit(1.0) * col("cxy") / (col("cx") * col("cy"))), 6)
+            .cast(DecimalType(18, 6)).as("mi_term"),
+          col("lang"), col("source"), col("cxy"), col("cx"), col("cy"), col("n"))
+      val hx = cx.crossJoin(broadcast(n))
+        .select(round(-(col("cx") * lit(1.0) / col("n")) *
+          log2(col("cx") * lit(1.0) / col("n")), 6)
+          .cast(DecimalType(18, 6)).as("t"))
+        .agg(sum("t").as("h_lang_dec"))
+      val hy = cy.crossJoin(broadcast(n))
+        .select(round(-(col("cy") * lit(1.0) / col("n")) *
+          log2(col("cy") * lit(1.0) / col("n")), 6)
+          .cast(DecimalType(18, 6)).as("t"))
+        .agg(sum("t").as("h_source_dec"))
+      terms.agg(count(lit(1)).as("n_cells"), sum("mi_term").as("mi_dec"))
+        .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .select(col("n_cells"),
+          round(col("mi_dec"), 6).cast("double").as("mi"),
+          round(col("h_lang_dec"), 6).cast("double").as("h_lang"),
+          round(col("h_source_dec"), 6).cast("double").as("h_source"),
+          round(col("mi_dec").cast("double") / col("h_lang_dec").cast("double"), 6)
+            .as("uncertainty_coef"))
+        .orderBy("n_cells")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4331,6 +4413,58 @@ object Oracles {
          SELECT source, max(tot) AS n_chars, max(n_distinct_chars) AS n_distinct_chars,
                 CAST(round(sum(term), 6) AS DOUBLE) AS entropy
          FROM tm GROUP BY source ORDER BY source""",
+
+    // q43's edge CTE verbatim; 4 peel rounds unrolled MATERIALIZED
+    "q136_kcore_peeling" -> {
+      def peel(k: Int): String = {
+        val prev = s"e${k - 1}"
+        s"""d$k AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                      SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev) t$k
+                    GROUP BY v),
+              k$k AS MATERIALIZED (SELECT v FROM d$k WHERE deg >= 2),
+              e$k AS MATERIALIZED (SELECT a, b FROM $prev
+                    WHERE a IN (SELECT v FROM k$k) AND b IN (SELECT v FROM k$k))"""
+      }
+      s"""WITH $minhashPairsCte,
+              e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM v
+                    WHERE jaccard >= 0.5),
+              ${(1 to 4).map(peel).mkString(",\n              ")}
+         SELECT CAST(0 AS INT) AS round,
+                (SELECT CAST(count(DISTINCT vv) AS BIGINT) FROM (
+                   SELECT a AS vv FROM e0 UNION ALL SELECT b FROM e0) t0) AS n_nodes,
+                (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges
+         ${(1 to 4).map(k =>
+        s"UNION ALL SELECT $k, (SELECT CAST(count(*) AS BIGINT) FROM k$k), " +
+          s"(SELECT CAST(count(*) AS BIGINT) FROM e$k)").mkString(" ")}
+         ORDER BY round"""
+    },
+
+    // every log argument a ratio of identical integers; terms
+    // DECIMAL-summed; the one division on doubles at the end
+    "q137_mutual_information" ->
+      """WITH xy AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS cxy
+                     FROM documents GROUP BY lang, source),
+              cx AS (SELECT lang, CAST(sum(cxy) AS BIGINT) AS cx FROM xy GROUP BY lang),
+              cy AS (SELECT source, CAST(sum(cxy) AS BIGINT) AS cy FROM xy GROUP BY source),
+              nn AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM xy),
+              tm AS (SELECT CAST(round((cxy * 1.0 / n) *
+                              log2(n * 1.0 * cxy / (cx * cy)), 6)
+                            AS DECIMAL(18,6)) AS mi_term
+                     FROM xy JOIN cx USING (lang) JOIN cy USING (source) CROSS JOIN nn),
+              hx AS (SELECT sum(CAST(round(-(cx * 1.0 / n) * log2(cx * 1.0 / n), 6)
+                                AS DECIMAL(18,6))) AS h_lang_dec
+                     FROM cx CROSS JOIN nn),
+              hy AS (SELECT sum(CAST(round(-(cy * 1.0 / n) * log2(cy * 1.0 / n), 6)
+                                AS DECIMAL(18,6))) AS h_source_dec
+                     FROM cy CROSS JOIN nn),
+              ag AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, sum(mi_term) AS mi_dec
+                     FROM tm)
+         SELECT n_cells, CAST(round(mi_dec, 6) AS DOUBLE) AS mi,
+                CAST(round(h_lang_dec, 6) AS DOUBLE) AS h_lang,
+                CAST(round(h_source_dec, 6) AS DOUBLE) AS h_source,
+                round(CAST(mi_dec AS DOUBLE) / CAST(h_lang_dec AS DOUBLE), 6)
+                  AS uncertainty_coef
+         FROM ag CROSS JOIN hx CROSS JOIN hy ORDER BY n_cells""",
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
