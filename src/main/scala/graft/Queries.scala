@@ -1050,6 +1050,74 @@ object Queries {
         .orderBy("n_cells")
     }),
 
+    // top principal component by power iteration, ORACLED cross-engine
+    // (the whitening/compression precursor every embedding store runs;
+    // iterative float linear algebra normally CAN'T be oracled — this
+    // one can because every step is integer-exact): the centered
+    // second-moment matrix C = n*M - s*s' is EXACT (M = sum vq*vq'
+    // pairwise moments, s = per-dim sums, all integers through the
+    // floor(v*1024) bridge; DECIMAL(38,0) = DuckDB HUGEINT); the
+    // iterate x stays a 1e6-scaled INTEGER vector — y = C*x is an
+    // exact decimal matvec, and normalization is by the max-abs
+    // component with sign-split truncating division (sign(y) *
+    // (|y|*1e6 div max|y|) — nonnegative operands, so Spark div and
+    // DuckDB // agree), so all 4 iterations are bit-identical in both
+    // engines; the ONLY doubles are the final loading/eigval
+    // conversions. Scale shape: the 64x64 moment matrix is one
+    // partial-aggregated self-join groupBy (the single corpus-sized
+    // step); each iteration is a broadcast matvec + a 64-row driver
+    // collect (the BpeTrainer K-scalars discipline), replicated in the
+    // oracle as 4 unrolled CTE rounds.
+    "q138_power_iteration_pca" -> ((s, d) => {
+      val ev = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(Similarity.quantized(col("embedding"))).as(Seq("pos", "vq")))
+        .localCheckpoint(false) // consumers: sums, n, moment matrix
+      val sPos = ev.groupBy("pos").agg(sum("vq").as("sv"))
+      val nV = ev.agg(countDistinct("vec_id")).first().getLong(0)
+      val cMat = ev.select(col("vec_id"), col("pos").as("p"), col("vq").as("va"))
+        .join(ev.select(col("vec_id"), col("pos").as("q"), col("vq").as("vb")),
+          "vec_id")
+        .groupBy("p", "q").agg(sum(col("va") * col("vb")).as("m"))
+        .join(broadcast(sPos.select(col("pos").as("p"), col("sv").as("sa"))), "p")
+        .join(broadcast(sPos.select(col("pos").as("q"), col("sv").as("sb"))), "q")
+        .select(col("p"), col("q"),
+          (lit(nV).cast(DecimalType(38, 0)) * col("m").cast(DecimalType(38, 0)) -
+            (col("sa") * col("sb")).cast(DecimalType(38, 0))).as("c"))
+        .localCheckpoint(eager = true) // reused by 4 matvecs + rayleigh
+      import s.implicits._
+      var xs: Array[BigInt] = Array.fill(64)(BigInt(1000000))
+      for (_ <- 1 to 4) {
+        val xdf = xs.zipWithIndex
+          .map { case (v, i) => (i, v.toLong) }.toSeq.toDF("q", "xs")
+        // 64-row aggregate collect; BigInt arithmetic below replicates
+        // the oracle's HUGEINT ops exactly (truncating nonneg division)
+        val ys = cMat.join(broadcast(xdf), "q")
+          .groupBy("p").agg(sum(col("c") * col("xs")).as("ys"))
+          .collect().map(r => (r.getInt(0), BigInt(r.getDecimal(1).toBigInteger)))
+          .toMap
+        val m = (0 until 64).map(p => ys(p).abs).max
+        xs = Array.tabulate(64) { p =>
+          val y = ys(p)
+          (if (y.signum < 0) BigInt(-1) else BigInt(1)) * ((y.abs * 1000000) / m)
+        }
+      }
+      val xdf = xs.zipWithIndex.map { case (v, i) => (i, v.toLong) }.toSeq
+        .toDF("q", "xs")
+      val num = cMat.join(broadcast(xdf), "q")
+        .join(broadcast(xdf.select(col("q").as("p"), col("xs").as("xp"))), "p")
+        .agg(sum(col("xp") * col("c") * col("xs")).as("num"))
+        .first().getDecimal(0)
+      val den = xs.map(x => x * x).sum
+      val eig = BigDecimal(num).toDouble / BigDecimal(den).toDouble
+      xs.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }.toSeq
+        .toDF("pos", "xsc")
+        .select(col("pos"),
+          (col("xsc").cast("double") / lit(1000000.0)).as("loading"),
+          round(lit(eig), 4).as("eigval"))
+        .orderBy("pos")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4465,6 +4533,47 @@ object Oracles {
                 round(CAST(mi_dec AS DOUBLE) / CAST(h_lang_dec AS DOUBLE), 6)
                   AS uncertainty_coef
          FROM ag CROSS JOIN hx CROSS JOIN hy ORDER BY n_cells""",
+
+    // the 4 power-iteration rounds unrolled; every step HUGEINT-exact,
+    // sign-split truncating normalization; doubles only at the end
+    "q138_power_iteration_pca" -> {
+      def round(k: Int): String = {
+        val prev = if (k == 1) "x0" else s"x${k - 1}"
+        s"""y$k AS (SELECT p, sum(c * xs) AS ys FROM cc JOIN $prev USING (q)
+                    GROUP BY p),
+              mx$k AS (SELECT max(abs(ys)) AS mm FROM y$k),
+              x$k AS MATERIALIZED (
+                    SELECT p AS q,
+                           CASE WHEN ys < 0 THEN -1 ELSE 1 END *
+                             ((abs(ys) * 1000000) // mm) AS xs
+                    FROM y$k CROSS JOIN mx$k)"""
+      }
+      s"""WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                            unnest(embedding) AS v
+                     FROM embeddings),
+              ev AS (SELECT vec_id, pos,
+                            CAST(floor(CAST(v AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+                     FROM u),
+              sp AS (SELECT pos, CAST(sum(vq) AS HUGEINT) AS sv FROM ev GROUP BY pos),
+              nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM ev),
+              m2 AS (SELECT a.pos AS p, b.pos AS q,
+                            CAST(sum(a.vq * b.vq) AS HUGEINT) AS m
+                     FROM ev a JOIN ev b ON a.vec_id = b.vec_id
+                     GROUP BY a.pos, b.pos),
+              cc AS MATERIALIZED (
+                    SELECT p, q, n * m - sa.sv * sb.sv AS c
+                    FROM m2 JOIN sp sa ON m2.p = sa.pos
+                            JOIN sp sb ON m2.q = sb.pos
+                    CROSS JOIN nn),
+              x0 AS (SELECT unnest(range(64)) AS q, CAST(1000000 AS HUGEINT) AS xs),
+              ${(1 to 4).map(round).mkString(",\n              ")},
+              nm AS (SELECT sum(b.xs * c * a.xs) AS num
+                     FROM cc JOIN x4 a ON cc.q = a.q JOIN x4 b ON cc.p = b.q),
+              dn AS (SELECT sum(xs * xs) AS den FROM x4)
+         SELECT CAST(q AS BIGINT) AS pos, CAST(xs AS DOUBLE) / 1000000.0 AS loading,
+                round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS eigval
+         FROM x4 CROSS JOIN nm CROSS JOIN dn ORDER BY pos"""
+    },
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
