@@ -1118,6 +1118,73 @@ object Queries {
         .orderBy("pos")
     }),
 
+    // Benford first-digit conformance (Newcomb 1881 / Benford 1938 —
+    // the forensic-QA screen: organically-generated magnitudes follow
+    // P(d) = log10(1+1/d), synthetic or truncated feeds don't): the
+    // value column in integer cents (floor(v*100+0.5) — identical
+    // both engines), first significant digit via the INTEGER-STRING
+    // first character (bigint-to-varchar is format-stable cross-engine,
+    // unlike double formatting), observed shares micro-scaled integer
+    // divisions against the 6dp Benford constants inlined as the SAME
+    // literals in both engines (computed once in Scala, interpolated
+    // into the oracle SQL — they cannot drift). Deviation is an exact
+    // integer. One partial-aggregated groupBy; 9-row output.
+    "q139_benford_digits" -> ((s, d) => {
+      val benford: Seq[(Int, Long)] = (1 to 9)
+        .map(dd => (dd, math.round(math.log10(1.0 + 1.0 / dd) * 1e6)))
+      import s.implicits._
+      val bdf = benford.toDF("digit", "benford_scaled")
+      t(s, d, "events")
+        .select(expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("vc"))
+        .where(col("vc") > 0)
+        .select(expr("cast(substring(cast(vc as string), 1, 1) as int)").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(
+          t(s, d, "events")
+            .where(expr("cast(floor(value * 100.0 + 0.5) as bigint) > 0"))
+            .agg(count(lit(1)).as("tot"))))
+        .join(broadcast(bdf), "digit")
+        .select(col("digit"), col("n"),
+          (expr("cast(n * 1000000 as bigint) div tot").cast("double")
+            / lit(1000000.0)).as("p"),
+          (col("benford_scaled").cast("double") / lit(1000000.0)).as("benford_p"),
+          abs(expr("cast(n * 1000000 as bigint) div tot") - col("benford_scaled"))
+            .as("dev_scaled"))
+        .orderBy("digit")
+    }),
+
+    // LSH recall audit against the exact all-pairs answer (precision is
+    // 1.0 by construction — q30 verifies candidates with the exact
+    // cosine — so what the banding can LOSE is recall, and this query
+    // makes the loss measurable data, the q125 sketch-next-to-exact
+    // theme): exact pairs (the documented quadratic VALIDATION oracle,
+    // q31's form) anti-joined by the LSH pairs; reports counts, recall
+    // (micro-scaled), and the mean cosine of the MISSED pairs (rounded
+    // 4dp into DECIMAL before the exact mean — the hard pairs sit just
+    // over the threshold, and this number says how far).
+    "q140_lsh_recall_audit" -> ((s, d) => {
+      val ex = Similarity.exactNearDupPairs(t(s, d, "embeddings"),
+          "vec_id", "embedding", minCosine = 0.4)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 4).cast(DecimalType(18, 4)).as("cos4"))
+        .localCheckpoint(false) // consumers: counts, anti-join
+      val ls = Similarity.lshNearDupPairs(t(s, d, "embeddings"),
+          "vec_id", "embedding", dim = 64, nBits = 4, tables = 24,
+          minCosine = 0.4)
+        .select("id_a", "id_b")
+      val missed = ex.join(ls, Seq("id_a", "id_b"), "left_anti")
+      missed.agg(count(lit(1)).as("n_missed"), sum("cos4").as("smc"))
+        .crossJoin(broadcast(ex.agg(count(lit(1)).as("n_exact"))))
+        .crossJoin(broadcast(ls.agg(count(lit(1)).as("n_lsh"))))
+        .select(col("n_exact"), col("n_lsh"), col("n_missed"),
+          (expr("cast((n_exact - n_missed) * 1000000 as bigint) div n_exact")
+            .cast("double") / lit(1000000.0)).as("recall"),
+          when(col("n_missed") === 0, lit(0.0)).otherwise(
+            expr("cast(smc * 10000 as bigint) div n_missed").cast("double")
+              / lit(10000.0)).as("mean_missed_cos"))
+        .orderBy("n_exact")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4574,6 +4641,69 @@ object Oracles {
                 round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS eigval
          FROM x4 CROSS JOIN nm CROSS JOIN dn ORDER BY pos"""
     },
+
+    // same Scala-computed Benford literals interpolated both engines
+    "q139_benford_digits" -> {
+      val bvals = (1 to 9)
+        .map(dd => s"($dd, ${math.round(math.log10(1.0 + 1.0 / dd) * 1e6)})")
+        .mkString(", ")
+      s"""WITH vc AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+                      FROM events),
+              dg AS (SELECT CAST(substr(CAST(vc AS VARCHAR), 1, 1) AS INT) AS digit
+                     FROM vc WHERE vc > 0),
+              cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg
+                      GROUP BY digit),
+              tt AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM dg),
+              bf(digit, benford_scaled) AS (SELECT * FROM (VALUES $bvals))
+         SELECT cnt.digit, n,
+                CAST((n * 1000000) // tot AS DOUBLE) / 1000000.0 AS p,
+                CAST(benford_scaled AS DOUBLE) / 1000000.0 AS benford_p,
+                CAST(abs((n * 1000000) // tot - benford_scaled) AS BIGINT) AS dev_scaled
+         FROM cnt CROSS JOIN tt JOIN bf ON cnt.digit = bf.digit
+         ORDER BY cnt.digit"""
+    },
+
+    // q30/q31's CTEs composed; the anti-join isolates what banding lost
+    "q140_lsh_recall_audit" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+                     list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1024.0) AS BIGINT)) AS q
+                FROM embeddings),
+              bk AS (SELECT vec_id, ${annBucketsSql(24, 4, 64)} AS bks FROM e),
+              tb AS (SELECT vec_id, unnest(range(24)) AS tbl, unnest(bks) AS bucket
+                     FROM bk),
+              cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+                       FROM tb l JOIN tb r ON l.tbl = r.tbl AND l.bucket = r.bucket
+                                          AND l.vec_id < r.vec_id),
+              lsh AS (SELECT id_a, id_b FROM (
+                        SELECT id_a, id_b,
+                               ${dot("x.embedding", "y.embedding")} /
+                               (sqrt(${dot("x.embedding", "x.embedding")}) *
+                                sqrt(${dot("y.embedding", "y.embedding")})) AS cos
+                        FROM cand JOIN e x ON id_a = x.vec_id
+                                  JOIN e y ON id_b = y.vec_id) t
+                      WHERE cos >= 0.4),
+              exct AS (SELECT id_a, id_b, CAST(round(cos, 4) AS DECIMAL(18,4)) AS cos4
+                       FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                                    ${dot("a.embedding", "b.embedding")} /
+                                    (sqrt(${dot("a.embedding", "a.embedding")}) *
+                                     sqrt(${dot("b.embedding", "b.embedding")})) AS cos
+                             FROM embeddings a JOIN embeddings b
+                               ON a.vec_id < b.vec_id) t
+                       WHERE cos >= 0.4),
+              ms AS (SELECT cos4 FROM exct WHERE NOT EXISTS (
+                       SELECT 1 FROM lsh
+                       WHERE lsh.id_a = exct.id_a AND lsh.id_b = exct.id_b)),
+              ag AS (SELECT CAST(count(*) AS BIGINT) AS n_missed, sum(cos4) AS smc
+                     FROM ms),
+              ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exct),
+              nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lsh)
+         SELECT n_exact, n_lsh, n_missed,
+                CAST(((n_exact - n_missed) * 1000000) // n_exact AS DOUBLE)
+                  / 1000000.0 AS recall,
+                CASE WHEN n_missed = 0 THEN 0.0
+                     ELSE CAST(CAST(smc * 10000 AS BIGINT) // n_missed AS DOUBLE)
+                          / 10000.0 END AS mean_missed_cos
+         FROM ag CROSS JOIN ne CROSS JOIN nl ORDER BY n_exact""",
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -177,6 +177,48 @@ object StreamingOps {
    */
   def redactIngest(docs: DataFrame): DataFrame = graft.Queries.piiReport(docs)
 
+  /**
+   * Streaming CDC re-crawl gate — the chunk-level twin of
+   * [[nearDupCandidatesIngest]], catching the case banding misses:
+   * a document that is mostly VERBATIM REUSE of the existing corpus
+   * but shifted or lightly edited (the re-crawl/boilerplate shape
+   * content-defined chunking exists for — a point edit perturbs only
+   * its neighboring chunk identities, so the untouched remainder still
+   * collides with the registry). The static corpus chunks once into a
+   * distinct chunk-hash registry (the round-9 `cdcChunkHashes` kernel);
+   * each arriving document chunks statelessly, its chunk stream
+   * LEFT-SEMI joins the registry, and a watermarked per-doc count
+   * quarantines documents with >= `minKnown` registry hits. Scale
+   * shape: the registry is (hash)-distinct — beyond broadcast size the
+   * stream-static join runs shuffled per micro-batch, still stateless;
+   * per-doc state is one windowed count bounded by the watermark.
+   */
+  def cdcRecrawlIngest(
+      docs: DataFrame, // streaming: (idCol, textCol, tsCol)
+      corpus: DataFrame, // static: (textCol)
+      idCol: String, textCol: String,
+      tsCol: String = "ts",
+      watermark: String = "1 hour",
+      w: Int = 3, modulus: Int = 16,
+      minKnown: Long = 4L): DataFrame = {
+    val chUdf = udf((t: String) =>
+      graft.functions.ShingleKernel.cdcChunkHashes(t, w, modulus))
+    val registry = corpus.select(explode(chUdf(col(textCol))).as("h")).distinct()
+    docs
+      .select(col(idCol), col(tsCol), explode(chUdf(col(textCol))).as("h"))
+      // watermark BEFORE the semi-join: rows with no registry hit are
+      // dropped by the join, but their event times must still advance
+      // the watermark or an all-novel stretch would never finalize the
+      // open quarantine windows
+      .withWatermark(tsCol, watermark)
+      .join(registry, Seq("h"), "left_semi")
+      .groupBy(col(idCol), window(col(tsCol), "1 minute"))
+      .agg(count(lit(1)).as("n_known_chunks"))
+      .where(col("n_known_chunks") >= minKnown)
+      .select(col(idCol), col("window.start").as("window_start"),
+        col("n_known_chunks"))
+  }
+
   /** One surviving counter of a sharded Misra-Gries summary: `est` is the
     * residual count (true count minus at most `n_shard/(capacity+1)`),
     * `n_shard` the shard's total instances so far — the error bound rides

@@ -306,6 +306,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set(1L), s"quarantine stream got $out")
   }
 
+  test("streaming CDC re-crawl gate quarantines the shifted near-copy") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(base).toDF("text")
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val gate = StreamingOps.cdcRecrawlIngest(
+      input.toDF().toDF("ts", "doc_id", "text"), corpus,
+      idCol = "doc_id", textCol = "text", watermark = "1 minute", minKnown = 3L)
+    val q = gate.writeStream.outputMode("append")
+      .format("memory").queryName("cdcq").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData(
+      // shifted near-copy: the 1-token prepend shifts every byte
+      // offset, but CDC boundaries resynchronize — most chunks collide
+      (t0, 1L, "inserted " + base),
+      // novel doc: no chunk in the registry
+      (t0, 2L, (1 to 200).map(i => s"new$i").mkString(" ")))
+    q.processAllAvailable()
+    // advance the watermark past the window so append mode finalizes
+    input.addData((new java.sql.Timestamp(t0.getTime + 20 * 60 * 1000), 3L,
+      "watermark pusher x"))
+    q.processAllAvailable()
+    val rows = spark.table("cdcq").collect()
+    q.stop()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L),
+      s"quarantine got ${rows.mkString(",")}")
+    // the streamed count equals the batch-side kernel computation
+    val reg = graft.functions.ShingleKernel.cdcChunkHashes(base, 3, 16).toSet
+    val batchKnown = graft.functions.ShingleKernel
+      .cdcChunkHashes("inserted " + base, 3, 16).count(reg.contains).toLong
+    assert(batchKnown >= 3L)
+    assert(rows.head.getAs[Long]("n_known_chunks") == batchKnown)
+  }
+
   test("stateful span assembly emits a closed window on the close marker") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
