@@ -1185,6 +1185,72 @@ object Queries {
         .orderBy("n_exact")
     }),
 
+    // Hill tail-index estimator over the token frequency distribution
+    // (Hill 1975 — the statistically-principled heavy-tail exponent,
+    // where q98's Zipf slope is a log-log REGRESSION: the two should
+    // roughly agree, and a gap between them is itself a distribution-
+    // shape diagnostic): alpha_hat = k / sum_{i<=k} ln(f_i / f_k+1...)
+    // over the top-k order statistics. Parity: the top-(k+1)
+    // frequencies come from one TakeOrderedAndProject (q51's shape),
+    // each ln(f_i/f_ref) is a log of a ratio of identical integers
+    // rounded 6dp into DECIMAL (order-free sum), and alpha is the one
+    // double division at the end. Token groupBy partial-aggregated;
+    // everything after is k-row sized.
+    "q141_hill_tail_index" -> ((s, d) => {
+      val k = 20
+      val top = t(s, d, "documents")
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("token")).limit(k + 1)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("f").desc, col("token"))))
+        .localCheckpoint(false) // consumers: reference row, terms
+      val fref = top.where(col("r") === k + 1).select(col("f").as("fk"))
+      top.where(col("r") <= k).crossJoin(broadcast(fref))
+        .select(round(log(col("f") * lit(1.0) / col("fk")), 6)
+          .cast(DecimalType(18, 6)).as("term"))
+        .agg(count(lit(1)).as("kk"), sum("term").as("slog"))
+        .select(lit(k).as("k"),
+          round(col("slog"), 6).cast("double").as("sum_log_ratio"),
+          round(col("kk").cast("double") / col("slog").cast("double"), 6)
+            .as("alpha_hat"))
+        .orderBy("k")
+    }),
+
+    // dedup-ROI coverage curve (the decision table behind "how much of
+    // the corpus do we actually need": distinct 3-gram coverage as a
+    // function of the deterministic md5-order ingestion prefix — the
+    // same order q128's sampler and q88's budgets draw in, so the
+    // curve PRICES those budgets): docs bucket by the first hex nibble
+    // of md5(doc_id) (16 uniform ~6.25% ingestion steps); a shingle's
+    // first occurrence is its MINIMUM (nibble-ordered md5, doc_id)
+    // key — one partial-aggregated min per shingle hash, never a
+    // window (q82/q105's pattern); new-shingle counts per step and the
+    // cumulative curve run over the 16-row aggregate. Exact integers
+    // end to end.
+    "q142_coverage_curve" -> ((s, d) => {
+      val setUdf = udf((text: String) =>
+        graft.functions.ShingleKernel.md5ShingleSet60(text, 3))
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 1), 16, 10) as int)")
+            .as("nib"),
+          setUdf(col("text")).as("hs"))
+        .where(size(col("hs")) > 0)
+        .select(col("doc_id"), col("nib"), explode(col("hs")).as("h"))
+        .localCheckpoint(false) // consumers: doc counts, first-occurrence
+      val docsPer = sh.select("doc_id", "nib").distinct()
+        .groupBy("nib").agg(count(lit(1)).as("n_docs"))
+      val firstNib = sh.groupBy("h").agg(min("nib").as("nib"))
+        .groupBy("nib").agg(count(lit(1)).as("new_shingles"))
+      docsPer.join(firstNib, Seq("nib"), "left")
+        .select(col("nib"), col("n_docs"),
+          coalesce(col("new_shingles"), lit(0L)).as("new_shingles"))
+        .withColumn("cum_docs", sum("n_docs").over(Window.orderBy("nib")))
+        .withColumn("cum_shingles", sum("new_shingles").over(Window.orderBy("nib")))
+        .orderBy("nib")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4704,6 +4770,44 @@ object Oracles {
                      ELSE CAST(CAST(smc * 10000 AS BIGINT) // n_missed AS DOUBLE)
                           / 10000.0 END AS mean_missed_cos
          FROM ag CROSS JOIN ne CROSS JOIN nl ORDER BY n_exact""",
+
+    "q141_hill_tail_index" ->
+      """WITH tf AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM (
+                       SELECT unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                       FROM documents)
+                     GROUP BY token),
+              top AS (SELECT token, f, row_number() OVER (ORDER BY f DESC, token) AS r
+                      FROM (SELECT * FROM tf ORDER BY f DESC, token LIMIT 21) t),
+              fr AS (SELECT f AS fk FROM top WHERE r = 21),
+              tm AS (SELECT CAST(round(ln(f * 1.0 / fk), 6) AS DECIMAL(18,6)) AS term
+                     FROM top CROSS JOIN fr WHERE r <= 20)
+         SELECT CAST(20 AS INT) AS k,
+                CAST(round(sum(term), 6) AS DOUBLE) AS sum_log_ratio,
+                round(CAST(count(*) AS DOUBLE) / CAST(sum(term) AS DOUBLE), 6) AS alpha_hat
+         FROM tm ORDER BY k""",
+
+    // min(nibble) IS the first-occurrence bucket; cumulative over 16 rows
+    "q142_coverage_curve" ->
+      s"""WITH tk AS (SELECT doc_id,
+                             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT AS INT) AS nib,
+                             string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t
+                      FROM documents),
+              sh AS (SELECT doc_id, nib,
+                            unnest(list_distinct(list_transform(range(1, len(t)-1),
+                              i -> ${graft.functions.PortableHash
+                                .duckdbMd5Long("t[i]||' '||t[i+1]||' '||t[i+2]", 15)}))) AS h
+                     FROM tk WHERE len(t) >= 3),
+              dp AS (SELECT nib, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                     FROM sh GROUP BY nib),
+              fn AS (SELECT nib, CAST(count(*) AS BIGINT) AS new_shingles FROM (
+                       SELECT h, min(nib) AS nib FROM sh GROUP BY h) t
+                     GROUP BY nib),
+              rr AS (SELECT dp.nib, n_docs, coalesce(new_shingles, 0) AS new_shingles
+                     FROM dp LEFT JOIN fn ON dp.nib = fn.nib)
+         SELECT nib, n_docs, new_shingles,
+                CAST(sum(n_docs) OVER (ORDER BY nib) AS BIGINT) AS cum_docs,
+                CAST(sum(new_shingles) OVER (ORDER BY nib) AS BIGINT) AS cum_shingles
+         FROM rr ORDER BY nib""",
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
