@@ -1251,6 +1251,99 @@ object Queries {
         .orderBy("nib")
     }),
 
+    // deterministic permutation test (Fisher's exchangeability logic
+    // with md5-derived pseudo-permutations instead of RNG — the
+    // significance screen behind "source X's documents are longer":
+    // is the observed mean-length gap vs the rest bigger than random
+    // relabeling produces?): 20 null relabelings assign each doc by
+    // md5(doc_id, k) % 20 == 0 (approximately source-proportioned —
+    // valid under the exchangeability null, documented as the
+    // approximate-size variant), the test statistic is the
+    // MICRO-QUANTIZED mean difference (q122's quantize-before-compare
+    // discipline: both means are exact integer divisions, so the
+    // >= comparison has no float boundary), and the p-value is the
+    // add-one-smoothed exceedance fraction. One corpus pass for the
+    // observed table, one x20 explode for the nulls; everything after
+    // is 20-row aggregates.
+    "q143_permutation_test" -> ((s, d) => {
+      val y = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TF.bpeTokenCount(col("text")).cast("long").as("n"))
+        .localCheckpoint(false) // consumers: observed stats, null perms
+      val glob = y.agg(sum("n").as("gs"), count(lit(1)).as("gn"))
+      val obs = y.groupBy("source").agg(sum("n").as("sa"), count(lit(1)).as("na"))
+        .crossJoin(broadcast(glob))
+        .withColumn("obs_diff", abs(
+          expr("cast(sa * 1000000 as bigint) div na") -
+            expr("cast((gs - sa) * 1000000 as bigint) div (gn - na)")))
+      val perms = y
+        .select(col("doc_id"), col("n"), explode(expr("sequence(1, 20)")).as("k"))
+        .where(expr(
+          "cast(conv(substr(md5(cast(concat(doc_id, '_', k) as binary)), 1, 15), 16, 10) as bigint) % 20"
+        ) === 0)
+        .groupBy("k").agg(sum("n").as("pa"), count(lit(1)).as("pn"))
+        .crossJoin(broadcast(glob))
+        .select(col("k"), abs(
+          expr("cast(pa * 1000000 as bigint) div pn") -
+            expr("cast((gs - pa) * 1000000 as bigint) div (gn - pn)")).as("perm_diff"))
+      obs.crossJoin(broadcast(perms))
+        .groupBy("source", "na", "obs_diff")
+        .agg(sum(when(col("perm_diff") >= col("obs_diff"), 1L).otherwise(0L))
+          .as("n_ge"))
+        .select(col("source"), col("na").as("n_docs"),
+          (col("obs_diff").cast("double") / lit(1000000.0)).as("obs_diff"),
+          (expr("cast((n_ge + 1) * 1000000 as bigint) div 21").cast("double")
+            / lit(1000000.0)).as("p_value"))
+        .orderBy("source")
+    }),
+
+    // right-to-be-forgotten impact analysis (the provenance question a
+    // lake answers BEFORE executing a deletion batch: what does
+    // removing these documents break?): for the deletion set
+    // doc_id % 101 == 0 — near-dup pairs touching a deleted doc,
+    // clusters containing one, clusters losing their canonical
+    // REPRESENTATIVE (q43's min-member convention — those need
+    // re-election), 5-gram shingles retired outright (only deleted
+    // docs carried them) vs needing first-occurrence re-attribution
+    // (q105/q116's provenance moves to a surviving doc). Pairs and
+    // clusters are the SAME minhashLshPairs/dupClusters definitions
+    // q26/q43 check; shingle attribution is the q116 min-combine, one
+    // partial-aggregated groupBy; the report is one row of exact
+    // counts.
+    "q144_deletion_impact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 64, bands = 16, shingleN = 3, threshold = 0.5,
+          hotBucketCap = Int.MaxValue)
+        .localCheckpoint(false) // consumers: pair metric, clusters
+      val clusters = Dedup.dupClusters(pairs)
+      val setUdf = udf((text: String) =>
+        graft.functions.ShingleKernel.md5ShingleSet60(text, 5))
+      val shAgg = docs
+        .select(col("doc_id"), explode(setUdf(col("text"))).as("h"))
+        .groupBy("h").agg(min("doc_id").as("fd"),
+          max(when(col("doc_id") % 101 =!= 0, 1).otherwise(0)).as("has_surv"))
+      val nDel = docs.where(col("doc_id") % 101 === 0)
+        .agg(count(lit(1)).as("n_deleted"))
+      val pairsHit = pairs
+        .where(col("doc_a") % 101 === 0 || col("doc_b") % 101 === 0)
+        .agg(count(lit(1)).as("n_pairs_hit"))
+      val clustersHit = clusters.groupBy("cluster_id")
+        .agg(max(when(col("doc_id") % 101 === 0, 1).otherwise(0)).as("hit"))
+        .agg(sum("hit").as("n_clusters_hit"))
+      val repsLost = clusters.select("cluster_id").distinct()
+        .where(col("cluster_id") % 101 === 0)
+        .agg(count(lit(1)).as("n_reps_lost"))
+      val shingles = shAgg.agg(
+        sum(when(col("has_surv") === 0, 1L).otherwise(0L))
+          .as("n_shingles_retired"),
+        sum(when(col("fd") % 101 === 0 && col("has_surv") === 1, 1L).otherwise(0L))
+          .as("n_shingles_reattributed"))
+      nDel.crossJoin(broadcast(pairsHit)).crossJoin(broadcast(clustersHit))
+        .crossJoin(broadcast(repsLost)).crossJoin(broadcast(shingles))
+        .orderBy("n_deleted")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4808,6 +4901,75 @@ object Oracles {
                 CAST(sum(n_docs) OVER (ORDER BY nib) AS BIGINT) AS cum_docs,
                 CAST(sum(new_shingles) OVER (ORDER BY nib) AS BIGINT) AS cum_shingles
          FROM rr ORDER BY nib""",
+
+    // micro-quantized means, add-one p; md5 pseudo-permutations
+    "q143_permutation_test" ->
+      s"""WITH y AS (SELECT doc_id, source,
+                            CAST(len(regexp_extract_all(text, '$bpePatternSql')) AS BIGINT) AS n
+                     FROM documents),
+              gl AS (SELECT CAST(sum(n) AS BIGINT) AS gs, CAST(count(*) AS BIGINT) AS gn
+                     FROM y),
+              ob AS (SELECT source, CAST(sum(n) AS BIGINT) AS sa,
+                            CAST(count(*) AS BIGINT) AS na
+                     FROM y GROUP BY source),
+              od AS (SELECT source, na,
+                            abs((sa * 1000000) // na - ((gs - sa) * 1000000) // (gn - na)) AS obs_diff
+                     FROM ob CROSS JOIN gl),
+              pm AS (SELECT k, CAST(sum(n) AS BIGINT) AS pa, CAST(count(*) AS BIGINT) AS pn
+                     FROM (SELECT doc_id, n, unnest(range(1, 21)) AS k FROM y) e
+                     WHERE ${graft.functions.PortableHash
+                       .duckdbMd5Long("e.doc_id::VARCHAR || '_' || e.k::VARCHAR", 15)} % 20 = 0
+                     GROUP BY k),
+              pd AS (SELECT k,
+                            abs((pa * 1000000) // pn - ((gs - pa) * 1000000) // (gn - pn)) AS perm_diff
+                     FROM pm CROSS JOIN gl)
+         SELECT source, na AS n_docs,
+                CAST(obs_diff AS DOUBLE) / 1000000.0 AS obs_diff,
+                CAST(((sum(CASE WHEN perm_diff >= obs_diff THEN 1 ELSE 0 END) + 1)
+                      * 1000000) // 21 AS DOUBLE) / 1000000.0 AS p_value
+         FROM od CROSS JOIN pd
+         GROUP BY source, na, obs_diff ORDER BY source""",
+
+    // q26/q43's pair + recursive-component CTEs; q116's min-combine
+    "q144_deletion_impact" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+              p AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+              edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                        UNION SELECT doc_b, doc_a FROM p),
+              reach(src, dst) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+              cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                     FROM reach GROUP BY src),
+              shd AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-3),
+                             i -> ${graft.functions.PortableHash.duckdbMd5Long(
+                               "t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]", 15)}))) AS h
+                      FROM tk WHERE len(t) >= 5),
+              sa AS (SELECT h, min(doc_id) AS fd,
+                            max(CASE WHEN doc_id % 101 != 0 THEN 1 ELSE 0 END) AS has_surv
+                     FROM shd GROUP BY h),
+              nd AS (SELECT CAST(count(*) AS BIGINT) AS n_deleted FROM documents
+                     WHERE doc_id % 101 = 0),
+              ph AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs_hit FROM p
+                     WHERE doc_a % 101 = 0 OR doc_b % 101 = 0),
+              chh AS (SELECT CAST(sum(hit) AS BIGINT) AS n_clusters_hit FROM (
+                       SELECT cluster_id,
+                              max(CASE WHEN doc_id % 101 = 0 THEN 1 ELSE 0 END) AS hit
+                       FROM cl GROUP BY cluster_id) t),
+              rl AS (SELECT CAST(count(*) AS BIGINT) AS n_reps_lost FROM (
+                       SELECT DISTINCT cluster_id FROM cl) t
+                     WHERE cluster_id % 101 = 0),
+              sg AS (SELECT CAST(sum(CASE WHEN has_surv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                              AS n_shingles_retired,
+                            CAST(sum(CASE WHEN fd % 101 = 0 AND has_surv = 1
+                                          THEN 1 ELSE 0 END) AS BIGINT)
+                              AS n_shingles_reattributed
+                     FROM sa)
+         SELECT n_deleted, n_pairs_hit, n_clusters_hit, n_reps_lost,
+                n_shingles_retired, n_shingles_reattributed
+         FROM nd CROSS JOIN ph CROSS JOIN chh CROSS JOIN rl CROSS JOIN sg
+         ORDER BY n_deleted""",
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
