@@ -1344,6 +1344,84 @@ object Queries {
         .orderBy("n_deleted")
     }),
 
+    // k-fold cross-validated centroid classification (the evaluation
+    // harness q65's resubstitution accuracy is NOT — held-out folds
+    // are what a label-quality report should quote): 5 md5-derived
+    // folds (deterministic, no RNG); per fold, label centroids train
+    // on the OTHER four (integer sums through the floor(v*1024)
+    // bridge), the held-out vectors score by the q65 mean-centroid dot
+    // (one double division of identical exact integers per
+    // (vec, label)), argmax by (score desc, label) — the proven q65
+    // comparison pattern. All five folds ride ONE plan: the fold id is
+    // a column, train sums per (fold, label, pos) come from the
+    // complement trick total - own_fold (two aggregate-sized tables,
+    // no 5x recompute), everything after the posexplode partial
+    // aggregates is folds x labels x dims sized.
+    "q145_crossval_centroid" -> ((s, d) => {
+      val ev = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("cast(conv(substr(md5(cast(cast(vec_id as string) as binary)), 1, 15), 16, 10) as bigint) % 5")
+            .cast("int").as("fold"),
+          posexplode(Similarity.quantized(col("embedding"))).as(Seq("pos", "vq")))
+        .localCheckpoint(false) // consumers: per-fold sums, scoring
+      // grouped by pos, each vector contributes exactly one row, so the
+      // count IS the fold+label vector count
+      val perFold = ev.groupBy("fold", "label", "pos")
+        .agg(sum("vq").as("sf"), count(lit(1)).as("nf"))
+      val total = perFold.groupBy("label", "pos")
+        .agg(sum("sf").as("st"), sum("nf").as("nt"))
+      // train centroids for fold f = totals minus fold f's own mass
+      val train = perFold.join(total, Seq("label", "pos"))
+        .select(col("fold"), col("label").as("c_label"), col("pos"),
+          (col("st") - col("sf")).as("sq"), (col("nt") - col("nf")).as("n_c"))
+      val scored = ev.join(train, Seq("fold", "pos"))
+        .groupBy("vec_id", "fold", "label", "c_label", "n_c")
+        .agg(sum(col("vq") * col("sq")).as("dot"))
+        .withColumn("score", col("dot").cast("double") / col("n_c").cast("double"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("score").desc, col("c_label"))))
+        .where(col("rnk") === 1)
+      scored.groupBy("fold")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("label") === col("c_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy",
+          expr("cast(n_correct * 1000000 as bigint) div n_test").cast("double")
+            / lit(1000000.0))
+        .orderBy("fold")
+    }),
+
+    // dedup-adjusted effective corpus size (the number a mixture
+    // planner should budget against — raw token counts double-count
+    // near-dup clusters; dividing each doc's mass by its q43 cluster
+    // size makes every cluster contribute ~one document's worth): per
+    // source, raw tokens vs effective tokens = sum(n * 1e6 div
+    // cluster_size) micro-scaled (exact truncating division per doc —
+    // order-free integer sums), singleton docs weigh 1. Clusters are
+    // the SAME dupClusters definition q43 checks; one corpus pass
+    // plus an aggregate-sized cluster-size join.
+    "q146_effective_size" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val clusters = Dedup.dupClusters(
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 64, bands = 16, shingleN = 3, threshold = 0.5,
+          hotBucketCap = Int.MaxValue))
+        .localCheckpoint(false) // consumers: sizes, membership join
+      val csize = clusters.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+      val withSz = docs
+        .select(col("doc_id"), col("source"),
+          TF.bpeTokenCount(col("text")).cast("long").as("n"))
+        .join(clusters.join(csize, "cluster_id").select("doc_id", "csz"),
+          Seq("doc_id"), "left")
+        .withColumn("csz", coalesce(col("csz"), lit(1L)))
+      withSz.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("raw_tokens"),
+          sum(expr("cast(n * 1000000 as bigint) div csz")).as("eff_scaled"))
+        .select(col("source"), col("n_docs"), col("raw_tokens"),
+          (col("eff_scaled").cast("double") / lit(1000000.0)).as("effective_tokens"))
+        .orderBy("source")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4970,6 +5048,67 @@ object Oracles {
                 n_shingles_retired, n_shingles_reattributed
          FROM nd CROSS JOIN ph CROSS JOIN chh CROSS JOIN rl CROSS JOIN sg
          ORDER BY n_deleted""",
+
+    // complement-trick per-fold centroids; q65's exact-dot argmax
+    "q145_crossval_centroid" ->
+      s"""WITH u AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+                            unnest(embedding) AS v
+                     FROM embeddings),
+              ev AS (SELECT vec_id, label,
+                            CAST(${graft.functions.PortableHash
+                              .duckdbMd5Long("vec_id::VARCHAR", 15)} % 5 AS INT) AS fold,
+                            pos, CAST(floor(CAST(v AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+                     FROM u),
+              pf AS (SELECT fold, label, pos, CAST(sum(vq) AS BIGINT) AS sf,
+                            CAST(count(*) AS BIGINT) AS nf
+                     FROM ev GROUP BY fold, label, pos),
+              tt AS (SELECT label, pos, CAST(sum(sf) AS BIGINT) AS st,
+                            CAST(sum(nf) AS BIGINT) AS nt
+                     FROM pf GROUP BY label, pos),
+              tr AS (SELECT fold, pf.label AS c_label, pf.pos, st - sf AS sq,
+                            nt - nf AS n_c
+                     FROM pf JOIN tt ON pf.label = tt.label AND pf.pos = tt.pos),
+              dt AS (SELECT vec_id, ev.fold, ev.label, c_label, n_c,
+                            CAST(sum(vq * sq) AS BIGINT) AS dot
+                     FROM ev JOIN tr ON ev.fold = tr.fold AND ev.pos = tr.pos
+                     GROUP BY vec_id, ev.fold, ev.label, c_label, n_c),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY CAST(dot AS DOUBLE) / n_c DESC, c_label) AS rnk
+                     FROM dt),
+              w AS (SELECT fold, label, c_label FROM rk WHERE rnk = 1)
+         SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+                CAST(sum(CASE WHEN label = c_label THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_correct,
+                CAST((CAST(sum(CASE WHEN label = c_label THEN 1 ELSE 0 END) AS BIGINT)
+                      * 1000000) // count(*) AS DOUBLE) / 1000000.0 AS accuracy
+         FROM w GROUP BY fold ORDER BY fold""",
+
+    // q43's cluster CTEs; per-doc truncating division, order-free sums
+    "q146_effective_size" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+              p AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+              edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                        UNION SELECT doc_b, doc_a FROM p),
+              reach(src, dst) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+              cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                     FROM reach GROUP BY src),
+              cz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csz FROM cl
+                     GROUP BY cluster_id),
+              dn AS (SELECT doc_id, source,
+                            CAST(len(regexp_extract_all(text, '$bpePatternSql')) AS BIGINT) AS n
+                     FROM documents),
+              wz AS (SELECT dn.source, n, coalesce(csz, 1) AS csz
+                     FROM dn LEFT JOIN (SELECT cl.doc_id, csz FROM cl
+                                        JOIN cz USING (cluster_id)) m
+                       ON dn.doc_id = m.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS raw_tokens,
+                CAST(CAST(sum((n * 1000000) // csz) AS BIGINT) AS DOUBLE)
+                  / 1000000.0 AS effective_tokens
+         FROM wz GROUP BY source ORDER BY source""",
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
