@@ -1422,6 +1422,51 @@ object Queries {
         .orderBy("source")
     }),
 
+    // language-ID confusion audit (label-quality for the METADATA —
+    // q23 emits per-doc predictions, this is the aggregate matrix that
+    // says where the lang column and the heuristic disagree, per-truth
+    // row-normalized): (lang, pred) counts from the SAME TF.langId
+    // definition q23 oracles, row fractions micro-scaled via a
+    // groupBy-join-back (never a window over the label); the matrix is
+    // langs^2-sized.
+    "q147_langid_confusion" -> ((s, d) => {
+      val pl = t(s, d, "documents")
+        .select(col("lang"), TF.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // consumers: totals, rows
+      pl.join(pl.groupBy("lang").agg(sum("n").as("tot")), "lang")
+        .select(col("lang"), col("pred"), col("n"),
+          (expr("cast(n * 1000000 as bigint) div tot").cast("double")
+            / lit(1000000.0)).as("frac"))
+        .orderBy("lang", "pred")
+    }),
+
+    // frozen-vocabulary OOV coverage (the report read before shipping
+    // a fixed tokenizer vocabulary: what fraction of each source falls
+    // out of it): vocab = top-16 corpus words (one
+    // TakeOrderedAndProject, broadcast back as the membership side of
+    // a left join); per-source token totals and OOV counts exact,
+    // fraction micro-scaled. The cap is 16 BECAUSE the fixture's
+    // template vocabulary is 31 words (probed) — a 1000-word cap would
+    // leave the OOV branch vacuously untested (the q121 lesson); in
+    // production the cap is the tokenizer's real vocab size.
+    "q148_vocab_coverage" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("w"))
+        .localCheckpoint(false) // consumers: vocab, coverage
+      val vocab = words.groupBy("w").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("w")).limit(16)
+        .select(col("w"), lit(1).as("iv"))
+      words.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_frac",
+          expr("cast(n_oov * 1000000 as bigint) div n_tokens").cast("double")
+            / lit(1000000.0))
+        .orderBy("source")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -5109,6 +5154,54 @@ object Oracles {
                 CAST(CAST(sum((n * 1000000) // csz) AS BIGINT) AS DOUBLE)
                   / 1000000.0 AS effective_tokens
          FROM wz GROUP BY source ORDER BY source""",
+
+    // q23's langid CTE aggregated into the confusion matrix
+    "q147_langid_confusion" ->
+      """WITH h AS (SELECT lang,
+                (len(string_split(' '||text||' ', ' the '))-1) +
+                (len(string_split(' '||text||' ', ' a '))-1) +
+                (len(string_split(' '||text||' ', ' of '))-1) AS en,
+                (len(string_split(' '||text||' ', ' der '))-1) +
+                (len(string_split(' '||text||' ', ' und '))-1) +
+                (len(string_split(' '||text||' ', ' die '))-1) AS de,
+                (len(string_split(' '||text||' ', ' el '))-1) +
+                (len(string_split(' '||text||' ', ' la '))-1) +
+                (len(string_split(' '||text||' ', ' los '))-1) AS es,
+                (len(string_split(' '||text||' ', ' le '))-1) +
+                (len(string_split(' '||text||' ', ' les '))-1) +
+                (len(string_split(' '||text||' ', ' des '))-1) AS fr
+           FROM documents),
+              pr AS (SELECT lang,
+                CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+                     WHEN en >= greatest(de, es, fr) THEN 'en'
+                     WHEN de >= greatest(es, fr) THEN 'de'
+                     WHEN es >= fr THEN 'es'
+                     ELSE 'fr' END AS pred
+           FROM h),
+              cm AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n FROM pr
+                     GROUP BY lang, pred),
+              tt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM cm
+                     GROUP BY lang)
+         SELECT cm.lang, pred, n,
+                CAST((n * 1000000) // tot AS DOUBLE) / 1000000.0 AS frac
+         FROM cm JOIN tt ON cm.lang = tt.lang
+         ORDER BY cm.lang, pred""",
+
+    "q148_vocab_coverage" ->
+      """WITH ws AS (SELECT source,
+                            unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS w
+                     FROM documents),
+              v AS (SELECT w FROM (
+                      SELECT w, count(*) AS f FROM ws GROUP BY w
+                      ORDER BY f DESC, w LIMIT 16) t),
+              j AS (SELECT source,
+                           CASE WHEN ws.w IN (SELECT w FROM v) THEN 0 ELSE 1 END AS oov
+                    FROM ws)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(oov) AS BIGINT) AS n_oov,
+                CAST((CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS DOUBLE)
+                  / 1000000.0 AS oov_frac
+         FROM j GROUP BY source ORDER BY source""",
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
