@@ -269,6 +269,8 @@ object Queries {
     // divisions; chunk identity is md5-60 (collisions ~n^2/2^61,
     // identical in the shared-hash oracle).
     "q115_cdc_chunk_dedup" -> ((s, d) => {
+      // oracle pins mod = 16 = StreamingOps.cdcModulusFor() at its
+      // defaults (the sized value for typical web-document shape)
       val w = 3; val mod = 16
       val chUdf = udf((text: String) =>
         graft.functions.ShingleKernel.cdcChunkHashes(text, w, mod))
@@ -1177,8 +1179,12 @@ object Queries {
         .crossJoin(broadcast(ex.agg(count(lit(1)).as("n_exact"))))
         .crossJoin(broadcast(ls.agg(count(lit(1)).as("n_lsh"))))
         .select(col("n_exact"), col("n_lsh"), col("n_missed"),
-          (expr("cast((n_exact - n_missed) * 1000000 as bigint) div n_exact")
-            .cast("double") / lit(1000000.0)).as("recall"),
+          // n_exact = 0 guard: Spark's `div 0` yields NULL while DuckDB's
+          // `// 0` errors — an embeddings fixture with no exact pairs above
+          // the threshold must agree at recall = 0.0 in both engines.
+          when(col("n_exact") === 0, lit(0.0)).otherwise(
+            expr("cast((n_exact - n_missed) * 1000000 as bigint) div n_exact")
+              .cast("double") / lit(1000000.0)).as("recall"),
           when(col("n_missed") === 0, lit(0.0)).otherwise(
             expr("cast(smc * 10000 as bigint) div n_missed").cast("double")
               / lit(10000.0)).as("mean_missed_cos"))
@@ -1371,9 +1377,14 @@ object Queries {
       val total = perFold.groupBy("label", "pos")
         .agg(sum("sf").as("st"), sum("nf").as("nt"))
       // train centroids for fold f = totals minus fold f's own mass
+      // n_c = 0 guard: if every vector of a label lands in one fold, its
+      // complement count is 0 and score = dot/0 — Spark NaN-sorts-highest
+      // vs DuckDB division semantics diverge. Such (fold, label) centroids
+      // are untrained; drop them in BOTH engines.
       val train = perFold.join(total, Seq("label", "pos"))
         .select(col("fold"), col("label").as("c_label"), col("pos"),
           (col("st") - col("sf")).as("sq"), (col("nt") - col("nf")).as("n_c"))
+        .where(col("n_c") > 0)
       val scored = ev.join(train, Seq("fold", "pos"))
         .groupBy("vec_id", "fold", "label", "c_label", "n_c")
         .agg(sum(col("vq") * col("sq")).as("dot"))
@@ -2450,41 +2461,20 @@ object Queries {
     // linear in the corpus — while stop-shingles (the Zipfian head that
     // carries no discriminative weight anyway) leave the vector space
     // entirely (dot AND norm — cosine is exact in the pruned space, not
-    // an approximation of the unpruned one). In production the cap is a
-    // corpus fraction (the sizing-rule pattern); absolute here for
-    // oracle determinism. Parity: weights are micro-scaled integers
-    // (round(idf * 1e6), the q98 pattern), so dots and norms are exact
-    // integer sums in any summation order; the only float ops are one
-    // ln per (shingle, doc) of identical int ratios and one
-    // sqrt-divide-round per pair. df counts ride a partial-aggregated
-    // groupBy (never a window over the Zipfian shingle key).
-    "q108_sparse_cosine_pairs" -> ((s, d) => {
-      val dfCap = 20L
-      val docs = t(s, d, "documents")
-      val sh = docs.select(col("doc_id"), explode(shingleSet3Udf(col("text"))).as("sh"))
-        .localCheckpoint(false) // two consumers: df counts, postings
-      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      val ndocs = docs.agg(count(lit(1)).as("n_docs"))
-      val postings = sh.join(dfreq.where(col("df") <= dfCap), Seq("sh"))
-        .crossJoin(broadcast(ndocs))
-        .withColumn("wq", expr(
-          "cast(round((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000, 0) as bigint)"))
-        .select(col("sh"), col("doc_id"), col("wq"))
-        .localCheckpoint(false) // two consumers: norms, pair join
-      val norms = postings.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("nrm"))
-      val pairs = postings.as("a").join(postings.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
-      pairs
-        .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
-        .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round(col("dot").cast("double") /
-            sqrt(col("na").cast("double") * col("nb").cast("double")), 6).as("cosine"))
-        .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
-        .limit(20)
-    }),
+    // an approximation of the unpruned one). The operator's production
+    // default is Similarity.DfCapAuto → dfCapFor(n_docs) (corpus-
+    // fraction sizing, r9 verdict #1); the oracle pins the explicit cap
+    // (= dfCapFor's floor at fixture scale) for determinism. Parity:
+    // weights are micro-scaled integers (round(idf * 1e6), the q98
+    // pattern), so dots and norms are exact integer sums in any
+    // summation order; the only float ops are one ln per (shingle, doc)
+    // of identical int ratios and one sqrt-divide-round per pair. df
+    // counts ride a partial-aggregated groupBy (never a window over the
+    // Zipfian shingle key).
+    "q108_sparse_cosine_pairs" -> ((s, d) =>
+      Similarity.sparseCosinePairs(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, dfCap = 20L /* oracle: pinned; default is sized */,
+        topK = 20)),
 
     // cross-source near-dup contamination matrix — the provenance
     // report q89's shingle-overlap numbers graduate into once VERIFIED
@@ -2629,43 +2619,16 @@ object Queries {
     // augmentation pattern: the operator is proven on real asymmetric
     // dups, not vacuously green.
     "q113_containment_pairs" -> ((s, d) => {
-      val dfCap = 20L
       val docs = t(s, d, "documents")
       val base = docs.select(col("doc_id"), col("text"))
         .unionByName(docs.where(col("doc_id") % 37 === 0)
           .withColumn("tk", TF.tokens(col("text")))
           .select((col("doc_id") + 1000000L).as("doc_id"),
             expr("concat_ws(' ', slice(tk, 1, size(tk) div 2))").as("text")))
-      val hsetUdf = udf((text: String) =>
-        graft.functions.ShingleKernel.md5ShingleSet(text, 3))
-      val sets = base.select(col("doc_id").as("doc"), hsetUdf(col("text")).as("hset"))
-        .where(size(col("hset")) > 0)
-        // materialize the hashing behind an exchange (the q27 lesson)
-        .repartition(s.sparkContext.defaultParallelism, col("doc"))
-        .localCheckpoint(false) // consumers: postings, two verify fetches
-      val po = sets.select(col("doc"), explode(col("hset")).as("h"))
-      val rare = po.groupBy("h").agg(count(lit(1)).as("df"))
-        .where(col("df") <= dfCap).select("h")
-      val rarePo = po.join(rare, Seq("h"))
-      val candidates = rarePo.select(col("h"), col("doc").as("doc_a"))
-        .join(rarePo.select(col("h"), col("doc").as("doc_b")), Seq("h"))
-        .where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
-      val inter = graft.plans.LongSetOps
-        .longIntersectSize(s, "set_a", "set_b").cast("double")
-      candidates
-        .join(sets.select(col("doc").as("doc_a"), col("hset").as("set_a")), "doc_a")
-        .join(sets.select(col("doc").as("doc_b"), col("hset").as("set_b")), "doc_b")
-        .withColumn("li", inter)
-        .withColumn("containment",
-          round(col("li") / least(size(col("set_a")), size(col("set_b"))), 6))
-        .withColumn("jaccard",
-          round(col("li") / (size(col("set_a")) + size(col("set_b")) - col("li")), 6))
-        .where(col("containment") >= 0.8 && col("jaccard") < 0.5)
-        .select(col("doc_a"), col("doc_b"),
-          size(col("set_a")).cast("long").as("n_a"),
-          size(col("set_b")).cast("long").as("n_b"),
-          col("containment"), col("jaccard"))
+      // oracle pins the explicit cap; production default DfCapAuto →
+      // dfCapFor(n_docs) (r9 verdict #1)
+      Similarity.containmentPairs(base, "doc_id", "text",
+          shingleN = 3, dfCap = 20L, minContainment = 0.8, maxJaccard = 0.5)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -4980,8 +4943,9 @@ object Oracles {
               ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exct),
               nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lsh)
          SELECT n_exact, n_lsh, n_missed,
-                CAST(((n_exact - n_missed) * 1000000) // n_exact AS DOUBLE)
-                  / 1000000.0 AS recall,
+                CASE WHEN n_exact = 0 THEN 0.0
+                     ELSE CAST(((n_exact - n_missed) * 1000000) // n_exact AS DOUBLE)
+                          / 1000000.0 END AS recall,
                 CASE WHEN n_missed = 0 THEN 0.0
                      ELSE CAST(CAST(smc * 10000 AS BIGINT) // n_missed AS DOUBLE)
                           / 10000.0 END AS mean_missed_cos
@@ -5112,7 +5076,8 @@ object Oracles {
                      FROM pf GROUP BY label, pos),
               tr AS (SELECT fold, pf.label AS c_label, pf.pos, st - sf AS sq,
                             nt - nf AS n_c
-                     FROM pf JOIN tt ON pf.label = tt.label AND pf.pos = tt.pos),
+                     FROM pf JOIN tt ON pf.label = tt.label AND pf.pos = tt.pos
+                     WHERE nt - nf > 0),
               dt AS (SELECT vec_id, ev.fold, ev.label, c_label, n_c,
                             CAST(sum(vq * sq) AS BIGINT) AS dot
                      FROM ev JOIN tr ON ev.fold = tr.fold AND ev.pos = tr.pos

