@@ -2399,10 +2399,17 @@ object Queries {
             "size(filter(transform(sequence(1, size(cov)), i -> " +
               "CASE WHEN i = 1 OR element_at(cov, i) - element_at(cov, i - 1) > 1 THEN 1 END), " +
               "x -> x IS NOT NULL))").cast("long")).as("n_spans"),
-          expr(
-            "concat_ws(' ', filter(transform(sequence(1, size(t)), i -> " +
-              "CASE WHEN cov IS NULL OR NOT array_contains(cov, cast(i AS bigint)) " +
-              "THEN element_at(t, i) END), x -> x IS NOT NULL))").as("trimmed_text"))
+          // O(L) reconstruction (r9 verdict #2): array_except builds a
+          // hash set of cov once and scans the position sequence — the
+          // prior per-position array_contains form was O(L * |cov|),
+          // ~10^10 comparisons for a heavily-covered 100k-token doc
+          // (SpanRemovalSpec locks equivalence + linear scaling).
+          // array_except preserves first-array order and sequence has no
+          // duplicates, so kept positions stay ascending.
+          when(col("cov").isNull, concat_ws(" ", col("t"))).otherwise(expr(
+            "concat_ws(' ', transform(" +
+              "array_except(sequence(cast(1 as bigint), cast(size(t) as bigint)), cov), " +
+              "i -> element_at(t, cast(i as int))))")).as("trimmed_text"))
         .orderBy("doc_id")
     }),
 
