@@ -1478,6 +1478,29 @@ object Queries {
         .orderBy("source")
     }),
 
+    // unigram-LM (SentencePiece-style) tokenizer training — the second
+    // mainstream public tokenizer next to BPE (q87), completing the
+    // family (r9 verdict #3). Hard-EM over the distinct-word frequency
+    // table: Viterbi E-step on MICRO-SCALED INTEGER costs (the whole DP
+    // is integer-exact cross-engine; the only float op per round is one
+    // ln of identical integers per piece under the round-1e6
+    // discipline), count M-step with add-one smoothing, geometric
+    // inventory shrink between rounds (singles always kept for
+    // coverage). Oracle: the full 2-round loop unrolled as MATERIALIZED
+    // chained CTEs — 16 DP steps + 16 backtrace steps per round, the
+    // q78/q87/q138 pattern — with the arg-min tie broken by the same
+    // composite (total*8 + piece_len) key as the JVM kernel. Output =
+    // (piece, final Viterbi count, the cost that produced it): applying
+    // the returned costs reproduces cnt exactly (UnigramTrainerSpec).
+    // Oracle pins multiVocab=60; the production default is VocabAuto →
+    // unigramVocabFor(|vocab|) (the CapAuto sizing pattern).
+    "q149_unigram_train" -> ((s, d) =>
+      UnigramTrainer.train(t(s, d, "documents"), "text",
+          maxPieceLen = 4, maxWordLen = 16,
+          multiVocab = 60 /* oracle: pinned; default is sized */,
+          rounds = 2, shrink = 0.75)
+        .orderBy("piece")),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4349,7 +4372,92 @@ object Oracles {
          FROM main m LEFT JOIN inst i ON m.user_id = i.user_id
          ORDER BY m.user_id"""
 
+  /** q149's full 2-round unigram-LM hard-EM loop unrolled as MATERIALIZED
+    * chained CTEs (the q78/q87/q138 pattern): per round, 16 DP steps
+    * (integer-cost Viterbi best[] over word positions, carried as a
+    * growing acc table) then 16 backtrace steps whose arg_min key
+    * (total*8 + piece_len) mirrors UnigramTrainer.viterbiPieces'
+    * tie-break exactly — the key is collision-free because piece_len <=
+    * 4 < 8 and unique per candidate. All DP arithmetic is BIGINT; the
+    * only float op is the per-piece smoothed-cost ln of identical exact
+    * integers, rounded to 1e6 (the q108 discipline). */
+  private def unigramTrainSql: String = {
+    val MAXW = 16; val MAXP = 4; val M1 = 60
+    val M2 = math.ceil(M1 * 0.75).toInt
+    def costCte(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (
+            SELECT piece, CAST(round(-ln((c + 1.0) / (tot + nv)) * 1000000) AS BIGINT) AS cost
+            FROM $src CROSS JOIN (SELECT CAST(sum(c) AS BIGINT) AS tot,
+                                         CAST(count(*) AS BIGINT) AS nv FROM $src) st)"""
+    def roundCtes(r: Int, vtab: String): String = {
+      val sb = new StringBuilder
+      sb ++= s"a${r}_0 AS MATERIALIZED (SELECT word, wc, len, 0 AS pos, CAST(0 AS BIGINT) AS best FROM w),\n"
+      for (i <- 1 to MAXW)
+        sb ++= s"""a${r}_$i AS MATERIALIZED (
+              SELECT word, wc, len, pos, best FROM a${r}_${i - 1}
+              UNION ALL
+              SELECT word, wc, len, $i AS pos, best FROM (
+                SELECT s.word, s.wc, s.len, MIN(s.best + v.cost) AS best
+                FROM a${r}_${i - 1} s JOIN $vtab v
+                  ON v.piece = substr(s.word, s.pos + 1, $i - s.pos)
+                WHERE s.pos >= $i - $MAXP AND s.pos < $i AND s.len >= $i
+                GROUP BY s.word, s.wc, s.len) g),\n"""
+      sb ++= s"bt${r}_0 AS MATERIALIZED (SELECT word, wc, len AS pos FROM w),\n"
+      for (k <- 1 to MAXW)
+        sb ++= s"""bt${r}_$k AS MATERIALIZED (
+              SELECT word, wc, pos - length(piece) AS pos, piece FROM (
+                SELECT b.word, b.wc, b.pos,
+                       arg_min(v.piece, (t.best + v.cost) * 8 + (b.pos - t.pos)) AS piece
+                FROM bt${r}_${k - 1} b
+                JOIN a${r}_$MAXW t ON t.word = b.word
+                                  AND t.pos >= b.pos - $MAXP AND t.pos < b.pos
+                JOIN $vtab v ON v.piece = substr(b.word, t.pos + 1, b.pos - t.pos)
+                WHERE b.pos > 0
+                GROUP BY b.word, b.wc, b.pos) g),\n"""
+      sb ++= s"p$r AS MATERIALIZED (" +
+        (1 to MAXW).map(k => s"SELECT wc, piece FROM bt${r}_$k").mkString(" UNION ALL ") +
+        "),\n"
+      sb ++= s"c$r AS MATERIALIZED (SELECT piece, CAST(sum(wc) AS BIGINT) AS c FROM p$r GROUP BY piece),\n"
+      sb.toString
+    }
+    s"""WITH w AS MATERIALIZED (
+          SELECT word, CAST(count(*) AS BIGINT) AS wc, CAST(length(word) AS INT) AS len
+          FROM (SELECT unnest(string_split_regex(text, $wsSql)) AS word FROM documents) t
+          WHERE length(word) BETWEEN 1 AND $MAXW GROUP BY word),
+        cand AS MATERIALIZED (
+          SELECT piece, CAST(sum(wc) AS BIGINT) AS c FROM (
+            SELECT w.wc, substr(w.word, CAST(r1.i AS INT), CAST(r2.j AS INT)) AS piece
+            FROM w CROSS JOIN range(1, ${MAXW + 1}) r1(i) CROSS JOIN range(1, ${MAXP + 1}) r2(j)
+            WHERE CAST(r1.i AS INT) + CAST(r2.j AS INT) - 1 <= w.len) t
+          GROUP BY piece),
+        seed AS MATERIALIZED (
+          SELECT piece, c FROM cand WHERE length(piece) = 1
+          UNION ALL
+          SELECT piece, c FROM (
+            SELECT piece, c FROM cand WHERE length(piece) > 1
+            ORDER BY c DESC, piece LIMIT $M1) t),
+        ${costCte("v1", "seed")},
+        ${roundCtes(1, "v1")}
+        vc2 AS MATERIALIZED (
+          SELECT s.piece, COALESCE(c1.c, CAST(0 AS BIGINT)) AS c
+          FROM (SELECT piece FROM seed WHERE length(piece) = 1) s
+          LEFT JOIN c1 ON s.piece = c1.piece
+          UNION ALL
+          SELECT piece, c FROM (
+            SELECT piece, c FROM c1 WHERE length(piece) > 1
+            ORDER BY c DESC, piece LIMIT $M2) t),
+        ${costCte("v2", "vc2")},
+        ${roundCtes(2, "v2")}
+        fin AS (SELECT 1 AS one)
+        SELECT c2.piece, c2.c AS cnt, v2.cost
+        FROM c2 JOIN v2 ON c2.piece = v2.piece
+        ORDER BY c2.piece"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // the full hard-EM unigram trainer loop, unrolled (see unigramTrainSql)
+    "q149_unigram_train" -> unigramTrainSql,
+
     // sliding-window min over the positional hash list reproduces the
     // deque kernel exactly (ties select by value — set semantics)
     "q114_winnow_fingerprint" ->
