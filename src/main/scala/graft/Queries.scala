@@ -1501,6 +1501,33 @@ object Queries {
           rounds = 2, shrink = 0.75)
         .orderBy("piece")),
 
+    // perceptual-hash near-dup REPORT over the multimodal column — the
+    // dedup member the media family lacked (r9 verdict #4): per-payload
+    // 60-bit dHash (gradient of the decoded 1-D luminance strip, 61-
+    // sample nearest resize) banded through the SAME 4x15-bit pigeonhole
+    // machinery as text SimHash (Dedup.hammingBandPairs, factored out of
+    // simhashPairs), verified by codegen bit_count. Byte-fake decode
+    // mode (decodeFrames 64 — the q32/q42 SQL-reproducible oracle path;
+    // real codecs are spec-golden in MultimodalPHashSpec). The fixture's
+    // template corpus collapses to ~334 hash groups with buckets up to
+    // ~520 docs (probed at sf0.1) — ~410k same-hash pairs — so the
+    // QUERY output is the aggregate (hamming, n_pairs) histogram, not
+    // the raw pair list; the operator surface returns pairs and the
+    // oracle reproduces hash+banding+popcount exactly. Hash comparisons
+    // are means of exact integer sums (one double division each) — the
+    // shared-operand rule, no float discipline needed past it. Oracle
+    // pins hotBucketCap=MaxValue (exact all-pairs banding); production
+    // default is CapAuto (the r8/r9 star-edge sizing rule, inherited).
+    "q150_perceptual_neardup" -> ((s, d) => {
+      val packed = Multimodal.packBinary(
+        t(s, d, "documents").where(length(col("text")) > 0), "doc_id", "text")
+      Multimodal.imageNearDupPairs(packed, "doc_id",
+          maxHamming = 3, hotBucketCap = Int.MaxValue /* oracle: exact */,
+          decode = Multimodal.decodeFrames(_, 64))
+        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("hamming")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4457,6 +4484,37 @@ object Oracles {
   val oracleSql: Map[String, String] = Map(
     // the full hard-EM unigram trainer loop, unrolled (see unigramTrainSql)
     "q149_unigram_train" -> unigramTrainSql,
+
+    // q42's byte-fake frame CTE -> 61-sample nearest resize -> dHash bits
+    // -> the q28 pigeonhole banding -> popcount histogram
+    "q150_perceptual_neardup" ->
+      """WITH f AS (SELECT doc_id,
+                  list_transform(range(0, CAST(ceil(length(text)/64.0) AS INT)), i ->
+                    list_sum(list_transform(range(CAST(64*i+1 AS INT),
+                                                  CAST(least(64*(i+1), length(text))+1 AS INT)),
+                                            j -> ord(substr(text, CAST(j AS INT), 1))))
+                    * 1.0 / (least(64*(i+1), length(text)) - 64*i)) AS frames
+           FROM documents WHERE length(text) > 0),
+              r AS (SELECT doc_id,
+                           list_transform(range(0, 61),
+                             k -> frames[1 + CAST((k*len(frames))//61 AS INT)]) AS rs
+                    FROM f),
+              h AS (SELECT doc_id,
+                           CAST(list_sum(list_transform(range(0, 60), k ->
+                             CASE WHEN rs[k+2] > rs[k+1]
+                                  THEN CAST(2 AS BIGINT)**k ELSE 0 END)) AS BIGINT) AS ph
+                    FROM r),
+              ck AS (SELECT doc_id, ph, chunk, (ph >> CAST(chunk*15 AS INT)) & 32767 AS chunk_val
+                     FROM (SELECT doc_id, ph, unnest(range(0, 4)) AS chunk FROM h) t),
+              cand AS (SELECT DISTINCT l.doc_id AS doc_a, rr.doc_id AS doc_b,
+                              l.ph AS pa, rr.ph AS pb
+                       FROM ck l JOIN ck rr
+                         ON l.chunk = rr.chunk AND l.chunk_val = rr.chunk_val
+                        AND l.doc_id < rr.doc_id),
+              ham AS (SELECT bit_count(xor(pa, pb)) AS hamming FROM cand
+                      WHERE bit_count(xor(pa, pb)) <= 3)
+         SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM ham GROUP BY hamming ORDER BY hamming""",
 
     // sliding-window min over the positional hash list reproduces the
     // deque kernel exactly (ties select by value — set semantics)

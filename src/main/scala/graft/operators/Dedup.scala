@@ -344,11 +344,27 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, hotBucketCap: Int = CapAuto): DataFrame = {
-    val spark = docs.sparkSession
     val simUdf = udf((ts: Seq[String]) => simhash60(ts))
     val sig = docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .withColumn("sim", simUdf(col("toks")))
       .drop("toks")
+    hammingBandPairs(sig, maxHamming, hotBucketCap)
+  }
+
+  /**
+   * Generic 60-bit Hamming-banded near-dup pairs over a precomputed
+   * (doc, sim) signature table — the pigeonhole machinery behind
+   * [[simhashPairs]], factored out (r9 verdict #4) so ANY 60-bit
+   * signature rides it: text simhash, image/audio perceptual dHash
+   * ([[Multimodal.imageNearDupPairs]]). Candidates share one of four
+   * 15-bit chunks (guaranteed recall for hamming <= 3 by pigeonhole);
+   * verification is the codegen `bit_count` popcount. Skew guard, cap
+   * semantics, and the CapAuto sizing rule are exactly [[simhashPairs]]'s
+   * (its scaladoc carries the approximation caveat).
+   */
+  def hammingBandPairs(
+      sig: DataFrame, // (doc, sim: 60-bit long)
+      maxHamming: Int = 3, hotBucketCap: Int = CapAuto): DataFrame = {
     val chunked = sig.select(
       col("doc"), col("sim"),
       posexplode(array((0 until 4).map(c =>
@@ -379,7 +395,7 @@ object Dedup {
         else lit(hotBucketCap.toLong)
       val withN =
         if (hotBucketCap == CapAuto)
-          chunked.crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+          chunked.crossJoin(broadcast(sig.agg(count(lit(1)).as("n_docs"))))
         else chunked
       val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk", "chunk_val")
       val sized = withN

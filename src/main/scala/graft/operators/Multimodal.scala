@@ -304,6 +304,56 @@ object Multimodal {
   }
 
   /**
+   * 60-bit perceptual difference hash (dHash — the public
+   * perceptual-hash family's gradient variant, e.g. Krawetz's
+   * "Kind of Like That" writeup) over a decoded 1-D luminance/feature
+   * sequence: resize to 61 samples ([[resizeNearest]] — index-exact, so
+   * an independent SQL engine reproduces it), bit k = 1 iff
+   * sample(k+1) > sample(k). Adjacent-sample gradients are invariant to
+   * global brightness shifts and robust to mild re-encoding — the
+   * property that makes dHash a NEAR-dup signal where content-md5 (q32)
+   * only catches byte-identity. 60 bits (not 64) so the hash rides the
+   * existing 4x15-bit pigeonhole banding ([[Dedup.hammingBandPairs]]).
+   * The comparison operands are means of exact integer sums (one double
+   * division each), so the > is engine-exact under the shared-operand
+   * rule. Empty decode -> hash 0 (groups with other undecodables).
+   */
+  def perceptualHash60(features: Array[Double]): Long = {
+    if (features == null || features.isEmpty) return 0L
+    val r = resizeNearest(features, 61)
+    var h = 0L
+    var k = 0
+    while (k < 60) {
+      if (r(k + 1) > r(k)) h |= (1L << k)
+      k += 1
+    }
+    h
+  }
+
+  /**
+   * Perceptual-hash near-duplicate pairs over a packed media column —
+   * the dedup member of the multimodal family (r9 verdict #4: text has
+   * five dedup signals, media had none): decode -> [[perceptualHash60]]
+   * -> [[Dedup.hammingBandPairs]] (the same pigeonhole banding, skew
+   * cap, and CapAuto sizing rule the text SimHash rides). `decode`
+   * defaults to the REAL image decoder; q150 passes the byte-fake
+   * [[decodeFrames]] (the established SQL-reproducible oracle mode).
+   * Output: (doc_a, doc_b, hamming) with hamming <= maxHamming.
+   *
+   * Scale shape: hashing is a narrow per-row projection (one fused
+   * decode+hash kernel call per payload — the heavy bytes never
+   * shuffle); only (doc, 8-byte sim) rows enter the band join.
+   */
+  def imageNearDupPairs(
+      packed: DataFrame, idCol: String,
+      maxHamming: Int = 3, hotBucketCap: Int = Dedup.CapAuto,
+      decode: Array[Byte] => Array[Double] = decodeImageRows): DataFrame = {
+    val hashUdf = udf((content: Array[Byte]) => perceptualHash60(decode(content)))
+    val sig = packed.select(col(idCol).as("doc"), hashUdf(col("content")).as("sim"))
+    Dedup.hammingBandPairs(sig, maxHamming, hotBucketCap)
+  }
+
+  /**
    * Frame-sampled feature extraction over the binary column. Runs as a
    * single narrow projection (mapPartitions batch shape — rows stream
    * through the "decoder" without materializing the partition).
