@@ -1528,6 +1528,46 @@ object Queries {
         .orderBy("hamming")
     }),
 
+    // RTBF EXECUTION (q144 reports deletion impact; this applies it —
+    // r9 verdict #5): the post-deletion corpus state for the q144
+    // deletion batch (doc_id % 101), computed INCREMENTALLY by
+    // Dedup.rtbfApply — untouched clusters pass through via one
+    // anti-join on the deletion-sized affected-id broadcast, only
+    // affected survivors re-cluster (a deleted bridge doc splits its
+    // cluster), and only shingles whose owner was deleted re-attribute
+    // (retired ones drop). THE ORACLE IS THE FULL RECOMPUTE (recursive
+    // components over surviving pairs + min-surviving-owner per
+    // shingle), so every driver gate re-proves incremental == full
+    // cross-engine. Output: per surviving doc, its new cluster and the
+    // count of shingles it now owns first-occurrence of. Same pair
+    // machinery as q43/q144/q146 (uncapped oracle banding), same 5-gram
+    // shingle identity as q144.
+    "q151_rtbf_apply" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 64, bands = 16, shingleN = 3, threshold = 0.5,
+          hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(false) // consumers: pre-clusters, rtbf edges
+      val clustersFull = docs.select("doc_id")
+        .join(Dedup.dupClusters(pairs), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val shUdf = udf((text: String) =>
+        graft.functions.ShingleKernel.md5ShingleSet60(text, 5))
+      val postings = docs
+        .select(col("doc_id"), explode(shUdf(col("text"))).as("h"))
+        .localCheckpoint(false) // consumers: first-occurrence, re-attribution
+      val firstOcc = postings.groupBy("h").agg(min("doc_id").as("doc_id"))
+      val deleted = docs.where(col("doc_id") % 101 === 0).select("doc_id")
+      val (nc, nf) = Dedup.rtbfApply(clustersFull, pairs, postings, firstOcc, deleted)
+      val perDoc = nf.groupBy("doc_id").agg(count(lit(1)).as("n_first_shingles"))
+      nc.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          coalesce(col("n_first_shingles"), lit(0L)).as("n_first_shingles"))
+        .orderBy("doc_id")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -5230,6 +5270,39 @@ object Oracles {
                 n_shingles_retired, n_shingles_reattributed
          FROM nd CROSS JOIN ph CROSS JOIN chh CROSS JOIN rl CROSS JOIN sg
          ORDER BY n_deleted""",
+
+    // THE FULL RECOMPUTE on the surviving corpus — deliberately NOT the
+    // incremental algorithm: cross-engine equality with Spark's
+    // Dedup.rtbfApply is the incremental==full proof, re-run at every
+    // gate. Pair existence depends only on the two endpoint docs, so
+    // filtering pre-deletion pairs to surviving endpoints equals
+    // re-banding the surviving corpus.
+    "q151_rtbf_apply" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+              p AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5
+                    AND doc_a % 101 <> 0 AND doc_b % 101 <> 0),
+              surv AS (SELECT doc_id FROM documents WHERE doc_id % 101 <> 0),
+              edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                        UNION SELECT doc_b, doc_a FROM p),
+              reach(src, dst) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+              cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                     FROM reach GROUP BY src),
+              cf AS (SELECT s.doc_id, COALESCE(cl.cluster_id, s.doc_id) AS cluster_id
+                     FROM surv s LEFT JOIN cl ON s.doc_id = cl.doc_id),
+              shd AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-3),
+                             i -> ${graft.functions.PortableHash.duckdbMd5Long(
+                               "t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]", 15)}))) AS h
+                      FROM tk WHERE len(t) >= 5 AND doc_id % 101 <> 0),
+              fo AS (SELECT h, min(doc_id) AS fd FROM shd GROUP BY h),
+              pf AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS n_first_shingles
+                     FROM fo GROUP BY fd)
+         SELECT cf.doc_id, cf.cluster_id,
+                COALESCE(pf.n_first_shingles, CAST(0 AS BIGINT)) AS n_first_shingles
+         FROM cf LEFT JOIN pf ON cf.doc_id = pf.doc_id
+         ORDER BY cf.doc_id""",
 
     // complement-trick per-fold centroids; q65's exact-dot argmax
     "q145_crossval_centroid" ->

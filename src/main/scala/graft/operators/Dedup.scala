@@ -444,4 +444,81 @@ object Dedup {
     val occupancy = math.max(1L, (corpusSize + nBuckets - 1) / nBuckets)
     if (occupancy > Int.MaxValue / 100) Int.MaxValue else (100L * occupancy).toInt
   }
+
+  /**
+   * RTBF EXECUTION (r9 verdict #5 — q144 reports deletion impact;
+   * this applies it): given the pre-deletion corpus state and a
+   * deletion batch, emit the post-deletion state — re-clustered
+   * membership with q43's min-member canonical convention (a deleted
+   * BRIDGE doc correctly SPLITS its cluster) and re-attributed
+   * first-occurrence shingle ownership (retired shingles — no surviving
+   * posting — drop out) — INCREMENTALLY:
+   *
+   *  - clusters: only clusters containing a deleted member are touched
+   *    (affected ids are a deletion-sized broadcast); unaffected rows
+   *    pass through UNTOUCHED via one anti-join — their components
+   *    cannot change because no edge of theirs was removed. Affected
+   *    survivors re-cluster over ONLY their own surviving edges
+   *    ([[dupClusters]] on the affected subgraph); members isolated by
+   *    the deletion become singletons (cluster_id = own id).
+   *  - first occurrence: only shingles whose CURRENT owner is deleted
+   *    re-attribute (one deletion-keyed semi-join finds them); the new
+   *    owner is the min surviving posting of just those shingles.
+   *    An owner that survives IS the global surviving min already, so
+   *    untouched rows are exact, not approximate.
+   *
+   * Work is linear in the affected clusters' membership/edges and the
+   * affected shingles' postings — never a corpus-sized recompute.
+   * RtbfSpec proves equality with the full recompute on a
+   * bridge-split fixture, and the q151 ORACLE is the full recompute
+   * cross-engine (DuckDB recursive components over surviving pairs),
+   * so incremental == full is re-proven at every driver gate.
+   *
+   * @param clustersFull (doc_id, cluster_id) for EVERY doc, singletons
+   *                     as self-clusters (q43 output left-joined back to
+   *                     the corpus with coalesce(cluster_id, doc_id))
+   * @param pairs        (doc_a, doc_b) pre-deletion verified pairs
+   * @param postings     (h, doc_id) shingle postings
+   * @param firstOcc     (h, doc_id) pre-deletion owners (min doc per h)
+   * @param deleted      (doc_id) the deletion batch
+   * @return (newClusters (doc_id, cluster_id), newFirstOcc (h, doc_id))
+   */
+  def rtbfApply(
+      clustersFull: DataFrame,
+      pairs: DataFrame,
+      postings: DataFrame,
+      firstOcc: DataFrame,
+      deleted: DataFrame): (DataFrame, DataFrame) = {
+    val del = deleted.select("doc_id").distinct()
+      .localCheckpoint(eager = false) // consumers: affected ids, 3 anti/semi joins
+    val affectedIds = clustersFull.join(del, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct()
+      .localCheckpoint(eager = false) // consumers: member semi + pass-through anti
+    val affected = clustersFull
+      .join(broadcast(affectedIds), Seq("cluster_id"), "left_semi")
+    val unaffected = clustersFull
+      .join(broadcast(affectedIds), Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    val survivors = affected.join(del, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .localCheckpoint(eager = false) // consumers: edge semi-joins, isolated anti
+    val survEdges = pairs
+      .join(survivors.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(survivors.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .select("doc_a", "doc_b")
+    val reclustered = dupClusters(survEdges)
+    val isolated = survivors
+      .join(reclustered.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    val newClusters = unaffected.unionByName(reclustered).unionByName(isolated)
+
+    val affH = firstOcc.join(del, Seq("doc_id"), "left_semi").select("h")
+    val reattributed = postings
+      .join(affH, Seq("h"), "left_semi")
+      .join(del, Seq("doc_id"), "left_anti")
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+    val keptOwners = firstOcc.join(del, Seq("doc_id"), "left_anti")
+      .select("h", "doc_id")
+    (newClusters, keptOwners.unionByName(reattributed.select("h", "doc_id")))
+  }
 }
