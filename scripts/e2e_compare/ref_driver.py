@@ -8,7 +8,12 @@ from exstream.false_positive_filtering import false_positive_filter
 from exstream.entropy_based_single_reward_feature import entropy_based_single_feature_reward, reward_leap_filter
 from utils.get_data import get_train_test_data, split_references_and_anomalies
 
-DATA, LAB, THR, MAXD = "/tmp/folder1scale", "labels", 0.6, 40.0
+# E2E_DATA overrides the fixture dir (r10: the 12-column folder_1-scale
+# run, /tmp/folder1scale_f2); E2E_DUMP writes the main cluster=False
+# explanation dict as JSON for the at-scale parity compare
+import os
+DATA = os.environ.get("E2E_DATA", "/tmp/folder1scale")
+LAB, THR, MAXD = "labels", 0.6, 40.0
 
 def compute_explanatory_features(distances):
     return reward_leap_filter(distances) if len(distances) > 1 else list(distances.keys())
@@ -40,3 +45,7 @@ for cluster in (False, True):
         sr, sa = refs.sample(frac=0.8), anos.sample(frac=0.8)
         get_explanatory_features(sr, sa, cluster, False)
     print(f"cluster={cluster} fp=False: {time.time()-t0:.1f}s  ({len(exp)} windows)")
+    if not cluster and os.environ.get("E2E_DUMP"):
+        import json
+        with open(os.environ["E2E_DUMP"], "w") as f:
+            json.dump({k: list(v) for k, v in exp.items()}, f, indent=1, sort_keys=True)

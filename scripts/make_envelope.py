@@ -27,6 +27,12 @@ def main(args):
         cur = env.setdefault(sf, {})
         for q, sec in qs.items():
             cur[q] = round(min(cur.get(q, float("inf")), sec), 4)
+        # second dimension (r10): per-query shuffle bytes from the same
+        # sweep, min-merged like time (improvements ratchet the envelope
+        # down; the Bench/spec drift gates flag growth past 1.25x + 1 MiB)
+        for q, b in bench.get("shuffle_bytes", {}).items():
+            byt = env.setdefault(f"{sf}_bytes", {})
+            byt[q] = int(min(byt.get(q, float("inf")), b))
     with open(ENVELOPE, "w") as f:
         json.dump({sf: dict(sorted(m.items())) for sf, m in sorted(env.items())},
                   f, indent=1)

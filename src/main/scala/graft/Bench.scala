@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /**
  * Benchmark main (driver contract): run every query on SPARK_GRAFT_SF_DIR,
@@ -57,11 +60,41 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+    // plan-drift telemetry (r9 verdict #7): time noise is handled by the
+    // envelope + noisy re-run, but a plan regression under a QUIET host
+    // (a lost broadcast, a new exchange) hides inside the margin. Shuffle
+    // bytes written are ~deterministic for a fixed plan + data, so they
+    // are the second envelope dimension. Read synchronously off the
+    // executed plan's own SQL metrics (the HotTokenSpec pattern — no
+    // async listener race); AQE-aware traversal. Coverage note: queries
+    // with driver-side iteration (q78/q138/q149) materialize
+    // intermediate jobs whose shuffles are not in the FINAL plan — the
+    // metric covers the final plan, which is where silent drift lands.
+    def collectPlans(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectPlans(a.executedPlan)
+      case q: QueryStageExec => q +: collectPlans(q.plan)
+      case other => other +: (other.children ++ other.subqueries).flatMap(collectPlans)
+    }
+
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, (Double, Long, Int)] = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        Right((System.nanoTime() - t0) / 1e9)
+        val df = fn(spark, sfDir)
+        // materialize through the df's OWN query execution (not a noop
+        // write, which wraps the plan in a separate execution whose
+        // metrics are invisible here): every partition's rows are fully
+        // produced, and the AQE final plan + its SQL metrics are then
+        // readable off df.queryExecution for the bytes telemetry
+        df.queryExecution.toRdd.foreach(_ => ())
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (bytes, nExch) =
+          try {
+            val ex = collectPlans(df.queryExecution.executedPlan)
+              .collect { case e: ShuffleExchangeLike => e }
+            (ex.map(e => e.metrics.get("shuffleBytesWritten")
+              .map(_.value).getOrElse(0L)).sum, ex.size)
+          } catch { case _: Throwable => (-1L, -1) }
+        Right((sec, bytes, nExch))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
@@ -81,9 +114,13 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       (1 to warmup).foreach(_ => runOnce(name, fn))
       val timed = (1 to runs).map(_ => runOnce(name, fn))
-      val ok = timed.collect { case Right(t) => t }
+      val ok = timed.collect { case Right(t) => t._1 }
+      // bytes/exchange counts are plan-determined: any successful run's
+      // reading serves; min drops metric-failure sentinels (-1)
+      val byteReads = timed.collect { case Right(t) if t._2 >= 0 => t._2 }
+      val exchReads = timed.collect { case Right(t) if t._3 >= 0 => t._3 }
       val err = timed.collect { case Left(m) => m }.headOption
-      (name, ok, err)
+      (name, ok, err, byteReads.sorted.headOption, exchReads.sorted.headOption)
     }
     val sweepWall = (System.nanoTime() - sweepT0) / 1e9
     def jStr(s: String) = "\"" + s.flatMap {
@@ -93,9 +130,13 @@ object Bench {
       case c => c.toString
     } + "\""
     val good = results.filter(_._2.nonEmpty)
-    val qs = good.map { case (k, ok, _) => jStr(k) + ":" + ok.min }.mkString("{", ",", "}")
-    val meds = good.map { case (k, ok, _) => jStr(k) + ":" + median(ok) }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, ok, Some(m)) if ok.isEmpty => jStr(k) + ":" + jStr(m) }
+    val qs = good.map { case (k, ok, _, _, _) => jStr(k) + ":" + ok.min }.mkString("{", ",", "}")
+    val meds = good.map { case (k, ok, _, _, _) => jStr(k) + ":" + median(ok) }.mkString("{", ",", "}")
+    val sbytes = good.collect { case (k, _, _, Some(b), _) => jStr(k) + ":" + b }
+      .mkString("{", ",", "}")
+    val exchs = good.collect { case (k, _, _, _, Some(e)) => jStr(k) + ":" + e }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, ok, Some(m), _, _) if ok.isEmpty => jStr(k) + ":" + jStr(m) }
       .mkString("{", ",", "}")
     // a failed query contributes no timing. The r6 design folded a 3600 s
     // sentinel per failure into `value`, which destroyed the per-query
@@ -123,12 +164,29 @@ object Bench {
     // a clean tail reading exonerates the code (host contention mid-sweep),
     // a repeated overshoot is a genuine regression — either way the round's
     // record carries both numbers instead of one polluted one.
-    val noisy: Seq[(String, Double)] = good.flatMap { case (name, ok, _) =>
+    val noisy: Seq[(String, Double)] = good.flatMap { case (name, ok, _, _, _) =>
       envelope.get(name) match {
         case Some(env) if ok.min > 2.0 * env =>
           val fn = selected.toMap.apply(name)
-          val rerun = (1 to runs).map(_ => runOnce(name, fn)).collect { case Right(t) => t }
+          val rerun = (1 to runs).map(_ => runOnce(name, fn)).collect { case Right(t) => t._1 }
           if (rerun.nonEmpty) Some(name -> rerun.min) else None
+        case _ => None
+      }
+    }
+
+    // the second envelope dimension (r9 verdict #7): shuffle-bytes drift.
+    // Unlike time, bytes don't need a tail re-run — they are a property of
+    // the executed plan, so an overshoot IS the finding. Margin 1.25x +
+    // 1 MiB absorbs AQE coalesce / compression jitter; anything past it
+    // means the plan grew (lost broadcast, extra exchange, wider rows).
+    val bytesEnvelope: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_ENVELOPE", "BENCH_ENVELOPE.json")
+      try BenchEnvelope.load(path).getOrElse(sfKey + "_bytes", Map.empty)
+      catch { case _: Throwable => Map.empty }
+    }
+    val bytesDrift: Seq[(String, Long)] = good.flatMap { case (name, _, _, b, _) =>
+      (b, bytesEnvelope.get(name)) match {
+        case (Some(got), Some(env)) if got > env * 1.25 + (1L << 20) => Some(name -> got)
         case _ => None
       }
     }
@@ -187,7 +245,8 @@ object Bench {
     }
 
     val noisyJson = noisy.map { case (k, v) => jStr(k) + ":" + v }.mkString("{", ",", "}")
-    val contention = s""","wall_sec":$sweepWall,"load_ratio":${math.round(loadRatio * 100) / 100.0},"noisy":$noisyJson"""
+    val driftJson = bytesDrift.map { case (k, v) => jStr(k) + ":" + v }.mkString("{", ",", "}")
+    val contention = s""","wall_sec":$sweepWall,"load_ratio":${math.round(loadRatio * 100) / 100.0},"noisy":$noisyJson,"shuffle_bytes":$sbytes,"exchanges":$exchs,"bytes_drift":$driftJson"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"errors":$errs$contention,"n_ok":${good.size},"n_err":$nErr,"runs":$runs,"sf":"$sfDir"$extras}"""
     println(line)
     // The full per-query line is ~2.5 KB and grows with every query; a
@@ -195,7 +254,7 @@ object Bench {
     // mid-object (BENCH_r04.json: "parsed": null). Emit a second, compact
     // summary line AFTER it so any tail window always ends with one
     // complete parseable JSON object carrying the headline numbers.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${good.size},"n_err":$nErr,"runs":$runs,"load_ratio":${math.round(loadRatio * 100) / 100.0},"n_noisy":${noisy.size},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${good.size},"n_err":$nErr,"runs":$runs,"load_ratio":${math.round(loadRatio * 100) / 100.0},"n_noisy":${noisy.size},"n_bytes_drift":${bytesDrift.size},"sf":"$sfDir"}"""
     println(summary)
     // stdout of an sbt run is buried in [info] noise and tail-truncated
     // by at least one harness — ALWAYS write both lines to a file

@@ -1518,14 +1518,35 @@ object Queries {
     // shared-operand rule, no float discipline needed past it. Oracle
     // pins hotBucketCap=MaxValue (exact all-pairs banding); production
     // default is CapAuto (the r8/r9 star-edge sizing rule, inherited).
+    // Plan shape: the histogram NEVER materializes doc pairs. A template
+    // corpus collapses to few distinct hashes (334 at sf0.1 over 5000
+    // docs — ~410k same-hash pairs), so doc-pair banding shuffles
+    // O(pairs); instead the signature table partial-aggregates to
+    // (sim, count) — the same move as Dedup.exact — hamming-0 mass is
+    // SUM(c*(c-1)/2), and cross-hash mass bands the DISTINCT signatures
+    // (334 rows, hammingBandPairs with sim as its own id) weighted
+    // c_a*c_b. Identical histogram, combinatorially counted: shuffles
+    // carry distinct-hash rows, not pair rows — 121 MB -> ~kB at sf0.1.
+    // (imageNearDupPairs itself stays the pair-emitting operator surface
+    // with the CapAuto production cap; MultimodalPHashSpec covers it.)
     "q150_perceptual_neardup" -> ((s, d) => {
       val packed = Multimodal.packBinary(
         t(s, d, "documents").where(length(col("text")) > 0), "doc_id", "text")
-      Multimodal.imageNearDupPairs(packed, "doc_id",
-          maxHamming = 3, hotBucketCap = Int.MaxValue /* oracle: exact */,
-          decode = Multimodal.decodeFrames(_, 64))
-        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
-        .orderBy("hamming")
+      val hashUdf = udf((content: Array[Byte]) =>
+        Multimodal.perceptualHash60(Multimodal.decodeFrames(content, 64)))
+      val groups = packed.select(hashUdf(col("content")).as("sim"))
+        .groupBy("sim").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // consumers: h0 mass, banding, two weight joins
+      val h0 = groups.agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("n_pairs"))
+        .select(lit(0).cast("int").as("hamming"), col("n_pairs"))
+        .where(col("n_pairs") > 0)
+      val crossH = Dedup.hammingBandPairs(
+          groups.select(col("sim").as("doc"), col("sim")),
+          maxHamming = 3, hotBucketCap = Int.MaxValue /* distinct sims: tiny */)
+        .join(groups.select(col("sim").as("doc_a"), col("c").as("ca")), "doc_a")
+        .join(groups.select(col("sim").as("doc_b"), col("c").as("cb")), "doc_b")
+        .groupBy("hamming").agg(sum(col("ca") * col("cb")).as("n_pairs"))
+      h0.unionByName(crossH).orderBy("hamming")
     }),
 
     // RTBF EXECUTION (q144 reports deletion impact; this applies it —

@@ -52,6 +52,48 @@ class BenchEnvelopeSpec extends AnyFunSuite {
         missing.toSeq.sorted.mkString(", "))
   }
 
+  test("every query has a committed shuffle-bytes envelope entry (plan-drift contract)") {
+    val env = BenchEnvelope.load().getOrElse(sfKey + "_bytes", Map.empty)
+    val missing = SparkEntry.queries.keySet -- env.keySet
+    assert(missing.isEmpty,
+      s"queries without a ${sfKey}_bytes envelope entry (regenerate via scripts/make_envelope.py): " +
+        missing.toSeq.sorted.mkString(", "))
+  }
+
+  test("no query's shuffle bytes exceed 1.25x + 1MiB of the committed envelope at sf0.01") {
+    // the r9 verdict's remaining blind spot: a plan regression under a
+    // QUIET host (lost broadcast, extra exchange) hides inside the time
+    // margin. Shuffle bytes are a property of the executed plan — one
+    // pass, no warmup or min-of-runs needed; the margin absorbs AQE
+    // coalesce/compression jitter only.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def collectPlans(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectPlans(a.executedPlan)
+      case q: QueryStageExec => q +: collectPlans(q.plan)
+      case other => other +: (other.children ++ other.subqueries).flatMap(collectPlans)
+    }
+    val env = BenchEnvelope.load().getOrElse(sfKey + "_bytes", Map.empty)
+    assert(env.nonEmpty, s"BENCH_ENVELOPE.json must carry an ${sfKey}_bytes section")
+    val breaches = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      env.get(name).flatMap { limit =>
+        val df = fn(spark, sf)
+        // materialize through the df's OWN execution so its plan metrics
+        // populate (a noop write runs a separate execution — Bench note)
+        df.queryExecution.toRdd.foreach(_ => ())
+        val got = collectPlans(df.queryExecution.executedPlan)
+          .collect { case e: ShuffleExchangeLike => e }
+          .map(e => e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)).sum
+        spark.catalog.clearCache()
+        if (got > limit * 1.25 + (1L << 20))
+          Some(f"$name: $got%d bytes > 1.25x envelope ${limit.toLong}%d")
+        else None
+      }
+    }
+    assert(breaches.isEmpty, "shuffle-bytes envelope breaches:\n" + breaches.mkString("\n"))
+  }
+
   test("no query's clean min exceeds 3x its committed envelope at sf0.01") {
     val env = BenchEnvelope.load().getOrElse(sfKey, Map.empty)
     assert(env.nonEmpty, "BENCH_ENVELOPE.json must carry an sf0.01 section")
