@@ -1589,6 +1589,40 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // the trained unigram tokenizer APPLIED to the corpus (q149's q93:
+    // the production encode path training exists for) — per-doc word and
+    // piece counts plus fertility under the q149 model. ONE corpus pass
+    // builds the (doc, word, tf) table; the trainer's vocabulary derives
+    // from it (trainFromWordCounts — no second scan); the encode is the
+    // per-DISTINCT-WORD Viterbi (train==apply: the returned costs
+    // reproduce the round-2 segmentation, UnigramTrainerSpec), joined
+    // back to tf on the aggregated word key — |V| kernel calls, never
+    // one per corpus token. Fertility is the micro-scaled integer
+    // division. The oracle reuses the train CTEs: p2 already IS every
+    // word's segmentation under the final costs.
+    "q152_unigram_tokenize" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
+        .where(length(col("word")).between(1, 16))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // consumers: vocabulary, apply join
+      val words = tf.groupBy("word").agg(sum("tf").as("wc"))
+      val model = UnigramTrainer
+        .trainFromWordCounts(words, maxPieceLen = 4,
+          multiVocab = 60 /* oracle: pinned, = q149 */, rounds = 2, shrink = 0.75)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      val npUdf = udf((w: String) =>
+        UnigramTrainer.viterbiPieces(w, model, 4).length.toLong)
+      val wnp = words.select(col("word")).withColumn("np", npUdf(col("word")))
+      tf.join(wnp, "word")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_words"), sum(col("tf") * col("np")).as("n_pieces"))
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          (expr("cast(n_pieces * 1000000 as bigint) div n_words").cast("double")
+            / lit(1000000.0)).as("fertility"))
+        .orderBy("doc_id")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4469,7 +4503,7 @@ object Oracles {
     * 4 < 8 and unique per candidate. All DP arithmetic is BIGINT; the
     * only float op is the per-piece smoothed-cost ln of identical exact
     * integers, rounded to 1e6 (the q108 discipline). */
-  private def unigramTrainSql: String = {
+  private def unigramCtes: String = {
     val MAXW = 16; val MAXP = 4; val M1 = 60
     val M2 = math.ceil(M1 * 0.75).toInt
     def costCte(name: String, src: String): String =
@@ -4503,12 +4537,12 @@ object Oracles {
                 WHERE b.pos > 0
                 GROUP BY b.word, b.wc, b.pos) g),\n"""
       sb ++= s"p$r AS MATERIALIZED (" +
-        (1 to MAXW).map(k => s"SELECT wc, piece FROM bt${r}_$k").mkString(" UNION ALL ") +
+        (1 to MAXW).map(k => s"SELECT word, wc, piece FROM bt${r}_$k").mkString(" UNION ALL ") +
         "),\n"
       sb ++= s"c$r AS MATERIALIZED (SELECT piece, CAST(sum(wc) AS BIGINT) AS c FROM p$r GROUP BY piece),\n"
       sb.toString
     }
-    s"""WITH w AS MATERIALIZED (
+    s"""w AS MATERIALIZED (
           SELECT word, CAST(count(*) AS BIGINT) AS wc, CAST(length(word) AS INT) AS len
           FROM (SELECT unnest(string_split_regex(text, $wsSql)) AS word FROM documents) t
           WHERE length(word) BETWEEN 1 AND $MAXW GROUP BY word),
@@ -4536,15 +4570,40 @@ object Oracles {
             ORDER BY c DESC, piece LIMIT $M2) t),
         ${costCte("v2", "vc2")},
         ${roundCtes(2, "v2")}
-        fin AS (SELECT 1 AS one)
+        fin AS (SELECT 1 AS one)"""
+  }
+
+  private def unigramTrainSql: String =
+    s"""WITH $unigramCtes
         SELECT c2.piece, c2.c AS cnt, v2.cost
         FROM c2 JOIN v2 ON c2.piece = v2.piece
         ORDER BY c2.piece"""
-  }
+
+  /** q152's apply: the round-2 backtrace p2 already IS every word's
+    * segmentation under the final costs (the train==apply property), so
+    * per-word piece counts join back to the per-doc tf table — never a
+    * per-corpus-token DP. */
+  private def unigramApplySql: String =
+    s"""WITH $unigramCtes,
+        wnp AS (SELECT word, CAST(count(*) AS BIGINT) AS np FROM p2 GROUP BY word),
+        dtf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+                  SELECT doc_id, unnest(string_split_regex(text, $wsSql)) AS word
+                  FROM documents) t
+                WHERE length(word) BETWEEN 1 AND 16
+                GROUP BY doc_id, word)
+        SELECT dtf.doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+               CAST(sum(tf * np) AS BIGINT) AS n_pieces,
+               CAST((CAST(sum(tf * np) AS BIGINT) * 1000000)
+                 // CAST(sum(tf) AS BIGINT) AS DOUBLE) / 1000000.0 AS fertility
+        FROM dtf JOIN wnp ON dtf.word = wnp.word
+        GROUP BY dtf.doc_id ORDER BY dtf.doc_id"""
 
   val oracleSql: Map[String, String] = Map(
-    // the full hard-EM unigram trainer loop, unrolled (see unigramTrainSql)
+    // the full hard-EM unigram trainer loop, unrolled (see unigramCtes)
     "q149_unigram_train" -> unigramTrainSql,
+
+    // train CTEs + per-word piece counts joined to per-doc tf
+    "q152_unigram_tokenize" -> unigramApplySql,
 
     // q42's byte-fake frame CTE -> 61-sample nearest resize -> dHash bits
     // -> the q28 pigeonhole banding -> popcount histogram

@@ -160,12 +160,25 @@ object UnigramTrainer {
       docs: DataFrame, textCol: String,
       maxPieceLen: Int = 4, maxWordLen: Int = 16,
       multiVocab: Int = VocabAuto, rounds: Int = 2,
+      shrink: Double = 0.75): DataFrame =
+    trainFromWordCounts(wordTable(docs, textCol, maxWordLen),
+      maxPieceLen, multiVocab, rounds, shrink)
+
+  /** [[train]] over a pre-aggregated (word, wc) table — the q93 one-pass
+    * discipline: a caller that already built a per-doc tf table derives
+    * the vocabulary from it instead of scanning the corpus again (q152).
+    * Contract: `words0` is already length-filtered to the oracle's DP
+    * unroll bound. */
+  def trainFromWordCounts(
+      words0: DataFrame,
+      maxPieceLen: Int = 4,
+      multiVocab: Int = VocabAuto, rounds: Int = 2,
       shrink: Double = 0.75): DataFrame = {
-    require(maxPieceLen >= 2 && maxPieceLen <= 7 && maxWordLen >= maxPieceLen
+    require(maxPieceLen >= 2 && maxPieceLen <= 7
       && rounds >= 1 && shrink > 0 && shrink <= 1)
-    val spark = docs.sparkSession
+    val spark = words0.sparkSession
     import spark.implicits._
-    val words = wordTable(docs, textCol, maxWordLen)
+    val words = words0.select(col("word"), col("wc"))
       .localCheckpoint(eager = false) // consumers: seeding + one job per round
     // all substrings up to maxPieceLen WITH multiplicity — pure codegen
     // (nested sequence transforms), no UDF before the aggregate
