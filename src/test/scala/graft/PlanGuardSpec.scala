@@ -275,4 +275,35 @@ class PlanGuardSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j }.isEmpty,
       "q91 grew a cartesian join")
   }
+
+  test("q149/q152: unigram final plans read checkpointed vocab tables — zero parquet scans") {
+    // the trainer's contract (the q93 shape): the corpus is scanned ONCE
+    // into the word-table checkpoint; every EM round and the final
+    // output join run over vocabulary-sized checkpoints. A parquet scan
+    // in the FINAL plan means a round re-derived corpus-sized state.
+    for (q <- Seq("q149_unigram_train", "q152_unigram_tokenize")) {
+      val plans = executedPlans(q)
+      assert(plans.collect { case s: FileSourceScanExec => s }.isEmpty,
+        s"$q final plan re-scans parquet — vocabulary state fell out of the checkpoint")
+      assert(plans.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j }.isEmpty,
+        s"$q grew a cartesian join")
+    }
+  }
+
+  test("q150: histogram counts combinatorially — no doc-pair materialization") {
+    // the signature table collapses to (sim, count) BEFORE any join (the
+    // Dedup.exact move); every downstream table is distinct-hash-sized.
+    // A corpus-keyed join or cartesian here means the ~410k same-hash
+    // doc pairs (sf0.1) are being materialized again.
+    val plans = executedPlans("q150_perceptual_neardup")
+    assert(plans.collect { case s: FileSourceScanExec => s }.isEmpty,
+      "q150 final plan re-scans parquet — the hash groups fell out of the checkpoint")
+    assert(plans.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j }.isEmpty,
+      "q150 grew a cartesian join")
+    assert(plans.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "q150 lost an equi-key (nested-loop join)")
+  }
 }
