@@ -4,7 +4,8 @@ object OursE2E {
     // args: [dataDir] [parityDumpPath] — dataDir defaults to the 8-column
     // folder_1-scale fixture; r10 passes /tmp/folder1scale_f2 (12-column
     // schema at the same scale). parityDumpPath, when set, writes the
-    // cluster=False fp=False MAIN explanation map as JSON for the
+    // cluster=False fp=False MAIN explanation map (script mode:
+    // applyWorstCase=false, the reference script path) as JSON for the
     // at-scale compare against ref_driver.py's E2E_DUMP.
     val data = args.headOption.getOrElse("/tmp/folder1scale")
     val dump = args.drop(1).headOption
@@ -32,7 +33,7 @@ object OursE2E {
       val labels = graft.sources.Sources.readLabels(spark, s"$data/labels.csv")
       val obs = graft.operators.IntervalLabeler.labelObservations(traceLong, labels)
       val m = graft.ExstreamPipeline.explanatoryFeatures(
-          obs, featureOrder, graft.ExstreamConfig(cluster = false))
+          obs, featureOrder, graft.ExstreamConfig(cluster = false, applyWorstCase = false))
         .collect().map(r => r.getString(0) -> r.getSeq[String](1)).sortBy(_._1)
       val json = m.map { case (k, fs) =>
         "\"" + k + "\": [" + fs.map("\"" + _ + "\"").mkString(", ") + "]"
