@@ -1623,6 +1623,27 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // INTEGER-EXACT fixed-round Lloyd k-means, CROSS-ENGINE ORACLED —
+    // the trainer the IVF/SemDeDup family used to hold as spec-only
+    // ("no SQL oracle for float k-means"): the q138 discipline makes it
+    // oracle-able after all. Vectors ride the floor(v*1024) bridge,
+    // distances are exact integer L2, assignment ties break to the min
+    // centroid id (row_number mirror), centroid updates are
+    // sign-split truncating divisions of exact integer sums, init is
+    // the md5-order first K vectors — so all 3 rounds are bit-identical
+    // in both engines and the oracle unrolls them as chained CTEs.
+    // Output: the K x D centroid table with final-assignment sizes.
+    // Scale shape: per round one narrow kernel pass + one
+    // partial-aggregated (cid, pos) groupBy; K x D driver scalars.
+    "q153_kmeans_exact" -> ((s, d) => {
+      import s.implicits._
+      val (cents, sizes) = Similarity.kmeansTrainExact(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 8, rounds = 3)
+      cents.zipWithIndex.flatMap { case (cent, cid) =>
+        cent.zipWithIndex.map { case (cq, pos) => (cid, pos, cq, sizes(cid)) }
+      }.toSeq.toDF("cid", "pos", "cq", "n").orderBy("cid", "pos")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4573,6 +4594,57 @@ object Oracles {
         fin AS (SELECT 1 AS one)"""
   }
 
+  /** q153's 3 integer Lloyd rounds unrolled (the q78/q87/q149 pattern):
+    * assignment = row_number over (dist, cid) per vector; update =
+    * sign-split truncating division (Java /'s toward-zero semantics vs
+    * DuckDB //'s floor — split on sign so they agree); empty clusters
+    * COALESCE to the previous centroid. */
+  private def kmeansExactSql: String = {
+    val K = 8; val R = 3
+    val sb = new StringBuilder
+    sb ++= s"""WITH u AS MATERIALIZED (
+          SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+          FROM embeddings),
+        seeds AS MATERIALIZED (
+          SELECT vec_id, CAST(rn - 1 AS INT) AS cid FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY m, vec_id) AS rn FROM (
+              SELECT vec_id, ${graft.functions.PortableHash
+                .duckdbMd5Long("vec_id::VARCHAR", 15)} AS m
+              FROM embeddings) t1) t2
+          WHERE rn <= $K),
+        c0 AS MATERIALIZED (
+          SELECT s.cid, u.pos, u.vq AS cq FROM seeds s JOIN u ON s.vec_id = u.vec_id),\n"""
+    for (r <- 1 to R) {
+      sb ++= s"""d$r AS MATERIALIZED (
+          SELECT u.vec_id, c.cid,
+                 CAST(sum((u.vq - c.cq) * (u.vq - c.cq)) AS BIGINT) AS dist
+          FROM u JOIN c${r - 1} c ON u.pos = c.pos
+          GROUP BY u.vec_id, c.cid),
+        a$r AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d$r) t WHERE rn = 1),
+        s$r AS MATERIALIZED (
+          SELECT a.cid, u.pos, CAST(sum(u.vq) AS BIGINT) AS sv,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM a$r a JOIN u ON a.vec_id = u.vec_id
+          GROUP BY a.cid, u.pos),
+        c$r AS MATERIALIZED (
+          SELECT p.cid, p.pos,
+                 COALESCE(CASE WHEN s.n > 0 THEN
+                   CASE WHEN s.sv >= 0 THEN s.sv // s.n
+                        ELSE -((-s.sv) // s.n) END END, p.cq) AS cq
+          FROM c${r - 1} p LEFT JOIN s$r s ON p.cid = s.cid AND p.pos = s.pos),\n"""
+    }
+    sb ++= s"""nn AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM a$R GROUP BY cid)
+        SELECT c$R.cid, c$R.pos, c$R.cq, COALESCE(nn.n, CAST(0 AS BIGINT)) AS n
+        FROM c$R LEFT JOIN nn ON c$R.cid = nn.cid
+        ORDER BY c$R.cid, c$R.pos"""
+    sb.toString
+  }
+
   private def unigramTrainSql: String =
     s"""WITH $unigramCtes
         SELECT c2.piece, c2.c AS cnt, v2.cost
@@ -4604,6 +4676,10 @@ object Oracles {
 
     // train CTEs + per-word piece counts joined to per-doc tf
     "q152_unigram_tokenize" -> unigramApplySql,
+
+    // integer Lloyd rounds unrolled; sign-split // mirrors Java's
+    // toward-zero division; COALESCE keeps empty clusters' centroids
+    "q153_kmeans_exact" -> kmeansExactSql,
 
     // q42's byte-fake frame CTE -> 61-sample nearest resize -> dHash bits
     // -> the q28 pigeonhole banding -> popcount histogram

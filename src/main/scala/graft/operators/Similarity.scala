@@ -547,6 +547,80 @@ object Similarity {
         col("containment"), col("jaccard"))
   }
 
+  /**
+   * INTEGER-EXACT fixed-round Lloyd k-means (the q138 integer-iteration
+   * discipline applied to clustering): vectors ride the floor(v*1024)
+   * bridge, distances are exact integer L2 sums, assignment ties break
+   * to the smaller centroid id, and centroid updates are truncating
+   * integer divisions of exact sums (toward zero — DuckDB mirrors with
+   * a sign-split `//`). Every round is therefore bit-identical in any
+   * engine, which makes the trainer ORACLE-ABLE (q153 unrolls the same
+   * rounds as chained CTEs) — where float Lloyd's summation-order
+   * nondeterminism is the reason the IVF trainer
+   * ([[trainIvfCentroids]]) was spec-only. Init is the md5-order first
+   * K vectors (the q88/q128 deterministic draw). Empty clusters keep
+   * their previous centroid (COALESCE in the oracle).
+   *
+   * Scale shape: per round, ONE narrow assignment pass over the corpus
+   * (a fused integer kernel with the K x D centroid table in the task
+   * closure) and one partial-aggregated (cid, pos) groupBy; driver
+   * traffic is the K x D centroid matrix per round (the
+   * BpeTrainer/GraphRank decision-scalar rule). Returns (centroids,
+   * cluster sizes of the final assignment).
+   */
+  def kmeansTrainExact(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int): (Array[Array[Long]], Array[Long]) = {
+    require(k > 0 && rounds >= 1)
+    val qv = corpus.select(col(idCol).as("vid"), quantized(col(vecCol)).as("q"))
+      .localCheckpoint(eager = false) // consumers: init pick + per-round passes
+    val init = qv.select(col("vid"), col("q"),
+        expr("cast(conv(substr(md5(cast(cast(vid as string) as binary)), 1, 15), 16, 10) as bigint)")
+          .as("m"))
+      .orderBy("m", "vid").limit(k).collect()
+    require(init.length == k, s"corpus smaller than k=$k")
+    var cents: Array[Array[Long]] = init.map(_.getSeq[Long](1).toArray)
+    val dim = cents(0).length
+    var sizes: Array[Long] = Array.fill(k)(0L)
+    for (_ <- 1 to rounds) {
+      val bc = cents.map(_.clone)
+      val assignUdf = udf((q: Seq[Long]) => {
+        var best = 0
+        var bd = Long.MaxValue
+        var c = 0
+        while (c < bc.length) {
+          val cent = bc(c)
+          var dsum = 0L
+          var i = 0
+          while (i < cent.length) {
+            val df0 = q(i) - cent(i)
+            dsum += df0 * df0
+            i += 1
+          }
+          if (dsum < bd) { bd = dsum; best = c } // strict <: ties keep min cid
+          c += 1
+        }
+        best
+      })
+      val stats = qv.withColumn("cid", assignUdf(col("q")))
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "vq")))
+        .groupBy("cid", "pos").agg(sum("vq").as("sv"), count(lit(1)).as("n"))
+        .collect() // K x D rows — aggregate-sized
+      val sums = Array.fill(k, dim)(0L)
+      val ns = Array.fill(k)(0L)
+      stats.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        sums(c)(p) = r.getLong(2)
+        if (p == 0) ns(c) = r.getLong(3)
+      }
+      // Java / truncates toward zero = the oracle's sign-split `//`
+      cents = Array.tabulate(k)(c =>
+        if (ns(c) > 0) Array.tabulate(dim)(p => sums(c)(p) / ns(c)) else bc(c))
+      sizes = ns
+    }
+    (cents, sizes)
+  }
+
   /** Exact all-pairs near-duplicates above a cosine threshold (the oracle
     * for the LSH variant; quadratic — use only at validation scale). */
   def exactNearDupPairs(
