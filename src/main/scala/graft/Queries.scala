@@ -1644,6 +1644,43 @@ object Queries {
       }.toSeq.toDF("cid", "pos", "cq", "n").orderBy("cid", "pos")
     }),
 
+    // PRODUCT-QUANTIZATION codebook training (Jégou et al. 2011),
+    // CROSS-ENGINE ORACLED — the memory-compression half of the ANN
+    // story (IVF q39 prunes the search space; PQ compresses the
+    // vectors): q153's integer Lloyd run per contiguous subspace, ALL
+    // subspaces in the same per-round passes (one fused kernel + one
+    // partial-aggregated (sub, cid, pos) groupBy — subspaces add no
+    // passes). Same determinism inventory as q153, so the oracle
+    // threads a `sub` column through the same unrolled CTEs. Output:
+    // the 4x8x16 codebook table with final-assignment code sizes.
+    "q154_pq_codebooks" -> ((s, d) => {
+      import s.implicits._
+      val (cents, sizes) = Similarity.pqTrainExact(
+        t(s, d, "embeddings"), "vec_id", "embedding", nSub = 4, k = 8, rounds = 3)
+      val subDim = cents(0)(0).length
+      (for {
+        sub <- cents.indices; cid <- cents(sub).indices
+        p <- cents(sub)(cid).indices
+      } yield (sub, cid, sub * subDim + p, cents(sub)(cid)(p), sizes(sub)(cid)))
+        .toDF("sub", "cid", "pos", "cq", "n").orderBy("sub", "cid", "pos")
+    }),
+
+    // PQ reconstruction-error audit (the sketch-next-to-exact theme of
+    // q123/q125/q140 — the compression's cost as DATA, next to q123's
+    // int8 audit of the scalar-quantization alternative): every vector
+    // encodes to its nearest code per subspace under the q154 codebooks
+    // and the chosen integer L2 distances sum to the EXACT
+    // reconstruction error — all-integer end to end (per-dim mean is a
+    // truncating division), no float discipline needed anywhere. The
+    // oracle adds one more assignment round over the trained c3.
+    "q155_pq_error" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val (cents, _) = Similarity.pqTrainExact(
+        embs, "vec_id", "embedding", nSub = 4, k = 8, rounds = 3)
+      Similarity.pqReconstructionError(embs, "vec_id", "embedding", "label", cents)
+        .orderBy("label")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4645,6 +4682,89 @@ object Oracles {
     sb.toString
   }
 
+  /** q154/q155's shared PQ CTEs: q153's unrolled integer Lloyd with a
+    * `sub` column threaded through (assignment partitions by (vec_id,
+    * sub), updates group by (sub, cid, pos)). Fixture dim 64, 4
+    * subspaces of 16 (the oracle pins fixture geometry, like q140's
+    * annBucketsSql dims). */
+  private def pqCtes: String = {
+    val K = 8; val R = 3; val SUBDIM = 16
+    val sb = new StringBuilder
+    sb ++= s"""u AS MATERIALIZED (
+          SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+          FROM embeddings),
+        us AS MATERIALIZED (
+          SELECT vec_id, pos, CAST(pos // $SUBDIM AS INT) AS sub, vq FROM u),
+        seeds AS MATERIALIZED (
+          SELECT vec_id, CAST(rn - 1 AS INT) AS cid FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY m, vec_id) AS rn FROM (
+              SELECT vec_id, ${graft.functions.PortableHash
+                .duckdbMd5Long("vec_id::VARCHAR", 15)} AS m
+              FROM embeddings) t1) t2
+          WHERE rn <= $K),
+        c0 AS MATERIALIZED (
+          SELECT us.sub, s.cid, us.pos, us.vq AS cq
+          FROM seeds s JOIN us ON s.vec_id = us.vec_id),\n"""
+    for (r <- 1 to R) {
+      sb ++= s"""d$r AS MATERIALIZED (
+          SELECT us.vec_id, c.sub, c.cid,
+                 CAST(sum((us.vq - c.cq) * (us.vq - c.cq)) AS BIGINT) AS dist
+          FROM us JOIN c${r - 1} c ON us.pos = c.pos
+          GROUP BY us.vec_id, c.sub, c.cid),
+        a$r AS MATERIALIZED (
+          SELECT vec_id, sub, cid, dist FROM (
+            SELECT vec_id, sub, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM d$r) t WHERE rn = 1),
+        s$r AS MATERIALIZED (
+          SELECT a.sub, a.cid, us.pos, CAST(sum(us.vq) AS BIGINT) AS sv,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM a$r a JOIN us ON a.vec_id = us.vec_id AND a.sub = us.sub
+          GROUP BY a.sub, a.cid, us.pos),
+        c$r AS MATERIALIZED (
+          SELECT p.sub, p.cid, p.pos,
+                 COALESCE(CASE WHEN s.n > 0 THEN
+                   CASE WHEN s.sv >= 0 THEN s.sv // s.n
+                        ELSE -((-s.sv) // s.n) END END, p.cq) AS cq
+          FROM c${r - 1} p LEFT JOIN s$r s
+            ON p.sub = s.sub AND p.cid = s.cid AND p.pos = s.pos),\n"""
+    }
+    sb ++= s"""fin AS (SELECT 1 AS one)"""
+    sb.toString
+  }
+
+  private def pqCodebooksSql: String =
+    s"""WITH $pqCtes,
+        nn AS (SELECT sub, cid, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+               FROM a3 GROUP BY sub, cid)
+        SELECT c3.sub, c3.cid, c3.pos, c3.cq, COALESCE(nn.n, CAST(0 AS BIGINT)) AS n
+        FROM c3 LEFT JOIN nn ON c3.sub = nn.sub AND c3.cid = nn.cid
+        ORDER BY c3.sub, c3.cid, c3.pos"""
+
+  private def pqErrorSql: String =
+    s"""WITH $pqCtes,
+        d4 AS MATERIALIZED (
+          SELECT us.vec_id, c.sub, c.cid,
+                 CAST(sum((us.vq - c.cq) * (us.vq - c.cq)) AS BIGINT) AS dist
+          FROM us JOIN c3 c ON us.pos = c.pos
+          GROUP BY us.vec_id, c.sub, c.cid),
+        a4 AS MATERIALIZED (
+          SELECT vec_id, sub, dist FROM (
+            SELECT vec_id, sub, dist,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM d4) t WHERE rn = 1),
+        ve AS (SELECT vec_id, CAST(sum(dist) AS BIGINT) AS err
+               FROM a4 GROUP BY vec_id)
+        SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(ve.err) AS BIGINT) AS total_err,
+               CAST(sum(ve.err) AS BIGINT) // (CAST(count(*) AS BIGINT) * 64)
+                 AS err_per_dim
+        FROM ve JOIN embeddings e ON ve.vec_id = e.vec_id
+        GROUP BY e.label ORDER BY e.label"""
+
   private def unigramTrainSql: String =
     s"""WITH $unigramCtes
         SELECT c2.piece, c2.c AS cnt, v2.cost
@@ -4680,6 +4800,13 @@ object Oracles {
     // integer Lloyd rounds unrolled; sign-split // mirrors Java's
     // toward-zero division; COALESCE keeps empty clusters' centroids
     "q153_kmeans_exact" -> kmeansExactSql,
+
+    // q153's CTEs with a sub column threaded through (see pqCtes)
+    "q154_pq_codebooks" -> pqCodebooksSql,
+
+    // one more assignment round over the trained c3; chosen dists SUM to
+    // the exact reconstruction error
+    "q155_pq_error" -> pqErrorSql,
 
     // q42's byte-fake frame CTE -> 61-sample nearest resize -> dHash bits
     // -> the q28 pigeonhole banding -> popcount histogram

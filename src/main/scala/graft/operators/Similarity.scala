@@ -621,6 +621,135 @@ object Similarity {
     (cents, sizes)
   }
 
+  /**
+   * INTEGER-EXACT product-quantization codebook training (Jégou, Douze &
+   * Schmid 2011, "Product Quantization for Nearest Neighbor Search" —
+   * public method): the vector splits into `nSub` contiguous subspaces
+   * and each subspace trains its own K-centroid codebook — a vector then
+   * encodes as nSub small codes (the memory-compression step IVF cells
+   * don't provide). Training is [[kmeansTrainExact]]'s integer Lloyd run
+   * for ALL subspaces in the same per-round passes: one fused kernel
+   * computes every subspace's nearest code per vector, and one
+   * partial-aggregated (sub, cid, pos) groupBy feeds the K x D driver
+   * update — adding subspaces adds NO passes. Same determinism story
+   * (integer L2, min-cid ties, sign-split truncating updates, md5-order
+   * shared seeds, empty codes keep their seed), so q154 oracles the
+   * whole trainer cross-engine with a `sub` column threaded through the
+   * unrolled CTEs.
+   *
+   * @return (cents(sub)(cid)(posInSub), sizes(sub)(cid) of the final
+   *         assignment)
+   */
+  def pqTrainExact(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nSub: Int = 4, k: Int = 8, rounds: Int = 3)
+      : (Array[Array[Array[Long]]], Array[Array[Long]]) = {
+    require(nSub > 0 && k > 0 && rounds >= 1)
+    val qv = corpus.select(col(idCol).as("vid"), quantized(col(vecCol)).as("q"))
+      .localCheckpoint(eager = false) // consumers: init pick + per-round passes
+    val init = qv.select(col("vid"), col("q"),
+        expr("cast(conv(substr(md5(cast(cast(vid as string) as binary)), 1, 15), 16, 10) as bigint)")
+          .as("m"))
+      .orderBy("m", "vid").limit(k).collect()
+    require(init.length == k, s"corpus smaller than k=$k")
+    val dim = init.head.getSeq[Long](1).length
+    require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
+    val subDim = dim / nSub
+    var cents: Array[Array[Array[Long]]] = Array.tabulate(nSub) { s =>
+      init.map(_.getSeq[Long](1).slice(s * subDim, (s + 1) * subDim).toArray)
+    }
+    var sizes: Array[Array[Long]] = Array.fill(nSub, k)(0L)
+    for (_ <- 1 to rounds) {
+      val bc = cents.map(_.map(_.clone))
+      val assignUdf = udf((q: Seq[Long]) => {
+        Array.tabulate(nSub) { s =>
+          var best = 0
+          var bd = Long.MaxValue
+          var c = 0
+          while (c < k) {
+            val cent = bc(s)(c)
+            var dsum = 0L
+            var i = 0
+            while (i < subDim) {
+              val df0 = q(s * subDim + i) - cent(i)
+              dsum += df0 * df0
+              i += 1
+            }
+            if (dsum < bd) { bd = dsum; best = c } // ties keep min cid
+            c += 1
+          }
+          best
+        }
+      })
+      val stats = qv.withColumn("cids", assignUdf(col("q")))
+        .select(col("cids"), posexplode(col("q")).as(Seq("pos", "vq")))
+        .withColumn("sub", (col("pos") / lit(subDim)).cast("int"))
+        .withColumn("cid", element_at(col("cids"), col("sub") + 1))
+        .groupBy("sub", "cid", "pos")
+        .agg(sum("vq").as("sv"), count(lit(1)).as("n"))
+        .collect() // nSub x K x subDim rows — aggregate-sized
+      val sums = Array.fill(nSub, k, subDim)(0L)
+      val ns = Array.fill(nSub, k)(0L)
+      stats.foreach { r =>
+        val s = r.getInt(0); val c = r.getInt(1); val p = r.getInt(2)
+        sums(s)(c)(p - s * subDim) = r.getLong(3)
+        if (p == s * subDim) ns(s)(c) = r.getLong(4)
+      }
+      cents = Array.tabulate(nSub)(s => Array.tabulate(k)(c =>
+        if (ns(s)(c) > 0) Array.tabulate(subDim)(p => sums(s)(c)(p) / ns(s)(c))
+        else bc(s)(c)))
+      sizes = ns
+    }
+    (cents, sizes)
+  }
+
+  /**
+   * PQ reconstruction-error audit under trained codebooks (the
+   * sketch-next-to-exact theme of q123/q125/q140: the compression's cost
+   * as DATA): each vector encodes to its nearest code per subspace and
+   * the chosen integer L2 distances SUM to the exact reconstruction
+   * error — all-integer end to end (per-dim mean is a truncating
+   * division), so the audit needs no float discipline at all. One
+   * narrow kernel pass; output is label-sized.
+   */
+  def pqReconstructionError(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      cents: Array[Array[Array[Long]]]): DataFrame = {
+    val nSub = cents.length
+    val k = cents(0).length
+    val subDim = cents(0)(0).length
+    val dim = nSub * subDim
+    val errUdf = udf((q: Seq[Long]) => {
+      var total = 0L
+      var s = 0
+      while (s < nSub) {
+        var bd = Long.MaxValue
+        var c = 0
+        while (c < k) {
+          val cent = cents(s)(c)
+          var dsum = 0L
+          var i = 0
+          while (i < subDim) {
+            val df0 = q(s * subDim + i) - cent(i)
+            dsum += df0 * df0
+            i += 1
+          }
+          if (dsum < bd) bd = dsum
+          c += 1
+        }
+        total += bd
+        s += 1
+      }
+      total
+    })
+    corpus.select(col(labelCol).as("label"),
+        errUdf(quantized(col(vecCol))).as("err"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("err").as("total_err"))
+      .select(col("label"), col("n_vecs"), col("total_err"),
+        expr(s"total_err div (n_vecs * $dim)").as("err_per_dim"))
+  }
+
   /** Exact all-pairs near-duplicates above a cosine threshold (the oracle
     * for the LSH variant; quadratic — use only at validation scale). */
   def exactNearDupPairs(

@@ -111,6 +111,44 @@ class KmeansExactSpec extends AnyFunSuite {
     assert(gc.map(_.toSeq).toSet == blobMeans, s"centroids ${gc.map(_.toSeq).toSeq}")
   }
 
+  test("pqTrainExact == independent per-subspace kmeansTrainExact (compositional lock)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // the PQ trainer's whole claim: subspaces are INDEPENDENT integer
+    // Lloyd runs sharing seeds and passes — so slicing the vectors and
+    // running the plain trainer per slice must reproduce it exactly
+    val rng = new scala.util.Random(23)
+    val vecs = (1L to 50L).map(id =>
+      id -> Array.fill(8)((rng.nextInt(4000) - 2000).toLong)).toMap
+    val df = toDf(vecs)
+    val (pc, ps) = Similarity.pqTrainExact(df, "vec_id", "embedding",
+      nSub = 2, k = 3, rounds = 3)
+    for (sub <- 0 until 2) {
+      val sliced = df.select(col("vec_id"),
+        expr(s"slice(embedding, ${sub * 4 + 1}, 4)").as("embedding"))
+      val (kc, ks) = Similarity.kmeansTrainExact(sliced, "vec_id", "embedding",
+        k = 3, rounds = 3)
+      assert(pc(sub).map(_.toSeq).toSeq == kc.map(_.toSeq).toSeq,
+        s"subspace $sub codebook diverges from the standalone trainer")
+      assert(ps(sub).toSeq == ks.toSeq)
+    }
+  }
+
+  test("pq reconstruction error is exactly zero when vectors ARE the codebook") {
+    // k distinct vectors, one each: md5-order seeding picks all of them,
+    // round 1 assigns each to itself -> every chosen distance is 0
+    val vecs = (1L to 4L).map(id =>
+      id -> Array(id * 10000L, -id * 5000L, id * 1000L, 0L)).toMap
+    val df = toDf(vecs)
+    val (cents, _) = Similarity.pqTrainExact(df, "vec_id", "embedding",
+      nSub = 2, k = 4, rounds = 2)
+    import org.apache.spark.sql.functions.lit
+    val err = Similarity.pqReconstructionError(
+        df.withColumn("label", lit("x")), "vec_id", "embedding", "label", cents)
+      .collect()
+    assert(err.length == 1 && err(0).getLong(2) == 0L,
+      s"expected zero reconstruction error: ${err.toSeq}")
+  }
+
   test("empty-cluster guard: k above distinct locations keeps seed centroids") {
     // 30 points at only TWO distinct locations, k = 4: two clusters end
     // empty and must retain their (seed-vector) centroids with size 0
