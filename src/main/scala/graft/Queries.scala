@@ -1681,6 +1681,82 @@ object Queries {
         .orderBy("label")
     }),
 
+    // PQ ASYMMETRIC-DISTANCE top-k search with its recall audit — the
+    // search side of q154's codebooks (Jégou et al.'s ADC), completing
+    // the ANN stack: IVF prunes (q39), PQ compresses (q154), ADC
+    // searches the compressed codes. Each corpus vector encodes once
+    // (the shared pqNearestCodes kernel); queries score codes by
+    // integer L2 to the code centroids (ADC) and the audit compares
+    // ADC top-5 against exact top-5 per query (the q140
+    // approximation-error-as-data pattern) — every distance is an exact
+    // integer, so recall is bit-identical cross-engine. Scale shape:
+    // top-k per query goes TWO-LEVEL (per-(query, vid%32-shard) window
+    // then a shard-winners window — the few-key-window discipline;
+    // direct per-query ranking would put a corpus partition in one
+    // task); the 8 query vectors ride the kernel closure.
+    "q156_pq_adc_recall" -> ((s, d) => {
+      val K = 5
+      val embs = t(s, d, "embeddings")
+      val (cents, _) = Similarity.pqTrainExact(
+        embs, "vec_id", "embedding", nSub = 4, k = 8, rounds = 3)
+      val qv = embs.select(col("vec_id").as("vid"),
+          Similarity.quantized(col("embedding")).as("q"))
+        .localCheckpoint(false) // consumers: query pick + scoring pass
+      val queryVecs = qv.where(col("vid") < 8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+      val nSub = cents.length
+      val subDim = cents(0)(0).length
+      val distUdf = udf((q: Seq[Long]) => {
+        val codes = Similarity.pqNearestCodes(q, cents)
+        queryVecs.map { case (qid, qq) =>
+          var adc = 0L
+          var s2 = 0
+          while (s2 < nSub) {
+            val cent = cents(s2)(codes(s2))
+            var i = 0
+            while (i < subDim) {
+              val df0 = qq(s2 * subDim + i) - cent(i)
+              adc += df0 * df0
+              i += 1
+            }
+            s2 += 1
+          }
+          var ex = 0L
+          var i = 0
+          while (i < qq.length) {
+            val df0 = qq(i) - q(i)
+            ex += df0 * df0
+            i += 1
+          }
+          (qid, adc, ex)
+        }
+      })
+      val scored = qv.select(col("vid"), explode(distUdf(col("q"))).as("t"))
+        .select(col("t._1").as("query_id"), col("vid"),
+          col("t._2").as("adc"), col("t._3").as("ex"))
+        .where(col("vid") =!= col("query_id"))
+        .withColumn("shard", pmod(col("vid"), lit(32)).cast("int"))
+        .localCheckpoint(false) // consumers: adc ranks, exact ranks
+      def top5(dcol: String) = {
+        val w1 = Window.partitionBy("query_id", "shard")
+          .orderBy(col(dcol), col("vid"))
+        val w2 = Window.partitionBy("query_id").orderBy(col(dcol), col("vid"))
+        scored.withColumn("rn", row_number().over(w1)).where(col("rn") <= K)
+          .withColumn("rn2", row_number().over(w2)).where(col("rn2") <= K)
+          .select(col("query_id"), col("vid"))
+      }
+      top5("adc").withColumn("a", lit(1))
+        .join(top5("ex").withColumn("e", lit(1)), Seq("query_id", "vid"), "full")
+        .groupBy("query_id")
+        .agg(sum(when(col("a") === 1 && col("e") === 1, 1L).otherwise(0L))
+          .as("n_overlap"))
+        .select(col("query_id"), col("n_overlap"),
+          (expr(s"cast(n_overlap * 1000000 as bigint) div $K").cast("double")
+            / lit(1000000.0)).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4765,6 +4841,47 @@ object Oracles {
         FROM ve JOIN embeddings e ON ve.vec_id = e.vec_id
         GROUP BY e.label ORDER BY e.label"""
 
+  private def pqAdcRecallSql: String =
+    s"""WITH $pqCtes,
+        d4 AS MATERIALIZED (
+          SELECT us.vec_id, c.sub, c.cid,
+                 CAST(sum((us.vq - c.cq) * (us.vq - c.cq)) AS BIGINT) AS dist
+          FROM us JOIN c3 c ON us.pos = c.pos
+          GROUP BY us.vec_id, c.sub, c.cid),
+        a4 AS MATERIALIZED (
+          SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM d4) t WHERE rn = 1),
+        qus AS MATERIALIZED (SELECT vec_id, pos, vq FROM us WHERE vec_id < 8),
+        adc AS MATERIALIZED (
+          SELECT qu.vec_id AS query_id, a.vec_id AS vid,
+                 CAST(sum((qu.vq - c.cq) * (qu.vq - c.cq)) AS BIGINT) AS adc
+          FROM a4 a JOIN c3 c ON a.sub = c.sub AND a.cid = c.cid
+          JOIN qus qu ON qu.pos = c.pos
+          WHERE a.vec_id <> qu.vec_id
+          GROUP BY qu.vec_id, a.vec_id),
+        exd AS MATERIALIZED (
+          SELECT qu.vec_id AS query_id, xu.vec_id AS vid,
+                 CAST(sum((qu.vq - xu.vq) * (qu.vq - xu.vq)) AS BIGINT) AS ex
+          FROM us xu JOIN qus qu ON qu.pos = xu.pos
+          WHERE xu.vec_id <> qu.vec_id
+          GROUP BY qu.vec_id, xu.vec_id),
+        ta AS (SELECT query_id, vid FROM (
+                 SELECT query_id, vid, row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc, vid) AS rn FROM adc) t
+               WHERE rn <= 5),
+        te AS (SELECT query_id, vid FROM (
+                 SELECT query_id, vid, row_number() OVER (
+                   PARTITION BY query_id ORDER BY ex, vid) AS rn FROM exd) t
+               WHERE rn <= 5)
+        SELECT ta.query_id, CAST(count(te.vid) AS BIGINT) AS n_overlap,
+               CAST((CAST(count(te.vid) AS BIGINT) * 1000000) // 5 AS DOUBLE)
+                 / 1000000.0 AS recall
+        FROM ta LEFT JOIN te ON ta.query_id = te.query_id AND ta.vid = te.vid
+        GROUP BY ta.query_id ORDER BY ta.query_id"""
+
   private def unigramTrainSql: String =
     s"""WITH $unigramCtes
         SELECT c2.piece, c2.c AS cnt, v2.cost
@@ -4807,6 +4924,10 @@ object Oracles {
     // one more assignment round over the trained c3; chosen dists SUM to
     // the exact reconstruction error
     "q155_pq_error" -> pqErrorSql,
+
+    // corpus encode (a4 with cid) + ADC via code-centroid join + exact
+    // distances, top-5 each per query, overlap count — all integer
+    "q156_pq_adc_recall" -> pqAdcRecallSql,
 
     // q42's byte-fake frame CTE -> 61-sample nearest resize -> dHash bits
     // -> the q28 pigeonhole banding -> popcount histogram

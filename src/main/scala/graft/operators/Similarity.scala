@@ -661,26 +661,7 @@ object Similarity {
     var sizes: Array[Array[Long]] = Array.fill(nSub, k)(0L)
     for (_ <- 1 to rounds) {
       val bc = cents.map(_.map(_.clone))
-      val assignUdf = udf((q: Seq[Long]) => {
-        Array.tabulate(nSub) { s =>
-          var best = 0
-          var bd = Long.MaxValue
-          var c = 0
-          while (c < k) {
-            val cent = bc(s)(c)
-            var dsum = 0L
-            var i = 0
-            while (i < subDim) {
-              val df0 = q(s * subDim + i) - cent(i)
-              dsum += df0 * df0
-              i += 1
-            }
-            if (dsum < bd) { bd = dsum; best = c } // ties keep min cid
-            c += 1
-          }
-          best
-        }
-      })
+      val assignUdf = udf((q: Seq[Long]) => pqNearestCodes(q, bc))
       val stats = qv.withColumn("cids", assignUdf(col("q")))
         .select(col("cids"), posexplode(col("q")).as(Seq("pos", "vq")))
         .withColumn("sub", (col("pos") / lit(subDim)).cast("int"))
@@ -701,6 +682,34 @@ object Similarity {
       sizes = ns
     }
     (cents, sizes)
+  }
+
+  /** Nearest code per subspace under integer L2, ties to the smaller
+    * code id — the shared PQ encode kernel ([[pqTrainExact]] rounds,
+    * corpus encoding for ADC search). Deterministic; the oracle mirrors
+    * it with a row_number over (dist, cid). */
+  def pqNearestCodes(q: Seq[Long], cents: Array[Array[Array[Long]]]): Array[Int] = {
+    val nSub = cents.length
+    val k = cents(0).length
+    val subDim = cents(0)(0).length
+    Array.tabulate(nSub) { s =>
+      var best = 0
+      var bd = Long.MaxValue
+      var c = 0
+      while (c < k) {
+        val cent = cents(s)(c)
+        var dsum = 0L
+        var i = 0
+        while (i < subDim) {
+          val df0 = q(s * subDim + i) - cent(i)
+          dsum += df0 * df0
+          i += 1
+        }
+        if (dsum < bd) { bd = dsum; best = c } // ties keep min cid
+        c += 1
+      }
+      best
+    }
   }
 
   /**

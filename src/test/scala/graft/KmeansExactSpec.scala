@@ -149,6 +149,42 @@ class KmeansExactSpec extends AnyFunSuite {
       s"expected zero reconstruction error: ${err.toSeq}")
   }
 
+  test("ADC distance equals exact distance when vectors sit on their codes (q156 kernel)") {
+    // corpus at exactly k distinct locations: every vector IS its code
+    // centroid after training, so the asymmetric distance (query ->
+    // code centroid) equals the true distance and ADC ranking == exact
+    // ranking — the live-path sanity behind q156's recall audit (on
+    // noise fixtures recall is legitimately near zero; this pins that
+    // the mechanism, not the fixture, drives it)
+    val locs = Seq(Array(40000L, 0L, -20000L, 8000L), Array(0L, 30000L, 0L, -9000L),
+      Array(-50000L, -10000L, 25000L, 0L), Array(10000L, 10000L, 10000L, 10000L))
+    // md5-order seeding again (the blob-test lesson): the 4 smallest-md5
+    // ids must cover all 4 locations or a location has no code
+    val ids = (1L to 12L).toSeq
+    val seedIds = ids.sortBy(id => (md5Long(id), id)).take(4)
+    val restIds = ids.filterNot(seedIds.contains)
+    val idLoc = (seedIds.zipWithIndex ++
+      restIds.zipWithIndex.map { case (id, i) => (id, i % 4) }).toMap
+    val vecs = ids.map(id => id -> locs(idLoc(id)).clone).toMap
+    val df = toDf(vecs)
+    val (cents, _) = Similarity.pqTrainExact(df, "vec_id", "embedding",
+      nSub = 2, k = 4, rounds = 3)
+    val query = Array(5000L, -2000L, 3000L, 100L)
+    def exact(x: Array[Long]) = query.zip(x).map { case (a, b) => (a - b) * (a - b) }.sum
+    def adc(x: Array[Long]) = {
+      val codes = Similarity.pqNearestCodes(x.toSeq, cents)
+      (0 until 2).map { s =>
+        val cent = cents(s)(codes(s))
+        (0 until 2).map(i => {
+          val d = query(s * 2 + i) - cent(i); d * d
+        }).sum
+      }.sum
+    }
+    vecs.values.foreach { x =>
+      assert(adc(x) == exact(x), s"ADC != exact on an on-code vector ${x.toSeq}")
+    }
+  }
+
   test("empty-cluster guard: k above distinct locations keeps seed centroids") {
     // 30 points at only TWO distinct locations, k = 4: two clusters end
     // empty and must retain their (seed-vector) centroids with size 0
