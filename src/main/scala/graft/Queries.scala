@@ -1757,6 +1757,96 @@ object Queries {
         .orderBy("query_id")
     }),
 
+    // IVF-PQ COMPOSED search (the production ANN layout — FAISS's
+    // IVFPQ shape): q153's integer k-means partitions the corpus into
+    // cells, q154's codebooks compress the vectors, and a query probes
+    // its 2 nearest cells then ranks ONLY their members by ADC — the
+    // recall-vs-work trade of real vector stores, audited against exact
+    // top-5 over the whole corpus (n_cand says how little was
+    // searched). Every distance, probe rank, and code is exact integer
+    // arithmetic, so the ENTIRE composition is bit-identical
+    // cross-engine — the oracle runs BOTH trainings in one query
+    // (prefix-parameterized CTE sets) plus the probe/ADC/overlap
+    // chain. Scale shape: one narrow kernel pass computes each
+    // vector's cell + codes + per-query distances; two-level top-k as
+    // q156; probed-cell sets are 8x2 driver scalars.
+    "q157_ivfpq_search" -> ((s, d) => {
+      val K = 5
+      val nProbe = 2
+      val embs = t(s, d, "embeddings")
+      val (cellCents, _) = Similarity.kmeansTrainExact(
+        embs, "vec_id", "embedding", k = 8, rounds = 3)
+      val (cents, _) = Similarity.pqTrainExact(
+        embs, "vec_id", "embedding", nSub = 4, k = 8, rounds = 3)
+      val qv = embs.select(col("vec_id").as("vid"),
+          Similarity.quantized(col("embedding")).as("q"))
+        .localCheckpoint(false) // consumers: query pick + scoring pass
+      val queryVecs = qv.where(col("vid") < 8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+      def l2(a: Array[Long], b: Array[Long]): Long = {
+        var s2 = 0L; var i = 0
+        while (i < a.length) { val df0 = a(i) - b(i); s2 += df0 * df0; i += 1 }
+        s2
+      }
+      // probed cells per query: 8x2 driver scalars, (dist, cell) order
+      val probes: Map[Long, Set[Int]] = queryVecs.map { case (qid, qq) =>
+        qid -> cellCents.indices.sortBy(c => (l2(qq, cellCents(c)), c))
+          .take(nProbe).toSet
+      }.toMap
+      val cellWrap = Array(cellCents) // full vector = one 64-wide subspace
+      val nSub = cents.length
+      val subDim = cents(0)(0).length
+      val distUdf = udf((q: Seq[Long]) => {
+        val cell = Similarity.pqNearestCodes(q, cellWrap)(0)
+        val codes = Similarity.pqNearestCodes(q, cents)
+        val qa = q.toArray
+        queryVecs.map { case (qid, qq) =>
+          var adc = 0L
+          var s2 = 0
+          while (s2 < nSub) {
+            val cent = cents(s2)(codes(s2))
+            var i = 0
+            while (i < subDim) {
+              val df0 = qq(s2 * subDim + i) - cent(i)
+              adc += df0 * df0
+              i += 1
+            }
+            s2 += 1
+          }
+          (qid, adc, l2(qq, qa), probes(qid).contains(cell))
+        }
+      })
+      val scored = qv.select(col("vid"), explode(distUdf(col("q"))).as("t"))
+        .select(col("t._1").as("query_id"), col("vid"),
+          col("t._2").as("adc"), col("t._3").as("ex"), col("t._4").as("cand"))
+        .where(col("vid") =!= col("query_id"))
+        .withColumn("shard", pmod(col("vid"), lit(32)).cast("int"))
+        .localCheckpoint(false) // consumers: adc ranks, exact ranks, n_cand
+      def top5(df: DataFrame, dcol: String) = {
+        val w1 = Window.partitionBy("query_id", "shard")
+          .orderBy(col(dcol), col("vid"))
+        val w2 = Window.partitionBy("query_id").orderBy(col(dcol), col("vid"))
+        df.withColumn("rn", row_number().over(w1)).where(col("rn") <= K)
+          .withColumn("rn2", row_number().over(w2)).where(col("rn2") <= K)
+          .select(col("query_id"), col("vid"))
+      }
+      val nCand = scored.where(col("cand"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+      top5(scored.where(col("cand")), "adc").withColumn("a", lit(1))
+        .join(top5(scored, "ex").withColumn("e", lit(1)),
+          Seq("query_id", "vid"), "full")
+        .groupBy("query_id")
+        .agg(sum(when(col("a") === 1 && col("e") === 1, 1L).otherwise(0L))
+          .as("n_overlap"))
+        .join(nCand, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          col("n_overlap"),
+          (expr(s"cast(n_overlap * 1000000 as bigint) div $K").cast("double")
+            / lit(1000000.0)).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4763,51 +4853,57 @@ object Oracles {
     * sub), updates group by (sub, cid, pos)). Fixture dim 64, 4
     * subspaces of 16 (the oracle pins fixture geometry, like q140's
     * annBucketsSql dims). */
-  private def pqCtes: String = {
-    val K = 8; val R = 3; val SUBDIM = 16
+  private def pqCtes: String = pqCtesP("", 16)
+
+  /** Prefix-parameterized form so two independent trainings compose in
+    * ONE oracle query (q157: `kv_` full-vector cells with subDim 64 +
+    * `pq_` codebooks with subDim 16); prefix "" keeps the q154/q155/
+    * q156 SQL byte-identical. */
+  private def pqCtesP(p: String, subDim: Int): String = {
+    val K = 8; val R = 3
     val sb = new StringBuilder
-    sb ++= s"""u AS MATERIALIZED (
+    sb ++= s"""${p}u AS MATERIALIZED (
           SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0) AS BIGINT) AS vq
           FROM embeddings),
-        us AS MATERIALIZED (
-          SELECT vec_id, pos, CAST(pos // $SUBDIM AS INT) AS sub, vq FROM u),
-        seeds AS MATERIALIZED (
+        ${p}us AS MATERIALIZED (
+          SELECT vec_id, pos, CAST(pos // $subDim AS INT) AS sub, vq FROM ${p}u),
+        ${p}seeds AS MATERIALIZED (
           SELECT vec_id, CAST(rn - 1 AS INT) AS cid FROM (
             SELECT vec_id, row_number() OVER (ORDER BY m, vec_id) AS rn FROM (
               SELECT vec_id, ${graft.functions.PortableHash
                 .duckdbMd5Long("vec_id::VARCHAR", 15)} AS m
               FROM embeddings) t1) t2
           WHERE rn <= $K),
-        c0 AS MATERIALIZED (
+        ${p}c0 AS MATERIALIZED (
           SELECT us.sub, s.cid, us.pos, us.vq AS cq
-          FROM seeds s JOIN us ON s.vec_id = us.vec_id),\n"""
+          FROM ${p}seeds s JOIN ${p}us us ON s.vec_id = us.vec_id),\n"""
     for (r <- 1 to R) {
-      sb ++= s"""d$r AS MATERIALIZED (
+      sb ++= s"""${p}d$r AS MATERIALIZED (
           SELECT us.vec_id, c.sub, c.cid,
                  CAST(sum((us.vq - c.cq) * (us.vq - c.cq)) AS BIGINT) AS dist
-          FROM us JOIN c${r - 1} c ON us.pos = c.pos
+          FROM ${p}us us JOIN ${p}c${r - 1} c ON us.pos = c.pos
           GROUP BY us.vec_id, c.sub, c.cid),
-        a$r AS MATERIALIZED (
+        ${p}a$r AS MATERIALIZED (
           SELECT vec_id, sub, cid, dist FROM (
             SELECT vec_id, sub, cid, dist,
                    row_number() OVER (PARTITION BY vec_id, sub
                                       ORDER BY dist, cid) AS rn
-            FROM d$r) t WHERE rn = 1),
-        s$r AS MATERIALIZED (
+            FROM ${p}d$r) t WHERE rn = 1),
+        ${p}s$r AS MATERIALIZED (
           SELECT a.sub, a.cid, us.pos, CAST(sum(us.vq) AS BIGINT) AS sv,
                  CAST(count(*) AS BIGINT) AS n
-          FROM a$r a JOIN us ON a.vec_id = us.vec_id AND a.sub = us.sub
+          FROM ${p}a$r a JOIN ${p}us us ON a.vec_id = us.vec_id AND a.sub = us.sub
           GROUP BY a.sub, a.cid, us.pos),
-        c$r AS MATERIALIZED (
+        ${p}c$r AS MATERIALIZED (
           SELECT p.sub, p.cid, p.pos,
                  COALESCE(CASE WHEN s.n > 0 THEN
                    CASE WHEN s.sv >= 0 THEN s.sv // s.n
                         ELSE -((-s.sv) // s.n) END END, p.cq) AS cq
-          FROM c${r - 1} p LEFT JOIN s$r s
+          FROM ${p}c${r - 1} p LEFT JOIN ${p}s$r s
             ON p.sub = s.sub AND p.cid = s.cid AND p.pos = s.pos),\n"""
     }
-    sb ++= s"""fin AS (SELECT 1 AS one)"""
+    sb ++= s"""${p}fin AS (SELECT 1 AS one)"""
     sb.toString
   }
 
@@ -4882,6 +4978,79 @@ object Oracles {
         FROM ta LEFT JOIN te ON ta.query_id = te.query_id AND ta.vid = te.vid
         GROUP BY ta.query_id ORDER BY ta.query_id"""
 
+  /** q157: both trainings composed in one query (prefixed CTE sets),
+    * then probe -> candidate -> ADC -> overlap — all integer. */
+  private def ivfpqSearchSql: String =
+    s"""WITH ${pqCtesP("kv_", 64)},
+        ${pqCtesP("pq_", 16)},
+        kvd4 AS MATERIALIZED (
+          SELECT us.vec_id, c.cid,
+                 CAST(sum((us.vq - c.cq) * (us.vq - c.cq)) AS BIGINT) AS dist
+          FROM kv_us us JOIN kv_c3 c ON us.pos = c.pos
+          GROUP BY us.vec_id, c.cid),
+        kva4 AS MATERIALIZED (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM kvd4) t WHERE rn = 1),
+        pqd4 AS MATERIALIZED (
+          SELECT us.vec_id, c.sub, c.cid,
+                 CAST(sum((us.vq - c.cq) * (us.vq - c.cq)) AS BIGINT) AS dist
+          FROM pq_us us JOIN pq_c3 c ON us.pos = c.pos
+          GROUP BY us.vec_id, c.sub, c.cid),
+        pqa4 AS MATERIALIZED (
+          SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM pqd4) t WHERE rn = 1),
+        qus AS MATERIALIZED (SELECT vec_id, pos, vq FROM pq_us WHERE vec_id < 8),
+        cellrank AS MATERIALIZED (
+          SELECT query_id, cell FROM (
+            SELECT qu.vec_id AS query_id, c.cid AS cell,
+                   row_number() OVER (PARTITION BY qu.vec_id
+                     ORDER BY sum((qu.vq - c.cq) * (qu.vq - c.cq)), c.cid) AS rn
+            FROM qus qu JOIN kv_c3 c ON qu.pos = c.pos
+            GROUP BY qu.vec_id, c.cid) t
+          WHERE rn <= 2),
+        cand AS MATERIALIZED (
+          SELECT cr.query_id, a.vec_id AS vid
+          FROM kva4 a JOIN cellrank cr ON a.cell = cr.cell
+          WHERE a.vec_id <> cr.query_id),
+        adc AS MATERIALIZED (
+          SELECT cd.query_id, cd.vid,
+                 CAST(sum((qu.vq - c.cq) * (qu.vq - c.cq)) AS BIGINT) AS adc
+          FROM cand cd
+          JOIN pqa4 a ON a.vec_id = cd.vid
+          JOIN pq_c3 c ON a.sub = c.sub AND a.cid = c.cid
+          JOIN qus qu ON qu.pos = c.pos AND qu.vec_id = cd.query_id
+          GROUP BY cd.query_id, cd.vid),
+        exd AS MATERIALIZED (
+          SELECT qu.vec_id AS query_id, xu.vec_id AS vid,
+                 CAST(sum((qu.vq - xu.vq) * (qu.vq - xu.vq)) AS BIGINT) AS ex
+          FROM pq_us xu JOIN qus qu ON qu.pos = xu.pos
+          WHERE xu.vec_id <> qu.vec_id
+          GROUP BY qu.vec_id, xu.vec_id),
+        ta AS (SELECT query_id, vid FROM (
+                 SELECT query_id, vid, row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc, vid) AS rn FROM adc) t
+               WHERE rn <= 5),
+        te AS (SELECT query_id, vid FROM (
+                 SELECT query_id, vid, row_number() OVER (
+                   PARTITION BY query_id ORDER BY ex, vid) AS rn FROM exd) t
+               WHERE rn <= 5),
+        nc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_cand
+               FROM cand GROUP BY query_id),
+        ov AS (SELECT te.query_id, CAST(count(ta.vid) AS BIGINT) AS n_overlap
+               FROM te LEFT JOIN ta
+                 ON ta.query_id = te.query_id AND ta.vid = te.vid
+               GROUP BY te.query_id)
+        SELECT ov.query_id, COALESCE(nc.n_cand, CAST(0 AS BIGINT)) AS n_cand,
+               ov.n_overlap,
+               CAST((ov.n_overlap * 1000000) // 5 AS DOUBLE) / 1000000.0 AS recall
+        FROM ov LEFT JOIN nc ON ov.query_id = nc.query_id
+        ORDER BY ov.query_id"""
+
   private def unigramTrainSql: String =
     s"""WITH $unigramCtes
         SELECT c2.piece, c2.c AS cnt, v2.cost
@@ -4928,6 +5097,9 @@ object Oracles {
     // corpus encode (a4 with cid) + ADC via code-centroid join + exact
     // distances, top-5 each per query, overlap count — all integer
     "q156_pq_adc_recall" -> pqAdcRecallSql,
+
+    // both trainings composed (kv_/pq_ prefixed CTEs) + probe/ADC/overlap
+    "q157_ivfpq_search" -> ivfpqSearchSql,
 
     // q42's byte-fake frame CTE -> 61-sample nearest resize -> dHash bits
     // -> the q28 pigeonhole banding -> popcount histogram

@@ -91,6 +91,50 @@ class MultimodalPHashSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L, 1)), s"got $pairs")
   }
 
+  test("REAL WAV golden: the operator is modality-generic via its decode seam") {
+    import javax.sound.sampled._
+    // 16-bit mono PCM tones; a mild amplitude change is a NEAR dup
+    // (few gradient flips), a different frequency pattern is far
+    def wavBytes(freqs: Seq[Double], amp: Double): Array[Byte] = {
+      val rate = 8000f
+      val perTone = 1024
+      val n = freqs.length * perTone
+      val pcm = new Array[Byte](n * 2)
+      for ((f, t) <- freqs.zipWithIndex; i <- 0 until perTone) {
+        val v = (math.sin(2 * math.Pi * i * f / rate) * amp * 16384).toInt
+        pcm(2 * (t * perTone + i)) = (v & 0xff).toByte
+        pcm(2 * (t * perTone + i) + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 64 tones with rising-falling RMS profile via amplitude steps
+    val profile = (0 until 64).map(i => 100.0 + (i % 8) * 30.0)
+    val a = wavBytes(profile, 0.5)
+    val near = wavBytes(profile, 0.52) // amplitude scale: same gradient signs
+    val far = wavBytes(profile.reverse, 0.5)
+    def hashOf(bytes: Array[Byte]): Long =
+      Multimodal.perceptualHash60(
+        Multimodal.decodeAudioFrames(bytes, frameSamples = 1024))
+    val hA = hashOf(a)
+    assert(hA != 0L)
+    assert(java.lang.Long.bitCount(hA ^ hashOf(near)) <= 3,
+      "amplitude-scaled tone sequence should be hamming-near")
+    assert(java.lang.Long.bitCount(hA ^ hashOf(far)) > 10,
+      "reversed tone profile should be hamming-far")
+    // the full operator with the audio decoder plugged into the seam
+    import spark.implicits._
+    val packed = pack(Seq((1L, a), (2L, near), (3L, far)))
+    val pairs = Multimodal.imageNearDupPairs(packed, "doc_id", maxHamming = 3,
+        decode = Multimodal.decodeAudioFrames(_, 1024))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)), s"got $pairs")
+  }
+
   test("default cap inherited: 150 identical payloads emit star edges, not all-pairs") {
     import spark.implicits._
     val bytes = pngBytes((0 until 61).map(_ * 4))
