@@ -291,6 +291,24 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("q156/q157: ANN-audit final plans read the checkpointed vector table — no cartesian") {
+    // the trainer loops collapse into driver scalars; the final plan is
+    // the scoring pass over the checkpointed quantized table plus
+    // aggregate-sized rank/overlap joins. A cartesian or nested-loop
+    // here means the per-query scoring lost its narrow shape.
+    for (q <- Seq("q156_pq_adc_recall", "q157_ivfpq_search")) {
+      val plans = executedPlans(q)
+      assert(plans.collect { case s: FileSourceScanExec => s }.isEmpty,
+        s"$q final plan re-scans parquet — the quantized table fell out of the checkpoint")
+      assert(plans.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j }.isEmpty,
+        s"$q grew a cartesian join")
+      assert(plans.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"$q lost an equi-key (nested-loop join)")
+    }
+  }
+
   test("q150: histogram counts combinatorially — no doc-pair materialization") {
     // the signature table collapses to (sim, count) BEFORE any join (the
     // Dedup.exact move); every downstream table is distinct-hash-sized.
