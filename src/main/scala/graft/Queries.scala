@@ -1847,6 +1847,51 @@ object Queries {
         .orderBy("query_id")
     }),
 
+    // deterministic NEGATIVE-SAMPLING batch constructor for contrastive
+    // training (the in-batch-negatives table a retrieval/embedding
+    // trainer consumes): per anchor, 4 md5-derived negatives (offset =
+    // 1 + md5(anchor, j) % (N-1), mod N — never the anchor itself, no
+    // RNG, contiguous-id contract like q88/q128's draws), each scored
+    // by exact integer-quantized cosine (integer dot and norms through
+    // the floor(v*1024) bridge — one sqrt-divide-round per pair, the
+    // q102 discipline) and flagged hard when the ROUNDED cosine clears
+    // the threshold (round-before-compare). Scale shape: N x 4 rows,
+    // two id-keyed equi-joins against the once-normed vector table, no
+    // window, no shuffle beyond the joins; codegen HOF dot (tiny per
+    // row — the fused-kernel rule applies only where a measured
+    // interpreted form is slower).
+    "q158_negative_sampling" -> ((s, d) => {
+      val kNeg = 4
+      val embs = t(s, d, "embeddings")
+      val qn = embs.select(col("vec_id"),
+          Similarity.quantized(col("embedding")).as("q"))
+        .withColumn("nrm",
+          expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .localCheckpoint(false) // consumers: anchor side, negative side
+      val pairs = embs.select(col("vec_id").as("anchor_id"))
+        .crossJoin(broadcast(embs.agg(count(lit(1)).as("n"))))
+        .select(col("anchor_id"), col("n"),
+          explode(expr(s"sequence(1, $kNeg)")).as("j"))
+        .select(col("anchor_id"), col("j"),
+          expr("pmod(anchor_id + 1 + pmod(cast(conv(substr(md5(cast(" +
+            "concat(anchor_id, '_', j) as binary)), 1, 15), 16, 10) as bigint), " +
+            "n - 1), n)").as("neg_id"))
+      pairs
+        .join(qn.select(col("vec_id").as("anchor_id"), col("q").as("qa"),
+          col("nrm").as("na")), "anchor_id")
+        .join(qn.select(col("vec_id").as("neg_id"), col("q").as("qb"),
+          col("nrm").as("nb")), "neg_id")
+        .withColumn("dot",
+          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .select(col("anchor_id"), col("j"), col("neg_id"),
+          when(col("na") === 0 || col("nb") === 0, lit(0.0)).otherwise(
+            round(col("dot").cast("double") /
+              sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
+            .as("cosine"))
+        .withColumn("is_hard", (col("cosine") >= 0.2).cast("int"))
+        .orderBy("anchor_id", "j")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -5100,6 +5145,36 @@ object Oracles {
 
     // both trainings composed (kv_/pq_ prefixed CTEs) + probe/ADC/overlap
     "q157_ivfpq_search" -> ivfpqSearchSql,
+
+    // md5-offset negative draws + exact integer dot/norm cosine; is_hard
+    // from the rounded cosine (round-before-compare)
+    "q158_negative_sampling" ->
+      s"""WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+                     FROM embeddings),
+              nr AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS nrm
+                     FROM u GROUP BY vec_id),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+              pr AS (SELECT e.vec_id AS anchor_id, CAST(j AS INT) AS j,
+                            (e.vec_id + 1 + (${graft.functions.PortableHash
+                              .duckdbMd5Long("e.vec_id || '_' || j", 15)} % (n - 1))) % n
+                              AS neg_id
+                     FROM embeddings e CROSS JOIN nn
+                     CROSS JOIN (SELECT unnest(range(1, 5)) AS j)),
+              dt AS (SELECT p.anchor_id, p.j, p.neg_id,
+                            CAST(sum(a.vq * b.vq) AS BIGINT) AS dot
+                     FROM pr p JOIN u a ON a.vec_id = p.anchor_id
+                     JOIN u b ON b.vec_id = p.neg_id AND b.pos = a.pos
+                     GROUP BY p.anchor_id, p.j, p.neg_id),
+              sc AS (SELECT d.anchor_id, d.j, d.neg_id,
+                            CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+                                 ELSE round(d.dot / sqrt(CAST(na.nrm AS DOUBLE) * nb.nrm), 6)
+                            END AS cosine
+                     FROM dt d JOIN nr na ON d.anchor_id = na.vec_id
+                     JOIN nr nb ON d.neg_id = nb.vec_id)
+         SELECT anchor_id, j, neg_id, cosine,
+                CAST(CASE WHEN cosine >= 0.2 THEN 1 ELSE 0 END AS INT) AS is_hard
+         FROM sc ORDER BY anchor_id, j""",
 
     // q42's byte-fake frame CTE -> 61-sample nearest resize -> dHash bits
     // -> the q28 pigeonhole banding -> popcount histogram
