@@ -5098,9 +5098,14 @@ object Oracles {
 
   private def unigramTrainSql: String =
     s"""WITH $unigramCtes
-        SELECT c2.piece, c2.c AS cnt, v2.cost
-        FROM c2 JOIN v2 ON c2.piece = v2.piece
-        ORDER BY c2.piece"""
+        SELECT piece, cnt, cost FROM (
+          SELECT c2.piece, c2.c AS cnt, v2.cost
+          FROM c2 JOIN v2 ON c2.piece = v2.piece
+          UNION ALL
+          SELECT v2.piece, CAST(0 AS BIGINT) AS cnt, v2.cost
+          FROM v2 WHERE length(v2.piece) = 1
+            AND v2.piece NOT IN (SELECT piece FROM c2)) t
+        ORDER BY piece"""
 
   /** q152's apply: the round-2 backtrace p2 already IS every word's
     * segmentation under the final costs (the train==apply property), so
@@ -5193,7 +5198,7 @@ object Oracles {
               h AS (SELECT doc_id,
                            CAST(list_sum(list_transform(range(0, 60), k ->
                              CASE WHEN rs[k+2] > rs[k+1]
-                                  THEN CAST(2 AS BIGINT)**k ELSE 0 END)) AS BIGINT) AS ph
+                                  THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)) AS BIGINT) AS ph
                     FROM r),
               ck AS (SELECT doc_id, ph, chunk, (ph >> CAST(chunk*15 AS INT)) & 32767 AS chunk_val
                      FROM (SELECT doc_id, ph, unnest(range(0, 4)) AS chunk FROM h) t),

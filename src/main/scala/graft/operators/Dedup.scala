@@ -393,14 +393,24 @@ object Dedup {
         if (hotBucketCap == CapAuto)
           greatest(lit(100L), col("n_docs") * 100L / 32768L)
         else lit(hotBucketCap.toLong)
+      // Bucket sizing is a partial-aggregated groupBy joined back (the
+      // Dedup.exact shape), NEVER a Window over the bucket key: a hot
+      // template's chunk_val is exactly the Zipfian key the r4 lesson
+      // bans — the groupBy collapses it map-side, and the stats table is
+      // bounded by the 4 x 2^15 chunk-value space so it broadcasts and
+      // the corpus rows never shuffle for sizing at all (BandSkewSpec
+      // probes the exchange; PlanGuardSpec pins no-Window on this path).
+      // chunked feeds both the stats and the join -> lazy localCheckpoint
+      // so the signature projection (potentially a decode+hash kernel)
+      // runs once (r5 rule).
+      val chk = chunked.localCheckpoint(eager = false)
       val withN =
         if (hotBucketCap == CapAuto)
-          chunked.crossJoin(broadcast(sig.agg(count(lit(1)).as("n_docs"))))
-        else chunked
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk", "chunk_val")
-      val sized = withN
-        .withColumn("bsz", count(lit(1)).over(w))
-        .withColumn("rep", min(struct(col("doc"), col("sim"))).over(w))
+          chk.crossJoin(broadcast(sig.agg(count(lit(1)).as("n_docs"))))
+        else chk
+      val stats = chk.groupBy("chunk", "chunk_val")
+        .agg(count(lit(1)).as("bsz"), min(struct(col("doc"), col("sim"))).as("rep"))
+      val sized = withN.join(broadcast(stats), Seq("chunk", "chunk_val"))
       val cold = sized.where(col("bsz") <= capCol)
       val coldPairs = cold.select(col("chunk"), col("chunk_val"),
           col("doc").as("doc_a"), col("sim").as("sim_a"))

@@ -347,9 +347,10 @@ object Multimodal {
   def imageNearDupPairs(
       packed: DataFrame, idCol: String,
       maxHamming: Int = 3, hotBucketCap: Int = Dedup.CapAuto,
-      decode: Array[Byte] => Array[Double] = decodeImageRows): DataFrame = {
+      decode: Array[Byte] => Array[Double] = decodeImageRows,
+      contentCol: String = "content"): DataFrame = {
     val hashUdf = udf((content: Array[Byte]) => perceptualHash60(decode(content)))
-    val sig = packed.select(col(idCol).as("doc"), hashUdf(col("content")).as("sim"))
+    val sig = packed.select(col(idCol).as("doc"), hashUdf(col(contentCol)).as("sim"))
     Dedup.hammingBandPairs(sig, maxHamming, hotBucketCap)
   }
 

@@ -759,6 +759,57 @@ object Similarity {
         expr(s"total_err div (n_vecs * $dim)").as("err_per_dim"))
   }
 
+  /** Two-level top-k shard-count sizing rule (the `lshBitsFor`/`dfCapFor`
+    * companion for the per-query ranking stage — r10 verdict #3: the
+    * audit queries' literal 32 promoted to the repo's sizing-rule
+    * discipline): enough shards that one (query, shard) window partition
+    * holds ≤ ~4M corpus rows, at least 32 for parallelism, capped so the
+    * re-rank stage (nQueries × shards × k rows) stays aggregate-sized.
+    * The ANSWER is invariant in the shard count — each query's true
+    * top-k survives any per-shard filtering ≥ k (AnnAuditSpec proves
+    * it) — so this tunes task size only. */
+  def topkShardsFor(nQueries: Long, corpusSize: Long): Int = {
+    require(nQueries > 0 && corpusSize >= 0)
+    val bySize = math.max(32L, (corpusSize + (1L << 22) - 1) / (1L << 22))
+    val reRankCap = math.max(32L, 4000000L / nQueries)
+    math.min(bySize, reRankCap).toInt
+  }
+
+  /** Per-query top-k ids, TWO-LEVEL (the few-key-window discipline): a
+    * per-(query, id-hash-shard) window filters to k survivors per shard,
+    * then the ≤ shards×k winners re-rank in one tiny per-query window —
+    * a direct per-query window would put one query's whole corpus
+    * partition in a single task. Ties break on (dist, id) both levels,
+    * so the result is exactly the global top-k for ANY shards ≥ 1. */
+  def twoLevelTopK(scored: DataFrame, queryCol: String, idCol: String,
+                   distCol: String, k: Int, shards: Int): DataFrame = {
+    require(k > 0 && shards > 0)
+    val w1 = Window.partitionBy(col(queryCol), col("__shard"))
+      .orderBy(col(distCol), col(idCol))
+    val w2 = Window.partitionBy(col(queryCol)).orderBy(col(distCol), col(idCol))
+    scored.withColumn("__shard", pmod(col(idCol), lit(shards.toLong)).cast("int"))
+      .withColumn("__rn", row_number().over(w1)).where(col("__rn") <= k)
+      .withColumn("__rn2", row_number().over(w2)).where(col("__rn2") <= k)
+      .select(col(queryCol), col(idCol))
+  }
+
+  /** Deterministic md5-order audit-query draw (r10 verdict #3: the
+    * hardcoded `vid < 8` replaced by the q128/q153 draw pattern — no
+    * contiguous-id assumption, reproducible in any engine): the first
+    * `n` ids of `qv` (vid, q) in md5("q:" ++ vid) order, collected as
+    * driver scalars (n × dim — aggregate-sized). The "q:" salt decouples
+    * the draw from the k-means seed draw, which orders by the unsalted
+    * md5 of the same ids. */
+  def auditQueryDraw(qv: DataFrame, n: Int): Array[(Long, Array[Long])] = {
+    require(n > 0)
+    qv.select(col("vid"), col("q"),
+        expr("cast(conv(substr(md5(cast(concat('q:', cast(vid as string)) " +
+          "as binary)), 1, 15), 16, 10) as bigint)").as("m"))
+      .orderBy("m", "vid").limit(n).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+  }
+
   /** Exact all-pairs near-duplicates above a cosine threshold (the oracle
     * for the LSH variant; quadratic — use only at validation scale). */
   def exactNearDupPairs(

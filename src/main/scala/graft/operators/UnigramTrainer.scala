@@ -223,7 +223,17 @@ object UnigramTrainer {
       }
     }
     val costDf = costMap.toSeq.toDF("piece", "cost")
-    cnts.join(broadcast(costDf), "piece")
+    val used = cnts.join(broadcast(costDf), "piece")
       .select(col("piece"), col("c").as("cnt"), col("cost"))
+    // Coverage: single-char pieces never chosen in the final round stay
+    // in the inventory with cnt 0, so viterbiPieces under the returned
+    // model can encode ANY text over the training alphabet — the
+    // returned map IS the round-`rounds` cost map (r10 advice: the
+    // inner join silently dropped unused singles, making the production
+    // encode path throw on characters absent from the usage counts).
+    val zeroSingles = costDf.where(length(col("piece")) === 1)
+      .join(cnts, Seq("piece"), "left_anti")
+      .select(col("piece"), lit(0L).as("cnt"), col("cost"))
+    used.unionByName(zeroSingles)
   }
 }

@@ -48,8 +48,23 @@ class UnigramTrainerSpec extends AnyFunSuite {
       assert(pieces.mkString("") == w, s"pieces of '$w' don't concatenate back")
       pieces.foreach(p => recomputed(p) = recomputed.getOrElse(p, 0L) + wc)
     }
-    assert(recomputed.toMap == out.map(t => (t._1, t._2)).toMap,
+    // r10 advice: the inventory retains never-chosen singles at cnt 0
+    // (coverage); only singles may be zero-count, and the nonzero slice
+    // is exactly what re-applying the costs reproduces
+    val (zero, nonzero) = out.partition(_._2 == 0L)
+    assert(zero.forall(_._1.length == 1),
+      s"only single-char pieces may carry cnt 0: ${zero.filter(_._1.length > 1)}")
+    assert(recomputed.toMap == nonzero.map(t => (t._1, t._2)).toMap,
       "applying the returned costs does not reproduce the returned counts")
+    // production-encode coverage: the FULL training alphabet is in the
+    // returned inventory, so any new text over it is segmentable
+    val alphabet = words.iterator.flatMap(_._1.toSeq).map(_.toString).toSet
+    val inv = out.map(_._1).toSet
+    assert(alphabet.subsetOf(inv),
+      s"training alphabet chars missing from inventory: ${alphabet -- inv}")
+    val newWord = alphabet.toSeq.sorted.take(8).mkString("")
+    assert(UnigramTrainer.viterbiPieces(newWord, costMap, 4).mkString("") == newWord,
+      "a new word over the training alphabet must be coverable")
   }
 
   test("live EM: a constructed fixture flips a segmentation between rounds") {
@@ -66,9 +81,13 @@ class UnigramTrainerSpec extends AnyFunSuite {
         .map(t => (t._1, t._2)).toMap
     val r1 = counts(1)
     val r2 = counts(2)
-    assert(r1 == Map("ab" -> 10L, "aba" -> 50L, "abab" -> 200L, "ba" -> 40L),
+    // singles a/b are never chosen but stay in the inventory at cnt 0
+    // (the r10-advice coverage contract)
+    assert(r1 == Map("a" -> 0L, "b" -> 0L,
+        "ab" -> 10L, "aba" -> 50L, "abab" -> 200L, "ba" -> 40L),
       s"round-1 segmentation drifted: $r1")
-    assert(r2 == Map("aba" -> 50L, "ba" -> 50L, "abab" -> 200L),
+    assert(r2 == Map("a" -> 0L, "b" -> 0L,
+        "aba" -> 50L, "ba" -> 50L, "abab" -> 200L),
       s"round-2 segmentation drifted: $r2")
     assert(r1 != r2, "the EM flip this fixture exists to exercise vanished")
   }
