@@ -1690,10 +1690,12 @@ object Queries {
     // ADC top-5 against exact top-5 per query (the q140
     // approximation-error-as-data pattern) — every distance is an exact
     // integer, so recall is bit-identical cross-engine. Scale shape:
-    // top-k per query goes TWO-LEVEL (per-(query, vid%32-shard) window
-    // then a shard-winners window — the few-key-window discipline;
-    // direct per-query ranking would put a corpus partition in one
-    // task); the 8 query vectors ride the kernel closure.
+    // top-k per query goes TWO-LEVEL (Similarity.twoLevelTopK — the
+    // few-key-window discipline; direct per-query ranking would put a
+    // corpus partition in one task) with the shard count sized by
+    // topkShardsFor; the query draw is the md5-order deterministic
+    // prefix (auditQueryDraw — no contiguous-id assumption; oracle pins
+    // n=8), riding the kernel closure.
     "q156_pq_adc_recall" -> ((s, d) => {
       val K = 5
       val embs = t(s, d, "embeddings")
@@ -1702,9 +1704,8 @@ object Queries {
       val qv = embs.select(col("vec_id").as("vid"),
           Similarity.quantized(col("embedding")).as("q"))
         .localCheckpoint(false) // consumers: query pick + scoring pass
-      val queryVecs = qv.where(col("vid") < 8).collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        .sortBy(_._1)
+      val nVecs = qv.count() // materializes the checkpoint; sizing input
+      val queryVecs = Similarity.auditQueryDraw(qv, 8 /* oracle: pinned */)
       val nSub = cents.length
       val subDim = cents(0)(0).length
       val distUdf = udf((q: Seq[Long]) => {
@@ -1736,16 +1737,10 @@ object Queries {
         .select(col("t._1").as("query_id"), col("vid"),
           col("t._2").as("adc"), col("t._3").as("ex"))
         .where(col("vid") =!= col("query_id"))
-        .withColumn("shard", pmod(col("vid"), lit(32)).cast("int"))
         .localCheckpoint(false) // consumers: adc ranks, exact ranks
-      def top5(dcol: String) = {
-        val w1 = Window.partitionBy("query_id", "shard")
-          .orderBy(col(dcol), col("vid"))
-        val w2 = Window.partitionBy("query_id").orderBy(col(dcol), col("vid"))
-        scored.withColumn("rn", row_number().over(w1)).where(col("rn") <= K)
-          .withColumn("rn2", row_number().over(w2)).where(col("rn2") <= K)
-          .select(col("query_id"), col("vid"))
-      }
+      val shards = Similarity.topkShardsFor(queryVecs.length.toLong, nVecs)
+      def top5(dcol: String) =
+        Similarity.twoLevelTopK(scored, "query_id", "vid", dcol, K, shards)
       top5("adc").withColumn("a", lit(1))
         .join(top5("ex").withColumn("e", lit(1)), Seq("query_id", "vid"), "full")
         .groupBy("query_id")
@@ -1781,9 +1776,8 @@ object Queries {
       val qv = embs.select(col("vec_id").as("vid"),
           Similarity.quantized(col("embedding")).as("q"))
         .localCheckpoint(false) // consumers: query pick + scoring pass
-      val queryVecs = qv.where(col("vid") < 8).collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        .sortBy(_._1)
+      val nVecs = qv.count() // materializes the checkpoint; sizing input
+      val queryVecs = Similarity.auditQueryDraw(qv, 8 /* oracle: pinned */)
       def l2(a: Array[Long], b: Array[Long]): Long = {
         var s2 = 0L; var i = 0
         while (i < a.length) { val df0 = a(i) - b(i); s2 += df0 * df0; i += 1 }
@@ -1821,16 +1815,10 @@ object Queries {
         .select(col("t._1").as("query_id"), col("vid"),
           col("t._2").as("adc"), col("t._3").as("ex"), col("t._4").as("cand"))
         .where(col("vid") =!= col("query_id"))
-        .withColumn("shard", pmod(col("vid"), lit(32)).cast("int"))
         .localCheckpoint(false) // consumers: adc ranks, exact ranks, n_cand
-      def top5(df: DataFrame, dcol: String) = {
-        val w1 = Window.partitionBy("query_id", "shard")
-          .orderBy(col(dcol), col("vid"))
-        val w2 = Window.partitionBy("query_id").orderBy(col(dcol), col("vid"))
-        df.withColumn("rn", row_number().over(w1)).where(col("rn") <= K)
-          .withColumn("rn2", row_number().over(w2)).where(col("rn2") <= K)
-          .select(col("query_id"), col("vid"))
-      }
+      val shards = Similarity.topkShardsFor(queryVecs.length.toLong, nVecs)
+      def top5(df: DataFrame, dcol: String) =
+        Similarity.twoLevelTopK(df, "query_id", "vid", dcol, K, shards)
       val nCand = scored.where(col("cand"))
         .groupBy("query_id").agg(count(lit(1)).as("n_cand"))
       top5(scored.where(col("cand")), "adc").withColumn("a", lit(1))
@@ -1851,7 +1839,8 @@ object Queries {
     // training (the in-batch-negatives table a retrieval/embedding
     // trainer consumes): per anchor, 4 md5-derived negatives (offset =
     // 1 + md5(anchor, j) % (N-1), mod N — never the anchor itself, no
-    // RNG, contiguous-id contract like q88/q128's draws), each scored
+    // RNG, contiguous-id contract like q88/q128's draws; SchemaProbeSpec
+    // asserts min=0/max=N-1/distinct=N on the LIVE table), each scored
     // by exact integer-quantized cosine (integer dot and norms through
     // the floor(v*1024) bridge — one sqrt-divide-round per pair, the
     // q102 discipline) and flagged hard when the ROUNDED cosine clears
@@ -4995,7 +4984,15 @@ object Oracles {
                    row_number() OVER (PARTITION BY vec_id, sub
                                       ORDER BY dist, cid) AS rn
             FROM d4) t WHERE rn = 1),
-        qus AS MATERIALIZED (SELECT vec_id, pos, vq FROM us WHERE vec_id < 8),
+        qids AS MATERIALIZED (
+          SELECT vec_id FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY ${graft.functions
+              .PortableHash.duckdbMd5Long("'q:' || vec_id::VARCHAR", 15)},
+              vec_id) AS rn
+            FROM embeddings) t WHERE rn <= 8),
+        qus AS MATERIALIZED (
+          SELECT us.vec_id, us.pos, us.vq FROM us
+          JOIN qids ON us.vec_id = qids.vec_id),
         adc AS MATERIALIZED (
           SELECT qu.vec_id AS query_id, a.vec_id AS vid,
                  CAST(sum((qu.vq - c.cq) * (qu.vq - c.cq)) AS BIGINT) AS adc
@@ -5049,7 +5046,15 @@ object Oracles {
                    row_number() OVER (PARTITION BY vec_id, sub
                                       ORDER BY dist, cid) AS rn
             FROM pqd4) t WHERE rn = 1),
-        qus AS MATERIALIZED (SELECT vec_id, pos, vq FROM pq_us WHERE vec_id < 8),
+        qids AS MATERIALIZED (
+          SELECT vec_id FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY ${graft.functions
+              .PortableHash.duckdbMd5Long("'q:' || vec_id::VARCHAR", 15)},
+              vec_id) AS rn
+            FROM embeddings) t WHERE rn <= 8),
+        qus AS MATERIALIZED (
+          SELECT us.vec_id, us.pos, us.vq FROM pq_us us
+          JOIN qids ON us.vec_id = qids.vec_id),
         cellrank AS MATERIALIZED (
           SELECT query_id, cell FROM (
             SELECT qu.vec_id AS query_id, c.cid AS cell,

@@ -130,4 +130,19 @@ class SchemaProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ts0 > 946684800000000L && ts0 < 4102444800000000L,
       s"normalized ts $ts0 is not in the plausible epoch-microsecond range")
   }
+
+  test("embeddings.vec_id is contiguous 0..N-1 (q158's modular negative-draw contract)") {
+    // q158 derives neg_id = pmod(anchor + 1 + h % (n-1), n): a gap-ful
+    // id space would silently draw nonexistent negatives (dropped by
+    // the inner join -> fewer than kNeg negatives per anchor). Probe the
+    // LIVE table so a regenerated testdata fails loudly (r10 verdict #4).
+    import org.apache.spark.sql.functions._
+    val ids = spark.read.parquet(s"$sf/embeddings.parquet")
+      .agg(min("vec_id").as("mn"), max("vec_id").as("mx"),
+        countDistinct("vec_id").as("nd"), count(lit(1)).as("n")).collect()(0)
+    assert(ids.getLong(0) == 0L, s"min vec_id ${ids.getLong(0)} != 0")
+    assert(ids.getLong(1) == ids.getLong(3) - 1,
+      s"max vec_id ${ids.getLong(1)} != count-1 ${ids.getLong(3) - 1}")
+    assert(ids.getLong(2) == ids.getLong(3), "vec_id not unique")
+  }
 }
