@@ -1707,22 +1707,18 @@ object Queries {
       val nVecs = qv.count() // materializes the checkpoint; sizing input
       val queryVecs = Similarity.auditQueryDraw(qv, 8 /* oracle: pinned */)
       val nSub = cents.length
-      val subDim = cents(0)(0).length
+      // real ADC (Jégou §V): per-query nSub x k lookup tables ride the
+      // closure; scoring a row is nSub lookups, not a dim-wide walk —
+      // identical integer totals by construction (Similarity.adcLut)
+      val luts = queryVecs.map { case (qid, qq) =>
+        (qid, qq, Similarity.adcLut(qq, cents))
+      }
       val distUdf = udf((q: Seq[Long]) => {
         val codes = Similarity.pqNearestCodes(q, cents)
-        queryVecs.map { case (qid, qq) =>
+        luts.map { case (qid, qq, lut) =>
           var adc = 0L
           var s2 = 0
-          while (s2 < nSub) {
-            val cent = cents(s2)(codes(s2))
-            var i = 0
-            while (i < subDim) {
-              val df0 = qq(s2 * subDim + i) - cent(i)
-              adc += df0 * df0
-              i += 1
-            }
-            s2 += 1
-          }
+          while (s2 < nSub) { adc += lut(s2)(codes(s2)); s2 += 1 }
           var ex = 0L
           var i = 0
           while (i < qq.length) {
@@ -1790,24 +1786,18 @@ object Queries {
       }.toMap
       val cellWrap = Array(cellCents) // full vector = one 64-wide subspace
       val nSub = cents.length
-      val subDim = cents(0)(0).length
+      // real ADC lookup tables, as q156 (identical totals by construction)
+      val luts = queryVecs.map { case (qid, qq) =>
+        (qid, qq, Similarity.adcLut(qq, cents))
+      }
       val distUdf = udf((q: Seq[Long]) => {
         val cell = Similarity.pqNearestCodes(q, cellWrap)(0)
         val codes = Similarity.pqNearestCodes(q, cents)
         val qa = q.toArray
-        queryVecs.map { case (qid, qq) =>
+        luts.map { case (qid, qq, lut) =>
           var adc = 0L
           var s2 = 0
-          while (s2 < nSub) {
-            val cent = cents(s2)(codes(s2))
-            var i = 0
-            while (i < subDim) {
-              val df0 = qq(s2 * subDim + i) - cent(i)
-              adc += df0 * df0
-              i += 1
-            }
-            s2 += 1
-          }
+          while (s2 < nSub) { adc += lut(s2)(codes(s2)); s2 += 1 }
           (qid, adc, l2(qq, qa), probes(qid).contains(cell))
         }
       })
@@ -1879,6 +1869,157 @@ object Queries {
             .as("cosine"))
         .withColumn("is_hard", (col("cosine") >= 0.2).cast("int"))
         .orderBy("anchor_id", "j")
+    }),
+
+    // IVFADC with RESIDUAL encoding (r10 verdict #2 — Jégou et al. 2011
+    // §IV: production FAISS PQ-encodes r = v − cellCentroid(cell(v)),
+    // which is where most of the recall at a fixed code budget comes
+    // from; q157 is the raw-vector ablation at the SAME (cells=8,
+    // nSub=4, k=8, nProbe=2) config, so the recall delta reads directly
+    // off the two outputs — the sketch-next-to-exact theme). Residuals
+    // are integer subtractions under the floor(v*1024) bridge, so the
+    // cell training, the residual-codebook training, and the whole
+    // probe/ADC/overlap chain stay bit-identical cross-engine — ONE
+    // oracle query runs all three. Scale shape: one narrow kernel pass
+    // per vector (cell + residual codes + per-query ADC via
+    // per-(query, probed-cell) RESIDUAL lookup tables — nQ x nProbe x
+    // nSub x k driver scalars, Jégou §V); two-level top-k sized by
+    // topkShardsFor; the residual table rides its own localCheckpoint
+    // for the training rounds.
+    "q159_ivfadc_residual" -> ((s, d) => {
+      val K = 5
+      val nProbe = 2
+      val embs = t(s, d, "embeddings")
+      val (cellCents, _) = Similarity.kmeansTrainExact(
+        embs, "vec_id", "embedding", k = 8, rounds = 3)
+      val cellWrap = Array(cellCents)
+      val qv = embs.select(col("vec_id").as("vid"),
+          Similarity.quantized(col("embedding")).as("q"))
+        .localCheckpoint(false) // consumers: residual build, query pick, scoring
+      val nVecs = qv.count() // materializes the checkpoint; sizing input
+      val resUdf = udf((q: Seq[Long]) => {
+        val cent = cellCents(Similarity.pqNearestCodes(q, cellWrap)(0))
+        Array.tabulate(q.length)(i => q(i) - cent(i))
+      })
+      val rv = qv.select(col("vid"), resUdf(col("q")).as("q"))
+        .localCheckpoint(false) // consumers: training init + per-round passes
+      val (cents, _) = Similarity.pqTrainExactQuantized(rv, nSub = 4, k = 8, rounds = 3)
+      val queryVecs = Similarity.auditQueryDraw(qv, 8 /* oracle: pinned */)
+      def l2(a: Array[Long], b: Array[Long]): Long = {
+        var s2 = 0L; var i = 0
+        while (i < a.length) { val df0 = a(i) - b(i); s2 += df0 * df0; i += 1 }
+        s2
+      }
+      // probed cells per query: 8x2 driver scalars, (dist, cell) order
+      val probes: Map[Long, Set[Int]] = queryVecs.map { case (qid, qq) =>
+        qid -> cellCents.indices.sortBy(c => (l2(qq, cellCents(c)), c))
+          .take(nProbe).toSet
+      }.toMap
+      // RESIDUAL ADC lookup tables, one per (query, probed cell): the
+      // query's residual wrt THAT cell against the residual codebooks
+      val rluts: Map[(Long, Int), Array[Array[Long]]] =
+        queryVecs.flatMap { case (qid, qq) =>
+          probes(qid).map { cell =>
+            val cent = cellCents(cell)
+            val rq = Array.tabulate(qq.length)(i => qq(i) - cent(i))
+            ((qid, cell), Similarity.adcLut(rq, cents))
+          }
+        }.toMap
+      val nSub = cents.length
+      val distUdf = udf((q: Seq[Long]) => {
+        val cell = Similarity.pqNearestCodes(q, cellWrap)(0)
+        val cent = cellCents(cell)
+        val res = Array.tabulate(q.length)(i => q(i) - cent(i))
+        val codes = Similarity.pqNearestCodes(res, cents)
+        val qa = q.toArray
+        queryVecs.map { case (qid, qq) =>
+          val adc = rluts.get((qid, cell)) match {
+            case Some(lut) =>
+              var a = 0L; var s2 = 0
+              while (s2 < nSub) { a += lut(s2)(codes(s2)); s2 += 1 }
+              a
+            case None => 0L // non-candidate: filtered before any adc rank
+          }
+          (qid, adc, l2(qq, qa), rluts.contains((qid, cell)))
+        }
+      })
+      val scored = qv.select(col("vid"), explode(distUdf(col("q"))).as("t"))
+        .select(col("t._1").as("query_id"), col("vid"),
+          col("t._2").as("adc"), col("t._3").as("ex"), col("t._4").as("cand"))
+        .where(col("vid") =!= col("query_id"))
+        .localCheckpoint(false) // consumers: adc ranks, exact ranks, n_cand
+      val shards = Similarity.topkShardsFor(queryVecs.length.toLong, nVecs)
+      def top5(df: DataFrame, dcol: String) =
+        Similarity.twoLevelTopK(df, "query_id", "vid", dcol, K, shards)
+      val nCand = scored.where(col("cand"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+      top5(scored.where(col("cand")), "adc").withColumn("a", lit(1))
+        .join(top5(scored, "ex").withColumn("e", lit(1)),
+          Seq("query_id", "vid"), "full")
+        .groupBy("query_id")
+        .agg(sum(when(col("a") === 1 && col("e") === 1, 1L).otherwise(0L))
+          .as("n_overlap"))
+        .join(nCand, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          col("n_overlap"),
+          (expr(s"cast(n_overlap * 1000000 as bigint) div $K").cast("double")
+            / lit(1000000.0)).as("recall"))
+        .orderBy("query_id")
+    }),
+
+    // WORDPIECE trainer (Schuster & Nakajima 2012; the HF-documented
+    // likelihood variant) — the THIRD mainstream public tokenizer,
+    // completing the family next to BPE (q87) and unigram-LM (q149):
+    // same vocabulary-sized merge loop as BPE but the merge choice
+    // maximizes count(xy)/(count(x)count(y)), with the real `##`
+    // continuation alphabet (word-initial "a" and in-word "##a" are
+    // different symbols; a merge strips the right part's marker). The
+    // ratio ranks as the micro-scaled integer (n * 10^12) div (cx*cy)
+    // — deterministic and engine-identical (DuckDB // == Spark div on
+    // positives), so the 6 fixed rounds unroll as chained CTEs exactly
+    // like q87. K collected decision scalars; corpus size never enters
+    // the loop.
+    "q160_wordpiece_train" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(TF.tokens(col("text"))).as("word"))
+      WordPieceTrainer.train(WordPieceTrainer.vocabulary(words),
+          merges = 6, minCount = 0L)
+        .orderBy("merge_rank")
+    }),
+
+    // the trained WordPiece APPLIED to the corpus (q160's q93/q152 —
+    // every tokenizer family ships train + apply): per-doc word/piece
+    // counts + fertility under GREEDY MAXIMAL MUNCH over the trained
+    // inventory (the published WordPiece encode — NOT merge replay;
+    // encodeGreedy, with the per-char OOV fallback for words the
+    // vocabulary filters excluded). ONE corpus pass builds (doc, word,
+    // tf); the training vocabulary derives from it (≤16-char words, the
+    // q152 DP-unroll bound); the encode runs per DISTINCT word joined
+    // back on the aggregated key (|V| kernel calls). The oracle unrolls
+    // the capped training (wordpieceTrainCtes(6, 16)) then walks the
+    // greedy match as 16 chained arg-max steps — COALESCE(longest
+    // inventory match, 1 char) mirrors the kernel's fallback exactly.
+    "q161_wordpiece_tokenize" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
+        .where(length(col("word")).between(1, 16))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // consumers: vocabulary, apply join
+      val words = tf.groupBy("word").agg(sum("tf").as("wc"))
+      val (_, encFinal) = WordPieceTrainer.trainWithVocab(
+        WordPieceTrainer.vocabularyFromCounts(words, countCol = "wc"),
+        merges = 6, minCount = 0L)
+      val inv = WordPieceTrainer.inventory(encFinal)
+      val npUdf = udf((w: String) =>
+        WordPieceTrainer.encodeGreedy(w, inv).length.toLong)
+      val wnp = words.select(col("word")).withColumn("np", npUdf(col("word")))
+      tf.join(wnp, "word")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_words"), sum(col("tf") * col("np")).as("n_pieces"))
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          (expr("cast(n_pieces * 1000000 as bigint) div n_words").cast("double")
+            / lit(1000000.0)).as("fertility"))
+        .orderBy("doc_id")
     }),
 
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
@@ -4552,6 +4693,122 @@ object Oracles {
               ${(1 to rounds).map(round).mkString(",\n              ")}"""
   }
 
+  /** WordPieceTrainer's fixed-round loop UNROLLED (the q87 shape with
+    * the score selection): per round, `pc_k` pair counts, `sc_k` symbol
+    * counts, `win_k` the (scaled-score DESC, pair) argmax — the score is
+    * the exact integer (n * 10^12) // (cx * cy), DuckDB's `//` matching
+    * Spark's `div` on positives — and `wv_k` the sentinel replace whose
+    * merged symbol strips the right part's `##` marker. `v0` encodes
+    * first chars bare and continuations `##`-prefixed. */
+  private def wordpieceTrainCtes(rounds: Int, maxWordLen: Int = 0): String = {
+    val lenCap = if (maxWordLen > 0) s"AND len(word) <= $maxWordLen" else ""
+    def round(k: Int): String = {
+      val prev = if (k == 1) "wv0" else s"wv${k - 1}"
+      s"""wl$k AS (SELECT string_split(substr(enc, 2, len(enc)-2),
+                                      chr(2)||chr(1)) AS l, freq
+                  FROM $prev),
+              pc$k AS MATERIALIZED (
+                    SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM
+                      (SELECT unnest(list_transform(range(1, len(l)),
+                                i -> l[i] || ' ' || l[i+1])) AS pair, freq
+                       FROM wl$k) t
+                    GROUP BY pair),
+              sc$k AS MATERIALIZED (
+                    SELECT sym, CAST(sum(freq) AS BIGINT) AS c FROM
+                      (SELECT unnest(l) AS sym, freq FROM wl$k) t
+                    GROUP BY sym),
+              win$k AS MATERIALIZED (
+                    SELECT pair, n,
+                           CAST((n * 1000000000000) // (cx.c * cy.c) AS BIGINT) AS score
+                    FROM pc$k
+                    JOIN sc$k cx ON cx.sym = split_part(pc$k.pair, ' ', 1)
+                    JOIN sc$k cy ON cy.sym = split_part(pc$k.pair, ' ', 2)
+                    ORDER BY score DESC, pair LIMIT 1),
+              wv$k AS MATERIALIZED (
+                    SELECT word, replace(enc,
+                             chr(1)||split_part(pair,' ',1)||chr(2)||
+                               chr(1)||split_part(pair,' ',2)||chr(2),
+                             chr(1)||split_part(pair,' ',1)||
+                               substr(split_part(pair,' ',2), 3)||chr(2)) AS enc,
+                           freq
+                    FROM $prev CROSS JOIN win$k)"""
+    }
+    s"""ww AS (SELECT unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
+                     FROM documents),
+              wvv AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM ww
+                    WHERE len(word) >= 2
+                      AND word NOT LIKE '%'||chr(1)||'%'
+                      AND word NOT LIKE '%'||chr(2)||'%'
+                      AND word NOT LIKE '%#%' $lenCap
+                    GROUP BY word),
+              wv0 AS MATERIALIZED (
+                    SELECT word, array_to_string(list_transform(range(1, len(word)+1),
+                             i -> chr(1)||(CASE WHEN i = 1 THEN '' ELSE '##' END)||
+                                  substr(word,i,1)||chr(2)), '') AS enc,
+                           freq
+                    FROM wvv),
+              ${(1 to rounds).map(round).mkString(",\n              ")}"""
+  }
+
+  private def wordpieceTrainSql: String =
+    s"""WITH ${wordpieceTrainCtes(6)}
+        SELECT merge_rank, pair, n, score FROM (
+          ${(1 to 6).map(k =>
+            s"SELECT $k AS merge_rank, pair, n, score FROM win$k")
+            .mkString(" UNION ALL ")}) t
+        ORDER BY merge_rank"""
+
+  /** q161: the ≤16-char-capped training unroll, the final-inventory
+    * distinct (alphabet + merged pieces), then GREEDY MAXIMAL MUNCH as
+    * 16 chained steps — per live (word, pos) row, the longest inventory
+    * piece matching at pos (word-initial bare, continuations ##-marked),
+    * COALESCE'd to a 1-char advance when nothing matches (the
+    * encodeGreedy OOV fallback). Every step advances ≥ 1 char, so 16
+    * steps finish every word; finished rows carry their piece count
+    * forward. Joined to per-doc tf exactly like q152's apply. */
+  private def wordpieceApplySql: String = {
+    def step(s: Int): String = {
+      val prev = if (s == 1) "g0" else s"g${s - 1}"
+      s"""g$s AS MATERIALIZED (
+            SELECT word, pos, np FROM $prev WHERE pos >= len(word)
+            UNION ALL
+            SELECT g.word, g.pos + CAST(COALESCE(m.l, 1) AS INT) AS pos,
+                   g.np + 1 AS np
+            FROM $prev g LEFT JOIN (
+              SELECT gg.word, gg.pos, CAST(max(r.l) AS BIGINT) AS l
+              FROM $prev gg
+              JOIN range(1, 17) r(l) ON CAST(r.l AS INT) <= len(gg.word) - gg.pos
+              JOIN inv i ON i.piece =
+                (CASE WHEN gg.pos = 0 THEN '' ELSE '##' END) ||
+                substr(gg.word, gg.pos + 1, CAST(r.l AS INT))
+              WHERE gg.pos < len(gg.word)
+              GROUP BY gg.word, gg.pos) m
+              ON m.word = g.word AND m.pos = g.pos
+            WHERE g.pos < len(g.word))"""
+    }
+    s"""WITH ${wordpieceTrainCtes(6, 16)},
+        inv AS MATERIALIZED (
+          SELECT DISTINCT unnest(string_split(substr(enc, 2, len(enc)-2),
+                                              chr(2)||chr(1))) AS piece
+          FROM wv6),
+        dtf AS MATERIALIZED (
+          SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(string_split_regex(text, $wsSql)) AS word
+            FROM documents) t
+          WHERE length(word) BETWEEN 1 AND 16
+          GROUP BY doc_id, word),
+        g0 AS MATERIALIZED (
+          SELECT DISTINCT word, 0 AS pos, 0 AS np FROM dtf),
+        ${(1 to 16).map(step).mkString(",\n        ")},
+        wnp AS (SELECT word, CAST(np AS BIGINT) AS np FROM g16)
+        SELECT dtf.doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+               CAST(sum(tf * np) AS BIGINT) AS n_pieces,
+               CAST((CAST(sum(tf * np) AS BIGINT) * 1000000)
+                 // CAST(sum(tf) AS BIGINT) AS DOUBLE) / 1000000.0 AS fertility
+        FROM dtf JOIN wnp ON dtf.word = wnp.word
+        GROUP BY dtf.doc_id ORDER BY dtf.doc_id"""
+  }
+
   private lazy val minhashPairsCte: String =
     s"""tk AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
               sh AS (SELECT doc_id, $shSql AS sh FROM tk),
@@ -4892,14 +5149,21 @@ object Oracles {
   /** Prefix-parameterized form so two independent trainings compose in
     * ONE oracle query (q157: `kv_` full-vector cells with subDim 64 +
     * `pq_` codebooks with subDim 16); prefix "" keeps the q154/q155/
-    * q156 SQL byte-identical. */
-  private def pqCtesP(p: String, subDim: Int): String = {
+    * q156 SQL byte-identical. `uSrc` (q159) swaps the training input
+    * from the embeddings unnest to any (vec_id, pos, vq) CTE — the
+    * residual table; seeds stay the md5-order ids (the seed VECTORS
+    * come from the swapped source via the c0 join, matching
+    * pqTrainExactQuantized's init over the same table). */
+  private def pqCtesP(p: String, subDim: Int, uSrc: String = ""): String = {
     val K = 8; val R = 3
-    val sb = new StringBuilder
-    sb ++= s"""${p}u AS MATERIALIZED (
-          SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+    val uBody =
+      if (uSrc.isEmpty)
+        """SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0) AS BIGINT) AS vq
-          FROM embeddings),
+          FROM embeddings"""
+      else s"SELECT vec_id, pos, vq FROM $uSrc"
+    val sb = new StringBuilder
+    sb ++= s"""${p}u AS MATERIALIZED ($uBody),
         ${p}us AS MATERIALIZED (
           SELECT vec_id, pos, CAST(pos // $subDim AS INT) AS sub, vq FROM ${p}u),
         ${p}seeds AS MATERIALIZED (
@@ -5101,6 +5365,101 @@ object Oracles {
         FROM ov LEFT JOIN nc ON ov.query_id = nc.query_id
         ORDER BY ov.query_id"""
 
+  /** q159: q157's chain with RESIDUAL encoding — the `res` CTE subtracts
+    * each vector's assigned cell centroid (integer), the `pq_` training
+    * CTEs consume `res` instead of the embeddings unnest, and ADC runs
+    * the query's per-probed-cell residual against the reconstructed
+    * candidate residual. Exact distances stay on the full vectors
+    * (kv_u). All integer end to end. */
+  private def ivfadcResidualSql: String =
+    s"""WITH ${pqCtesP("kv_", 64)},
+        kvd4 AS MATERIALIZED (
+          SELECT us.vec_id, c.cid,
+                 CAST(sum((us.vq - c.cq) * (us.vq - c.cq)) AS BIGINT) AS dist
+          FROM kv_us us JOIN kv_c3 c ON us.pos = c.pos
+          GROUP BY us.vec_id, c.cid),
+        kva4 AS MATERIALIZED (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM kvd4) t WHERE rn = 1),
+        res AS MATERIALIZED (
+          SELECT u.vec_id, u.pos, u.vq - c.cq AS vq
+          FROM kv_u u JOIN kva4 a ON u.vec_id = a.vec_id
+          JOIN kv_c3 c ON c.cid = a.cell AND c.pos = u.pos),
+        ${pqCtesP("pq_", 16, "res")},
+        pqd4 AS MATERIALIZED (
+          SELECT us.vec_id, c.sub, c.cid,
+                 CAST(sum((us.vq - c.cq) * (us.vq - c.cq)) AS BIGINT) AS dist
+          FROM pq_us us JOIN pq_c3 c ON us.pos = c.pos
+          GROUP BY us.vec_id, c.sub, c.cid),
+        pqa4 AS MATERIALIZED (
+          SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM pqd4) t WHERE rn = 1),
+        qids AS MATERIALIZED (
+          SELECT vec_id FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY ${graft.functions
+              .PortableHash.duckdbMd5Long("'q:' || vec_id::VARCHAR", 15)},
+              vec_id) AS rn
+            FROM embeddings) t WHERE rn <= 8),
+        qus AS MATERIALIZED (
+          SELECT u.vec_id, u.pos, u.vq FROM kv_u u
+          JOIN qids ON u.vec_id = qids.vec_id),
+        cellrank AS MATERIALIZED (
+          SELECT query_id, cell FROM (
+            SELECT qu.vec_id AS query_id, c.cid AS cell,
+                   row_number() OVER (PARTITION BY qu.vec_id
+                     ORDER BY sum((qu.vq - c.cq) * (qu.vq - c.cq)), c.cid) AS rn
+            FROM qus qu JOIN kv_c3 c ON qu.pos = c.pos
+            GROUP BY qu.vec_id, c.cid) t
+          WHERE rn <= 2),
+        qres AS MATERIALIZED (
+          SELECT cr.query_id, cr.cell, qu.pos, qu.vq - c.cq AS rvq
+          FROM cellrank cr
+          JOIN qus qu ON qu.vec_id = cr.query_id
+          JOIN kv_c3 c ON c.cid = cr.cell AND c.pos = qu.pos),
+        cand AS MATERIALIZED (
+          SELECT cr.query_id, a.vec_id AS vid, a.cell
+          FROM kva4 a JOIN cellrank cr ON a.cell = cr.cell
+          WHERE a.vec_id <> cr.query_id),
+        adc AS MATERIALIZED (
+          SELECT cd.query_id, cd.vid,
+                 CAST(sum((qr.rvq - c.cq) * (qr.rvq - c.cq)) AS BIGINT) AS adc
+          FROM cand cd
+          JOIN pqa4 a ON a.vec_id = cd.vid
+          JOIN pq_c3 c ON a.sub = c.sub AND a.cid = c.cid
+          JOIN qres qr ON qr.query_id = cd.query_id AND qr.cell = cd.cell
+                       AND qr.pos = c.pos
+          GROUP BY cd.query_id, cd.vid),
+        exd AS MATERIALIZED (
+          SELECT qu.vec_id AS query_id, xu.vec_id AS vid,
+                 CAST(sum((qu.vq - xu.vq) * (qu.vq - xu.vq)) AS BIGINT) AS ex
+          FROM kv_u xu JOIN qus qu ON qu.pos = xu.pos
+          WHERE xu.vec_id <> qu.vec_id
+          GROUP BY qu.vec_id, xu.vec_id),
+        ta AS (SELECT query_id, vid FROM (
+                 SELECT query_id, vid, row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc, vid) AS rn FROM adc) t
+               WHERE rn <= 5),
+        te AS (SELECT query_id, vid FROM (
+                 SELECT query_id, vid, row_number() OVER (
+                   PARTITION BY query_id ORDER BY ex, vid) AS rn FROM exd) t
+               WHERE rn <= 5),
+        nc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_cand
+               FROM cand GROUP BY query_id),
+        ov AS (SELECT te.query_id, CAST(count(ta.vid) AS BIGINT) AS n_overlap
+               FROM te LEFT JOIN ta
+                 ON ta.query_id = te.query_id AND ta.vid = te.vid
+               GROUP BY te.query_id)
+        SELECT ov.query_id, COALESCE(nc.n_cand, CAST(0 AS BIGINT)) AS n_cand,
+               ov.n_overlap,
+               CAST((ov.n_overlap * 1000000) // 5 AS DOUBLE) / 1000000.0 AS recall
+        FROM ov LEFT JOIN nc ON ov.query_id = nc.query_id
+        ORDER BY ov.query_id"""
+
   private def unigramTrainSql: String =
     s"""WITH $unigramCtes
         SELECT piece, cnt, cost FROM (
@@ -5155,6 +5514,18 @@ object Oracles {
 
     // both trainings composed (kv_/pq_ prefixed CTEs) + probe/ADC/overlap
     "q157_ivfpq_search" -> ivfpqSearchSql,
+
+    "q159_ivfadc_residual" -> ivfadcResidualSql,
+
+    // the q87 unroll with the WordPiece score selection: win_k ranks by
+    // the exact integer (n * 10^12) // (cx * cy) — DuckDB // == Spark
+    // div on positives — and the replace strips the merged right part's
+    // ## marker; v0 builds the ##-continuation alphabet
+    "q160_wordpiece_train" -> wordpieceTrainSql,
+
+    // capped training unroll + 16 greedy maximal-munch steps over the
+    // final inventory (COALESCE fallback = the per-char OOV advance)
+    "q161_wordpiece_tokenize" -> wordpieceApplySql,
 
     // md5-offset negative draws + exact integer dot/norm cosine; is_hard
     // from the rounded cosine (round-before-compare)

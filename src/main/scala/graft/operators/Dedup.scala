@@ -501,7 +501,7 @@ object Dedup {
       deleted: DataFrame): (DataFrame, DataFrame) = {
     val del = deleted.select("doc_id").distinct()
       .localCheckpoint(eager = false) // consumers: affected ids, 3 anti/semi joins
-    val affectedIds = clustersFull.join(del, Seq("doc_id"), "left_semi")
+    val affectedIds = clustersFull.join(broadcast(del), Seq("doc_id"), "left_semi")
       .select("cluster_id").distinct()
       .localCheckpoint(eager = false) // consumers: member semi + pass-through anti
     val affected = clustersFull
@@ -509,26 +509,71 @@ object Dedup {
     val unaffected = clustersFull
       .join(broadcast(affectedIds), Seq("cluster_id"), "left_anti")
       .select("doc_id", "cluster_id")
-    val survivors = affected.join(del, Seq("doc_id"), "left_anti")
+    val survivors = affected.join(broadcast(del), Seq("doc_id"), "left_anti")
       .select("doc_id")
       .localCheckpoint(eager = false) // consumers: edge semi-joins, isolated anti
+    // every small side below is DELETION-sized (the operator's whole
+    // point) — broadcast explicitly so the corpus-sized probe side never
+    // shuffles for them (RtbfScaleSpec measures it)
     val survEdges = pairs
-      .join(survivors.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
-      .join(survivors.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .join(broadcast(survivors.select(col("doc_id").as("doc_a"))),
+        Seq("doc_a"), "left_semi")
+      .join(broadcast(survivors.select(col("doc_id").as("doc_b"))),
+        Seq("doc_b"), "left_semi")
       .select("doc_a", "doc_b")
     val reclustered = dupClusters(survEdges)
     val isolated = survivors
-      .join(reclustered.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(broadcast(reclustered.select("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     val newClusters = unaffected.unionByName(reclustered).unionByName(isolated)
 
-    val affH = firstOcc.join(del, Seq("doc_id"), "left_semi").select("h")
+    val affH = firstOcc.join(broadcast(del), Seq("doc_id"), "left_semi").select("h")
     val reattributed = postings
-      .join(affH, Seq("h"), "left_semi")
-      .join(del, Seq("doc_id"), "left_anti")
+      .join(broadcast(affH), Seq("h"), "left_semi")
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
       .groupBy("h").agg(min("doc_id").as("doc_id"))
-    val keptOwners = firstOcc.join(del, Seq("doc_id"), "left_anti")
+    val keptOwners = firstOcc.join(broadcast(del), Seq("doc_id"), "left_anti")
       .select("h", "doc_id")
     (newClusters, keptOwners.unionByName(reattributed.select("h", "doc_id")))
+  }
+
+  /** The full dedup registry a deletion batch folds into: clusters +
+    * the edge/posting evidence future deletions will need. All four
+    * tables are plain DataFrames; [[rtbfStep]] returns a new state whose
+    * members ride lazy localCheckpoints (the r5 multi-consumer rule —
+    * each member is consumed by the NEXT step's joins and by readers). */
+  final case class RtbfState(
+      clusters: DataFrame, // (doc_id, cluster_id), singletons self-clustered
+      pairs: DataFrame, // (doc_a, doc_b) surviving verified pairs
+      postings: DataFrame, // (h, doc_id) surviving shingle postings
+      firstOcc: DataFrame) // (h, doc_id) current owners
+
+  /**
+   * One deletion batch folded into the registry — [[rtbfApply]] plus the
+   * evidence-table maintenance that makes steps COMPOSE: the next batch
+   * must see pairs/postings already shed of this batch's docs, or its
+   * re-clustering would resurrect deleted edges. Folding batches one at
+   * a time equals one [[rtbfApply]] of the union (StreamingSpec replays
+   * a 3-batch stream and proves set-equality; the streaming twin is
+   * [[graft.streaming.StreamingOps.rtbfIngest]]).
+   *
+   * Scale shape: everything deletion-sized broadcasts ([[rtbfApply]]'s
+   * contract); the evidence anti-joins are narrow broadcast anti-joins
+   * over the surviving tables. RtbfScaleSpec measures that the step's
+   * shuffle bytes track the DELETION, not the corpus.
+   */
+  def rtbfStep(st: RtbfState, deleted: DataFrame): RtbfState = {
+    val del = deleted.select("doc_id").distinct()
+      .localCheckpoint(eager = false) // consumers: apply + 3 evidence anti-joins
+    val (nc, nf) = rtbfApply(st.clusters, st.pairs, st.postings, st.firstOcc, del)
+    val np = st.pairs
+      .join(broadcast(del.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_anti")
+      .join(broadcast(del.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_anti")
+    val npost = st.postings.join(broadcast(del), Seq("doc_id"), "left_anti")
+    RtbfState(
+      nc.localCheckpoint(eager = false),
+      np.localCheckpoint(eager = false),
+      npost.localCheckpoint(eager = false),
+      nf.localCheckpoint(eager = false))
   }
 }

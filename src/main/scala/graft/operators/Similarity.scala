@@ -643,10 +643,22 @@ object Similarity {
   def pqTrainExact(
       corpus: DataFrame, idCol: String, vecCol: String,
       nSub: Int = 4, k: Int = 8, rounds: Int = 3)
+      : (Array[Array[Array[Long]]], Array[Array[Long]]) =
+    pqTrainExactQuantized(
+      corpus.select(col(idCol).as("vid"), quantized(col(vecCol)).as("q"))
+        .localCheckpoint(eager = false), // consumers: init pick + per-round passes
+      nSub, k, rounds)
+
+  /** [[pqTrainExact]] over an ALREADY-QUANTIZED (vid, q: array<long>)
+    * table — the residual-encoding entry (r10 verdict #2): IVFADC trains
+    * its codebooks on r = q − cellCentroid(cell(q)), an integer
+    * subtraction under the floor(v*1024) bridge, so the whole exactness
+    * story extends to residuals with no new float discipline. Caller owns
+    * multi-consumer protection (localCheckpoint) of `qv`. */
+  def pqTrainExactQuantized(
+      qv: DataFrame, nSub: Int, k: Int, rounds: Int)
       : (Array[Array[Array[Long]]], Array[Array[Long]]) = {
     require(nSub > 0 && k > 0 && rounds >= 1)
-    val qv = corpus.select(col(idCol).as("vid"), quantized(col(vecCol)).as("q"))
-      .localCheckpoint(eager = false) // consumers: init pick + per-round passes
     val init = qv.select(col("vid"), col("q"),
         expr("cast(conv(substr(md5(cast(cast(vid as string) as binary)), 1, 15), 16, 10) as bigint)")
           .as("m"))
@@ -682,6 +694,33 @@ object Similarity {
       sizes = ns
     }
     (cents, sizes)
+  }
+
+  /** Per-query ADC lookup table (Jégou et al. 2011 §V, the real ADC
+    * scoring shape — r10 verdict #8): lut(sub)(code) = integer
+    * ||q_sub − cent(sub)(code)||², precomputed ONCE per query so scoring
+    * a candidate's code word costs nSub table lookups instead of a
+    * dim-wide walk (O(nSub) vs O(dim) per corpus row). The per-sub
+    * distances are the SAME integer terms the direct walk sums, so ADC
+    * totals — and therefore oracle hashes — are unchanged by
+    * construction. */
+  def adcLut(qq: Array[Long], cents: Array[Array[Array[Long]]])
+      : Array[Array[Long]] = {
+    val nSub = cents.length
+    val subDim = cents(0)(0).length
+    Array.tabulate(nSub) { s =>
+      Array.tabulate(cents(s).length) { c =>
+        val cent = cents(s)(c)
+        var d = 0L
+        var i = 0
+        while (i < subDim) {
+          val df0 = qq(s * subDim + i) - cent(i)
+          d += df0 * df0
+          i += 1
+        }
+        d
+      }
+    }
   }
 
   /** Nearest code per subspace under integer L2, ties to the smaller

@@ -372,6 +372,50 @@ object StreamingOps {
   }
 
   /**
+   * Mutable holder for the RTBF dedup registry a deletion stream folds
+   * into — the static-registry pattern ([[nearDupCandidatesIngest]],
+   * [[cdcRecrawlIngest]]) made WRITABLE: those registries are read-only
+   * per micro-batch, the RTBF registry is the state each batch updates.
+   * `state` swaps atomically per batch (foreachBatch runs batches
+   * serially); readers always see a complete pre- or post-batch
+   * registry, never a half-applied one.
+   */
+  final class RtbfRegistry(initial: graft.operators.Dedup.RtbfState) {
+    @volatile var state: graft.operators.Dedup.RtbfState = initial
+  }
+
+  /**
+   * q151's streaming twin (r10 verdict #6) — RIGHT-TO-BE-FORGOTTEN
+   * deletion batches arrive as a stream and fold into the registry per
+   * micro-batch via [[graft.operators.Dedup.rtbfStep]]: cluster
+   * re-elections, bridge splits, and shingle re-attributions are applied
+   * INCREMENTALLY, never a corpus recompute. Because steps compose
+   * (rtbfStep maintains the pairs/postings evidence alongside the
+   * clusters), replaying any batching of a deletion set yields exactly
+   * one-batch [[graft.operators.Dedup.rtbfApply]] of the union —
+   * StreamingSpec proves the set-equality on a bridge/cluster fixture.
+   *
+   * Returns the started query; the caller inspects `registry.state`
+   * after the stream (or any batch) completes. Scale shape: each batch's
+   * work is deletion-sized broadcasts + affected-cluster re-clustering
+   * (RtbfScaleSpec measures shuffle bytes tracking the deletion, not the
+   * corpus); state tables ride lazy localCheckpoints so lineage never
+   * deepens with batch count.
+   */
+  def rtbfIngest(
+      deletions: DataFrame, // streaming: (doc_id)
+      registry: RtbfRegistry,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    deletions.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          registry.state = graft.operators.Dedup.rtbfStep(registry.state, batch)
+      }
+      .start()
+
+  /**
    * Trace-wide FP reference-series registry — the
    * [[nearDupCandidatesIngest]] pattern applied to the streaming/batch
    * FP boundary (r4 verdict #7): the batch FP filter matches a window's

@@ -645,4 +645,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotRecorded == expected,
       s"stream ${gotRecorded.size} anomalies != batch ${expected.size}")
   }
+
+  test("streaming RTBF: a 3-batch deletion stream equals one rtbfApply of the union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    // the RtbfSpec branch fixture: path 1-2-3 (2 a bridge), triangle
+    // 4-5-6, singletons 7/8, triangle 9-10-11 (9 the canonical rep)
+    val allDocs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L)
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (9L, 10L), (10L, 11L), (9L, 11L)).toDF("doc_a", "doc_b")
+    val postings = Seq(
+      (101L, 2L), (101L, 3L), (101L, 5L),
+      (102L, 2L), (102L, 7L),
+      (103L, 1L),
+      (104L, 7L), (104L, 8L)).toDF("h", "doc_id")
+    val firstOcc = postings.groupBy("h").agg(min("doc_id").as("doc_id"))
+    val clustersFull = {
+      val cl = Dedup.dupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      allDocs.map(d => (d, cl.getOrElse(d, d))).toDF("doc_id", "cluster_id")
+    }
+    def snap(st: Dedup.RtbfState): (Map[Long, Long], Map[Long, Long]) = (
+      st.clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      st.firstOcc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+
+    val registry = new StreamingOps.RtbfRegistry(
+      Dedup.RtbfState(clustersFull, pairs, postings, firstOcc))
+    val input = MemoryStream[Long]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("rtbf-ingest").toString
+    val q = StreamingOps.rtbfIngest(
+      input.toDF().toDF("doc_id"), registry, ckpt)
+    // deletions arrive over three micro-batches, each touching a
+    // different branch (bridge split, singleton, rep re-election)
+    for (batch <- Seq(Seq(2L), Seq(7L), Seq(9L))) {
+      input.addData(batch)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val (streamClusters, streamFirst) = snap(registry.state)
+
+    val (bc, bf) = Dedup.rtbfApply(clustersFull, pairs, postings, firstOcc,
+      Seq(2L, 7L, 9L).toDF("doc_id"))
+    val batchClusters = bc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchFirst = bf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamClusters == batchClusters,
+      s"stream $streamClusters != union batch $batchClusters")
+    assert(streamFirst == batchFirst,
+      s"stream $streamFirst != union batch $batchFirst")
+    // evidence tables were maintained too: no surviving pair touches a
+    // deleted doc, no posting row belongs to one
+    val del = Set(2L, 7L, 9L)
+    assert(registry.state.pairs.collect()
+      .forall(r => !del(r.getLong(0)) && !del(r.getLong(1))))
+    assert(registry.state.postings.collect().forall(r => !del(r.getLong(1))))
+  }
 }
