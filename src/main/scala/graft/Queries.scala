@@ -2022,6 +2022,158 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // K-CENTER GREEDY CORESET (farthest-point sampling — Gonzalez 1985's
+    // 2-approximation, the classic data-SELECTION primitive active
+    // learning / dataset distillation builds on): seed at the md5-order
+    // first vector (the q153 draw), then k-1 rounds of "pick the vector
+    // farthest from the selected set" under exact integer L2. min_dist
+    // at selection is the k-center coverage radius sequence (decreasing
+    // by construction — the objective as data). Scale shape: one narrow
+    // kernel pass per round (selected set is a <=K x D driver closure,
+    // the BpeTrainer decision-scalar rule), argmax via TakeOrdered;
+    // corpus never shuffles. Oracle unrolls the K-1 rounds (dist-to-set
+    // as a two-level min over the growing selected CTE).
+    "q162_kcenter_coreset" -> ((s, d) => {
+      val K = 8
+      val embs = t(s, d, "embeddings")
+      val qv = embs.select(col("vec_id").as("vid"),
+          Similarity.quantized(col("embedding")).as("q"))
+        .localCheckpoint(false) // consumers: seed pick + K-1 round passes
+      val seed = qv.select(col("vid"), col("q"),
+          expr("cast(conv(substr(md5(cast(cast(vid as string) as binary)), 1, 15), 16, 10) as bigint)")
+            .as("m"))
+        .orderBy("m", "vid").limit(1).collect()(0)
+      var selected = Vector((seed.getLong(0), seed.getSeq[Long](1).toArray))
+      val picks = scala.collection.mutable.ArrayBuffer(
+        (1, seed.getLong(0), 0L))
+      for (r <- 2 to K) {
+        val cents = selected.map(_._2).toArray
+        val selIds = selected.map(_._1)
+        val minDistUdf = udf((q: Seq[Long]) => {
+          var best = Long.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val cent = cents(c)
+            var s2 = 0L
+            var i = 0
+            while (i < cent.length) {
+              val df0 = q(i) - cent(i); s2 += df0 * df0; i += 1
+            }
+            if (s2 < best) best = s2
+            c += 1
+          }
+          best
+        })
+        val win = qv.where(!col("vid").isInCollection(selIds))
+          .select(col("vid"), col("q"), minDistUdf(col("q")).as("dist"))
+          .orderBy(col("dist").desc, col("vid")).limit(1).collect()(0)
+        picks += ((r, win.getLong(0), win.getLong(2)))
+        selected :+= ((win.getLong(0), win.getSeq[Long](1).toArray))
+      }
+      import s.implicits._
+      picks.toSeq.toDF("sel_rank", "vec_id", "min_dist")
+        .orderBy("sel_rank")
+    }),
+
+    // BATCH PERCEPTRON langid classifier TRAINED IN THE ENGINE
+    // (Rosenblatt's rule in its order-independent batch form: per round,
+    // w += Σ_misclassified y·x — a DEFINED deterministic algorithm, so
+    // the whole 3-round trajectory is integer-exact cross-engine; the
+    // quality-scorer training the curation family consumes instead of
+    // assuming). Features: the q74 portable md5 hash buckets (64 tf
+    // buckets + a bias feature), labels y = ±1 on lang='en' from the
+    // live table. Scale shape: ONE corpus-feature pass per round — the
+    // margin is a doc_id-partitioned window (bounded by the ≤65
+    // features per doc, the allowed window class) so no corpus-sized
+    // join; the update is a partial-aggregated bucket groupBy; driver
+    // traffic is 65 scalars per round (the BpeTrainer rule). Output:
+    // the full (round, bucket, w) trajectory.
+    "q163_perceptron_langid" -> ((s, d) => {
+      val R = 3
+      val docs = t(s, d, "documents")
+      val labels = docs.select(col("doc_id"),
+        (lit(2L) * (col("lang") === "en").cast("long") - 1L).as("y"))
+      val tokFeats = docs
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .withColumn("bucket",
+          expr("cast(conv(substr(md5(cast(token as binary)), 1, 8), 16, 10) as bigint) % 64"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
+      val bias = docs.select(col("doc_id"), lit(64L).as("bucket"), lit(1L).as("x"))
+      val feats = tokFeats.unionByName(bias)
+        .join(labels, "doc_id")
+        .localCheckpoint(false) // consumers: one margin+update pass per round
+      var w = Array.fill(65)(0L)
+      val hist = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      val wdoc = Window.partitionBy("doc_id")
+      for (r <- 1 to R) {
+        val wCol = array(w.toIndexedSeq.map(lit(_)): _*)
+        val upd = feats
+          .withColumn("m",
+            sum(element_at(wCol, (col("bucket") + 1).cast("int")) * col("x"))
+              .over(wdoc))
+          .where(col("y") * col("m") <= 0)
+          .groupBy("bucket").agg(sum(col("y") * col("x")).as("du"))
+          .collect() // <=65 rows — aggregate-sized
+        upd.foreach(row => w(row.getLong(0).toInt) += row.getLong(1))
+        (0 until 65).foreach(b => hist += ((r, b.toLong, w(b))))
+      }
+      import s.implicits._
+      hist.toSeq.toDF("round_no", "bucket", "w").orderBy("round_no", "bucket")
+    }),
+
+    // ANN-MINED HARD NEGATIVES (the production upgrade of q158's random
+    // draws — contrastive trainers mine negatives NEAR the anchor, the
+    // ANCE/DPR recipe): for every anchor, the 4 nearest DIFFERENT-label
+    // vectors among its own IVF cell's members, ranked by PQ ADC — the
+    // q153 cells + q154 codebooks composed into all-anchors mining.
+    // Every distance is integer ADC, so the whole mine is bit-identical
+    // cross-engine. Scale shape: the per-anchor LUT is the N x nSub x k
+    // distance TABLE (pqd4 — computed once, vector-parallel, never a
+    // driver closure); candidate volume is Σ|cell|² x nSub, bounded by
+    // the cell-count sizing (more cells = smaller cells at scale); the
+    // rank window partitions by anchor (N keys, cell-bounded
+    // partitions — not a few-key window). Oracle pinned at cells=8.
+    "q164_hard_negatives" -> ((s, d) => {
+      val kNeg = 4
+      val embs = t(s, d, "embeddings")
+      val (cellCents, _) = Similarity.kmeansTrainExact(
+        embs, "vec_id", "embedding", k = 8, rounds = 3)
+      val (cents, _) = Similarity.pqTrainExact(
+        embs, "vec_id", "embedding", nSub = 4, k = 8, rounds = 3)
+      val cellWrap = Array(cellCents)
+      val qv = embs.select(col("vec_id").as("vid"), col("label"),
+          Similarity.quantized(col("embedding")).as("q"))
+        .localCheckpoint(false) // consumers: anchor LUT rows + member codes
+      val cellUdf = udf((q: Seq[Long]) =>
+        Similarity.pqNearestCodes(q, cellWrap)(0))
+      // anchor side: the flattened per-(sub, cid) ADC lookup table rows
+      val lutUdf = udf((q: Seq[Long]) => {
+        val lut = Similarity.adcLut(q.toArray, cents)
+        for (s2 <- lut.indices; c <- lut(s2).indices)
+          yield (s2, c, lut(s2)(c))
+      })
+      val anchors = qv
+        .select(col("vid").as("anchor_id"), col("label").as("la"),
+          cellUdf(col("q")).as("cell"), explode(lutUdf(col("q"))).as("t"))
+        .select(col("anchor_id"), col("la"), col("cell"),
+          col("t._1").as("sub"), col("t._2").as("cid"), col("t._3").as("dist"))
+      // member side: cell + one code row per subspace
+      val codesUdf = udf((q: Seq[Long]) =>
+        Similarity.pqNearestCodes(q, cents).toSeq)
+      val members = qv
+        .select(col("vid").as("neg_id"), col("label").as("lb"),
+          cellUdf(col("q")).as("cell"),
+          posexplode(codesUdf(col("q"))).as(Seq("sub", "cid")))
+      val w = Window.partitionBy("anchor_id").orderBy(col("adc"), col("neg_id"))
+      members.join(anchors, Seq("cell", "sub", "cid"))
+        .where(col("anchor_id") =!= col("neg_id") && col("la") =!= col("lb"))
+        .groupBy("anchor_id", "neg_id").agg(sum("dist").as("adc"))
+        .withColumn("neg_rank", row_number().over(w))
+        .where(col("neg_rank") <= kNeg)
+        .select("anchor_id", "neg_rank", "neg_id", "adc")
+        .orderBy("anchor_id", "neg_rank")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4809,6 +4961,132 @@ object Oracles {
         GROUP BY dtf.doc_id ORDER BY dtf.doc_id"""
   }
 
+  /** q162: farthest-point sampling unrolled — per round, dist-to-set is
+    * a two-level min (per (vec, selected) integer L2, then min over the
+    * selected members), the winner the (dist DESC, vec_id) argmax over
+    * non-members, the set a growing UNION ALL chain. Seed = the
+    * md5-order first vector (the q153 seed draw). */
+  private def kcenterSql: String = {
+    val K = 8
+    def round(r: Int): String =
+      s"""kd$r AS MATERIALIZED (
+            SELECT xv, MIN(dd) AS dist FROM (
+              SELECT x.vec_id AS xv, cu.vec_id AS cv,
+                     CAST(sum((x.vq - cu.vq) * (x.vq - cu.vq)) AS BIGINT) AS dd
+              FROM ku x JOIN ku cu ON cu.pos = x.pos
+              JOIN ks${r - 1} c ON c.vec_id = cu.vec_id
+              GROUP BY x.vec_id, cu.vec_id) t
+            GROUP BY xv),
+          kwin$r AS MATERIALIZED (
+            SELECT xv AS vec_id, dist FROM kd$r
+            WHERE xv NOT IN (SELECT vec_id FROM ks${r - 1})
+            ORDER BY dist DESC, xv LIMIT 1),
+          ks$r AS MATERIALIZED (
+            SELECT vec_id, sel_rank, min_dist FROM ks${r - 1}
+            UNION ALL
+            SELECT vec_id, $r AS sel_rank, dist AS min_dist FROM kwin$r)"""
+    s"""WITH ku AS MATERIALIZED (
+          SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+          FROM embeddings),
+        ks1 AS MATERIALIZED (
+          SELECT vec_id, 1 AS sel_rank, CAST(0 AS BIGINT) AS min_dist FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY ${graft.functions
+              .PortableHash.duckdbMd5Long("vec_id::VARCHAR", 15)}, vec_id) AS rn
+            FROM embeddings) t WHERE rn = 1),
+        ${(2 to K).map(round).mkString(",\n        ")}
+        SELECT sel_rank, vec_id, min_dist FROM ks$K ORDER BY sel_rank"""
+  }
+
+  /** q164: q157's training CTEs (cells + codebooks), then all-anchors
+    * hard-negative mining — same-cell different-label pairs scored by
+    * summing the anchor's pqd4 rows at the member's codes (pqd4 IS the
+    * per-anchor ADC lookup table), top-4 per anchor by (adc, neg_id). */
+  private def hardNegativesSql: String =
+    s"""WITH ${pqCtesP("kv_", 64)},
+        ${pqCtesP("pq_", 16)},
+        kvd4 AS MATERIALIZED (
+          SELECT us.vec_id, c.cid,
+                 CAST(sum((us.vq - c.cq) * (us.vq - c.cq)) AS BIGINT) AS dist
+          FROM kv_us us JOIN kv_c3 c ON us.pos = c.pos
+          GROUP BY us.vec_id, c.cid),
+        kva4 AS MATERIALIZED (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM kvd4) t WHERE rn = 1),
+        pqd4 AS MATERIALIZED (
+          SELECT us.vec_id, c.sub, c.cid,
+                 CAST(sum((us.vq - c.cq) * (us.vq - c.cq)) AS BIGINT) AS dist
+          FROM pq_us us JOIN pq_c3 c ON us.pos = c.pos
+          GROUP BY us.vec_id, c.sub, c.cid),
+        pqa4 AS MATERIALIZED (
+          SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, cid) AS rn
+            FROM pqd4) t WHERE rn = 1),
+        hadc AS MATERIALIZED (
+          SELECT d.vec_id AS anchor_id, b.vec_id AS neg_id,
+                 CAST(sum(d.dist) AS BIGINT) AS adc
+          FROM kva4 ac JOIN kva4 bc ON ac.cell = bc.cell AND ac.vec_id <> bc.vec_id
+          JOIN embeddings ea ON ea.vec_id = ac.vec_id
+          JOIN embeddings eb ON eb.vec_id = bc.vec_id AND ea.label <> eb.label
+          JOIN pqa4 b ON b.vec_id = bc.vec_id
+          JOIN pqd4 d ON d.vec_id = ac.vec_id AND d.sub = b.sub AND d.cid = b.cid
+          GROUP BY d.vec_id, b.vec_id),
+        hr AS (SELECT anchor_id, neg_id, adc,
+                      row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY adc, neg_id) AS rn
+               FROM hadc)
+        SELECT anchor_id, CAST(rn AS INT) AS neg_rank, neg_id, adc
+        FROM hr WHERE rn <= 4 ORDER BY anchor_id, neg_rank"""
+
+  /** q163: the 3 batch-perceptron rounds unrolled — margins as an
+    * integer sum-product join against the previous round's weight table,
+    * the misclassified filter y*m <= 0, the update a bucket aggregate,
+    * the new weights a COALESCE'd left join over the full bucket range.
+    * Features are q74's portable md5 buckets plus a bias feature. */
+  private def perceptronSql: String = {
+    val R = 3
+    def round(r: Int): String =
+      s"""pm$r AS MATERIALIZED (
+            SELECT f.doc_id, y.y, CAST(sum(w.w * f.x) AS BIGINT) AS m
+            FROM pf f JOIN py y ON y.doc_id = f.doc_id
+            JOIN pw${r - 1} w ON w.bucket = f.bucket
+            GROUP BY f.doc_id, y.y),
+          pu$r AS MATERIALIZED (
+            SELECT f.bucket, CAST(sum(mi.y * f.x) AS BIGINT) AS du
+            FROM (SELECT doc_id, y FROM pm$r WHERE y * m <= 0) mi
+            JOIN pf f ON f.doc_id = mi.doc_id
+            GROUP BY f.bucket),
+          pw$r AS MATERIALIZED (
+            SELECT pb.bucket,
+                   CAST(COALESCE(w.w, 0) + COALESCE(u.du, 0) AS BIGINT) AS w
+            FROM pb LEFT JOIN pw${r - 1} w ON w.bucket = pb.bucket
+            LEFT JOIN pu$r u ON u.bucket = pb.bucket)"""
+    s"""WITH ptok AS (SELECT doc_id, unnest(string_split_regex(text, $wsSql)) AS token
+                      FROM documents),
+        pf AS MATERIALIZED (
+          SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM ptok GROUP BY doc_id, bucket
+          UNION ALL
+          SELECT doc_id, CAST(64 AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS x
+          FROM documents),
+        py AS (SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+                                   ELSE CAST(-1 AS BIGINT) END AS y
+               FROM documents),
+        pb AS (SELECT CAST(unnest(range(0, 65)) AS BIGINT) AS bucket),
+        pw0 AS (SELECT bucket, CAST(0 AS BIGINT) AS w FROM pb),
+        ${(1 to R).map(round).mkString(",\n        ")}
+        SELECT round_no, bucket, w FROM (
+          ${(1 to R).map(r =>
+            s"SELECT $r AS round_no, bucket, w FROM pw$r")
+            .mkString(" UNION ALL ")}) t
+        ORDER BY round_no, bucket"""
+  }
+
   private lazy val minhashPairsCte: String =
     s"""tk AS (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
               sh AS (SELECT doc_id, $shSql AS sh FROM tk),
@@ -5526,6 +5804,18 @@ object Oracles {
     // capped training unroll + 16 greedy maximal-munch steps over the
     // final inventory (COALESCE fallback = the per-char OOV advance)
     "q161_wordpiece_tokenize" -> wordpieceApplySql,
+
+    // farthest-point rounds unrolled: two-level min dist-to-set, argmax
+    // winner, growing UNION ALL selected set; md5-order seed
+    "q162_kcenter_coreset" -> kcenterSql,
+
+    // 3 batch-perceptron rounds unrolled: integer margins vs the
+    // previous weight table, y*m<=0 filter, bucket-aggregate update
+    "q163_perceptron_langid" -> perceptronSql,
+
+    // cells + codebooks composed into all-anchors same-cell
+    // different-label ADC mining; pqd4 is the anchor LUT table
+    "q164_hard_negatives" -> hardNegativesSql,
 
     // md5-offset negative draws + exact integer dot/norm cosine; is_hard
     // from the rounded cosine (round-before-compare)

@@ -291,12 +291,13 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
-  test("q156/q157: ANN-audit final plans read the checkpointed vector table — no cartesian") {
+  test("q156/q157/q159: ANN-audit final plans read the checkpointed vector table — no cartesian") {
     // the trainer loops collapse into driver scalars; the final plan is
     // the scoring pass over the checkpointed quantized table plus
     // aggregate-sized rank/overlap joins. A cartesian or nested-loop
     // here means the per-query scoring lost its narrow shape.
-    for (q <- Seq("q156_pq_adc_recall", "q157_ivfpq_search")) {
+    for (q <- Seq("q156_pq_adc_recall", "q157_ivfpq_search",
+        "q159_ivfadc_residual")) {
       val plans = executedPlans(q)
       assert(plans.collect { case s: FileSourceScanExec => s }.isEmpty,
         s"$q final plan re-scans parquet — the quantized table fell out of the checkpoint")
