@@ -2133,46 +2133,11 @@ object Queries {
     // the cell-count sizing (more cells = smaller cells at scale); the
     // rank window partitions by anchor (N keys, cell-bounded
     // partitions — not a few-key window). Oracle pinned at cells=8.
-    "q164_hard_negatives" -> ((s, d) => {
-      val kNeg = 4
-      val embs = t(s, d, "embeddings")
-      val (cellCents, _) = Similarity.kmeansTrainExact(
-        embs, "vec_id", "embedding", k = 8, rounds = 3)
-      val (cents, _) = Similarity.pqTrainExact(
-        embs, "vec_id", "embedding", nSub = 4, k = 8, rounds = 3)
-      val cellWrap = Array(cellCents)
-      val qv = embs.select(col("vec_id").as("vid"), col("label"),
-          Similarity.quantized(col("embedding")).as("q"))
-        .localCheckpoint(false) // consumers: anchor LUT rows + member codes
-      val cellUdf = udf((q: Seq[Long]) =>
-        Similarity.pqNearestCodes(q, cellWrap)(0))
-      // anchor side: the flattened per-(sub, cid) ADC lookup table rows
-      val lutUdf = udf((q: Seq[Long]) => {
-        val lut = Similarity.adcLut(q.toArray, cents)
-        for (s2 <- lut.indices; c <- lut(s2).indices)
-          yield (s2, c, lut(s2)(c))
-      })
-      val anchors = qv
-        .select(col("vid").as("anchor_id"), col("label").as("la"),
-          cellUdf(col("q")).as("cell"), explode(lutUdf(col("q"))).as("t"))
-        .select(col("anchor_id"), col("la"), col("cell"),
-          col("t._1").as("sub"), col("t._2").as("cid"), col("t._3").as("dist"))
-      // member side: cell + one code row per subspace
-      val codesUdf = udf((q: Seq[Long]) =>
-        Similarity.pqNearestCodes(q, cents).toSeq)
-      val members = qv
-        .select(col("vid").as("neg_id"), col("label").as("lb"),
-          cellUdf(col("q")).as("cell"),
-          posexplode(codesUdf(col("q"))).as(Seq("sub", "cid")))
-      val w = Window.partitionBy("anchor_id").orderBy(col("adc"), col("neg_id"))
-      members.join(anchors, Seq("cell", "sub", "cid"))
-        .where(col("anchor_id") =!= col("neg_id") && col("la") =!= col("lb"))
-        .groupBy("anchor_id", "neg_id").agg(sum("dist").as("adc"))
-        .withColumn("neg_rank", row_number().over(w))
-        .where(col("neg_rank") <= kNeg)
-        .select("anchor_id", "neg_rank", "neg_id", "adc")
-        .orderBy("anchor_id", "neg_rank")
-    }),
+    "q164_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegativesAdc(t(s, d, "embeddings"),
+          "vec_id", "embedding", "label",
+          kNeg = 4, cells = 8 /* oracle: pinned; default is ivfCellsFor */)
+        .orderBy("anchor_id", "neg_rank")),
 
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>

@@ -849,6 +849,63 @@ object Similarity {
       .sortBy(_._1)
   }
 
+  /** Sentinel: resolve the hard-negative cell count via [[ivfCellsFor]]
+    * (the CapAuto pattern — the same sizing rule semDedup rides, so
+    * same-cell pair volume stays linear in the corpus); oracle-adjacent
+    * callers pin an explicit value. */
+  val CellsAuto: Int = -1
+
+  /**
+   * ANN-MINED HARD NEGATIVES (the ANCE/DPR recipe — q164's operator
+   * surface): for every anchor, the `kNeg` nearest DIFFERENT-`labelCol`
+   * vectors among its own IVF cell's members, ranked by PQ ADC.
+   * Trains q153 cells + q154 codebooks internally; every distance is
+   * integer ADC so the whole mine is oracle-able cross-engine.
+   *
+   * Scale shape: the per-anchor lookup is the N×nSub×k distance TABLE
+   * (the pqd4 grain — one narrow kernel pass, never N driver closures);
+   * candidate volume is Σ|cell|²×nSub, bounded by [[ivfCellsFor]]'s
+   * target cell size at [[CellsAuto]]; the rank window partitions by
+   * anchor (N keys, cell-bounded partitions — not a few-key window).
+   */
+  def hardNegativesAdc(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      kNeg: Int = 4, cells: Int = CellsAuto,
+      nSub: Int = 4, k: Int = 8, rounds: Int = 3): DataFrame = {
+    require(kNeg > 0)
+    val nCells =
+      if (cells == CellsAuto) ivfCellsFor(corpus.count()) else cells
+    val (cellCents, _) = kmeansTrainExact(corpus, idCol, vecCol, nCells, rounds)
+    val (cents, _) = pqTrainExact(corpus, idCol, vecCol, nSub, k, rounds)
+    val cellWrap = Array(cellCents)
+    val qv = corpus.select(col(idCol).as("vid"), col(labelCol).as("lbl"),
+        quantized(col(vecCol)).as("q"))
+      .localCheckpoint(eager = false) // consumers: anchor LUT rows + member codes
+    val cellUdf = udf((q: Seq[Long]) => pqNearestCodes(q, cellWrap)(0))
+    val lutUdf = udf((q: Seq[Long]) => {
+      val lut = adcLut(q.toArray, cents)
+      for (s2 <- lut.indices; c <- lut(s2).indices)
+        yield (s2, c, lut(s2)(c))
+    })
+    val anchors = qv
+      .select(col("vid").as("anchor_id"), col("lbl").as("la"),
+        cellUdf(col("q")).as("cell"), explode(lutUdf(col("q"))).as("t"))
+      .select(col("anchor_id"), col("la"), col("cell"),
+        col("t._1").as("sub"), col("t._2").as("cid"), col("t._3").as("dist"))
+    val codesUdf = udf((q: Seq[Long]) => pqNearestCodes(q, cents).toSeq)
+    val members = qv
+      .select(col("vid").as("neg_id"), col("lbl").as("lb"),
+        cellUdf(col("q")).as("cell"),
+        posexplode(codesUdf(col("q"))).as(Seq("sub", "cid")))
+    val w = Window.partitionBy("anchor_id").orderBy(col("adc"), col("neg_id"))
+    members.join(anchors, Seq("cell", "sub", "cid"))
+      .where(col("anchor_id") =!= col("neg_id") && col("la") =!= col("lb"))
+      .groupBy("anchor_id", "neg_id").agg(sum("dist").as("adc"))
+      .withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= kNeg)
+      .select("anchor_id", "neg_rank", "neg_id", "adc")
+  }
+
   /** Exact all-pairs near-duplicates above a cosine threshold (the oracle
     * for the LSH variant; quadratic — use only at validation scale). */
   def exactNearDupPairs(

@@ -124,4 +124,11 @@ class CoresetMiningSpec extends AnyFunSuite {
         s"anchor $a ADC not non-decreasing: ${adcs.toSeq}")
     }
   }
+
+  test("hardNegativesAdc CellsAuto rides ivfCellsFor: cells grow with the corpus") {
+    assert(Similarity.ivfCellsFor(1 << 20) == 1024)
+    // same-cell pair volume corpus*targetCellSize stays linear in n
+    val g = Seq(1L << 16, 1L << 22, 1L << 28).map(Similarity.ivfCellsFor(_))
+    assert(g == g.sorted && g.distinct == g)
+  }
 }
