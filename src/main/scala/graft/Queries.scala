@@ -2139,6 +2139,44 @@ object Queries {
           kNeg = 4, cells = 8 /* oracle: pinned; default is ivfCellsFor */)
         .orderBy("anchor_id", "neg_rank")),
 
+    // TEMPERATURE-FLATTENED multilingual sampling (the mT5/XLM-R
+    // α=0.5 recipe, Xue et al. 2021: p_l ∝ n_l^α flattens head
+    // languages so low-resource ones keep signal) — the q126 Neyman
+    // float/integer discipline reused verbatim: the only float op is
+    // ONE correctly-rounded IEEE sqrt of an exact integer, immediately
+    // floor-micro-scaled (identical in both engines), then Hamilton
+    // largest-remainder integerization of a 1000-doc budget (Σ n_alloc
+    // == budget exactly). boost = allocated share vs raw share as a
+    // micro-scaled integer ratio — >1 for tail languages, the recipe's
+    // whole point, as data. Aggregate-sized end to end after one
+    // partial-aggregated lang count.
+    "q165_temperature_mixture" -> ((s, d) => {
+      val budget = 1000L
+      val st = t(s, d, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w",
+          floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0)).cast("long"))
+      val tot = st.agg(sum("w").as("tw"), sum("n_docs").as("nd"))
+      val q0 = st.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($budget * w) div tw"))
+        .withColumn("rem", expr(s"($budget * w) % tw"))
+      val extra = q0.agg((lit(budget) - sum("base")).as("extra"))
+      q0.crossJoin(broadcast(extra))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"))))
+        .withColumn("n_alloc",
+          col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+        // boost = (alloc/budget) / (n_docs/N) as micro-scaled integers:
+        // alloc*N*1e6 div (budget*n_docs) — exact, no float ratio
+        .withColumn("boost",
+          (expr(s"(n_alloc * nd * 1000000) div ($budget * n_docs)").cast("double")
+            / lit(1000000.0)))
+        .select(col("lang"), col("n_docs"),
+          (col("w").cast("double") / lit(1000000.0)).as("weight"),
+          col("n_alloc"), col("boost"))
+        .orderBy("lang")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -5781,6 +5819,32 @@ object Oracles {
     // cells + codebooks composed into all-anchors same-cell
     // different-label ADC mining; pqd4 is the anchor LUT table
     "q164_hard_negatives" -> hardNegativesSql,
+
+    // one IEEE sqrt floor-micro-scaled (the q126 discipline), Hamilton
+    // largest-remainder, boost as an exact integer ratio
+    "q165_temperature_mixture" ->
+      """WITH st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                     FROM documents GROUP BY lang),
+              sw AS (SELECT lang, n_docs,
+                            CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+                     FROM st),
+              tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                             CAST(sum(n_docs) AS BIGINT) AS nd FROM sw),
+              q0 AS (SELECT sw.*, tot.tw, tot.nd,
+                            (1000 * w) // tw AS base, (1000 * w) % tw AS rem
+                     FROM sw CROSS JOIN tot),
+              ex AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS extra FROM q0),
+              rk AS (SELECT q0.*, ex.extra,
+                            row_number() OVER (ORDER BY rem DESC, lang) AS rk
+                     FROM q0 CROSS JOIN ex)
+         SELECT lang, n_docs,
+                CAST(w AS DOUBLE) / 1000000.0 AS weight,
+                CAST(base + (CASE WHEN rk <= extra THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_alloc,
+                CAST(((base + (CASE WHEN rk <= extra THEN 1 ELSE 0 END))
+                      * nd * 1000000) // (1000 * n_docs) AS DOUBLE) / 1000000.0
+                  AS boost
+         FROM rk ORDER BY lang""",
 
     // md5-offset negative draws + exact integer dot/norm cosine; is_hard
     // from the rounded cosine (round-before-compare)

@@ -372,6 +372,34 @@ object StreamingOps {
   }
 
   /**
+   * q163's streaming twin — the TRAINED classifier applied AT INGEST
+   * (the [[redactIngest]] placement: score documents before they land,
+   * so the quality/langid gate runs where the data arrives). A pure
+   * stateless projection: margin = w(64) (bias) + Σ_tokens
+   * w(md5bucket(token)) — the SAME md5 bucket expression as q163's
+   * feature path, so batch and streaming margins cannot drift
+   * (StreamingSpec proves row equality against a driver recompute).
+   * No state store, no watermark; scales as a map stage. The per-token
+   * HOF is interpreted — acceptable at ingest rates; a fused kernel is
+   * the q108 upgrade path if a measured corpus replay needs it.
+   */
+  def classifierScoreIngest(
+      docs: DataFrame, // (doc_id, text)
+      w: Seq[Long]): DataFrame = {
+    require(w.length == 65, "weights = 64 hash buckets + bias")
+    val wArr = array(w.map(lit(_)): _*)
+    val margin = aggregate(
+      transform(graft.functions.TextFunctions.tokens(col("text")),
+        t => element_at(wArr,
+          (conv(substring(md5(t.cast("binary")), 1, 8), 16, 10)
+            .cast("long") % 64 + 1).cast("int"))),
+      lit(w(64)),
+      (acc, v) => acc + v)
+    docs.select(col("doc_id"), margin.as("margin"),
+      (margin > 0).cast("int").as("pred"))
+  }
+
+  /**
    * Mutable holder for the RTBF dedup registry a deletion stream folds
    * into — the static-registry pattern ([[nearDupCandidatesIngest]],
    * [[cdcRecrawlIngest]]) made WRITABLE: those registries are read-only

@@ -646,6 +646,43 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${gotRecorded.size} anomalies != batch ${expected.size}")
   }
 
+  test("classifier scoring at ingest reproduces the driver margins exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // small deterministic weight vector; docs exercise empty-ish text,
+    // repeats, and multi-space runs
+    val w: Seq[Long] = (0 until 64).map(b => (b * 7 % 13).toLong - 6L) :+ 5L
+    val docs = Seq(
+      (1L, "hello world hello"),
+      (2L, "der schnelle braune fuchs"),
+      (3L, "a  b   c"),
+      (4L, "one"),
+      (5L, "")).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.classifierScoreIngest(
+        input.toDF().toDF("doc_id", "text"), w)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("clf_ingest").start()
+    input.addData(docs)
+    q.processAllAvailable()
+    val got = spark.table("clf_ingest").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    q.stop()
+    // driver recompute with the identical md5 bucket definition
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(graft.functions.TextFunctions.wsClass, -1)
+      val m = w(64) + toks.map { t =>
+        val h = md.digest(t.getBytes("UTF-8"))
+        val b = ((((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % 64).toInt
+        w(b)
+      }.sum
+      id -> (m, if (m > 0) 1 else 0)
+    }.toMap
+    assert(got == expected, s"stream $got != driver $expected")
+  }
+
   test("streaming RTBF: a 3-batch deletion stream equals one rtbfApply of the union") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
