@@ -297,7 +297,7 @@ class PlanGuardSpec extends AnyFunSuite {
     // aggregate-sized rank/overlap joins. A cartesian or nested-loop
     // here means the per-query scoring lost its narrow shape.
     for (q <- Seq("q156_pq_adc_recall", "q157_ivfpq_search",
-        "q159_ivfadc_residual")) {
+        "q159_ivfadc_residual", "q164_hard_negatives")) {
       val plans = executedPlans(q)
       assert(plans.collect { case s: FileSourceScanExec => s }.isEmpty,
         s"$q final plan re-scans parquet — the quantized table fell out of the checkpoint")
