@@ -2177,6 +2177,55 @@ object Queries {
         .orderBy("lang")
     }),
 
+    // DEDUP-METHOD AGREEMENT AUDIT — what near-dup detection ADDS over
+    // exact hashing, as pair-level set algebra (the engine auditing its
+    // own curation choices, the q140/q155 approximation-error-as-data
+    // theme): partition the corpus once by content md5 (q21's clusters)
+    // and once by MinHash-LSH components (q43's clusters), then count
+    // same-cluster PAIRS in both / exact-only / minhash-only / neither
+    // via comb2 sums over the three groupings — never materializing a
+    // doc pair (the q150 combinatorial-count discipline; all counts are
+    // exact integers, agreement is one micro-scaled nonneg division).
+    // pairs_exact_only ~ 0 is the structural expectation (identical
+    // text has Jaccard 1) — a nonzero value would expose banding
+    // recall loss, which is why it is a COLUMN, not an assert. Scale:
+    // three partial-aggregated groupBys over the joined (c1, c2) table
+    // + four broadcast scalars; BIGINT-safe to ~4M docs (comb2 sums
+    // then ride the q126 DECIMAL cast).
+    "q166_dedup_agreement" -> ((s, d) => {
+      val docsC = t(s, d, "documents").select("doc_id", "text")
+        .localCheckpoint(false) // consumers: exact hash + minhash chain
+      val exact = docsC.select(col("doc_id"), md5(col("text")).as("c1"))
+      val pairs = Dedup.minhashLshPairs(docsC, "doc_id", "text",
+        k = 64, bands = 16, shingleN = 3, threshold = 0.5,
+        hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */)
+      val mh = docsC.select("doc_id")
+        .join(Dedup.dupClusters(pairs), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("c2"))
+      val joined = exact.join(mh, "doc_id")
+        .localCheckpoint(false) // consumers: three comb2 aggregates + count
+      def comb2(cols: Seq[String], as: String) = joined
+        .groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as(as))
+      comb2(Seq("c1", "c2"), "pa")
+        .crossJoin(broadcast(comb2(Seq("c1"), "pr")))
+        .crossJoin(broadcast(comb2(Seq("c2"), "pc")))
+        .crossJoin(broadcast(joined.agg(count(lit(1)).as("n_docs"))))
+        .select(col("n_docs"), col("pa").as("pairs_both"),
+          (col("pr") - col("pa")).as("pairs_exact_only"),
+          (col("pc") - col("pa")).as("pairs_minhash_only"),
+          (expr("n_docs * (n_docs - 1) div 2") - col("pr") - col("pc")
+            + col("pa")).as("pairs_neither"),
+          col("pr").as("pr0"), col("pc").as("pc0"))
+        .withColumn("jaccard_agreement",
+          when(col("pr0") + col("pc0") - col("pairs_both") === 0, lit(0.0))
+            .otherwise(
+              expr("cast(pairs_both * 1000000 as bigint) div (pr0 + pc0 - pairs_both)")
+                .cast("double") / lit(1000000.0)))
+        .drop("pr0", "pc0")
+        .orderBy("n_docs")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -5819,6 +5868,43 @@ object Oracles {
     // cells + codebooks composed into all-anchors same-cell
     // different-label ADC mining; pqd4 is the anchor LUT table
     "q164_hard_negatives" -> hardNegativesSql,
+
+    // q43's recursive components + md5 exact clusters -> pair-level
+    // agreement via comb2 sums over the three groupings (all integers;
+    // nonneg micro-scaled division, so // == div)
+    "q166_dedup_agreement" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+              p AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+              edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                        UNION SELECT doc_b, doc_a FROM p),
+              reach(src, dst) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+              cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                     FROM reach GROUP BY src),
+              ex AS (SELECT doc_id, md5(text) AS c1 FROM documents),
+              mh AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS c2
+                     FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+              j AS MATERIALIZED (SELECT ex.doc_id, ex.c1, mh.c2
+                                 FROM ex JOIN mh ON ex.doc_id = mh.doc_id),
+              pa AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS pa
+                     FROM (SELECT count(*) AS n FROM j GROUP BY c1, c2) t),
+              pr AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS pr
+                     FROM (SELECT count(*) AS n FROM j GROUP BY c1) t),
+              pc AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS pc
+                     FROM (SELECT count(*) AS n FROM j GROUP BY c2) t),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM j)
+         SELECT nn.n_docs,
+                pa.pa AS pairs_both,
+                pr.pr - pa.pa AS pairs_exact_only,
+                pc.pc - pa.pa AS pairs_minhash_only,
+                (nn.n_docs * (nn.n_docs - 1) // 2) - pr.pr - pc.pc + pa.pa
+                  AS pairs_neither,
+                CASE WHEN pr.pr + pc.pc - pa.pa = 0 THEN 0.0
+                     ELSE CAST((pa.pa * 1000000) // (pr.pr + pc.pc - pa.pa)
+                               AS DOUBLE) / 1000000.0 END AS jaccard_agreement
+         FROM pa, pr, pc, nn ORDER BY nn.n_docs""",
 
     // one IEEE sqrt floor-micro-scaled (the q126 discipline), Hamilton
     // largest-remainder, boost as an exact integer ratio
