@@ -2039,14 +2039,22 @@ object Queries {
       val qv = embs.select(col("vec_id").as("vid"),
           Similarity.quantized(col("embedding")).as("q"))
         .localCheckpoint(false) // consumers: seed pick + K-1 round passes
-      val seed = qv.select(col("vid"), col("q"),
+      // r11 advice: degrade gracefully on a corpus with < K vectors (the
+      // oracle's unrolled CTEs already do) — empty seed -> empty result,
+      // and each round stops early when no unselected vector remains
+      val seedRows = qv.select(col("vid"), col("q"),
           expr("cast(conv(substr(md5(cast(cast(vid as string) as binary)), 1, 15), 16, 10) as bigint)")
             .as("m"))
-        .orderBy("m", "vid").limit(1).collect()(0)
-      var selected = Vector((seed.getLong(0), seed.getSeq[Long](1).toArray))
-      val picks = scala.collection.mutable.ArrayBuffer(
-        (1, seed.getLong(0), 0L))
-      for (r <- 2 to K) {
+        .orderBy("m", "vid").limit(1).collect()
+      import s.implicits._
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      if (seedRows.nonEmpty) {
+        val seed = seedRows(0)
+        var selected = Vector((seed.getLong(0), seed.getSeq[Long](1).toArray))
+        picks += ((1, seed.getLong(0), 0L))
+        var r = 2
+        var exhausted = false
+        while (r <= K && !exhausted) {
         val cents = selected.map(_._2).toArray
         val selIds = selected.map(_._1)
         val minDistUdf = udf((q: Seq[Long]) => {
@@ -2064,13 +2072,18 @@ object Queries {
           }
           best
         })
-        val win = qv.where(!col("vid").isInCollection(selIds))
+        val winRows = qv.where(!col("vid").isInCollection(selIds))
           .select(col("vid"), col("q"), minDistUdf(col("q")).as("dist"))
-          .orderBy(col("dist").desc, col("vid")).limit(1).collect()(0)
-        picks += ((r, win.getLong(0), win.getLong(2)))
-        selected :+= ((win.getLong(0), win.getSeq[Long](1).toArray))
+          .orderBy(col("dist").desc, col("vid")).limit(1).collect()
+        if (winRows.isEmpty) exhausted = true
+        else {
+          val win = winRows(0)
+          picks += ((r, win.getLong(0), win.getLong(2)))
+          selected :+= ((win.getLong(0), win.getSeq[Long](1).toArray))
+          r += 1
+        }
       }
-      import s.implicits._
+      }
       picks.toSeq.toDF("sel_rank", "vec_id", "min_dist")
         .orderBy("sel_rank")
     }),

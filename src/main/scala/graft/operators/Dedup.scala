@@ -484,6 +484,19 @@ object Dedup {
    * cross-engine (DuckDB recursive components over surviving pairs),
    * so incremental == full is re-proven at every driver gate.
    *
+   * Broadcast discipline (r12): `del`, `affectedIds` and `affH` are
+   * genuinely DELETION-bounded (affH is the deleted docs' owned
+   * shingles — |del| x shingles-per-doc) and always broadcast
+   * explicitly (the r11 lesson: the planner's stats guess over a lazy
+   * checkpoint can shuffle the corpus side). `survivors` and
+   * `reclustered` are affected-cluster-MEMBERSHIP-sized: a deletion
+   * touching one viral mega-cluster (the BandSkewSpec hot-template
+   * pathology) makes them corpus-scale, where a forced broadcast would
+   * exceed the driver. They broadcast only below `maxBroadcastMembers`
+   * surviving members (one aggregate-sized count that doubles as the
+   * materialization of the survivors checkpoint); above it the joins
+   * fall back to the planner's shuffle path, which degrades gracefully.
+   *
    * @param clustersFull (doc_id, cluster_id) for EVERY doc, singletons
    *                     as self-clusters (q43 output left-joined back to
    *                     the corpus with coalesce(cluster_id, doc_id))
@@ -491,6 +504,10 @@ object Dedup {
    * @param postings     (h, doc_id) shingle postings
    * @param firstOcc     (h, doc_id) pre-deletion owners (min doc per h)
    * @param deleted      (doc_id) the deletion batch
+   * @param maxBroadcastMembers cap on surviving affected members for
+   *                     the survivor-side forced broadcasts (default
+   *                     4M rows ~ tens of MB of longs; specs shrink it
+   *                     to 0 to prove the fallback path's equality)
    * @return (newClusters (doc_id, cluster_id), newFirstOcc (h, doc_id))
    */
   def rtbfApply(
@@ -498,7 +515,8 @@ object Dedup {
       pairs: DataFrame,
       postings: DataFrame,
       firstOcc: DataFrame,
-      deleted: DataFrame): (DataFrame, DataFrame) = {
+      deleted: DataFrame,
+      maxBroadcastMembers: Long = 4000000L): (DataFrame, DataFrame) = {
     val del = deleted.select("doc_id").distinct()
       .localCheckpoint(eager = false) // consumers: affected ids, 3 anti/semi joins
     val affectedIds = clustersFull.join(broadcast(del), Seq("doc_id"), "left_semi")
@@ -511,19 +529,23 @@ object Dedup {
       .select("doc_id", "cluster_id")
     val survivors = affected.join(broadcast(del), Seq("doc_id"), "left_anti")
       .select("doc_id")
-      .localCheckpoint(eager = false) // consumers: edge semi-joins, isolated anti
-    // every small side below is DELETION-sized (the operator's whole
-    // point) — broadcast explicitly so the corpus-sized probe side never
-    // shuffles for them (RtbfScaleSpec measures it)
+      .localCheckpoint(eager = false) // consumers: count + edge semi-joins + isolated anti
+    // survivors/reclustered are affected-cluster-MEMBERSHIP-sized, not
+    // deletion-sized: force-broadcast them only under the cap (the count
+    // also materializes the survivors checkpoint for its later consumers);
+    // a mega-cluster deletion falls back to the planner's shuffle join.
+    val survivorBcast = survivors.count() <= maxBroadcastMembers
+    def memberSide(df: DataFrame): DataFrame =
+      if (survivorBcast) broadcast(df) else df
     val survEdges = pairs
-      .join(broadcast(survivors.select(col("doc_id").as("doc_a"))),
+      .join(memberSide(survivors.select(col("doc_id").as("doc_a"))),
         Seq("doc_a"), "left_semi")
-      .join(broadcast(survivors.select(col("doc_id").as("doc_b"))),
+      .join(memberSide(survivors.select(col("doc_id").as("doc_b"))),
         Seq("doc_b"), "left_semi")
       .select("doc_a", "doc_b")
     val reclustered = dupClusters(survEdges)
     val isolated = survivors
-      .join(broadcast(reclustered.select("doc_id")), Seq("doc_id"), "left_anti")
+      .join(memberSide(reclustered.select("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     val newClusters = unaffected.unionByName(reclustered).unionByName(isolated)
 

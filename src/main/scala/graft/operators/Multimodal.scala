@@ -89,7 +89,30 @@ object Multimodal {
    * [[decodeImageRows]]'s total-function contract.
    */
   def decodeAudioFrames(content: Array[Byte], frameSamples: Int = 1024): Array[Double] = {
-    if (content == null || content.isEmpty || frameSamples <= 0) return Array.emptyDoubleArray
+    if (frameSamples <= 0) return Array.emptyDoubleArray
+    val x = decodePcmInstants(content)
+    val nInstants = x.length
+    if (nInstants == 0) return Array.emptyDoubleArray
+    val out = new Array[Double]((nInstants + frameSamples - 1) / frameSamples)
+    var f = 0
+    while (f < out.length) {
+      val lo = f * frameSamples
+      val hi = math.min(nInstants, lo + frameSamples)
+      var sumSq = 0.0
+      var i = lo
+      while (i < hi) { sumSq += x(i) * x(i); i += 1 }
+      out(f) = math.sqrt(sumSq / (hi - lo))
+      f += 1
+    }
+    out
+  }
+
+  /** Shared PCM front-end of the audio decoders: 16-bit PCM payload ->
+    * channel-averaged normalized samples in [-1, 1], one per sampling
+    * instant. Undecodable / non-PCM16 bytes yield an empty array (the
+    * family's total-function contract). */
+  private def decodePcmInstants(content: Array[Byte]): Array[Double] = {
+    if (content == null || content.isEmpty) return Array.emptyDoubleArray
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val in =
       try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
@@ -103,36 +126,85 @@ object Multimodal {
       val big = fmt.isBigEndian
       val bytesPerInstant = 2 * ch
       val nInstants = bytes.length / bytesPerInstant
-      if (nInstants == 0) return Array.emptyDoubleArray
-      val out = new Array[Double]((nInstants + frameSamples - 1) / frameSamples)
-      var f = 0
-      while (f < out.length) {
-        val lo = f * frameSamples
-        val hi = math.min(nInstants, lo + frameSamples)
-        var sumSq = 0.0
-        var i = lo
-        while (i < hi) {
-          // average the channels of one sampling instant
-          var acc = 0.0
-          var c = 0
-          while (c < ch) {
-            val o = i * bytesPerInstant + 2 * c
-            val s =
-              if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
-              else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
-            acc += s / 32768.0
-            c += 1
-          }
-          val v = acc / ch
-          sumSq += v * v
-          i += 1
+      val x = new Array[Double](nInstants)
+      var i = 0
+      while (i < nInstants) {
+        // average the channels of one sampling instant
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val o = i * bytesPerInstant + 2 * c
+          val s =
+            if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+            else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+          acc += s / 32768.0
+          c += 1
         }
-        out(f) = math.sqrt(sumSq / (hi - lo))
-        f += 1
+        x(i) = acc / ch
+        i += 1
       }
-      out
+      x
     } catch { case _: Exception => Array.emptyDoubleArray }
     finally in.close()
+  }
+
+  /**
+   * REAL audio decode to per-frame BAND energies — the spectral front
+   * end of the audio perceptual fingerprint (r11 verdict #3: the media
+   * dedup family had image dHash but audio only byte/envelope identity;
+   * an RMS envelope cannot tell a 440 Hz tone from a 3.5 kHz one).
+   * Per frame of `frameSamples` channel-averaged instants, a 2-level
+   * HAAR WAVELET PACKET split yields 4 frequency bands in O(n) — the
+   * pure-JVM stand-in for chromaprint's filterbank (no FFT library in
+   * the JDK): level 1 halves the spectrum via pairwise sums/differences,
+   * level 2 halves each half; the output per frame is the 4 bands' RMS
+   * in packet order [LL, LH, HL, HH] (low -> high frequency up to the
+   * wavelet-packet folding quirk, which is irrelevant for matching —
+   * both sides of a comparison fold identically). Flattened frame-major:
+   * [f0b0..f0b3, f1b0..f1b3, ...].
+   */
+  def decodeAudioBandEnergies(content: Array[Byte],
+                              frameSamples: Int = 1024): Array[Double] = {
+    if (frameSamples < 4) return Array.emptyDoubleArray
+    val x = decodePcmInstants(content)
+    val nInstants = x.length
+    if (nInstants == 0) return Array.emptyDoubleArray
+    val nFrames = (nInstants + frameSamples - 1) / frameSamples
+    val out = new Array[Double](nFrames * 4)
+    val a = new Array[Double](frameSamples / 2)
+    val d = new Array[Double](frameSamples / 2)
+    var f = 0
+    while (f < nFrames) {
+      val lo = f * frameSamples
+      val hi = math.min(nInstants, lo + frameSamples)
+      val half = (hi - lo) / 2
+      // level 1: a = lowpass (pair means), d = highpass (pair diffs)
+      var i = 0
+      while (i < half) {
+        val p = x(lo + 2 * i); val q = x(lo + 2 * i + 1)
+        a(i) = (p + q) / 2; d(i) = (p - q) / 2
+        i += 1
+      }
+      // level 2 on each, accumulating band energy directly
+      val quarter = half / 2
+      var eLL = 0.0; var eLH = 0.0; var eHL = 0.0; var eHH = 0.0
+      var j = 0
+      while (j < quarter) {
+        val aa = (a(2 * j) + a(2 * j + 1)) / 2
+        val ad = (a(2 * j) - a(2 * j + 1)) / 2
+        val da = (d(2 * j) + d(2 * j + 1)) / 2
+        val dd = (d(2 * j) - d(2 * j + 1)) / 2
+        eLL += aa * aa; eLH += ad * ad; eHL += da * da; eHH += dd * dd
+        j += 1
+      }
+      val denom = math.max(1, quarter)
+      out(4 * f) = math.sqrt(eLL / denom)
+      out(4 * f + 1) = math.sqrt(eLH / denom)
+      out(4 * f + 2) = math.sqrt(eHL / denom)
+      out(4 * f + 3) = math.sqrt(eHH / denom)
+      f += 1
+    }
+    out
   }
 
   /**

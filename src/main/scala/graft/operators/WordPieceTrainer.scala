@@ -112,6 +112,18 @@ object WordPieceTrainer {
       minCount: Long = 2L,
       scale: Long = ScoreScale): (DataFrame, DataFrame) = {
     val spark = vocab.sparkSession
+    // r12 overflow guard: every pair's weighted count n is bounded by the
+    // corpus's total adjacent-symbol slots (sum of freq * (len-1)); if
+    // n * scale could cross 2^62, non-ANSI Spark would WRAP silently
+    // where the DuckDB oracle raises — fail loudly with the sizing-rule
+    // remedy instead. One vocabulary-sized aggregate, once per train.
+    val pairSlots = math.max(1L,
+      vocab.agg(coalesce(sum(expr("freq * (length(word) - 1)")), lit(0L)))
+        .collect()(0).getLong(0))
+    require(scale <= (1L << 62) / pairSlots,
+      s"scale=$scale overflows 2^62 at $pairSlots weighted pair slots; " +
+        s"pass scale = scoreScaleFor($pairSlots) = ${scoreScaleFor(pairSlots)} " +
+        "and mirror it in any cross-engine oracle SQL")
     var enc = vocab
       .select(encodeChars(col("word")).as("enc"), col("freq"))
       .localCheckpoint(eager = true)
@@ -183,8 +195,10 @@ object WordPieceTrainer {
    * symbols — alphabet plus every merged symbol). A position with no
    * matching piece emits the single-char symbol regardless (characters
    * of trained words are always in the alphabet; a genuinely novel
-   * character falls back to itself bare — the documented OOV behavior,
-   * mirroring the unigram trainer's coverage contract).
+   * character is emitted in its position-marked single-char form —
+   * `##`-prefixed at non-initial positions, matching the oracle's
+   * COALESCE one-char advance — mirroring the unigram trainer's
+   * coverage contract).
    */
   def encodeGreedy(word: String, vocabSet: Set[String]): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]

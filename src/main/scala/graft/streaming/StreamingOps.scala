@@ -427,8 +427,12 @@ object StreamingOps {
    * after the stream (or any batch) completes. Scale shape: each batch's
    * work is deletion-sized broadcasts + affected-cluster re-clustering
    * (RtbfScaleSpec measures shuffle bytes tracking the deletion, not the
-   * corpus); state tables ride lazy localCheckpoints so lineage never
-   * deepens with batch count.
+   * corpus); state tables ride lazy localCheckpoints which are
+   * MATERIALIZED here at the end of each batch — an eager=false
+   * checkpoint truncates lineage only once an action runs on it, and
+   * without the foreach below nothing in the loop is such an action, so
+   * plans would nest one level per micro-batch and a long deletion
+   * stream would pay growing analysis cost (r11 advice).
    */
   def rtbfIngest(
       deletions: DataFrame, // streaming: (doc_id)
@@ -438,8 +442,14 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          registry.state = graft.operators.Dedup.rtbfStep(registry.state, batch)
+        if (!batch.isEmpty) {
+          val next = graft.operators.Dedup.rtbfStep(registry.state, batch)
+          // force each lazy checkpoint NOW: the next batch then builds on
+          // flat LogicalRDDs, not a plan stack one level deeper per batch
+          Seq(next.clusters, next.pairs, next.postings, next.firstOcc)
+            .foreach(_.queryExecution.toRdd.foreach(_ => ()))
+          registry.state = next
+        }
       }
       .start()
 

@@ -74,5 +74,13 @@ class RtbfSpec extends AnyFunSuite {
 
     val expectFirst = Map(101L -> 3L, 103L -> 1L, 104L -> 8L) // 102 retired
     assert(gotFirst == expectFirst, s"got $gotFirst expected $expectFirst")
+
+    // r12 broadcast guard: a mega-cluster deletion must NOT force a
+    // corpus-scale broadcast — cap 0 exercises the shuffle-join fallback
+    // on every survivor-sized side and the answers are identical.
+    val (nc0, nf0) = Dedup.rtbfApply(clustersFull, pairs, postings, firstOcc,
+      deleted, maxBroadcastMembers = 0L)
+    assert(nc0.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expectClusters)
+    assert(nf0.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expectFirst)
   }
 }
