@@ -70,6 +70,11 @@ object Bench {
     // with driver-side iteration (q78/q138/q149) materialize
     // intermediate jobs whose shuffles are not in the FINAL plan — the
     // metric covers the final plan, which is where silent drift lands.
+    // Same caveat for plan-CONSTRUCTION actions (r12: rtbfApply's
+    // broadcast-gating survivors.count() runs while fn builds the df):
+    // their wall time IS timed (t0 precedes fn), but their shuffle
+    // bytes are outside the final df's metrics — q151's bytes envelope
+    // covers the apply plan, not the gating count.
     def collectPlans(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => collectPlans(a.executedPlan)
       case q: QueryStageExec => q +: collectPlans(q.plan)

@@ -2239,6 +2239,147 @@ object Queries {
         .orderBy("n_docs")
     }),
 
+    // AUDIO PERCEPTUAL NEAR-DUP (the spectral member q150's dHash family
+    // lacked — r11/r12 verdict: byte/envelope identity cannot tell a
+    // 440 Hz tone from a 3.5 kHz one): per payload, 4 integer
+    // Haar-packet band energies per 64-byte frame
+    // (Multimodal.byteBandEnergies — the SQL-reproducible oracle mode of
+    // decodeAudioBandEnergies; real WAV/AIFF decode is spec-golden in
+    // MultimodalAudioFpSpec), dHash-60 along the flattened (frame, band)
+    // trajectory, then EXACTLY q150's combinatorial histogram: partial-
+    // aggregate to (sim, count), hamming-0 mass = SUM(c*(c-1)/2),
+    // cross-hash mass bands the DISTINCT signatures weighted c_a*c_b —
+    // shuffles carry distinct-hash rows, never doc pairs. All hash
+    // operands are exact integers (no sqrt/normalization in oracle
+    // mode), so the > comparisons are engine-exact with no float
+    // discipline at all. audioNearDupPairs stays the pair-emitting
+    // operator surface with the CapAuto production cap.
+    "q167_audio_fingerprint" -> ((s, d) => {
+      val packed = Multimodal.packBinary(
+        t(s, d, "documents").where(length(col("text")) > 0), "doc_id", "text")
+      val hashUdf = udf((content: Array[Byte]) =>
+        Multimodal.perceptualHash60(Multimodal.byteBandEnergies(content, 64)))
+      val groups = packed.select(hashUdf(col("content")).as("sim"))
+        .groupBy("sim").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // consumers: h0 mass, banding, two weight joins
+      val h0 = groups.agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("n_pairs"))
+        .select(lit(0).cast("int").as("hamming"), col("n_pairs"))
+        .where(col("n_pairs") > 0)
+      val crossH = Dedup.hammingBandPairs(
+          groups.select(col("sim").as("doc"), col("sim")),
+          maxHamming = 3, hotBucketCap = Int.MaxValue /* distinct sims: tiny */)
+        .join(groups.select(col("sim").as("doc_a"), col("c").as("ca")), "doc_a")
+        .join(groups.select(col("sim").as("doc_b"), col("c").as("cb")), "doc_b")
+        .groupBy("hamming").agg(sum(col("ca") * col("cb")).as("n_pairs"))
+      h0.unionByName(crossH).orderBy("hamming")
+    }),
+
+    // BYTE-LEVEL BPE TRAINING (GPT-2's production recipe — r12 verdict
+    // #3: the tokenizer family trained on word-level pre-tokens only):
+    // pre-tokenize with q40's GPT-2-style regex (contractions, letter
+    // runs, digit runs, single marks — not whitespace), then train BPE
+    // over the BYTE alphabet: each byte is a 2-hex-digit symbol
+    // (BpeTrainer.encodeByteHex — the portable stand-in for GPT-2's
+    // byte-to-unicode display table; char == byte under the fixture's
+    // ASCII contract, the bridge q150 stands on), merges ride the SAME
+    // sentinel replace machinery (symbols are whitespace-free hex, the
+    // loop never looks inside one). Same scale shape as q87: ONE corpus
+    // aggregation to the pre-token vocabulary, all 6 rounds
+    // vocabulary-sized, one collected decision scalar per round. Oracle
+    // unrolls the rounds as materialized chained CTEs (byteBpeTrainCtes).
+    "q168_bpe_byte_train" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(TF.bpeTokens(col("text"))).as("word"))
+      val vocab = BpeTrainer.vocabulary(words)
+      BpeTrainer.trainEncoded(
+          vocab.select(BpeTrainer.encodeByteHex(col("word")).as("enc"), col("freq")),
+          merges = 6, minCount = 0L)._1
+        .orderBy("merge_rank")
+    }),
+
+    // the trained BYTE-level tokenizer APPLIED per language (q168's
+    // q117: fertility under the byte vocabulary NEXT TO q117's
+    // word-level fertility — the comparison production tokenizer work
+    // actually reads): one corpus pass builds (lang, pretoken, tf); the
+    // global vocabulary derives from it (no second scan); the 6 merges
+    // replay as literal sentinel replaces over the DISTINCT pre-token
+    // table (|V| chains, never per corpus token) joined back on the
+    // aggregated key. Pre-tokens the trainer never saw (single chars)
+    // fall back to their byte count (== length under ASCII). Fertility
+    // is the micro-scaled integer division.
+    "q169_bpe_byte_tokenize" -> ((s, d) => {
+      val lw = t(s, d, "documents")
+        .select(col("lang"), explode(TF.bpeTokens(col("text"))).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // two consumers: vocabulary, apply join
+      val vocab = BpeTrainer.vocabularyFromCounts(lw, "word", "tf")
+      val merges = BpeTrainer.trainEncoded(
+          vocab.select(BpeTrainer.encodeByteHex(col("word")).as("enc"), col("freq")),
+          merges = 6, minCount = 0L)._1
+        .orderBy("merge_rank").collect().map(_.getString(1)).toSeq
+      val encWords = BpeTrainer.applyMerges(
+          vocab.select("word"), "word", merges, BpeTrainer.encodeByteHex)
+        .select(col("word"), BpeTrainer.symbolCount(col("enc")).as("n_sym"))
+      lw.join(encWords, Seq("word"), "left")
+        .groupBy("lang")
+        .agg(sum("tf").as("n_pretokens"),
+          sum(col("tf") *
+            coalesce(col("n_sym"), length(col("word")).cast("long")))
+            .as("n_byte_bpe_tokens"))
+        .withColumn("fertility",
+          expr("cast(n_byte_bpe_tokens * 1000000 as bigint) div n_pretokens")
+            .cast("double") / lit(1000000.0))
+        .orderBy("lang")
+    }),
+
+    // PER-DOC CURATION REJECTION LEDGER (r12 verdict #4: q97 gives
+    // stage totals, not "why was doc X dropped"): every rejected doc
+    // attributed to its FIRST failing stage of q97's exact funnel —
+    // exact-dup (detail = the keeper id), near-dup non-canonical
+    // (detail = the cluster representative), quality floor, Gopher
+    // (detail = the first failing RULE name, same rule order as q107).
+    // Same stage definitions as q97 verbatim (min-id hash keeper,
+    // cluster_id==doc_id canonical, round(q,6)>=0.8, rule conjunction);
+    // the oracle reuses the shared curationCtes so the two queries
+    // cannot drift. Scale: one corpus projection with the fused Gopher
+    // kernel (first-fail computed BEFORE any join so text never
+    // shuffles), one aggregate-keyed join per dedup signal — linear,
+    // no new quadratics; stage names via a literal-map element_at
+    // (codegen, no UDF).
+    "q170_rejection_ledger" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val rules = TF.gopherRules(col("text"))
+      val base = docs.select(col("doc_id"),
+          TF.qualityScore(col("text")).as("q"),
+          md5(col("text")).as("content_hash"),
+          coalesce(rules.map { case (n, c) => when(!c, lit(n)) }
+            :+ lit(null).cast("string"): _*).as("gfail"))
+        .localCheckpoint(false) // consumers: keeper agg + ledger join
+      val keepExact = base.groupBy("content_hash").agg(min("doc_id").as("keep_id"))
+      val clusters = Dedup.dupClusters(
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 64, bands = 16, shingleN = 3, threshold = 0.5,
+          hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */))
+      base.join(keepExact, "content_hash")
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("stage_rank",
+          when(col("doc_id") =!= col("keep_id"), 2)
+            .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), 3)
+            .when(round(col("q"), 6) < 0.8, 4)
+            .when(col("gfail").isNotNull, 5))
+        .where(col("stage_rank").isNotNull)
+        .select(col("doc_id"),
+          col("stage_rank").cast("int").as("stage_rank"),
+          element_at(
+            map(lit(2), lit("exact_dup"), lit(3), lit("near_dup"),
+              lit(4), lit("quality"), lit(5), lit("gopher")),
+            col("stage_rank")).as("stage"),
+          when(col("stage_rank") === 2, col("keep_id").cast("string"))
+            .when(col("stage_rank") === 3, col("cluster_id").cast("string"))
+            .when(col("stage_rank") === 5, col("gfail")).as("detail"))
+        .orderBy("doc_id")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4808,6 +4949,21 @@ object Oracles {
                                CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
                         FROM rk)"""
 
+  /** q167: one integer Haar-packet band energy as DuckDB SQL — the sum
+    * over the frame's 4-byte groups j of the squared Hadamard
+    * combination with signs (+1, s1, s2, s3) on bytes (x0..x3). Exact
+    * BIGINT arithmetic end to end (mirrors
+    * Multimodal.byteBandEnergies). Expects columns `text`, `lo` (frame
+    * byte offset, 0-based) and `q` (group count) in scope. */
+  private def bandEnergySql(s1: Int, s2: Int, s3: Int): String = {
+    def term(k: Int, s: Int) =
+      (if (s > 0) " + " else " - ") +
+        s"ord(substr(text, CAST(lo + 4*j + ${k + 1} AS INT), 1))"
+    val e = "0" + term(0, 1) + term(1, s1) + term(2, s2) + term(3, s3)
+    s"CAST(COALESCE(list_sum(list_transform(range(0, q), " +
+      s"j -> CAST(($e) * ($e) AS BIGINT))), 0) AS BIGINT)"
+  }
+
   /** One functional-dependency scalar block (q129). */
   private def fdSql(tname: String, det: String, dep: String): String =
     s"""SELECT '$tname' AS tbl, '$det' AS det, '$dep' AS dep,
@@ -4876,7 +5032,28 @@ object Oracles {
     * pins the shared semantics). The `word` column rides along so the
     * final `v<rounds>` doubles as the trained word->encoding table for
     * the APPLY oracle (q93); q87 reads only the `win_k`s. */
-  private def bpeTrainCtes(rounds: Int): String = {
+  private def bpeTrainCtes(rounds: Int): String =
+    bpeChainCtes(rounds,
+      wSql = """SELECT unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS word
+                     FROM documents""",
+      symSql = "substr(word,i,1)")
+
+  /** [[bpeTrainCtes]] over GPT-2's BYTE alphabet (q168/q169, r13): the
+    * pre-tokenizer is q40's GPT-2-style regex instead of whitespace,
+    * and v0's symbols are 2-hex-digit lowercase byte codes
+    * (`BpeTrainer.encodeByteHex` — char == byte under the fixture's
+    * ASCII contract). The merge rounds are byte-identical to the
+    * word-level chain: the loop never looks inside a symbol. */
+  private def byteBpeTrainCtes(rounds: Int): String =
+    bpeChainCtes(rounds,
+      wSql = s"""SELECT unnest(regexp_extract_all(text, '$bpePatternSql')) AS word
+                     FROM documents""",
+      symSql = "lpad(lower(to_hex(ord(substr(word,i,1)))), 2, '0')")
+
+  /** Shared BPE chain generator behind both alphabets: `wSql` produces
+    * the pre-token stream (column `word`), `symSql` maps character i of
+    * `word` to its initial symbol. */
+  private def bpeChainCtes(rounds: Int, wSql: String, symSql: String): String = {
     def round(k: Int): String = {
       val prev = if (k == 1) "v0" else s"v${k - 1}"
       s"""p$k AS (SELECT unnest(list_transform(range(1, len(l)),
@@ -4895,8 +5072,7 @@ object Oracles {
                            freq
                     FROM $prev CROSS JOIN win$k)"""
     }
-    s"""w AS (SELECT unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
-                     FROM documents),
+    s"""w AS ($wSql),
               v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
                     WHERE len(word) >= 2
                       AND word NOT LIKE '%'||chr(1)||'%'
@@ -4904,7 +5080,7 @@ object Oracles {
                     GROUP BY word),
               v0 AS MATERIALIZED (
                     SELECT word, array_to_string(list_transform(range(1, len(word)+1),
-                             i -> chr(1)||substr(word,i,1)||chr(2)), '') AS enc,
+                             i -> chr(1)||$symSql||chr(2)), '') AS enc,
                            freq
                     FROM v),
               ${(1 to rounds).map(round).mkString(",\n              ")}"""
@@ -5975,6 +6151,33 @@ object Oracles {
                 CAST(CASE WHEN cosine >= 0.2 THEN 1 ELSE 0 END AS INT) AS is_hard
          FROM sc ORDER BY anchor_id, j""",
 
+    // the byte-alphabet q87: same unrolled merge rounds, hex-byte v0,
+    // GPT-2 pre-tokenizer
+    "q168_bpe_byte_train" ->
+      s"""WITH ${byteBpeTrainCtes(6)}
+         ${(1 to 6).map(k => s"SELECT $k AS merge_rank, pair, n FROM win$k")
+        .mkString(" UNION ALL ")} ORDER BY merge_rank""",
+
+    // the byte-alphabet q117: v6 doubles as the trained
+    // pretoken->encoding table; per-lang fertility is the micro-scaled
+    // integer division
+    "q169_bpe_byte_tokenize" ->
+      s"""WITH ${byteBpeTrainCtes(6)},
+              tokv AS (SELECT word,
+                              CAST(len(enc) - len(replace(enc, chr(2), '')) AS BIGINT) AS n_sym
+                       FROM v6),
+              lw AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS tf
+                     FROM (SELECT lang,
+                                  unnest(regexp_extract_all(text, '$bpePatternSql')) AS word
+                           FROM documents)
+                     GROUP BY lang, word)
+         SELECT lang, CAST(sum(tf) AS BIGINT) AS n_pretokens,
+                CAST(sum(tf * coalesce(n_sym, len(word))) AS BIGINT) AS n_byte_bpe_tokens,
+                CAST((sum(tf * coalesce(n_sym, len(word))) * 1000000) // sum(tf) AS DOUBLE)
+                  / 1000000.0 AS fertility
+         FROM lw LEFT JOIN tokv USING (word)
+         GROUP BY lang ORDER BY lang""",
+
     // q42's byte-fake frame CTE -> 61-sample nearest resize -> dHash bits
     // -> the q28 pigeonhole banding -> popcount histogram
     "q150_perceptual_neardup" ->
@@ -5989,6 +6192,50 @@ object Oracles {
                            list_transform(range(0, 61),
                              k -> frames[1 + CAST((k*len(frames))//61 AS INT)]) AS rs
                     FROM f),
+              h AS (SELECT doc_id,
+                           CAST(list_sum(list_transform(range(0, 60), k ->
+                             CASE WHEN rs[k+2] > rs[k+1]
+                                  THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)) AS BIGINT) AS ph
+                    FROM r),
+              ck AS (SELECT doc_id, ph, chunk, (ph >> CAST(chunk*15 AS INT)) & 32767 AS chunk_val
+                     FROM (SELECT doc_id, ph, unnest(range(0, 4)) AS chunk FROM h) t),
+              cand AS (SELECT DISTINCT l.doc_id AS doc_a, rr.doc_id AS doc_b,
+                              l.ph AS pa, rr.ph AS pb
+                       FROM ck l JOIN ck rr
+                         ON l.chunk = rr.chunk AND l.chunk_val = rr.chunk_val
+                        AND l.doc_id < rr.doc_id),
+              ham AS (SELECT bit_count(xor(pa, pb)) AS hamming FROM cand
+                      WHERE bit_count(xor(pa, pb)) <= 3)
+         SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM ham GROUP BY hamming ORDER BY hamming""",
+
+    // q167: integer Haar-packet band energies per 64-byte frame (the
+    // byteBandEnergies math: 4-point Hadamard squares summed per band),
+    // frame-major flatten ordered by frame, 61-sample nearest resize,
+    // dHash bits, then q150's pigeonhole banding + popcount histogram —
+    // every compared operand is a BIGINT, no float discipline needed
+    "q167_audio_fingerprint" ->
+      s"""WITH d0 AS (SELECT doc_id, text, length(text) AS n
+                      FROM documents WHERE length(text) > 0),
+              fr AS (SELECT doc_id, text, n,
+                            unnest(range(0, CAST(ceil(n/64.0) AS INT))) AS f
+                     FROM d0),
+              g AS (SELECT doc_id, text, f, CAST(64*f AS BIGINT) AS lo,
+                           CAST((least(n, 64*(f+1)) - 64*f) // 4 AS BIGINT) AS q
+                    FROM fr),
+              eb AS (SELECT doc_id, f,
+                            ${bandEnergySql(1, 1, 1)} AS ell,
+                            ${bandEnergySql(1, -1, -1)} AS elh,
+                            ${bandEnergySql(-1, 1, -1)} AS ehl,
+                            ${bandEnergySql(-1, -1, 1)} AS ehh
+                     FROM g),
+              sq AS (SELECT doc_id,
+                            flatten(list([ell, elh, ehl, ehh] ORDER BY f)) AS bands
+                     FROM eb GROUP BY doc_id),
+              r AS (SELECT doc_id,
+                           list_transform(range(0, 61),
+                             k -> bands[1 + CAST((k*len(bands))//61 AS INT)]) AS rs
+                    FROM sq),
               h AS (SELECT doc_id,
                            CAST(list_sum(list_transform(range(0, 60), k ->
                              CASE WHEN rs[k+2] > rs[k+1]
@@ -7161,6 +7408,35 @@ object Oracles {
            UNION ALL SELECT 4, 'quality', CAST(count(*) AS BIGINT), CAST(sum(toks) AS BIGINT) FROM s3
            UNION ALL SELECT 5, 'gopher_rules', CAST(count(*) AS BIGINT), CAST(sum(toks) AS BIGINT) FROM s4)
          ORDER BY stage_rank""",
+
+    // q97's funnel re-read per-doc: first-failing-stage CASE over the
+    // SAME shared curationCtes (keeper agg, recursive components,
+    // quality floor, Gopher rules in q107 order) — the two queries
+    // cannot drift
+    "q170_rejection_ledger" ->
+      s"""WITH RECURSIVE $curationCtes,
+              ke AS (SELECT content_hash, min(doc_id) AS keep_id
+                     FROM sc GROUP BY content_hash),
+              gf AS (SELECT doc_id,
+                            CASE ${gopherRuleSqls.map { case (n, p) =>
+                              s"WHEN NOT $p THEN '$n'" }.mkString(" ")} END AS gfail
+                     FROM documents),
+              led AS (SELECT sc.doc_id, ke.keep_id, cl.cluster_id, gf.gfail,
+                             CASE WHEN sc.doc_id != ke.keep_id THEN 2
+                                  WHEN cl.cluster_id IS NOT NULL
+                                       AND cl.cluster_id != sc.doc_id THEN 3
+                                  WHEN round(sc.q, 6) < 0.8 THEN 4
+                                  WHEN gf.gfail IS NOT NULL THEN 5 END AS stage_rank
+                      FROM sc JOIN ke USING (content_hash)
+                      LEFT JOIN cl ON cl.doc_id = sc.doc_id
+                      JOIN gf ON gf.doc_id = sc.doc_id)
+         SELECT doc_id, CAST(stage_rank AS INT) AS stage_rank,
+                CASE stage_rank WHEN 2 THEN 'exact_dup' WHEN 3 THEN 'near_dup'
+                     WHEN 4 THEN 'quality' WHEN 5 THEN 'gopher' END AS stage,
+                CASE stage_rank WHEN 2 THEN CAST(keep_id AS VARCHAR)
+                     WHEN 3 THEN CAST(cluster_id AS VARCHAR)
+                     WHEN 5 THEN gfail END AS detail
+         FROM led WHERE stage_rank IS NOT NULL ORDER BY doc_id""",
 
     // DuckDB's NATIVE ASOF JOIN vs our union+running-last window plan —
     // two independent implementations of the same at-or-before semantics

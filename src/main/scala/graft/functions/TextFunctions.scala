@@ -42,6 +42,11 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(bpeTokenPattern))
 
+  /** The GPT-2-style pre-token stream itself (r13, the byte-level BPE
+    * pre-tokenizer): every match of [[bpeTokenPattern]], in order. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeTokenPattern), lit(0))
+
   /** Word n-gram shingles (default 3): positions i..i+n-1 joined by a
     * space. Empty array when the document is shorter than n tokens. */
   def shingles(text: Column, n: Int = 3): Column = {

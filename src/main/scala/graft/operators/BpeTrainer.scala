@@ -100,6 +100,21 @@ object BpeTrainer {
   def encode(vocab: DataFrame): DataFrame =
     vocab.select(encodeChars(col("word")).as("enc"), col("freq"))
 
+  /** BYTE-LEVEL initial sentinel encoding (GPT-2's byte alphabet —
+    * Radford et al. 2019 train BPE over raw bytes so no input is ever
+    * OOV; their byte-to-printable-unicode table exists only to make
+    * symbols displayable): each byte becomes its 2-hex-digit lowercase
+    * code, the portable display alphabet BOTH engines can generate
+    * (DuckDB `lpad(lower(to_hex(ord(c))), 2, '0')` — the fixture
+    * contract is ASCII, where char == UTF-8 byte, the same bridge q150
+    * already stands on). Hex symbols are whitespace-free by
+    * construction, so the sentinel machinery, the "x y" pair keys and
+    * the greedy `replace` semantics all apply UNCHANGED — a merged
+    * symbol is just a longer hex string ("74 68" -> "7468" = "th"). */
+  def encodeByteHex(word: Column): Column =
+    expr("array_join(transform(sequence(1, length(word)), " +
+      s"i -> concat('$S', lpad(lower(hex(ascii(substring(word, i, 1)))), 2, '0'), '$E')), '')")
+
   /** Run the merge loop; returns (merge table, final encoded vocabulary).
     * The merge table (merge_rank, pair, n) IS the trained tokenizer; the
     * final vocabulary's symbol sequences are the training by-product
@@ -114,12 +129,22 @@ object BpeTrainer {
   def trainWithVocab(
       vocab: DataFrame,
       merges: Int,
+      minCount: Long = 2L): (DataFrame, DataFrame) =
+    trainEncoded(encode(vocab), merges, minCount)
+
+  /** [[trainWithVocab]] over an ALREADY sentinel-encoded (enc, freq)
+    * table — the shared merge loop behind both alphabets (r13: char
+    * symbols via [[encode]], byte-hex symbols via [[encodeByteHex]];
+    * the loop itself never looks inside a symbol). */
+  def trainEncoded(
+      enc0: DataFrame,
+      merges: Int,
       minCount: Long = 2L): (DataFrame, DataFrame) = {
-    val spark = vocab.sparkSession
+    val spark = enc0.sparkSession
     // eager per-round checkpoints (the GraphRank trade): live memory is
     // bounded to one vocabulary table, and the winner lookup reads an
     // already-materialized RDD instead of re-running the round's plan
-    var enc = encode(vocab).localCheckpoint(eager = true)
+    var enc = enc0.localCheckpoint(eager = true)
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var k = 1
     var stop = false
@@ -169,8 +194,9 @@ object BpeTrainer {
    * Greedy left-to-right semantics are byte-identical to training's
    * (same `replace` kernel — the BpeTrainerSpec run-of-4 contract).
    */
-  def applyMerges(words: DataFrame, wordCol: String, merges: Seq[String]): DataFrame =
-    merges.foldLeft(words.withColumn("enc", encodeChars(col(wordCol)))) {
+  def applyMerges(words: DataFrame, wordCol: String, merges: Seq[String],
+                  encoder: Column => Column = encodeChars): DataFrame =
+    merges.foldLeft(words.withColumn("enc", encoder(col(wordCol)))) {
       (df, pair) =>
         val Array(x, y) = pair.split(" ", 2)
         df.withColumn("enc",

@@ -427,6 +427,84 @@ object Multimodal {
   }
 
   /**
+   * Byte-fake SPECTRAL decode — the ORACLE mode of the audio fingerprint
+   * (the [[decodeFrames]] role for [[decodeAudioBandEnergies]]): the
+   * payload bytes themselves are treated as the sample stream, and each
+   * `frameBytes` frame is reduced to 4 Haar-packet band energies, all in
+   * EXACT integer arithmetic so an independent SQL engine reproduces the
+   * result bit-for-bit. Per group of 4 consecutive bytes the level-2 Haar
+   * packet coefficients are the 4-point Hadamard combinations
+   * (x0+x1+x2+x3, x0+x1-x2-x3, x0-x1+x2-x3, x0-x1-x2+x3) — the unscaled
+   * integer form of [[decodeAudioBandEnergies]]'s pair-mean recursion
+   * (each real coefficient is the integer one / 4, so within-band
+   * gradient SIGNS agree on full frames; the sqrt and per-frame
+   * normalization are dropped because monotone rescaling cannot be made
+   * engine-exact while integer sums can). Band energy = sum of squared
+   * coefficients, a BIGINT. Output flattened frame-major
+   * [f0LL,f0LH,f0HL,f0HH, f1LL, ...]; a trailing group of <4 bytes is
+   * dropped and a trailing frame of <4 bytes yields all-zero bands —
+   * both pinned by MultimodalAudioFpSpec and reproduced by the oracle.
+   */
+  def byteBandEnergies(content: Array[Byte], frameBytes: Int = 64): Array[Double] = {
+    if (content == null || content.isEmpty || frameBytes < 4) return Array.emptyDoubleArray
+    val n = content.length
+    val nFrames = (n + frameBytes - 1) / frameBytes
+    val out = new Array[Double](nFrames * 4)
+    var f = 0
+    while (f < nFrames) {
+      val lo = f * frameBytes
+      val q = (math.min(n, lo + frameBytes) - lo) / 4
+      var eLL = 0L; var eLH = 0L; var eHL = 0L; var eHH = 0L
+      var j = 0
+      while (j < q) {
+        val o = lo + 4 * j
+        val x0 = content(o) & 0xff; val x1 = content(o + 1) & 0xff
+        val x2 = content(o + 2) & 0xff; val x3 = content(o + 3) & 0xff
+        val aa = x0 + x1 + x2 + x3; val ad = x0 + x1 - x2 - x3
+        val da = x0 - x1 + x2 - x3; val dd = x0 - x1 - x2 + x3
+        eLL += aa.toLong * aa; eLH += ad.toLong * ad
+        eHL += da.toLong * da; eHH += dd.toLong * dd
+        j += 1
+      }
+      out(4 * f) = eLL.toDouble; out(4 * f + 1) = eLH.toDouble
+      out(4 * f + 2) = eHL.toDouble; out(4 * f + 3) = eHH.toDouble
+      f += 1
+    }
+    out
+  }
+
+  /**
+   * 60-bit audio PERCEPTUAL fingerprint: real PCM decode ->
+   * [[decodeAudioBandEnergies]] (4 Haar-packet band energies per frame,
+   * the chromaprint-style spectral front end) -> [[perceptualHash60]]
+   * over the flattened frame-major band sequence. The dHash gradient is
+   * taken along the (frame, band) trajectory, so the signature encodes
+   * how spectral energy MOVES — a volume-scaled copy multiplies every
+   * band energy by the same constant and keeps every gradient sign
+   * (hamming ~0), while a different tone sequence reorders band maxima
+   * (hamming far); an RMS envelope ([[decodeAudioFrames]]) cannot tell a
+   * 440 Hz tone from a 3.5 kHz one, which is why the dedup family needed
+   * the spectral front end (r11 verdict #3, finished r13).
+   */
+  def audioFingerprint60(content: Array[Byte], frameSamples: Int = 1024): Long =
+    perceptualHash60(decodeAudioBandEnergies(content, frameSamples))
+
+  /**
+   * Audio perceptual near-duplicate pairs: [[audioFingerprint60]] per
+   * payload, then the SAME 4x15-bit pigeonhole banding as text SimHash
+   * and image dHash ([[Dedup.hammingBandPairs]] — skew cap and CapAuto
+   * sizing inherited unchanged). Scale shape identical to
+   * [[imageNearDupPairs]]: one fused decode+hash kernel per payload,
+   * only (doc, 8-byte sim) rows shuffle.
+   */
+  def audioNearDupPairs(
+      packed: DataFrame, idCol: String,
+      maxHamming: Int = 3, hotBucketCap: Int = Dedup.CapAuto,
+      frameSamples: Int = 1024): DataFrame =
+    imageNearDupPairs(packed, idCol, maxHamming, hotBucketCap,
+      decode = decodeAudioBandEnergies(_, frameSamples))
+
+  /**
    * Frame-sampled feature extraction over the binary column. Runs as a
    * single narrow projection (mapPartitions batch shape — rows stream
    * through the "decoder" without materializing the partition).

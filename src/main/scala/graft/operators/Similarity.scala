@@ -570,10 +570,20 @@ object Similarity {
    */
   def kmeansTrainExact(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, rounds: Int): (Array[Array[Long]], Array[Long]) = {
+      k: Int, rounds: Int): (Array[Array[Long]], Array[Long]) =
+    kmeansTrainExactQuantized(
+      corpus.select(col(idCol).as("vid"), quantized(col(vecCol)).as("q"))
+        .localCheckpoint(eager = false), // consumers: init pick + per-round passes
+      k, rounds)
+
+  /** [[kmeansTrainExact]] over an ALREADY-QUANTIZED (vid, q: array<long>)
+    * table (r13, the r11 #6 / r12 #3 sizing-pass audit: callers that
+    * already own a checkpointed quantized table — hardNegativesAdc —
+    * train from it instead of re-scanning + re-quantizing the corpus).
+    * Caller owns multi-consumer protection (localCheckpoint) of `qv`. */
+  def kmeansTrainExactQuantized(
+      qv: DataFrame, k: Int, rounds: Int): (Array[Array[Long]], Array[Long]) = {
     require(k > 0 && rounds >= 1)
-    val qv = corpus.select(col(idCol).as("vid"), quantized(col(vecCol)).as("q"))
-      .localCheckpoint(eager = false) // consumers: init pick + per-round passes
     val init = qv.select(col("vid"), col("q"),
         expr("cast(conv(substr(md5(cast(cast(vid as string) as binary)), 1, 15), 16, 10) as bigint)")
           .as("m"))
@@ -873,14 +883,22 @@ object Similarity {
       kNeg: Int = 4, cells: Int = CellsAuto,
       nSub: Int = 4, k: Int = 8, rounds: Int = 3): DataFrame = {
     require(kNeg > 0)
-    val nCells =
-      if (cells == CellsAuto) ivfCellsFor(corpus.count()) else cells
-    val (cellCents, _) = kmeansTrainExact(corpus, idCol, vecCol, nCells, rounds)
-    val (cents, _) = pqTrainExact(corpus, idCol, vecCol, nSub, k, rounds)
-    val cellWrap = Array(cellCents)
+    // ONE corpus scan total (r13, closing r11 #6 / r12 #3): the
+    // checkpointed quantized table is built FIRST; the CellsAuto sizing
+    // count runs on it and so DOUBLES as the checkpoint materialization
+    // (the rtbfApply pattern) — both trainings and the anchor/member
+    // projections then read checkpointed blocks instead of re-scanning
+    // and re-quantizing the corpus (previously: a standalone
+    // corpus.count() plus two quantizing scans).
     val qv = corpus.select(col(idCol).as("vid"), col(labelCol).as("lbl"),
         quantized(col(vecCol)).as("q"))
-      .localCheckpoint(eager = false) // consumers: anchor LUT rows + member codes
+      .localCheckpoint(eager = false) // consumers: sizing count, 2 trainings, anchors, members
+    val nCells =
+      if (cells == CellsAuto) ivfCellsFor(qv.count()) else cells
+    val qvPlain = qv.select("vid", "q")
+    val (cellCents, _) = kmeansTrainExactQuantized(qvPlain, nCells, rounds)
+    val (cents, _) = pqTrainExactQuantized(qvPlain, nSub, k, rounds)
+    val cellWrap = Array(cellCents)
     val cellUdf = udf((q: Seq[Long]) => pqNearestCodes(q, cellWrap)(0))
     val lutUdf = udf((q: Seq[Long]) => {
       val lut = adcLut(q.toArray, cents)

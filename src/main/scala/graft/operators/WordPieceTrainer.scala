@@ -117,13 +117,27 @@ object WordPieceTrainer {
     // n * scale could cross 2^62, non-ANSI Spark would WRAP silently
     // where the DuckDB oracle raises — fail loudly with the sizing-rule
     // remedy instead. One vocabulary-sized aggregate, once per train.
-    val pairSlots = math.max(1L,
-      vocab.agg(coalesce(sum(expr("freq * (length(word) - 1)")), lit(0L)))
-        .collect()(0).getLong(0))
+    val slotRow = vocab.agg(
+        coalesce(sum(expr("freq * (length(word) - 1)")), lit(0L)),
+        coalesce(sum(expr("freq * length(word)")), lit(0L)))
+      .collect()(0)
+    val pairSlots = math.max(1L, slotRow.getLong(0))
     require(scale <= (1L << 62) / pairSlots,
       s"scale=$scale overflows 2^62 at $pairSlots weighted pair slots; " +
         s"pass scale = scoreScaleFor($pairSlots) = ${scoreScaleFor(pairSlots)} " +
         "and mirror it in any cross-engine oracle SQL")
+    // r13 (r12 advice): the guard above bounds the NUMERATOR n*scale
+    // only; the denominator cx*cy is bounded by (total symbol
+    // occurrences)^2, which silently wraps in non-ANSI Spark once the
+    // corpus carries more than sqrt(2^63) ~ 3.03e9 weighted symbol
+    // slots — same loud failure, same remedy class (shard the
+    // vocabulary or pre-scale freq).
+    val symSlots = math.max(1L, slotRow.getLong(1))
+    require(symSlots <= 3037000499L, // floor(sqrt(2^63))
+      s"$symSlots weighted symbol slots: a symbol-count product cx*cy " +
+        "can cross 2^63 and wrap silently in non-ANSI Spark, diverging " +
+        "from the oracle — shard the vocabulary or pre-scale freq " +
+        "before training")
     var enc = vocab
       .select(encodeChars(col("word")).as("enc"), col("freq"))
       .localCheckpoint(eager = true)

@@ -100,6 +100,35 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(counted == 0L, "symbolCount diverged from the split-based count")
   }
 
+  test("byte-level: encodeByteHex symbols, hand-computed first merge, train == apply") {
+    import spark.implicits._
+    // "ab" -> hex symbols 61, 62
+    val enc = Seq("ab").toDF("word")
+      .select(BpeTrainer.encodeByteHex(col("word")).as("enc"))
+      .collect()(0).getString(0)
+    assert(enc == BpeTrainer.S + "61" + BpeTrainer.E + BpeTrainer.S + "62" + BpeTrainer.E)
+    // corpus: "the" x5, "then" x2 -> round 1: 't h' and 'h e' both
+    // count 7, tie broken pair-ascending -> "68 65" ('h e'); round 2
+    // merges "74 6865" = 't he' (7)
+    val vocab = BpeTrainer.vocabulary(wordsDf("the" -> 5, "then" -> 2))
+    val (mergeDf, encFinal) = BpeTrainer.trainEncoded(
+      vocab.select(BpeTrainer.encodeByteHex(col("word")).as("enc"), col("freq")),
+      merges = 2, minCount = 0L)
+    val merges = mergeDf.orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(merges == Seq((1, "68 65", 7L), (2, "74 6865", 7L)), s"got $merges")
+    // apply path with the byte encoder reproduces training's encoding
+    val applied = BpeTrainer.applyMerges(vocab, "word", merges.map(_._2),
+        BpeTrainer.encodeByteHex).select("enc", "freq")
+    assert(applied.except(encFinal).isEmpty && encFinal.except(applied).isEmpty)
+    // "the" is fully merged (1 symbol), "then" is [the][n] (2 symbols)
+    val counts = BpeTrainer.applyMerges(vocab, "word", merges.map(_._2),
+        BpeTrainer.encodeByteHex)
+      .select(col("word"), BpeTrainer.symbolCount(col("enc")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("the" -> 1L, "then" -> 2L), s"got $counts")
+  }
+
   test("vocabularyFromCounts equals vocabulary on the same corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val words = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
