@@ -2380,6 +2380,53 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // GRAPH-ANN BRANCH (r12 verdict #6: the ANN stack covered the
+    // quantization family only): NN-descent-lite K-NN graph build —
+    // md5-offset init draws (q158's recipe), then fixed rounds of
+    // "score the undirected 2-hop closure, keep the K best per node"
+    // (Dong et al. 2011). Integer-exact end to end (quantized vectors,
+    // BIGINT squared L2, (d2, neighbor) ties), so the whole iterative
+    // build unrolls in DuckDB as chained MATERIALIZED CTEs (the
+    // q78/q87/q153 discipline applied to a graph algorithm). Candidate
+    // volume is (2K)^2 per node per round — linear in the corpus,
+    // never all-pairs; the top-K window partitions by node id (N keys).
+    "q171_nsw_graph" -> ((s, d) =>
+      NswGraph.nswBuild(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, rounds = 3, seeds = 8)
+        .orderBy("vec_id", "nn_rank")),
+
+    // the graph's RECALL measured against exact search (the q140/q156
+    // approximation-error-as-data theme): for the q29 anchor set, the
+    // fraction of the true integer-L2 top-4 present in the q171 graph's
+    // neighbor list. Exact side is anchor-sized (8 x n broadcast join,
+    // the audit-scale pattern), recall is the micro-scaled nonneg
+    // division.
+    "q172_nsw_recall" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val g = NswGraph.nswBuild(embs, "vec_id", "embedding",
+          k = 8, rounds = 3, seeds = 8)
+        .where(col("vec_id") < 8)
+        .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+      val qv = embs.select(col("vec_id"), Similarity.quantized(col("embedding")).as("q"))
+        .localCheckpoint(false) // consumers: anchor side + corpus side
+      val anchors = qv.where(col("vec_id") < 8)
+        .select(col("vec_id").as("a"), col("q").as("qa"))
+      val ex4 = qv.select(col("vec_id").as("b"), col("q").as("qb"))
+        .join(broadcast(anchors), col("b") =!= col("a"))
+        .select(col("a"), col("b"), NswGraph.d2(col("qa"), col("qb")).as("d2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("a").orderBy(col("d2"), col("b"))))
+        .where(col("rk") <= 4)
+      val hit = ex4.join(g, Seq("a", "b"), "left_semi")
+        .groupBy("a").agg(count(lit(1)).as("h"))
+      anchors.select("a").join(hit, Seq("a"), "left")
+        .select(col("a").as("vec_id"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          (expr("cast(coalesce(h, 0L) * 1000000 div 4 as bigint)")
+            .cast("double") / lit(1000000.0)).as("recall"))
+        .orderBy("vec_id")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -4964,6 +5011,46 @@ object Oracles {
       s"j -> CAST(($e) * ($e) AS BIGINT))), 0) AS BIGINT)"
   }
 
+  /** q171/q172: NswGraph.nswBuild's fixed rounds UNROLLED (the
+    * q78/q87/q153 chained-MATERIALIZED-CTE discipline applied to a
+    * graph algorithm). `u` is the quantized position table, `c0` the
+    * md5-offset init draws (q158's recipe), each `g_r` the per-node
+    * (d2, neighbor)-ordered top-K after scoring that round's candidate
+    * set (undirected 2-hop closure + the current edges). All integer. */
+  private def nswCtes(k: Int, rounds: Int, seeds: Int): String = {
+    val draw = graft.functions.PortableHash.duckdbMd5Long("e.vec_id || '_' || j", 15)
+    def scoredTopK(candCte: String, gName: String): String =
+      s"""$gName AS MATERIALIZED (
+                    SELECT a, b, d2, rk FROM (
+                      SELECT d.a, d.b, d.d2,
+                             row_number() OVER (PARTITION BY d.a ORDER BY d.d2, d.b) AS rk
+                      FROM (SELECT c.a, c.b,
+                                   CAST(sum((ua.vq - ub.vq) * (ua.vq - ub.vq)) AS BIGINT) AS d2
+                            FROM $candCte c JOIN u ua ON ua.vec_id = c.a
+                            JOIN u ub ON ub.vec_id = c.b AND ub.pos = ua.pos
+                            GROUP BY c.a, c.b) d) t
+                    WHERE rk <= $k)"""
+    def round(r: Int): String = {
+      val prev = s"g${r - 1}"
+      s"""und$r AS (SELECT a, b FROM $prev UNION SELECT b, a FROM $prev),
+              c$r AS (SELECT DISTINCT a, b FROM (
+                        SELECT x.a, y.b FROM und$r x JOIN und$r y ON x.b = y.a
+                        UNION ALL SELECT a, b FROM und$r) t
+                      WHERE b != a),
+              ${scoredTopK(s"c$r", s"g$r")}"""
+    }
+    s"""u AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+              FROM embeddings),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+              c0 AS (SELECT DISTINCT e.vec_id AS a,
+                            (e.vec_id + 1 + ($draw % (n - 1))) % n AS b
+                     FROM embeddings e CROSS JOIN nn
+                     CROSS JOIN (SELECT unnest(range(1, ${seeds + 1})) AS j)),
+              ${scoredTopK("c0", "g0")},
+              ${(1 to rounds).map(round).mkString(",\n              ")}"""
+  }
+
   /** One functional-dependency scalar block (q129). */
   private def fdSql(tname: String, det: String, dep: String): String =
     s"""SELECT '$tname' AS tbl, '$det' AS det, '$dep' AS dep,
@@ -6120,6 +6207,33 @@ object Oracles {
                       * nd * 1000000) // (1000 * n_docs) AS DOUBLE) / 1000000.0
                   AS boost
          FROM rk ORDER BY lang""",
+
+    // the NN-descent rounds unrolled; final graph read off g2
+    "q171_nsw_graph" ->
+      s"""WITH ${nswCtes(8, 3, 8)}
+         SELECT a AS vec_id, CAST(rk AS INT) AS nn_rank, b AS neighbor_id, d2
+         FROM g3 ORDER BY vec_id, nn_rank""",
+
+    // exact integer-L2 top-4 per q29 anchor vs the g2 graph edges
+    "q172_nsw_recall" ->
+      s"""WITH ${nswCtes(8, 3, 8)},
+              exd AS (SELECT ua.vec_id AS a, ub.vec_id AS b,
+                             CAST(sum((ua.vq - ub.vq) * (ua.vq - ub.vq)) AS BIGINT) AS d2
+                      FROM u ua JOIN u ub
+                        ON ub.pos = ua.pos AND ub.vec_id != ua.vec_id
+                      WHERE ua.vec_id < 8
+                      GROUP BY ua.vec_id, ub.vec_id),
+              ex4 AS (SELECT a, b FROM (
+                        SELECT a, b,
+                               row_number() OVER (PARTITION BY a ORDER BY d2, b) AS rk
+                        FROM exd) t
+                      WHERE rk <= 4),
+              hits AS (SELECT e.a, CAST(count(g.b) AS BIGINT) AS n_hits
+                       FROM ex4 e LEFT JOIN g3 g ON g.a = e.a AND g.b = e.b
+                       GROUP BY e.a)
+         SELECT a AS vec_id, n_hits,
+                CAST((n_hits * 1000000) // 4 AS DOUBLE) / 1000000.0 AS recall
+         FROM hits ORDER BY vec_id""",
 
     // md5-offset negative draws + exact integer dot/norm cosine; is_hard
     // from the rounded cosine (round-before-compare)

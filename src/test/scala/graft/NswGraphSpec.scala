@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.NswGraph
+
+/**
+ * NN-descent-lite graph construction (q171/q172's operator — the
+ * graph-ANN branch):
+ *  - structural contract: <= k neighbors per node, never self, ranks
+ *    dense from 1, d2 values exact vs an independent recompute;
+ *  - the NN-descent invariant: candidates always include the current
+ *    edges, so each node's neighbor set only ever IMPROVES with rounds
+ *    (per-node sum of d2 non-increasing) — the spec-level form of the
+ *    convergence argument;
+ *  - determinism: two builds are identical row sets;
+ *  - the SCALE-STORY evidence: on a CLUSTERED fixture (where "neighbor
+ *    of a neighbor" has local structure to exploit) refinement drives
+ *    recall vs exact search far above the init draws — while
+ *    CORRECTNESS' isotropic random fixture keeps q172's measured
+ *    recall low at sf0.1 (0.22), which is exactly the documented
+ *    reason IVF/PQ stays the engine's default ANN answer for
+ *    unstructured embeddings (SURVEY §2.11 decision row).
+ */
+class NswGraphSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("nsw-graph-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** 3 well-separated clusters of 20 points each, dim 8, deterministic
+    * jitter — ids interleaved across clusters so init's id-offset draws
+    * don't accidentally align with cluster membership. */
+  private def clustered(): DataFrame = {
+    import spark.implicits._
+    (0 until 60).map { i =>
+      val c = i % 3
+      val jitter = Array.tabulate(8)(p => ((i * 7 + p * 3) % 5) * 0.01f)
+      val center = Array.tabulate(8)(p => if (p % 3 == c) 1.0f else 0.0f)
+      (i.toLong, center.zip(jitter).map { case (a, b) => a + b })
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def exactTop(df: DataFrame, k: Int): DataFrame = {
+    val qv = df.select(col("vec_id"),
+      graft.operators.Similarity.quantized(col("embedding")).as("q"))
+    val a = qv.select(col("vec_id").as("a"), col("q").as("qa"))
+    val b = qv.select(col("vec_id").as("b"), col("q").as("qb"))
+    a.crossJoin(b).where(col("a") =!= col("b"))
+      .select(col("a"), col("b"), NswGraph.d2(col("qa"), col("qb")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("a").orderBy(col("d2"), col("b"))))
+      .where(col("rk") <= k)
+      .select("a", "b")
+  }
+
+  private def recallOf(g: DataFrame, exact: DataFrame): Double = {
+    val hits = exact.join(
+      g.select(col("vec_id").as("a"), col("neighbor_id").as("b")),
+      Seq("a", "b"), "left_semi").count()
+    hits.toDouble / exact.count()
+  }
+
+  test("structural contract + exact d2 + determinism") {
+    val df = clustered()
+    val g = NswGraph.nswBuild(df, "vec_id", "embedding", k = 4, rounds = 2, seeds = 4)
+    val rows = g.collect()
+    assert(rows.nonEmpty)
+    // never self, ranks within 1..k and dense per node
+    assert(!rows.exists(r => r.getLong(0) == r.getLong(2)), "self edge")
+    val byNode = rows.groupBy(_.getLong(0))
+    byNode.foreach { case (v, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"ranks not dense for $v: $ranks")
+      assert(ranks.size <= 4)
+    }
+    // d2 exact vs independent recompute through the kernel column
+    val qv = df.select(col("vec_id"),
+      graft.operators.Similarity.quantized(col("embedding")).as("q"))
+    val bad = g
+      .join(qv.select(col("vec_id"), col("q").as("qa")), "vec_id")
+      .join(qv.select(col("vec_id").as("neighbor_id"), col("q").as("qb")), "neighbor_id")
+      .where(NswGraph.d2(col("qa"), col("qb")) =!= col("d2")).count()
+    assert(bad == 0L, "d2 mismatch vs recompute")
+    // deterministic: a second build is the identical row set
+    val g2 = NswGraph.nswBuild(df, "vec_id", "embedding", k = 4, rounds = 2, seeds = 4)
+    assert(g.except(g2).isEmpty && g2.except(g).isEmpty)
+  }
+
+  test("NN-descent invariant: per-node d2 sum never increases with rounds") {
+    val df = clustered()
+    def nodeSums(rounds: Int): Map[Long, Long] =
+      NswGraph.nswBuild(df, "vec_id", "embedding", k = 4, rounds = rounds, seeds = 4)
+        .groupBy("vec_id").agg(sum("d2").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s0 = nodeSums(0); val s1 = nodeSums(1); val s2 = nodeSums(2)
+    s0.keys.foreach { v =>
+      assert(s1(v) <= s0(v), s"node $v regressed round 0->1")
+      assert(s2(v) <= s1(v), s"node $v regressed round 1->2")
+    }
+  }
+
+  test("clustered data: refinement drives recall where local structure exists") {
+    val df = clustered()
+    val exact = exactTop(df, 4).localCheckpoint(false)
+    val r0 = recallOf(
+      NswGraph.nswBuild(df, "vec_id", "embedding", k = 4, rounds = 0, seeds = 4), exact)
+    val r3 = recallOf(
+      NswGraph.nswBuild(df, "vec_id", "embedding", k = 4, rounds = 3, seeds = 4), exact)
+    assert(r3 > r0, s"refinement did not improve recall: $r0 -> $r3")
+    assert(r3 >= 0.8, s"clustered recall after 3 rounds should be high, got $r3")
+  }
+}
