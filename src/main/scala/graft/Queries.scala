@@ -2427,6 +2427,43 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    // CLUSTER-BALANCED SUBSAMPLING (the embedding-space twin of q88's
+    // language mixture — the DoReMi/cluster-balancing move production
+    // pipelines run when the skew is TOPICAL, not linguistic): k-means
+    // cells over the embedded corpus (q153's integer trainer verbatim,
+    // one extra assignment pass against the FINAL centroids), then an
+    // equal per-cell token budget (25% of embedded token mass split
+    // evenly — head topics truncate, tail topics survive whole) taken
+    // as the deterministic md5-order prefix via the SAME two-level
+    // sharded machinery as q59/q88 (weightedBudgetPrefixBy — the
+    // stratum key is now a parameter; the core never cared what it
+    // means). Output is the aggregate-sized per-cell report. All
+    // integer: budgets are exact divisions, the kept set is exact.
+    "q173_cluster_balanced_sample" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+      val (cents, _) = Similarity.kmeansTrainExact(
+        embs, "vec_id", "embedding", k = 8, rounds = 3)
+      val cellWrap = Array(cents)
+      val cellUdf = udf((q: Seq[Long]) => Similarity.pqNearestCodes(q, cellWrap)(0))
+      val cells = embs.select(col("vec_id").as("doc_id"),
+        cellUdf(Similarity.quantized(col("embedding"))).as("cell"))
+      val docsWithCell = t(s, d, "documents")
+        .join(cells, "doc_id") // the embedded subset is the sampling frame
+        .select(col("doc_id"), col("cell"), col("text"))
+        .localCheckpoint(false) // consumers: budget aggregate + prefix pass
+      val budgets = docsWithCell.select("cell").distinct()
+        .crossJoin(broadcast(docsWithCell
+          .agg(sum(TF.bpeTokenCount(col("text")).cast("long")).as("tt"))))
+        .select(col("cell"), expr("tt div 32").as("budget")) // 25% / 8 cells
+      CorpusSharding.weightedBudgetPrefixBy(docsWithCell,
+          TF.bpeTokenCount(col("text")).cast("long"), prefixHexChars = 1,
+          budgets, strataCol = "cell")
+        .groupBy("cell")
+        .agg(max("budget").as("budget"), count(lit(1)).as("n_docs_kept"),
+          sum("toks").as("n_tokens_kept"))
+        .orderBy("cell")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -5699,10 +5736,20 @@ object Oracles {
     * sign-split truncating division (Java /'s toward-zero semantics vs
     * DuckDB //'s floor — split on sign so they agree); empty clusters
     * COALESCE to the previous centroid. */
-  private def kmeansExactSql: String = {
-    val K = 8; val R = 3
+  private def kmeansExactSql: String =
+    s"""WITH ${kmeansCtes(8, 3)},
+        nn AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM a3 GROUP BY cid)
+        SELECT c3.cid, c3.pos, c3.cq, COALESCE(nn.n, CAST(0 AS BIGINT)) AS n
+        FROM c3 LEFT JOIN nn ON c3.cid = nn.cid
+        ORDER BY c3.cid, c3.pos"""
+
+  /** q153's unrolled integer-Lloyd chain as reusable CTEs (u / seeds /
+    * c0, then d_r / a_r / s_r / c_r per round) — q153 reads the final
+    * centroids+sizes, q173 appends one more assignment pass against the
+    * final c_R to stratify documents by cell. */
+  private def kmeansCtes(K: Int, R: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH u AS MATERIALIZED (
+    sb ++= s"""u AS MATERIALIZED (
           SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0) AS BIGINT) AS vq
           FROM embeddings),
@@ -5738,11 +5785,9 @@ object Oracles {
                         ELSE -((-s.sv) // s.n) END END, p.cq) AS cq
           FROM c${r - 1} p LEFT JOIN s$r s ON p.cid = s.cid AND p.pos = s.pos),\n"""
     }
-    sb ++= s"""nn AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM a$R GROUP BY cid)
-        SELECT c$R.cid, c$R.pos, c$R.cq, COALESCE(nn.n, CAST(0 AS BIGINT)) AS n
-        FROM c$R LEFT JOIN nn ON c$R.cid = nn.cid
-        ORDER BY c$R.cid, c$R.pos"""
-    sb.toString
+    val out = sb.toString
+    // each round's block ends ",\n" — drop the trailing comma
+    out.reverse.replaceFirst("\\s*,", "").reverse
   }
 
   /** q154/q155's shared PQ CTEs: q153's unrolled integer Lloyd with a
@@ -6207,6 +6252,33 @@ object Oracles {
                       * nd * 1000000) // (1000 * n_docs) AS DOUBLE) / 1000000.0
                   AS boost
          FROM rk ORDER BY lang""",
+
+    // q153's trained centroids + one assignment pass vs c3, then q88's
+    // prefix shape with the cell as the stratum
+    "q173_cluster_balanced_sample" ->
+      s"""WITH ${kmeansCtes(8, 3)},
+              dA AS (SELECT u.vec_id, c.cid,
+                            CAST(sum((u.vq - c.cq) * (u.vq - c.cq)) AS BIGINT) AS dist
+                     FROM u JOIN c3 c ON u.pos = c.pos
+                     GROUP BY u.vec_id, c.cid),
+              aA AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                       FROM dA) t WHERE rn = 1),
+              dd AS (SELECT d.doc_id, a.cid AS cell,
+                            CAST(len(regexp_extract_all(d.text, '$bpePatternSql')) AS BIGINT) AS toks,
+                            md5(CAST(d.doc_id AS VARCHAR)) AS h
+                     FROM documents d JOIN aA a ON a.vec_id = d.doc_id),
+              tot AS (SELECT CAST(sum(toks) AS BIGINT) AS tt FROM dd),
+              x AS (SELECT dd.*, (tt // 32) AS budget,
+                           coalesce(sum(toks) OVER (PARTITION BY cell ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                    FROM dd CROSS JOIN tot)
+         SELECT cell, CAST(max(budget) AS BIGINT) AS budget,
+                count(*) AS n_docs_kept,
+                CAST(sum(toks) AS BIGINT) AS n_tokens_kept
+         FROM x WHERE cum_before < budget
+         GROUP BY cell ORDER BY cell""",
 
     // the NN-descent rounds unrolled; final graph read off g2
     "q171_nsw_graph" ->

@@ -77,6 +77,16 @@ object CorpusSharding {
     hashOrderPrefix(docs, tokenCount, prefixHexChars,
       expr(s"(sum(st) over (partition by lang)) div $budgetDenom"))
 
+  /** [[weightedBudgetPrefix]] with the stratum KEY a parameter (r13 —
+    * q173 strata are k-means cells, not languages; the two-level core
+    * never cared what the stratum means). `budgets` is an
+    * aggregate-sized (strataCol, budget) frame. */
+  def weightedBudgetPrefixBy(docs: DataFrame, tokenCount: Column,
+                             prefixHexChars: Int, budgets: DataFrame,
+                             strataCol: String): DataFrame =
+    hashOrderPrefixWith(docs, tokenCount, prefixHexChars,
+      offsets => offsets.join(broadcast(budgets), Seq(strataCol)), strataCol)
+
   /** Stratified head — mixture REBALANCING: keep the first `nPerStratum`
     * docs of each language in deterministic md5 order (e.g. downsample
     * every language to the smallest language's size). Same two-level
@@ -115,29 +125,30 @@ object CorpusSharding {
   private def hashOrderPrefix(docs: DataFrame, tokenCount: Column, prefixHexChars: Int,
                               budgetCol: Column): DataFrame =
     hashOrderPrefixWith(docs, tokenCount, prefixHexChars,
-      _.withColumn("budget", budgetCol))
+      _.withColumn("budget", budgetCol), "lang")
 
   /** `attachBudget` attaches a `budget` column to the aggregate-sized
     * per-(lang, shard) offsets frame (column `st` and window-over-lang
     * expressions allowed, as is a broadcast join against an external
     * aggregate-sized frame). */
   private def hashOrderPrefixWith(docs: DataFrame, tokenCount: Column, prefixHexChars: Int,
-                                  attachBudget: DataFrame => DataFrame): DataFrame = {
-    val base = withHashShard(docs, tokenCount, prefixHexChars, Seq("lang"))
+                                  attachBudget: DataFrame => DataFrame,
+                                  strataCol: String = "lang"): DataFrame = {
+    val base = withHashShard(docs, tokenCount, prefixHexChars, Seq(strataCol))
       .localCheckpoint(eager = false)
-    val shardTotals = base.groupBy("lang", "shard").agg(sum("toks").as("st"))
-    val wOff = Window.partitionBy("lang").orderBy("shard")
+    val shardTotals = base.groupBy(strataCol, "shard").agg(sum("toks").as("st"))
+    val wOff = Window.partitionBy(strataCol).orderBy("shard")
     val offsets = attachBudget(shardTotals
       .withColumn("offset", coalesce(
         sum("st").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))))
-      .select("lang", "shard", "offset", "budget")
-    val wIn = Window.partitionBy("lang", "shard").orderBy("h", "doc_id")
+      .select(strataCol, "shard", "offset", "budget")
+    val wIn = Window.partitionBy(strataCol, "shard").orderBy("h", "doc_id")
     base
       .withColumn("cum_in_shard", coalesce(
         sum("toks").over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .join(broadcast(offsets), Seq("lang", "shard"))
+      .join(broadcast(offsets), Seq(strataCol, "shard"))
       .withColumn("cum_before", col("offset") + col("cum_in_shard"))
       .where(col("cum_before") < col("budget"))
-      .select("doc_id", "lang", "toks", "budget")
+      .select("doc_id", strataCol, "toks", "budget")
   }
 }

@@ -371,6 +371,75 @@ object StreamingOps {
       .as[MgGlobal]
   }
 
+  /** One emitted row of [[uniformSampleIngest]]: `live = 0` is a
+    * tombstone (the doc fell out of the bottom-K when a smaller hash
+    * arrived); `n_seen` is the stratum's monotone arrival count, the
+    * recovery version key (latest per (stratum, doc_id) by n_seen,
+    * then drop live = 0 — the MgEntry contract shape). */
+  case class SampleEntry(stratum: String, doc_id: Long, h: String,
+                         live: Int, n_seen: Long)
+
+  /** Spark-parity md5 hex of a string (the same value `md5(cast(cast(id
+    * as string) as binary))` produces), so the streaming order key IS
+    * the batch order key. */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /**
+   * DETERMINISTIC STREAMING UNIFORM SAMPLE — bottom-K priority sampling
+   * (the mergeable, deterministic form of reservoir sampling: keep the
+   * K stream elements with the smallest hash; Efraimidis & Spirakis
+   * 2006 is the weighted generalization): per stratum, maintain the K
+   * docs with the smallest (md5(doc_id), doc_id) key seen so far. The
+   * hash key makes the sample a pure FUNCTION OF THE SET — independent
+   * of arrival order, replays, or shard merges — which buys two
+   * properties at once: exact batch parity (the final streaming state
+   * equals the batch md5-order stratum head, CorpusSharding.stratumHead
+   * — StreamingSpec proves set equality), and trivial mergeability
+   * (union then re-take bottom-K).
+   *
+   * Scale shape: state is a bounded K-list per stratum regardless of
+   * stream length (StreamingStateSpec gates rows == strata); per-row
+   * maintenance is one hash + a bounded insert. Update output mode with
+   * the MG tombstone contract: each batch re-emits changed strata's
+   * members plus `live = 0` rows for evicted docs — recover with
+   * "latest per (stratum, doc_id) by n_seen, drop live = 0".
+   */
+  def uniformSampleIngest(
+      docs: DataFrame, // (strataCol, idCol, ...)
+      strataCol: String, idCol: String, k: Int = 100): Dataset[SampleEntry] = {
+    require(k > 0)
+    import docs.sparkSession.implicits._
+    docs
+      .select(col(strataCol).cast("string"), col(idCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(List[(String, Long)], Long), SampleEntry](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (stratum: String, rows: Iterator[(String, Long)],
+         state: GroupState[(List[(String, Long)], Long)]) =>
+          var (sample, n) = state.getOption.getOrElse((List.empty[(String, Long)], 0L))
+          val prev = sample.map(_._2).toSet
+          rows.foreach { case (_, id) =>
+            n += 1
+            if (!sample.exists(_._2 == id)) {
+              val h = md5Hex(id.toString)
+              // bounded insert: worth a binary merge at large k; at
+              // sample sizes the sort of k+1 entries is the simple form
+              sample = ((h, id) :: sample).sorted.take(k)
+            }
+          }
+          state.update((sample, n))
+          val cur = sample.map(_._2).toSet
+          val tombstones = prev.diff(cur).iterator
+            .map(id => SampleEntry(stratum, id, "", 0, n))
+          sample.iterator.map { case (h, id) =>
+            SampleEntry(stratum, id, h, 1, n) } ++ tombstones
+      }
+  }
+
   /**
    * q163's streaming twin — the TRAINED classifier applied AT INGEST
    * (the [[redactIngest]] placement: score documents before they land,

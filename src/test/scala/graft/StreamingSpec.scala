@@ -738,4 +738,35 @@ class StreamingSpec extends AnyFunSuite {
       .forall(r => !del(r.getLong(0)) && !del(r.getLong(1))))
     assert(registry.state.postings.collect().forall(r => !del(r.getLong(1))))
   }
+
+  test("uniform sample ingest: streaming bottom-K equals the batch stratum head") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("lang", "doc_id")
+    // replay in 3 arbitrary batches — the hash-ordered sample is a pure
+    // function of the SET, so the split must not matter
+    val rows = docs.collect().map(r => (r.getString(0), r.getLong(1)))
+    val input = MemoryStream[(String, Long)]
+    val q = StreamingOps.uniformSampleIngest(
+        input.toDF().toDF("lang", "doc_id"), "lang", "doc_id", k = 7)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("usample").start()
+    rows.grouped(180).foreach { b => input.addData(b.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    // recover: latest row per (stratum, doc) by n_seen, drop tombstones
+    val rec = spark.table("usample")
+      .groupBy("stratum", "doc_id")
+      .agg(max_by(col("live"), col("n_seen")).as("live"))
+      .where(col("live") === 1)
+      .select(col("stratum"), col("doc_id"))
+      .as[(String, Long)].collect().toSet
+    val batch = graft.operators.CorpusSharding
+      .stratumHead(docs, prefixHexChars = 1, nPerStratum = 7)
+      .select(col("lang"), col("doc_id"))
+      .as[(String, Long)].collect().toSet
+    assert(rec == batch,
+      s"streaming sample != batch stratum head: only-stream=${rec.diff(batch)} only-batch=${batch.diff(rec)}")
+    assert(rec.groupBy(_._1).forall(_._2.size == 7))
+  }
 }

@@ -163,6 +163,24 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(bytes < BytesCap)
   }
 
+  test("uniform sample: state rows = strata, independent of stream length") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val sample = StreamingOps.uniformSampleIngest(
+      input.toDF().toDF("lang", "doc_id"), "lang", "doc_id", k = 3)
+    val q = sample.writeStream.outputMode("update")
+      .format("memory").queryName("ss_usample").start()
+    // 400 docs across 5 strata with a 3-doc sample each
+    input.addData((0 until 400).map(i => (s"lang_${i % 5}", i.toLong)): _*)
+    q.processAllAvailable()
+    val (rows, bytes) = stateOf(q)
+    q.stop()
+    report("uniformSampleIngest", rows, bytes)
+    assert(rows == 5L, s"state must be one row per STRATUM (5), got $rows")
+    assert(bytes < BytesCap)
+  }
+
   test("stream-stream attribution join: state rows = buffered rows in the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
