@@ -2464,6 +2464,45 @@ object Queries {
         .orderBy("cell")
     }),
 
+    // INTERPOLATED KNESER-NEY bigram smoothing (Kneser & Ney 1995;
+    // Chen & Goodman 1998's interpolated form) — the principled LM
+    // smoothing next to q111's Stupid Backoff approximation and q121's
+    // Good-Turing counts: P(w2|w1) = max(c-D,0)/ctx + D·n1p(w1)/ctx ·
+    // ncont(w2)/ntypes, with the continuation probability counting
+    // DISTINCT CONTEXTS (the insight that "Francisco" is frequent but
+    // follows only "San"). With D = 3/4 the whole expression is one
+    // exact rational: p · (4·ctx·ntypes) = max(4c-3,0)·ntypes +
+    // 3·n1p(w1)·ncont(w2) — integer numerator over integer
+    // denominator, micro-scaled once at the emit (no float anywhere
+    // before the final division). Scale shape: all aggregations are
+    // partial-aggregated groupBys over bigram TYPES (never a token
+    // window); the joins are type-level on aggregated keys; ntypes is
+    // one broadcast scalar. BIGINT headroom: numerator <=
+    // 4·c_max·ntypes·1e6 ~ 1e16 at sf0.1, guarded by the same
+    // micro-scale discipline as q160.
+    "q174_kneser_ney" -> ((s, d) => {
+      val bc = t(s, d, "documents")
+        .withColumn("tk", TF.tokens(col("text")))
+        .select(explode(expr(
+          "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c"))
+        .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+        .withColumn("w2", expr("split_part(bigram, ' ', 2)"))
+        .localCheckpoint(false) // consumers: ctx, cont, ntypes, scoring
+      val ctx = bc.groupBy("w1").agg(sum("c").as("ctx"), count(lit(1)).as("n1p"))
+      val cont = bc.groupBy("w2").agg(count(lit(1)).as("ncont"))
+      val ntypes = bc.agg(count(lit(1)).as("ntypes"))
+      bc.where(col("c") >= 5)
+        .join(ctx, "w1").join(cont, "w2")
+        .crossJoin(broadcast(ntypes))
+        .withColumn("p_kn", expr(
+          "cast(((greatest(4 * c - 3, 0) * ntypes + 3 * n1p * ncont) * 1000000) " +
+            "div (4 * ctx * ntypes) as bigint)").cast("double") / lit(1000000.0))
+        .select("w1", "w2", "c", "p_kn")
+        .orderBy("w1", "w2")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -6252,6 +6291,30 @@ object Oracles {
                       * nd * 1000000) // (1000 * n_docs) AS DOUBLE) / 1000000.0
                   AS boost
          FROM rk ORDER BY lang""",
+
+    // exact-rational KN with D=3/4: one integer numerator over one
+    // integer denominator, DuckDB // == Spark div on positives
+    "q174_kneser_ney" ->
+      s"""WITH tk AS (SELECT string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t
+                      FROM documents),
+              bg AS (SELECT unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS bigram
+                     FROM tk),
+              bc AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                            split_part(bigram, ' ', 2) AS w2,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM bg GROUP BY 1, 2),
+              cx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx,
+                            CAST(count(*) AS BIGINT) AS n1p
+                     FROM bc GROUP BY w1),
+              ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont
+                     FROM bc GROUP BY w2),
+              nt AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM bc)
+         SELECT w1, w2, c,
+                CAST(((greatest(4*c - 3, 0) * ntypes + 3 * n1p * ncont) * 1000000)
+                     // (4 * ctx * ntypes) AS DOUBLE) / 1000000.0 AS p_kn
+         FROM bc JOIN cx USING (w1) JOIN ct USING (w2) CROSS JOIN nt
+         WHERE c >= 5 ORDER BY w1, w2""",
 
     // q153's trained centroids + one assignment pass vs c3, then q88's
     // prefix shape with the cell as the stratum

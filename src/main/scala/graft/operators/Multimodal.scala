@@ -504,6 +504,21 @@ object Multimodal {
     imageNearDupPairs(packed, idCol, maxHamming, hotBucketCap,
       decode = decodeAudioBandEnergies(_, frameSamples))
 
+  /** Video perceptual near-duplicate pairs — the third modality through
+    * the same decode seam (r13, completing the media dedup family:
+    * image dHash q150, audio band-energy q167, video here): REAL
+    * uncompressed-AVI decode to the per-frame mean-luminance trajectory
+    * ([[decodeVideoFrames]]), dHash-60 along it (brightness-shift
+    * invariant — a re-graded copy keeps every frame-to-frame gradient
+    * sign), the shared pigeonhole banding. Spec-golden on synthesized
+    * AVI bytes (MultimodalPHashSpec); the SQL-oracled byte-fake path is
+    * q150's, unchanged — a codec cannot be reproduced in SQL. */
+  def videoNearDupPairs(
+      packed: DataFrame, idCol: String,
+      maxHamming: Int = 3, hotBucketCap: Int = Dedup.CapAuto): DataFrame =
+    imageNearDupPairs(packed, idCol, maxHamming, hotBucketCap,
+      decode = decodeVideoFrames)
+
   /**
    * Frame-sampled feature extraction over the binary column. Runs as a
    * single narrow projection (mapPartitions batch shape — rows stream

@@ -91,6 +91,52 @@ class MultimodalPHashSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L, 1)), s"got $pairs")
   }
 
+  test("REAL AVI golden: videoNearDupPairs completes the media family") {
+    // minimal uncompressed-AVI builder (the TrainingOpsSpec RIFF shape)
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ inner)
+    val (w, h) = (4, 2)
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    def aviBytes(grays: Seq[Int]): Array[Byte] = {
+      val avih = new Array[Byte](56)
+      le32(w).copyToArray(avih, 32); le32(h).copyToArray(avih, 36)
+      val strh = "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+        new Array[Byte](48)
+      val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ le32(0) ++
+        le32(rowBytes * h) ++ new Array[Byte](16)
+      val movi = list("movi",
+        grays.map(g => chunk("00db", Array.fill(rowBytes * h)(g.toByte)))
+          .foldLeft(Array.empty[Byte])(_ ++ _))
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    // 61 frames rising 4/step: all 60 dHash bits set; a global
+    // brightness re-grade (+12) keeps every gradient sign -> hamming 0;
+    // the reversed trajectory flips all 60
+    val base = (0 until 61).map(_ * 4)
+    val hA = Multimodal.perceptualHash60(Multimodal.decodeVideoFrames(aviBytes(base)))
+    assert(hA == (1L << 60) - 1)
+    assert(Multimodal.perceptualHash60(
+      Multimodal.decodeVideoFrames(aviBytes(base.map(_ + 12)))) == hA)
+    assert(java.lang.Long.bitCount(hA ^ Multimodal.perceptualHash60(
+      Multimodal.decodeVideoFrames(aviBytes(base.reverse)))) == 60)
+    import spark.implicits._
+    val packed = pack(Seq((1L, aviBytes(base)), (2L, aviBytes(base.map(_ + 12))),
+      (3L, aviBytes(base.reverse))))
+    val pairs = Multimodal.videoNearDupPairs(packed, "doc_id", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0)), s"got $pairs")
+  }
+
   test("REAL WAV golden: the operator is modality-generic via its decode seam") {
     import javax.sound.sampled._
     // 16-bit mono PCM tones; a mild amplitude change is a NEAR dup
