@@ -2503,6 +2503,33 @@ object Queries {
         .orderBy("w1", "w2")
     }),
 
+    // BANNED-PHRASE BLOCKLIST SCAN (the C4/CCNet curation primitive
+    // q106's PII regexes don't cover — literal phrase lists): one
+    // Aho-Corasick pass matches EVERY pattern simultaneously in
+    // O(|text| + matches), independent of blocklist size — per-pattern
+    // contains() is O(|text|·|patterns|) and falls over exactly where
+    // a production blocklist (10k+ phrases) gets serious. The automaton
+    // builds once on the driver and rides the kernel closure (the r11
+    // constant-table rule); the scan is a narrow stateless projection.
+    // Match semantics are ALL positions (overlapping included), which
+    // is the definition an independent engine reproduces exactly — the
+    // oracle enumerates every start position. Output: per (doc,
+    // pattern) hit counts, hits > 0 only.
+    "q175_blocklist" -> ((s, d) => {
+      val patterns = Seq("table table", "batch batch", "fast key",
+        "slow slow", "spark a a")
+      val ac = graft.functions.AhoCorasick(patterns)
+      val pArr = patterns.toArray
+      val hitsUdf = udf((text: String) => {
+        val c = ac.countMatches(text)
+        c.indices.collect { case i if c(i) > 0 => (pArr(i), c(i)) }
+      })
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(hitsUdf(col("text"))).as("h"))
+        .select(col("doc_id"), col("h._1").as("pattern"), col("h._2").as("n_hits"))
+        .orderBy("doc_id", "pattern")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -6291,6 +6318,18 @@ object Oracles {
                       * nd * 1000000) // (1000 * n_docs) AS DOUBLE) / 1000000.0
                   AS boost
          FROM rk ORDER BY lang""",
+
+    // every start position enumerated — exactly the kernel's
+    // all-occurrences (overlapping) semantics
+    "q175_blocklist" ->
+      """WITH p AS (SELECT unnest(['table table', 'batch batch', 'fast key',
+                                   'slow slow', 'spark a a']) AS pattern),
+              h AS (SELECT d.doc_id, p.pattern,
+                           CAST(len(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
+                                i -> substr(d.text, CAST(i AS INT), len(p.pattern)) = p.pattern)) AS BIGINT) AS n_hits
+                    FROM documents d CROSS JOIN p)
+         SELECT doc_id, pattern, n_hits FROM h
+         WHERE n_hits > 0 ORDER BY doc_id, pattern""",
 
     // exact-rational KN with D=3/4: one integer numerator over one
     // integer denominator, DuckDB // == Spark div on positives
