@@ -2530,6 +2530,50 @@ object Queries {
         .orderBy("doc_id", "pattern")
     }),
 
+    // OPTIMAL SEQUENCE-LENGTH BUCKETING — the OPTIMIZER behind q110's
+    // padding-waste report: pick 4 bucket boundaries (3 free + the max)
+    // minimizing total padded tokens when every doc pads up to its
+    // bucket top (the batch-inference / packing-efficiency question).
+    // Exhaustive argmin over a SIZED candidate grid: boundaries are
+    // multiples of step = ceil(maxLen/64), so candidates <= 64 and the
+    // triple enumeration is <= C(64,3) ~ 42k rows REGARDLESS of corpus
+    // size — the length histogram is the only corpus-derived input and
+    // it is aggregate-sized (distinct lengths). All costs integer;
+    // winner tie-break (pad, b1, b2, b3); TakeOrdered, never a global
+    // sort. Output: the winning buckets' per-bucket stats.
+    "q176_length_buckets" -> ((s, d) => {
+      val hist = t(s, d, "documents")
+        .select(TF.tokenCount(col("text")).cast("long").as("len"))
+        .groupBy("len").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // consumers: grid, max, cost join, final stats
+      val mx = hist.agg(max("len").as("mx"))
+      val cand = hist.crossJoin(broadcast(mx))
+        .select(col("len"), expr("(mx + 63) div 64").as("step"))
+        .select(expr("((len + step - 1) div step) * step").as("b"))
+        .distinct()
+        .localCheckpoint(false) // consumers: 3 triple sides + max boundary
+      val bmax = cand.agg(max("b").as("b4"))
+      val triples = cand.select(col("b").as("b1"))
+        .join(cand.select(col("b").as("b2")), col("b1") < col("b2"))
+        .join(cand.select(col("b").as("b3")), col("b2") < col("b3"))
+        .crossJoin(broadcast(bmax)).where(col("b3") < col("b4"))
+      val top = "CASE WHEN len <= b1 THEN b1 WHEN len <= b2 THEN b2 " +
+        "WHEN len <= b3 THEN b3 ELSE b4 END"
+      val win = triples.join(broadcast(hist), lit(true))
+        .groupBy("b1", "b2", "b3", "b4")
+        .agg(sum(expr(s"n * ($top - len)")).as("pad"))
+        .orderBy(col("pad"), col("b1"), col("b2"), col("b3")).limit(1)
+      hist.crossJoin(broadcast(win))
+        .withColumn("boundary", expr(top))
+        .groupBy("boundary")
+        .agg(sum("n").as("n_docs"), sum(expr("n * len")).as("n_tokens"),
+          sum(expr(s"n * (boundary - len)")).as("n_pad_tokens"))
+        .withColumn("fill",
+          expr("cast((n_tokens * 1000000) div (n_tokens + n_pad_tokens) as bigint)")
+            .cast("double") / lit(1000000.0))
+        .orderBy("boundary")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -6318,6 +6362,41 @@ object Oracles {
                       * nd * 1000000) // (1000 * n_docs) AS DOUBLE) / 1000000.0
                   AS boost
          FROM rk ORDER BY lang""",
+
+    // same sized grid, same exhaustive argmin with the (pad, b1, b2,
+    // b3) tie, same per-bucket regroup
+    "q176_length_buckets" ->
+      s"""WITH hist AS (SELECT CAST(len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS len,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM documents GROUP BY 1),
+              mx AS (SELECT max(len) AS mx FROM hist),
+              st AS (SELECT (mx + 63) // 64 AS step FROM mx),
+              cand AS (SELECT DISTINCT ((len + step - 1) // step) * step AS b
+                       FROM hist CROSS JOIN st),
+              b4t AS (SELECT max(b) AS b4 FROM cand),
+              tri AS (SELECT c1.b AS b1, c2.b AS b2, c3.b AS b3, b4
+                      FROM cand c1 JOIN cand c2 ON c1.b < c2.b
+                      JOIN cand c3 ON c2.b < c3.b
+                      CROSS JOIN b4t WHERE c3.b < b4),
+              costs AS (SELECT b1, b2, b3, b4,
+                               CAST(sum(n * ((CASE WHEN len <= b1 THEN b1
+                                                   WHEN len <= b2 THEN b2
+                                                   WHEN len <= b3 THEN b3
+                                                   ELSE b4 END) - len)) AS BIGINT) AS pad
+                        FROM tri CROSS JOIN hist GROUP BY b1, b2, b3, b4),
+              win AS (SELECT * FROM costs ORDER BY pad, b1, b2, b3 LIMIT 1),
+              assigned AS (SELECT h.len, h.n,
+                                  CASE WHEN h.len <= w.b1 THEN w.b1
+                                       WHEN h.len <= w.b2 THEN w.b2
+                                       WHEN h.len <= w.b3 THEN w.b3
+                                       ELSE w.b4 END AS boundary
+                           FROM hist h CROSS JOIN win w)
+         SELECT boundary, CAST(sum(n) AS BIGINT) AS n_docs,
+                CAST(sum(n * len) AS BIGINT) AS n_tokens,
+                CAST(sum(n * (boundary - len)) AS BIGINT) AS n_pad_tokens,
+                CAST((sum(n * len) * 1000000)
+                     // (sum(n * len) + sum(n * (boundary - len))) AS DOUBLE) / 1000000.0 AS fill
+         FROM assigned GROUP BY boundary ORDER BY boundary""",
 
     // every start position enumerated — exactly the kernel's
     // all-occurrences (overlapping) semantics

@@ -325,4 +325,32 @@ class PlanGuardSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }.isEmpty,
       "q150 lost an equi-key (nested-loop join)")
   }
+
+  test("r13 additions: q175 narrow kernel scan; q167 combinatorial; q173/q174 broadcast sides") {
+    // q175: the blocklist scan is a stateless projection — its ONLY
+    // exchange is the output ORDER BY range partition; no joins at all
+    val p175 = executedPlans("q175_blocklist")
+    assert(p175.collect { case e: ShuffleExchangeLike => e }.size <= 1,
+      "q175 grew a shuffle beyond the output sort — the scan is no longer narrow")
+    assert(p175.collect { case j: BroadcastHashJoinExec => j }.isEmpty &&
+      p175.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "q175 grew a join — the automaton should ride the kernel closure")
+    // q167 inherits q150's combinatorial-histogram discipline
+    val p167 = executedPlans("q167_audio_fingerprint")
+    assert(p167.collect { case s: FileSourceScanExec => s }.isEmpty,
+      "q167 final plan re-scans parquet — hash groups fell out of the checkpoint")
+    assert(p167.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j }.isEmpty,
+      "q167 grew a cartesian join")
+    // q174: the type-level joins keep their small sides broadcast (ctx
+    // and cont are vocabulary-sized; ntypes is a one-row scalar)
+    val p174 = executedPlans("q174_kneser_ney")
+    assert(p174.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "q174 lost a broadcast — a type-level join degraded to sort-merge")
+    // q173: the two-level prefix joins its aggregate-sized offsets and
+    // budgets via broadcast, never a shuffled join of the corpus side
+    val p173 = executedPlans("q173_cluster_balanced_sample")
+    assert(p173.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "q173's offset/budget join degraded to sort-merge")
+  }
 }
