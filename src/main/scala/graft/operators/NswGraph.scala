@@ -113,7 +113,13 @@ object NswGraph {
         .select(col("a"), col("b")).where(col("b") =!= col("a"))
         .unionByName(und.select("a", "b"))
         .distinct()
-      g = topK(scored(cand)).localCheckpoint(eager = true)
+      // score only candidates NOT already scored in g (the current
+      // edges carry their d2 from last round — result-identical, and
+      // the kernel+array-attach join skips the ~2Kn pairs the top-K
+      // keeps re-deriving every round)
+      val fresh = scored(cand.join(g.select("a", "b"), Seq("a", "b"), "left_anti"))
+      g = topK(fresh.unionByName(g.select("a", "b", "d2")))
+        .localCheckpoint(eager = true)
     }
     g.select(col("a").as("vec_id"), col("rk").cast("int").as("nn_rank"),
       col("b").as("neighbor_id"), col("d2"))
