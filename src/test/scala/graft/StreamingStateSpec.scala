@@ -181,6 +181,51 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(bytes < BytesCap)
   }
 
+  test("explanation-at-close: state rows = OPEN windows, removed at close") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps.StreamObs
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamObs]
+    val exps = StreamingOps.explainOnClose(input.toDS(), Seq("f1"))
+    val q = exps.writeStream.outputMode("append")
+      .format("memory").queryName("ss_explain").start()
+    input.addData(
+      StreamObs("w1", "f1", 1L, 0, 1.0), StreamObs("w1", "f1", 2L, 1, 5.0),
+      StreamObs("w2", "f1", 1L, 0, 2.0))
+    q.processAllAvailable()
+    val (rows1, bytes1) = stateOf(q)
+    report("explainOnClose (2 open)", rows1, bytes1)
+    assert(rows1 == 2L, s"expected 2 open windows, got $rows1")
+    // close w1: its buffer must leave the store
+    input.addData(StreamObs("w1", "", 3L, -1, 0.0))
+    q.processAllAvailable()
+    val (rows2, bytes2) = stateOf(q)
+    q.stop()
+    report("explainOnClose (1 closed)", rows2, bytes2)
+    assert(rows2 == 1L, s"closed window must drop its state, got $rows2")
+    assert(bytes1 < BytesCap && bytes2 < BytesCap)
+  }
+
+  test("funnel attribution: state rows = users with live registers") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps.FunnelEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val baseUs = 1700000000000000L
+    val q = StreamingOps.funnelAttribution(input.toDS(), watermarkDelay = "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("ss_funnel").start()
+    input.addData(
+      FunnelEvent(1L, 1L, baseUs, "click"),
+      FunnelEvent(2L, 2L, baseUs + 1000000L, "click"),
+      FunnelEvent(3L, 3L, baseUs + 2000000L, "view"))
+    q.processAllAvailable()
+    val (rows, bytes) = stateOf(q)
+    q.stop()
+    report("funnelAttribution", rows, bytes)
+    assert(rows == 3L, s"expected 3 users with live registers, got $rows")
+    assert(bytes < BytesCap)
+  }
+
   test("stream-stream attribution join: state rows = buffered rows in the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
