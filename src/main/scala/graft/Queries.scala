@@ -2574,6 +2574,41 @@ object Queries {
         .orderBy("boundary")
     }),
 
+    // THEIL-SEN ROBUST TREND (Theil 1950 / Sen 1968 — the
+    // median-of-pairwise-slopes estimator, the robust member next to
+    // q95's OLS exactly as q94's MAD sits next to variance; breakdown
+    // point 29% vs OLS's 0): per event_type, the lower median of all
+    // C(n_days, 2) pairwise daily-volume slopes. Slopes are quantized
+    // to micro-scaled integers ((dy*1e6) div dx) so the median
+    // selection is a total integer order both engines share — Spark
+    // div truncates toward zero while DuckDB // floors, so the ORACLE
+    // sign-splits negative numerators (the q153 centroid-update rule).
+    // Scale: the pair enumeration is days² per type — aggregate-sized
+    // by construction (the daily rollup is the only corpus-sized
+    // aggregation); the few-key median window runs over those
+    // aggregate-sized pairs (the allowed window class).
+    "q177_theil_sen" -> ((s, d) => {
+      val dc = t(s, d, "events")
+        .select(col("event_type"), expr("ts div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // consumers: both pair sides + n_days
+      val pairs = dc.select(col("event_type"), col("day").as("d1"), col("c").as("c1"))
+        .join(dc.select(col("event_type"), col("day").as("d2"), col("c").as("c2")),
+          Seq("event_type"))
+        .where(col("d1") < col("d2"))
+        .withColumn("slope_q", expr("((c2 - c1) * 1000000) div (d2 - d1)"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("slope_q"), col("d1"), col("d2"))
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .join(pairs.groupBy("event_type").agg(count(lit(1)).as("np")), "event_type")
+        .where(col("rn") === expr("(np + 1) div 2"))
+        .join(dc.groupBy("event_type").agg(count(lit(1)).as("n_days")), "event_type")
+        .select(col("event_type"), col("n_days"), col("np").as("n_pairs"),
+          (col("slope_q").cast("double") / lit(1000000.0)).as("slope_per_day"))
+        .orderBy("event_type")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -6362,6 +6397,32 @@ object Oracles {
                       * nd * 1000000) // (1000 * n_docs) AS DOUBLE) / 1000000.0
                   AS boost
          FROM rk ORDER BY lang""",
+
+    // pairwise slopes quantized to micro-scaled integers; the oracle
+    // sign-splits negative numerators so // floors match Spark's
+    // truncating div (the q153 rule); lower median by (slope, d1, d2)
+    "q177_theil_sen" ->
+      """WITH dc AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM events GROUP BY 1, 2),
+              p AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
+                           CASE WHEN (b.c - a.c) >= 0
+                                THEN ((b.c - a.c) * 1000000) // (b.day - a.day)
+                                ELSE -((-(b.c - a.c) * 1000000) // (b.day - a.day))
+                           END AS slope_q
+                    FROM dc a JOIN dc b
+                      ON a.event_type = b.event_type AND a.day < b.day),
+              r AS (SELECT event_type, slope_q,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY slope_q, d1, d2) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS np
+                    FROM p),
+              m AS (SELECT event_type, slope_q, np FROM r WHERE rn = (np + 1) // 2),
+              nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+                     FROM dc GROUP BY 1)
+         SELECT event_type, n_days, CAST(np AS BIGINT) AS n_pairs,
+                CAST(slope_q AS DOUBLE) / 1000000.0 AS slope_per_day
+         FROM m JOIN nd USING (event_type) ORDER BY event_type""",
 
     // same sized grid, same exhaustive argmin with the (pad, b1, b2,
     // b3) tie, same per-bucket regroup

@@ -38,6 +38,21 @@ class AhoCorasickSpec extends AnyFunSuite {
     assert(ac2.countMatches("ababab").toSeq == Seq(2L, 2L, 3L))
   }
 
+  test("production blocklist size: 2000 patterns, one pass, still exact") {
+    // the size class the one-pass shape exists for — per-pattern scans
+    // would be 2000 passes here
+    val pats = (0 until 2000).map { i =>
+      val w = graft.functions.PortableHash.md5LongOf(s"pat_$i", 10).toHexString
+      w.take(3 + (i % 4))
+    }.distinct
+    val ac = AhoCorasick(pats)
+    val texts = (0 until 50).map(t =>
+      graft.functions.PortableHash.md5LongOf(s"text_$t", 15).toHexString * 8)
+    texts.foreach { t =>
+      assert(ac.countMatches(t).toSeq == brute(pats, t))
+    }
+  }
+
   test("property: matches the brute-force position enumeration") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check, Parameters}
