@@ -2609,6 +2609,41 @@ object Queries {
         .orderBy("event_type")
     }),
 
+    // MULTI-PATTERN SEQUENCE DETECTION over event streams (the CEP
+    // question of PAPERS.md's SIGMOD'19 retrieval — "which of these K
+    // behavioral patterns fire, where?" — generalizing q70's single
+    // funnel): each user's event history becomes one ordered
+    // type-symbol string (first letters are distinct across the 5
+    // types; order (ts, event_id) is total), and ALL K patterns match
+    // in ONE Aho-Corasick pass per user — adding patterns costs
+    // nothing, the property that separates CEP engines from per-pattern
+    // scans. Consecutive-symbol semantics (an intervening event breaks
+    // a pattern — that is the point: "vcp" means view->click->purchase
+    // with nothing between). Scale: per-user sequences are bounded by
+    // per-user activity (sessionize first where a user's history is
+    // unbounded — q50's splitter composes upstream); the groupBy is the
+    // only corpus-sized aggregation; the automaton rides the closure.
+    "q178_multi_pattern" -> ((s, d) => {
+      val patterns = Seq("vcp", "ee", "sv", "cc", "vvv")
+      val ac = graft.functions.AhoCorasick(patterns)
+      val pArr = patterns.toArray
+      val seqs = t(s, d, "events")
+        .select(col("user_id"), struct(col("ts"), col("event_id"),
+          expr("substring(event_type, 1, 1)").as("ch")).as("e"))
+        .groupBy("user_id")
+        .agg(array_join(transform(array_sort(collect_list(col("e"))),
+          x => x.getField("ch")), "").as("seq"))
+      val hitsUdf = udf((seqStr: String) => {
+        val c = ac.countMatches(seqStr)
+        c.indices.collect { case i if c(i) > 0 => (pArr(i), c(i)) }
+      })
+      seqs.select(explode(hitsUdf(col("seq"))).as("h"))
+        .select(col("h._1").as("pattern"), col("h._2").as("hits"))
+        .groupBy("pattern")
+        .agg(count(lit(1)).as("n_users"), sum("hits").as("n_hits"))
+        .orderBy("pattern")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -6397,6 +6432,22 @@ object Oracles {
                       * nd * 1000000) // (1000 * n_docs) AS DOUBLE) / 1000000.0
                   AS boost
          FROM rk ORDER BY lang""",
+
+    // same (ts, event_id)-ordered symbol string; every pattern start
+    // position enumerated (the q175 oracle semantics)
+    "q178_multi_pattern" ->
+      """WITH sq AS (SELECT user_id,
+                            string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY epoch_us(ts), event_id) AS seq
+                     FROM events GROUP BY user_id),
+              p AS (SELECT unnest(['vcp', 'ee', 'sv', 'cc', 'vvv']) AS pattern),
+              h AS (SELECT s.user_id, p.pattern,
+                           CAST(len(list_filter(range(1, len(s.seq) - len(p.pattern) + 2),
+                                i -> substr(s.seq, CAST(i AS INT), len(p.pattern)) = p.pattern)) AS BIGINT) AS n_hits
+                    FROM sq s CROSS JOIN p)
+         SELECT pattern, CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(n_hits) AS BIGINT) AS n_hits
+         FROM h WHERE n_hits > 0 GROUP BY pattern ORDER BY pattern""",
 
     // pairwise slopes quantized to micro-scaled integers; the oracle
     // sign-splits negative numerators so // floors match Spark's
