@@ -2644,6 +2644,39 @@ object Queries {
         .orderBy("pattern")
     }),
 
+    // ATTRIBUTION-LATENCY EXACT PERCENTILES — the operations question
+    // behind q70's funnel ("HOW LONG from click to purchase?", the
+    // latency-SLO read): each purchase as-of-joins its user's most
+    // recent prior click (q49's operator verbatim), and per purchase
+    // day the p50/p90/p99 latency comes from the EXACT value-histogram
+    // inverse-CDF (q119's selection — never a sort of raw latencies,
+    // never approx_percentile where the oracle needs exactness). Both
+    // windows partition by day over the aggregate-sized (day, latency)
+    // histogram. Oracle uses DuckDB's NATIVE ASOF JOIN — an independent
+    // implementation of the same at-or-before semantics (q49's
+    // cross-engine check inherited).
+    "q179_latency_percentiles" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), tsMicros.as("us"))
+      val probes = e.where(col("event_type") === "purchase")
+        .select("user_id", "event_id", "us")
+      val refs = e.where(col("event_type") === "click")
+        .groupBy("user_id", "us").agg(max("event_id").as("cid"))
+      val lat = AsofJoin.asofJoin(probes, refs, "user_id", "us", Seq("cid"))
+        .where(col("ref_cid").isNotNull)
+        .select(expr("us div 86400000000").as("day"),
+          (col("us") - col("ref_us")).as("lat"))
+      val cnt = lat.groupBy("day", "lat").agg(count(lit(1)).as("c"))
+      val cum = cnt
+        .withColumn("cum", sum("c").over(Window.partitionBy("day").orderBy("lat")))
+        .withColumn("tot", sum("c").over(Window.partitionBy("day")))
+      cum.withColumn("p", explode(array(lit(50), lit(90), lit(99))))
+        .where(col("cum") * 100 >= col("p") * col("tot"))
+        .groupBy("day", "p").agg(min("lat").as("latency_us"))
+        .select(col("day"), col("p").cast("int").as("pct"), col("latency_us"))
+        .orderBy("day", "pct")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -6432,6 +6465,30 @@ object Oracles {
                       * nd * 1000000) // (1000 * n_docs) AS DOUBLE) / 1000000.0
                   AS boost
          FROM rk ORDER BY lang""",
+
+    // DuckDB's native ASOF vs our union+running-last plan (q49's
+    // cross-engine pairing), then the exact inverse-CDF selection
+    "q179_latency_percentiles" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+              pr AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+              ck AS (SELECT user_id, us, max(event_id) AS cid
+                     FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+              lat AS (SELECT pr.us // 86400000000 AS day, pr.us - ck.us AS lat
+                      FROM pr ASOF JOIN ck
+                        ON pr.user_id = ck.user_id AND pr.us >= ck.us),
+              cnt AS (SELECT day, lat, CAST(count(*) AS BIGINT) AS c
+                      FROM lat GROUP BY 1, 2),
+              cum AS (SELECT day, lat, c,
+                             sum(c) OVER (PARTITION BY day ORDER BY lat) AS cum,
+                             sum(c) OVER (PARTITION BY day) AS tot
+                      FROM cnt),
+              sel AS (SELECT day, p, min(lat) AS latency_us
+                      FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS p)
+                      WHERE cum * 100 >= p * tot GROUP BY day, p)
+         SELECT CAST(day AS BIGINT) AS day, CAST(p AS INT) AS pct,
+                CAST(latency_us AS BIGINT) AS latency_us
+         FROM sel ORDER BY day, pct""",
 
     // same (ts, event_id)-ordered symbol string; every pattern start
     // position enumerated (the q175 oracle semantics)
