@@ -2677,6 +2677,47 @@ object Queries {
         .orderBy("day", "pct")
     }),
 
+    // QUALITY-HEURISTIC CALIBRATION (the reliability-diagram read on
+    // the engine's own curation signals — the q140/q166
+    // approximation-error-as-data theme pointed at q24 itself): bucket
+    // the corpus into quality-score DECILES (q64's ntile over the
+    // rounded score — round BEFORE ranking, the determinism rule) and
+    // report, per decile, the Gopher pass rate and the exact-duplicate
+    // rate. A well-calibrated heuristic shows both rates monotone in
+    // the decile; where they are flat the score adds nothing over the
+    // rules — measured, not assumed. All rates are micro-scaled
+    // nonneg integer divisions; the ntile window orders the whole
+    // corpus but ON THE AGGREGATED (score, hash-keep, gopher)
+    // projection — and deciles of a GLOBAL order are the one window
+    // the two-level trick cannot replace without changing semantics;
+    // the row is narrow (4 ints) so the sort is the cheap kind.
+    "q180_quality_calibration" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id"),
+          round(TF.qualityScore(col("text")), 6).as("q"),
+          md5(col("text")).as("content_hash"),
+          TF.gopherKeep(col("text")).cast("long").as("gk"))
+        .localCheckpoint(false) // consumers: keeper agg + decile pass
+      val keepExact = base.groupBy("content_hash").agg(min("doc_id").as("keep_id"))
+      base.join(keepExact, "content_hash")
+        .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("long"))
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("q"), col("doc_id"))))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min("q").as("q_min"), max("q").as("q_max"),
+          sum("gk").as("n_gopher_pass"), sum("is_dup").as("n_dups"))
+        .withColumn("gopher_rate",
+          expr("cast((n_gopher_pass * 1000000) div n_docs as bigint)")
+            .cast("double") / lit(1000000.0))
+        .withColumn("dup_rate",
+          expr("cast((n_dups * 1000000) div n_docs as bigint)")
+            .cast("double") / lit(1000000.0))
+        .select(col("decile").cast("int").as("decile"), col("n_docs"),
+          col("q_min"), col("q_max"), col("gopher_rate"), col("dup_rate"))
+        .orderBy("decile")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -6465,6 +6506,22 @@ object Oracles {
                       * nd * 1000000) // (1000 * n_docs) AS DOUBLE) / 1000000.0
                   AS boost
          FROM rk ORDER BY lang""",
+
+    // scoredDocsCte's q/gk/content_hash reused; ntile over the same
+    // (rounded q, doc_id) total order
+    "q180_quality_calibration" ->
+      s"""WITH $scoredDocsCte,
+              ke AS (SELECT content_hash, min(doc_id) AS keep_id
+                     FROM scored GROUP BY content_hash),
+              b AS (SELECT s.doc_id, round(s.q, 6) AS q, s.gk,
+                           CASE WHEN s.doc_id != ke.keep_id THEN 1 ELSE 0 END AS is_dup,
+                           ntile(10) OVER (ORDER BY round(s.q, 6), s.doc_id) AS decile
+                    FROM scored s JOIN ke USING (content_hash))
+         SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n_docs,
+                min(q) AS q_min, max(q) AS q_max,
+                CAST((sum(gk) * 1000000) // count(*) AS DOUBLE) / 1000000.0 AS gopher_rate,
+                CAST((sum(is_dup) * 1000000) // count(*) AS DOUBLE) / 1000000.0 AS dup_rate
+         FROM b GROUP BY decile ORDER BY decile""",
 
     // DuckDB's native ASOF vs our union+running-last plan (q49's
     // cross-engine pairing), then the exact inverse-CDF selection
