@@ -114,6 +114,103 @@ object Queries {
         col("n_email") + col("n_ipv4") + col("n_phone") + col("n_idnum"))
   }
 
+  /** q175's default phrase list (the oracle pins it; BlocklistSpec and
+    * the bench drive the same scan at 2000 patterns). */
+  private[graft] val blocklistPatterns: Seq[String] = Seq(
+    "table table", "batch batch", "fast key", "slow slow", "spark a a")
+
+  /** The banned-phrase blocklist scan over `(doc_id, text)` — one
+    * Aho-Corasick pass per row matching every pattern simultaneously,
+    * the automaton built once on the driver and riding the kernel
+    * closure (the r11 constant-table rule). Stateless and narrow, so
+    * the SAME definition runs in batch (q175) and as a streaming ingest
+    * stage ([[graft.streaming.StreamingOps.blocklistIngest]]) — the
+    * redactIngest/piiReport seam applied to phrase filtering. */
+  private[graft] def blocklistHits(
+      in: DataFrame, patterns: Seq[String] = blocklistPatterns): DataFrame = {
+    val ac = graft.functions.AhoCorasick(patterns)
+    val pArr = patterns.toArray
+    val hitsUdf = udf((text: String) => {
+      val c = ac.countMatches(text)
+      c.indices.collect { case i if c(i) > 0 => (pArr(i), c(i)) }
+    })
+    in.select(col("doc_id"), explode(hitsUdf(col("text"))).as("h"))
+      .select(col("doc_id"), col("h._1").as("pattern"), col("h._2").as("n_hits"))
+  }
+
+  /** q138/q187's shared power-iteration core: the EXACT centered
+    * second-moment matrix C = n*M - s*s' over the floor(v*1024) bridge
+    * (DECIMAL(38,0) = DuckDB HUGEINT), plus the driver-side iteration
+    * machinery — decimal matvec via a broadcast 64-row join, BigInt
+    * normalize / orthogonalize / Rayleigh replicating the oracle's
+    * HUGEINT ops exactly (truncating sign-split division). Each round
+    * is a 64-row aggregate collect (the BpeTrainer K-scalars
+    * discipline); the one corpus-sized step is the partial-aggregated
+    * self-join building C. */
+  private final class PcaCore(s: SparkSession, val cMat: DataFrame) {
+    private def xdf(xs: Array[BigInt]): DataFrame = {
+      import s.implicits._
+      xs.zipWithIndex.map { case (v, i) => (i, v.toLong) }.toSeq.toDF("q", "xs")
+    }
+    private def matvec(xs: Array[BigInt]): Map[Int, BigInt] =
+      cMat.join(broadcast(xdf(xs)), "q")
+        .groupBy("p").agg(sum(col("c") * col("xs")).as("ys"))
+        .collect().map(r => (r.getInt(0), BigInt(r.getDecimal(1).toBigInteger)))
+        .toMap
+    private def normalized(ys: Map[Int, BigInt]): Array[BigInt] = {
+      val m = (0 until 64).map(p => ys(p).abs).max
+      Array.tabulate(64) { p =>
+        val y = ys(p)
+        (if (y.signum < 0) BigInt(-1) else BigInt(1)) * ((y.abs * 1000000) / m)
+      }
+    }
+    private def orthogonalized(xs: Array[BigInt], u: Array[BigInt]): Array[BigInt] = {
+      val dq = (0 until 64).map(i => u(i) * xs(i)).sum
+      val uu = u.map(x => x * x).sum
+      Array.tabulate(64) { i =>
+        val tt = dq * u(i)
+        xs(i) - (if (tt.signum < 0) BigInt(-1) else BigInt(1)) * (tt.abs / uu)
+      }
+    }
+    def power(rounds: Int, ortho: Option[Array[BigInt]]): Array[BigInt] = {
+      var xs: Array[BigInt] = Array.fill(64)(BigInt(1000000))
+      for (_ <- 1 to rounds) {
+        xs = normalized(matvec(xs))
+        ortho.foreach(u => xs = orthogonalized(xs, u))
+      }
+      xs
+    }
+    def rayleigh(xs: Array[BigInt]): Double = {
+      val xd = xdf(xs)
+      val num = cMat.join(broadcast(xd), "q")
+        .join(broadcast(xd.select(col("q").as("p"), col("xs").as("xp"))), "p")
+        .agg(sum(col("xp") * col("c") * col("xs")).as("num"))
+        .first().getDecimal(0)
+      val den = xs.map(x => x * x).sum
+      BigDecimal(num).toDouble / BigDecimal(den).toDouble
+    }
+  }
+
+  private def pcaCore(s: SparkSession, d: String): PcaCore = {
+    val ev = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        posexplode(Similarity.quantized(col("embedding"))).as(Seq("pos", "vq")))
+      .localCheckpoint(false) // consumers: sums, n, moment matrix
+    val sPos = ev.groupBy("pos").agg(sum("vq").as("sv"))
+    val nV = ev.agg(countDistinct("vec_id")).first().getLong(0)
+    val cMat = ev.select(col("vec_id"), col("pos").as("p"), col("vq").as("va"))
+      .join(ev.select(col("vec_id"), col("pos").as("q"), col("vq").as("vb")),
+        "vec_id")
+      .groupBy("p", "q").agg(sum(col("va") * col("vb")).as("m"))
+      .join(broadcast(sPos.select(col("pos").as("p"), col("sv").as("sa"))), "p")
+      .join(broadcast(sPos.select(col("pos").as("q"), col("sv").as("sb"))), "q")
+      .select(col("p"), col("q"),
+        (lit(nV).cast(DecimalType(38, 0)) * col("m").cast(DecimalType(38, 0)) -
+          (col("sa") * col("sb")).cast(DecimalType(38, 0))).as("c"))
+      .localCheckpoint(eager = true) // reused by every matvec + rayleigh
+    new PcaCore(s, cMat)
+  }
+
   private def contaminationSides(docs: DataFrame): (DataFrame, DataFrame) = {
     val shingleSetUdf = shingleSet3Udf
     val heldout = docs.where(col("doc_id") % 97 === 0)
@@ -1071,53 +1168,48 @@ object Queries {
     // collect (the BpeTrainer K-scalars discipline), replicated in the
     // oracle as 4 unrolled CTE rounds.
     "q138_power_iteration_pca" -> ((s, d) => {
-      val ev = t(s, d, "embeddings")
-        .select(col("vec_id"),
-          posexplode(Similarity.quantized(col("embedding"))).as(Seq("pos", "vq")))
-        .localCheckpoint(false) // consumers: sums, n, moment matrix
-      val sPos = ev.groupBy("pos").agg(sum("vq").as("sv"))
-      val nV = ev.agg(countDistinct("vec_id")).first().getLong(0)
-      val cMat = ev.select(col("vec_id"), col("pos").as("p"), col("vq").as("va"))
-        .join(ev.select(col("vec_id"), col("pos").as("q"), col("vq").as("vb")),
-          "vec_id")
-        .groupBy("p", "q").agg(sum(col("va") * col("vb")).as("m"))
-        .join(broadcast(sPos.select(col("pos").as("p"), col("sv").as("sa"))), "p")
-        .join(broadcast(sPos.select(col("pos").as("q"), col("sv").as("sb"))), "q")
-        .select(col("p"), col("q"),
-          (lit(nV).cast(DecimalType(38, 0)) * col("m").cast(DecimalType(38, 0)) -
-            (col("sa") * col("sb")).cast(DecimalType(38, 0))).as("c"))
-        .localCheckpoint(eager = true) // reused by 4 matvecs + rayleigh
       import s.implicits._
-      var xs: Array[BigInt] = Array.fill(64)(BigInt(1000000))
-      for (_ <- 1 to 4) {
-        val xdf = xs.zipWithIndex
-          .map { case (v, i) => (i, v.toLong) }.toSeq.toDF("q", "xs")
-        // 64-row aggregate collect; BigInt arithmetic below replicates
-        // the oracle's HUGEINT ops exactly (truncating nonneg division)
-        val ys = cMat.join(broadcast(xdf), "q")
-          .groupBy("p").agg(sum(col("c") * col("xs")).as("ys"))
-          .collect().map(r => (r.getInt(0), BigInt(r.getDecimal(1).toBigInteger)))
-          .toMap
-        val m = (0 until 64).map(p => ys(p).abs).max
-        xs = Array.tabulate(64) { p =>
-          val y = ys(p)
-          (if (y.signum < 0) BigInt(-1) else BigInt(1)) * ((y.abs * 1000000) / m)
-        }
-      }
-      val xdf = xs.zipWithIndex.map { case (v, i) => (i, v.toLong) }.toSeq
-        .toDF("q", "xs")
-      val num = cMat.join(broadcast(xdf), "q")
-        .join(broadcast(xdf.select(col("q").as("p"), col("xs").as("xp"))), "p")
-        .agg(sum(col("xp") * col("c") * col("xs")).as("num"))
-        .first().getDecimal(0)
-      val den = xs.map(x => x * x).sum
-      val eig = BigDecimal(num).toDouble / BigDecimal(den).toDouble
+      val core = pcaCore(s, d)
+      val xs = core.power(4, ortho = None)
+      val eig = core.rayleigh(xs)
       xs.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }.toSeq
         .toDF("pos", "xsc")
         .select(col("pos"),
           (col("xsc").cast("double") / lit(1000000.0)).as("loading"),
           round(lit(eig), 4).as("eigval"))
         .orderBy("pos")
+    }),
+
+    // TOP-2 PCA BY DEFLATED POWER ITERATION — the second component q138
+    // stopped short of (a 2-D projection is the minimum for the
+    // visual/cluster reads every embedding audit wants): PC1 exactly as
+    // q138, then PC2 by power iteration with an ORTHOGONALIZATION step
+    // after every normalize — x <- x - sign(d*u1_i)*(|d*u1_i| div u1'u1)
+    // with d = u1'x, the truncating sign-split division both engines
+    // agree on — so the u1 component is re-annihilated each round and
+    // the iterate converges to the second eigenvector without ever
+    // forming the deflated matrix (C - lambda*u*u' would square the
+    // integer magnitudes; the projection recipe stays in q138's range).
+    // Every step is integer-exact (BigInt on the driver = HUGEINT in the
+    // oracle's 8 unrolled rounds); the only doubles are the two final
+    // Rayleigh quotients. Scale shape: q138's — ONE corpus-sized
+    // partial-aggregated self-join builds the 64x64 moment matrix, each
+    // round is a broadcast matvec + a 64-row collect (the BpeTrainer
+    // K-scalars discipline).
+    "q187_pca_deflation" -> ((s, d) => {
+      import s.implicits._
+      val core = pcaCore(s, d)
+      val u1 = core.power(4, ortho = None)
+      val eig1 = core.rayleigh(u1)
+      val u2 = core.power(4, ortho = Some(u1))
+      val eig2 = core.rayleigh(u2)
+      Seq((1, u1, eig1), (2, u2, eig2)).flatMap { case (cpt, xs, eig) =>
+        xs.zipWithIndex.map { case (v, i) => (cpt, i.toLong, v.toLong, eig) }
+      }.toDF("component", "pos", "xsc", "eig")
+        .select(col("component"), col("pos"),
+          (col("xsc").cast("double") / lit(1000000.0)).as("loading"),
+          round(col("eig"), 4).as("eigval"))
+        .orderBy("component", "pos")
     }),
 
     // Benford first-digit conformance (Newcomb 1881 / Benford 1938 —
@@ -2515,20 +2607,9 @@ object Queries {
     // is the definition an independent engine reproduces exactly — the
     // oracle enumerates every start position. Output: per (doc,
     // pattern) hit counts, hits > 0 only.
-    "q175_blocklist" -> ((s, d) => {
-      val patterns = Seq("table table", "batch batch", "fast key",
-        "slow slow", "spark a a")
-      val ac = graft.functions.AhoCorasick(patterns)
-      val pArr = patterns.toArray
-      val hitsUdf = udf((text: String) => {
-        val c = ac.countMatches(text)
-        c.indices.collect { case i if c(i) > 0 => (pArr(i), c(i)) }
-      })
-      t(s, d, "documents")
-        .select(col("doc_id"), explode(hitsUdf(col("text"))).as("h"))
-        .select(col("doc_id"), col("h._1").as("pattern"), col("h._2").as("n_hits"))
-        .orderBy("doc_id", "pattern")
-    }),
+    "q175_blocklist" -> ((s, d) =>
+      blocklistHits(t(s, d, "documents").select(col("doc_id"), col("text")))
+        .orderBy("doc_id", "pattern")),
 
     // OPTIMAL SEQUENCE-LENGTH BUCKETING — the OPTIMIZER behind q110's
     // padding-waste report: pick 4 bucket boundaries (3 free + the max)
@@ -2716,6 +2797,286 @@ object Queries {
         .select(col("decile").cast("int").as("decile"), col("n_docs"),
           col("q_min"), col("q_max"), col("gopher_rate"), col("dup_rate"))
         .orderBy("decile")
+    }),
+
+    // QUALITY-HEURISTIC ROC-AUC (Mann-Whitney U; Hanley & McNeil 1982) —
+    // the threshold-free discrimination audit next to q180's calibration
+    // read: does q24's quality score RANK Gopher-passing docs above
+    // failing ones at all, per source? AUC = P(score_pos > score_neg) +
+    // P(tie)/2, counted COMBINATORIALLY over the distinct-score
+    // histogram (the q150 pair-counting rule): positives at each
+    // distinct value pair with the cumulative negatives strictly below
+    // it, ties pair within the value — doc pairs never materialize. The
+    // cumulative window orders the HISTOGRAM, whose key count is bounded
+    // by round-6 granularity on the score's [0,1] range (<= 1e6+1 rows
+    // per source at ANY corpus size) — the aggregate-sized window class,
+    // never a corpus window. Pair counts overflow BIGINT at web scale
+    // (P*N > 2^63 once both classes pass ~3e9 docs), so the numerator
+    // rides DECIMAL(38,0) in Spark / HUGEINT in DuckDB — exact integer
+    // arithmetic at any SF, micro-scaled once at the emit.
+    "q181_quality_auc" -> ((s, d) => {
+      val hist = t(s, d, "documents")
+        .select(col("source"),
+          round(TF.qualityScore(col("text")), 6).as("q"),
+          TF.gopherKeep(col("text")).cast("long").as("gk"))
+        .groupBy("source", "q")
+        .agg(sum("gk").as("p"), (count(lit(1)) - sum("gk")).as("nneg"))
+      val w = Window.partitionBy("source").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist.withColumn("n_less", coalesce(sum("nneg").over(w), lit(0L)))
+        .groupBy("source")
+        .agg(sum("p").as("n_pos"), sum("nneg").as("n_neg"),
+          sum(expr("cast(p as decimal(38,0)) * (2 * n_less + nneg)")).as("num2"))
+        .where(col("n_pos") > 0 && col("n_neg") > 0)
+        .withColumn("auc",
+          expr("cast((num2 * 1000000) div (2 * cast(n_pos as decimal(38,0)) * n_neg) as bigint)")
+            .cast("double") / lit(1000000.0))
+        .select("source", "n_pos", "n_neg", "auc")
+        .orderBy("source")
+    }),
+
+    // EDIT-DISTANCE-VERIFIED NEAR-DUP PAIRS — the precision pass on the
+    // sketch: MinHash candidates promise shingle-SET overlap, Levenshtein
+    // PROVES character-level closeness (a reordered-paragraph pair can
+    // share every shingle yet sit far in edit distance — the distinction
+    // a merge/takedown audit cares about). Candidates are q26's banded
+    // LSH pairs (never all-pairs); each surviving pair runs ONE banded
+    // DP: Spark's codegen'd levenshtein(a, b, cap) stops at O(len x cap)
+    // and returns -1 past the cap, so a 100 TB corpus pays the quadratic
+    // DP only on sketch-passing pairs and only within the 256-edit band.
+    // The relative cut is a micro-scaled integer division compared as an
+    // INTEGER (never a float-ratio threshold).
+    "q182_edit_verified_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(false) // consumers: LSH pairs + two text joins
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      pairs.select(col("doc_a"), col("doc_b"))
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .withColumn("dist", levenshtein(col("ta"), col("tb"), 256))
+        .where(col("dist") >= 0 &&
+          expr("(dist * 1000000) div greatest(length(ta), length(tb))") <= 200000L)
+        .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"),
+          (expr("cast((dist * 1000000) div greatest(length(ta), length(tb)) as bigint)")
+            .cast("double") / lit(1000000.0)).as("rel_dist"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // KNESER-NEY PERPLEXITY FILTER (the CCNet move, Wenzek et al. 2020:
+    // score every document by a held-in LM's cross-entropy and let the
+    // tails surface junk and boilerplate) — the principled-smoothing twin
+    // of q111's Stupid Backoff scorer, reusing q174's exact-rational
+    // D=3/4 interpolated estimate. Train on the doc_id%97 split, score
+    // the rest; every per-bigram probability is an exact BIGINT rational:
+    // seen context -> (max(4c-3,0)*ntypes + 3*n1p*ncont) / (4*ctx*ntypes)
+    // (the interpolation term alone when the bigram is unseen), unseen
+    // context -> the continuation unigram ncont/ntypes, and a 1-numerator
+    // floor where even ncont is zero — so each cost term is
+    // round(ln(den/num), 6) of a ratio of exact integers (the q149
+    // ln-parity discipline), summed EXACTLY as DECIMAL(18,6) (the q112
+    // no-float-order rule) and divided once, micro-scaled, at the emit.
+    // Scoring is one bigram-TYPE join (model side unique per key, AQE
+    // skew-tolerant); per-doc tf aggregates before the join so hot
+    // bigrams cross the shuffle once per doc, not once per instance.
+    "q183_kn_perplexity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bg = docs.withColumn("tk", TF.tokens(col("text")))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("bigram"))
+        .localCheckpoint(false) // consumers: train counts, scoring tf
+      val bc = bg.where(col("doc_id") % 97 === 0)
+        .groupBy("bigram").agg(count(lit(1)).as("c"))
+        .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+        .withColumn("w2", expr("split_part(bigram, ' ', 2)"))
+        .localCheckpoint(false) // consumers: ctx, cont, ntypes, score join
+      val ctx = bc.groupBy("w1").agg(sum("c").as("ctx"), count(lit(1)).as("n1p"))
+      val cont = bc.groupBy("w2").agg(count(lit(1)).as("ncont"))
+      val nt = bc.agg(count(lit(1)).as("ntypes"))
+      val bt = bg.where(col("doc_id") % 97 =!= 0)
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+        .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+        .withColumn("w2", expr("split_part(bigram, ' ', 2)"))
+      bt.join(bc.select("bigram", "c"), Seq("bigram"), "left")
+        .join(ctx, Seq("w1"), "left")
+        .join(cont, Seq("w2"), "left")
+        .crossJoin(broadcast(nt))
+        .withColumn("num", greatest(lit(1L), when(col("ctx").isNotNull,
+            greatest(coalesce(col("c"), lit(0L)) * 4 - 3, lit(0L)) * col("ntypes")
+              + lit(3L) * col("n1p") * coalesce(col("ncont"), lit(0L)))
+          .otherwise(coalesce(col("ncont"), lit(0L)))))
+        .withColumn("den", when(col("ctx").isNotNull,
+            lit(4L) * col("ctx") * col("ntypes")).otherwise(col("ntypes")))
+        .withColumn("term",
+          round(log(col("den").cast("double") / col("num")), 6)
+            .cast(DecimalType(18, 6)))
+        .groupBy("doc_id")
+        .agg(sum(col("term") * col("tf")).as("sdec"), sum("tf").as("n_bigrams"),
+          sum(when(col("c").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+          (expr("cast(sdec * 1000000 as bigint) div n_bigrams").cast("double")
+            / lit(1000000.0)).as("avg_cost"))
+        .orderBy("doc_id")
+    }),
+
+    // SPLIT-BALANCE CHI-SQUARE (Pearson 1900 over the q46 md5 split ×
+    // source contingency table — "did the hash split accidentally skew a
+    // source?", the independence audit next to q84's mass-KL and q122's
+    // within-source KS): per-cell expected count and chi-square
+    // contribution as EXACT integer recipes — e_micro = (ns*nc*1e6) div N
+    // and contrib_micro = (o*1e6 - e_micro)^2 div e_micro — so the
+    // statistic is bit-identical cross-engine with no float boundary
+    // (the truncating recipe IS the contract, the q153 rule). The
+    // contingency table is aggregate-sized by construction (splits ×
+    // sources), so every window/join below the first groupBy is over
+    // a <=100-row relation; pair products ride DECIMAL(38,0)/HUGEINT
+    // (ns*nc crosses 2^63 once the corpus passes ~3e9 docs).
+    "q184_chi2_split_balance" -> ((s, d) => {
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val cells = t(s, d, "documents")
+        .select(when(h < "0d", "test").when(h < "1a", "val")
+          .otherwise("train").as("split"), col("source"))
+        .groupBy("split", "source").agg(count(lit(1)).as("o"))
+        .localCheckpoint(false) // consumers: row totals, col totals, N, cells
+      val ns = cells.groupBy("split").agg(sum("o").as("ns"))
+      val nc = cells.groupBy("source").agg(sum("o").as("nc"))
+      val nt = cells.agg(sum("o").as("n_total"))
+      cells.join(broadcast(ns), "split").join(broadcast(nc), "source")
+        .crossJoin(broadcast(nt))
+        .withColumn("em", expr(
+          "cast((cast(ns as decimal(38,0)) * nc * 1000000) div n_total as bigint)"))
+        .withColumn("diffm", expr("o * 1000000 - em"))
+        .withColumn("contrib_micro", expr(
+          "cast((cast(diffm as decimal(38,0)) * diffm) div em as bigint)"))
+        .select(col("split"), col("source"), col("o").as("n_obs"),
+          (col("em").cast("double") / lit(1000000.0)).as("expected"),
+          (col("contrib_micro").cast("double") / lit(1000000.0)).as("contrib"))
+        .orderBy("split", "source")
+    }),
+
+    // EMBEDDING OUTLIER SCORES (diagonal-covariance Mahalanobis — the
+    // embedding-space QA pass an ANN index wants before ingest: vectors
+    // far from the per-dimension envelope are mislabeled media, encoder
+    // failures, or poisoning candidates): per-dim mean/variance become
+    // EXACT integers through the floor(v*1024) bridge (q123's), and each
+    // vector's z^2 sum is a per-dim truncating division of exact
+    // products — (n*vq - s)^2 * 1e6 div (n*qq - s^2), which is exactly
+    // ((vq-mean)/sigma)^2 since both sides carry the same n^2 factor —
+    // so the score is bit-identical cross-engine. Scale shape: one posexplode pass,
+    // a D-row per-dim aggregate broadcast back (the r11 constant-table
+    // rule: the LUT is the joined relation, never a driver closure),
+    // one partial-aggregated groupBy per vector, TakeOrdered(20) — no
+    // corpus-sized window, no sort. Zero-variance dims drop out exactly
+    // (the n*qq = s^2 filter), mirroring the oracle.
+    "q185_embedding_outliers" -> ((s, d) => {
+      val q = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          floor(col("v").cast("double") * 1024.0).cast("long").as("vq"))
+        .localCheckpoint(false) // consumers: per-dim stats, score pass
+      val st = q.groupBy("pos").agg(count(lit(1)).as("n"), sum("vq").as("s"),
+        sum(col("vq") * col("vq")).as("qq"))
+      q.join(broadcast(st), "pos")
+        .where(expr("cast(n as decimal(38,0)) * qq - cast(s as decimal(38,0)) * s > 0"))
+        .withColumn("contrib", expr(
+          "cast((cast(n * vq - s as decimal(38,0)) * (n * vq - s) * 1000000) " +
+            "div (cast(n as decimal(38,0)) * qq - cast(s as decimal(38,0)) * s) as bigint)"))
+        .groupBy("vec_id")
+        .agg(sum("contrib").as("m2_micro"), count(lit(1)).as("n_dims"))
+        .orderBy(col("m2_micro").desc, col("vec_id")).limit(20)
+        .select(col("vec_id"), col("n_dims"),
+          (col("m2_micro").cast("double") / lit(1000000.0)).as("mahal2"))
+    }),
+
+    // CORPUS CONCENTRATION — per-source GINI of document token mass
+    // (the inequality read behind every "a few documents carry the
+    // corpus" worry; complements q119's deciles and q141's Hill tail
+    // index with a single bounded [0,1) concentration number): computed
+    // COMBINATORIALLY over the length HISTOGRAM, never a per-doc rank —
+    // docs at length L with count c occupy ranks r_prev+1..r_prev+c, so
+    // 2*sum(i*x_i) = sum L*(2*c*r_prev + c*(c+1)) exactly; the window
+    // orders distinct lengths (bounded by max doc length at ANY corpus
+    // size — the aggregate-sized class). G_micro = ((2*sum(i*x_i) -
+    // (n+1)*sum(x)) * 1e6) div (n*sum(x)), all DECIMAL(38,0)/HUGEINT
+    // products — exact at any SF.
+    "q186_token_gini" -> ((s, d) => {
+      val hist = t(s, d, "documents")
+        .select(col("source"), TF.tokenCount(col("text")).cast("long").as("len"))
+        .groupBy("source", "len").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("source").orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist.withColumn("r_prev", coalesce(sum("c").over(w), lit(0L)))
+        .groupBy("source")
+        .agg(sum("c").as("n_docs"), sum(expr("len * c")).as("n_tokens"),
+          sum(expr("cast(len as decimal(38,0)) * " +
+            "(2 * cast(c as decimal(38,0)) * r_prev + cast(c as decimal(38,0)) * (c + 1))"))
+            .as("two_ix"))
+        .where(col("n_tokens") > 0)
+        .withColumn("gini", expr(
+          "cast(((two_ix - cast(n_docs + 1 as decimal(38,0)) * n_tokens) * 1000000) " +
+            "div (cast(n_docs as decimal(38,0)) * n_tokens) as bigint)")
+          .cast("double") / lit(1000000.0))
+        .select("source", "n_docs", "n_tokens", "gini")
+        .orderBy("source")
+    }),
+
+    // BENJAMINI-HOCHBERG FDR over per-source KS drift (Benjamini &
+    // Hochberg 1995 — the multiple-testing correction q122's per-source
+    // statistics NEED before anyone acts on them: at 20 sources and
+    // alpha=0.05 one source "drifts" by chance alone). Entirely in LOG
+    // space so no exp() ever runs: ln p = ln 2 - 2mn D^2/(m+n)
+    // (Smirnov's asymptotic tail), with the exponent an EXACT micro-
+    // scaled integer t_micro = (2*m*n*ksq^2) div ((m+n... gtot)*1e6)
+    // over DECIMAL(38,0)/HUGEINT, so the only floats are ln of exact
+    // inputs (the q149 ln-parity discipline) and the BH step-up compare
+    // runs on round-6 values (round-before-compare). Rank and step-up
+    // windows order the per-SOURCE relation — aggregate-sized by
+    // construction; the KS machinery is q122's de-skewed histogram
+    // shape verbatim.
+    "q188_ks_fdr" -> ((s, d) => {
+      val cnt = t(s, d, "documents")
+        .select(col("source"), TF.bpeTokenCount(col("text")).cast("long").as("n"))
+        .groupBy("source", "n").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // consumers: spine, grid, tots
+      val spine = cnt.groupBy("n").agg(sum("c").as("cg"))
+        .withColumn("gcum", sum("cg").over(Window.orderBy("n")))
+        .crossJoin(broadcast(cnt.agg(sum("c").as("gtot"))))
+      val grid = cnt.select("source").distinct()
+        .crossJoin(spine.select("n", "gcum", "gtot"))
+        .join(cnt, Seq("source", "n"), "left")
+        .withColumn("cum",
+          coalesce(sum("c").over(
+            Window.partitionBy("source").orderBy("n")), lit(0L)))
+      val tots = cnt.groupBy("source").agg(sum("c").as("tot"))
+      val ks = grid.join(tots, "source")
+        .select(col("source"), col("tot"), col("gtot"),
+          abs(expr("cast(cum * 1000000 as bigint) div tot") -
+            expr("cast((gcum - cum) * 1000000 as bigint) div (gtot - tot)"))
+            .as("diff"))
+        .groupBy("source").agg(max("diff").as("ksq"),
+          max("tot").as("tot"), max("gtot").as("gtot"))
+      val kk = ks.agg(count(lit(1)).as("kk"))
+      val scored = ks.crossJoin(broadcast(kk))
+        .withColumn("t_micro", expr(
+          "cast((2 * cast(tot as decimal(38,0)) * (gtot - tot) * ksq * ksq) " +
+            "div (cast(gtot as decimal(38,0)) * 1000000) as bigint)"))
+        .withColumn("lnp",
+          log(lit(2.0)) - col("t_micro").cast("double") / lit(1000000.0))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("t_micro").desc, col("source"))))
+        .withColumn("cond", round(col("lnp"), 6) <=
+          round(log(col("rnk").cast("double")) + log(lit(0.05)) -
+            log(col("kk").cast("double")), 6))
+      val kmax = scored.agg(
+        max(when(col("cond"), col("rnk")).otherwise(0)).as("kmax"))
+      scored.crossJoin(broadcast(kmax))
+        .select(col("source"),
+          (col("ksq").cast("double") / lit(1000000.0)).as("ks"),
+          round(col("lnp") / log(lit(10.0)), 6).as("log10_p"),
+          col("rnk"),
+          (col("rnk") <= col("kmax")).cast("int").as("rejected"))
+        .orderBy("source")
     }),
 
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
@@ -6523,6 +6884,197 @@ object Oracles {
                 CAST((sum(is_dup) * 1000000) // count(*) AS DOUBLE) / 1000000.0 AS dup_rate
          FROM b GROUP BY decile ORDER BY decile""",
 
+    // Mann-Whitney AUC counted combinatorially over the distinct-score
+    // histogram; HUGEINT mirrors Spark's DECIMAL(38,0) pair products
+    "q181_quality_auc" ->
+      s"""WITH $scoredDocsCte,
+              h AS (SELECT source, round(q, 6) AS qr,
+                           CAST(sum(gk) AS BIGINT) AS p,
+                           CAST(count(*) - sum(gk) AS BIGINT) AS nneg
+                    FROM scored GROUP BY 1, 2),
+              c AS (SELECT source, p, nneg,
+                           coalesce(sum(nneg) OVER (PARTITION BY source ORDER BY qr
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_less
+                    FROM h),
+              a AS (SELECT source, CAST(sum(p) AS BIGINT) AS n_pos,
+                           CAST(sum(nneg) AS BIGINT) AS n_neg,
+                           sum(CAST(p AS HUGEINT) * (2 * n_less + nneg)) AS num2
+                    FROM c GROUP BY source)
+         SELECT source, n_pos, n_neg,
+                CAST((num2 * 1000000) // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS DOUBLE)
+                  / 1000000.0 AS auc
+         FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY source""",
+
+    // q26's candidate/verify CTEs + a full Levenshtein on the survivors
+    // (the oracle has no banded cap, so it filters dist <= 256 instead)
+    "q182_edit_verified_pairs" ->
+      s"""WITH $minhashPairsCte,
+              pr AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+              e AS (SELECT doc_a, doc_b,
+                           CAST(levenshtein(x.text, y.text) AS INT) AS dist,
+                           greatest(length(x.text), length(y.text)) AS mxlen
+                    FROM pr JOIN documents x ON doc_a = x.doc_id
+                            JOIN documents y ON doc_b = y.doc_id)
+         SELECT doc_a, doc_b, dist,
+                CAST((dist * 1000000) // mxlen AS DOUBLE) / 1000000.0 AS rel_dist
+         FROM e WHERE dist <= 256 AND (dist * 1000000) // mxlen <= 200000
+         ORDER BY doc_a, doc_b""",
+
+    // q174's rational estimate trained on the %97 split; per-bigram cost
+    // round(ln(den/num), 6) into DECIMAL (exact sum), one div at emit
+    "q183_kn_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id,
+                             string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t
+                      FROM documents),
+              bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS bigram
+                     FROM tk),
+              bc AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                            split_part(bigram, ' ', 2) AS w2, bigram,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM bg WHERE doc_id % 97 = 0 GROUP BY 1, 2, 3),
+              cx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx,
+                            CAST(count(*) AS BIGINT) AS n1p
+                     FROM bc GROUP BY w1),
+              ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont
+                     FROM bc GROUP BY w2),
+              nt AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM bc),
+              bt AS (SELECT doc_id, bigram,
+                            split_part(bigram, ' ', 1) AS w1,
+                            split_part(bigram, ' ', 2) AS w2,
+                            CAST(count(*) AS BIGINT) AS tf
+                     FROM bg WHERE doc_id % 97 != 0 GROUP BY 1, 2, 3, 4),
+              sc AS (SELECT bt.doc_id, bt.tf, bc.c,
+                            greatest(CASE WHEN cx.w1 IS NOT NULL
+                              THEN greatest(coalesce(bc.c, 0) * 4 - 3, 0) * ntypes
+                                   + 3 * cx.n1p * coalesce(ct.ncont, 0)
+                              ELSE coalesce(ct.ncont, 0) END, 1) AS num,
+                            CASE WHEN cx.w1 IS NOT NULL
+                              THEN 4 * cx.ctx * ntypes ELSE ntypes END AS den
+                     FROM bt LEFT JOIN bc USING (bigram)
+                             LEFT JOIN cx ON bt.w1 = cx.w1
+                             LEFT JOIN ct ON bt.w2 = ct.w2
+                             CROSS JOIN nt),
+              d AS (SELECT doc_id,
+                           sum(CAST(round(ln(den * 1.0 / num), 6)
+                                    AS DECIMAL(18,6)) * tf) AS sdec,
+                           CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                           CAST(sum(CASE WHEN c IS NULL THEN tf ELSE 0 END)
+                                AS BIGINT) AS n_oov
+                    FROM sc GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, n_oov,
+                CAST(CAST(sdec * 1000000 AS BIGINT) // n_bigrams AS DOUBLE)
+                  / 1000000.0 AS avg_cost
+         FROM d ORDER BY doc_id""",
+
+    // q46's md5 split x source; the truncating e/contrib integer recipe
+    // IS the statistic (HUGEINT mirrors DECIMAL(38,0))
+    "q184_chi2_split_balance" ->
+      """WITH cells AS (SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0d' THEN 'test'
+                                    WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'val'
+                                    ELSE 'train' END AS split,
+                               source, CAST(count(*) AS BIGINT) AS o
+                        FROM documents GROUP BY 1, 2),
+              ns AS (SELECT split, CAST(sum(o) AS BIGINT) AS ns FROM cells GROUP BY split),
+              nc AS (SELECT source, CAST(sum(o) AS BIGINT) AS nc FROM cells GROUP BY source),
+              nt AS (SELECT CAST(sum(o) AS BIGINT) AS n_total FROM cells),
+              x AS (SELECT split, source, o,
+                           CAST((CAST(ns AS HUGEINT) * nc * 1000000) // n_total AS BIGINT) AS em
+                    FROM cells JOIN ns USING (split) JOIN nc USING (source) CROSS JOIN nt),
+              y AS (SELECT split, source, o, em, o * 1000000 - em AS diffm FROM x)
+         SELECT split, source, o AS n_obs,
+                CAST(em AS DOUBLE) / 1000000.0 AS expected,
+                CAST(CAST((CAST(diffm AS HUGEINT) * diffm) // em AS BIGINT) AS DOUBLE)
+                  / 1000000.0 AS contrib
+         FROM y ORDER BY split, source""",
+
+    // per-dim integer stats over the floor(v*1024) bridge; zero-variance
+    // dims drop out exactly; truncating z^2 recipe mirrored
+    "q185_embedding_outliers" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+                    FROM embeddings),
+              st AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(vq) AS BIGINT) AS s,
+                            CAST(sum(vq * vq) AS BIGINT) AS qq
+                     FROM u GROUP BY pos),
+              sc AS (SELECT vec_id,
+                            CAST(sum(CAST((CAST(n * vq - s AS HUGEINT) * (n * vq - s) * 1000000)
+                                  // (CAST(n AS HUGEINT) * qq - CAST(s AS HUGEINT) * s)
+                                  AS BIGINT)) AS BIGINT) AS m2_micro,
+                            CAST(count(*) AS BIGINT) AS n_dims
+                     FROM u JOIN st USING (pos)
+                     WHERE CAST(n AS HUGEINT) * qq - CAST(s AS HUGEINT) * s > 0
+                     GROUP BY vec_id)
+         SELECT vec_id, n_dims, CAST(m2_micro AS DOUBLE) / 1000000.0 AS mahal2
+         FROM sc ORDER BY m2_micro DESC, vec_id LIMIT 20""",
+
+    // rank sums regrouped from the length histogram: docs at length L
+    // with count c occupy ranks r_prev+1..r_prev+c
+    "q186_token_gini" ->
+      """WITH hist AS (SELECT source,
+                              CAST(len(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS BIGINT) AS len,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM documents GROUP BY 1, 2),
+              cum AS (SELECT source, len, c,
+                             coalesce(sum(c) OVER (PARTITION BY source ORDER BY len
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r_prev
+                      FROM hist),
+              g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                           CAST(sum(len * c) AS BIGINT) AS n_tokens,
+                           sum(CAST(len AS HUGEINT) *
+                               (2 * CAST(c AS HUGEINT) * r_prev + CAST(c AS HUGEINT) * (c + 1))) AS two_ix
+                    FROM cum GROUP BY source)
+         SELECT source, n_docs, n_tokens,
+                CAST(CAST(((two_ix - CAST(n_docs + 1 AS HUGEINT) * n_tokens) * 1000000)
+                     // (CAST(n_docs AS HUGEINT) * n_tokens) AS BIGINT) AS DOUBLE)
+                  / 1000000.0 AS gini
+         FROM g WHERE n_tokens > 0 ORDER BY source""",
+
+    // q122's histogram CTEs + Smirnov tail in log space + BH step-up on
+    // round-6 compares; t_micro exact over HUGEINT
+    "q188_ks_fdr" ->
+      s"""WITH n0 AS (SELECT source,
+                             CAST(len(regexp_extract_all(text, '$bpePatternSql')) AS BIGINT) AS n
+                      FROM documents),
+              c AS (SELECT source, n, CAST(count(*) AS BIGINT) AS c FROM n0
+                    GROUP BY source, n),
+              sp AS (SELECT n, sum(c) AS cg FROM c GROUP BY n),
+              sp2 AS (SELECT n, sum(cg) OVER (ORDER BY n) AS gcum,
+                             (SELECT CAST(sum(c) AS BIGINT) FROM c) AS gtot
+                      FROM sp),
+              src AS (SELECT DISTINCT source FROM c),
+              grid AS (SELECT source, n, gcum, gtot,
+                              coalesce(sum(c.c) OVER (PARTITION BY source ORDER BY n), 0) AS cum
+                       FROM src CROSS JOIN sp2 LEFT JOIN c USING (source, n)),
+              tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY source),
+              df AS (SELECT g.source, tot, gtot,
+                            abs((cum * 1000000) // tot
+                                - ((gcum - cum) * 1000000) // (gtot - tot)) AS diff
+                     FROM grid g JOIN tt USING (source)),
+              mx AS (SELECT source, CAST(max(diff) AS BIGINT) AS ksq,
+                            max(tot) AS tot, max(gtot) AS gtot
+                     FROM df GROUP BY source),
+              kk AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM mx),
+              sc AS (SELECT source, ksq, tot, gtot,
+                            CAST((2 * CAST(tot AS HUGEINT) * (gtot - tot) * ksq * ksq)
+                                 // (CAST(gtot AS HUGEINT) * 1000000) AS BIGINT) AS t_micro
+                     FROM mx),
+              r AS (SELECT source, ksq, t_micro, kk,
+                           ln(2.0) - CAST(t_micro AS DOUBLE) / 1000000.0 AS lnp,
+                           CAST(row_number() OVER (ORDER BY t_micro DESC, source) AS INT) AS rnk
+                    FROM sc CROSS JOIN kk),
+              cnd AS (SELECT *, CASE WHEN round(lnp, 6) <=
+                               round(ln(CAST(rnk AS DOUBLE)) + ln(0.05)
+                                     - ln(CAST(kk AS DOUBLE)), 6)
+                             THEN rnk ELSE 0 END AS crnk
+                      FROM r),
+              km AS (SELECT max(crnk) AS kmax FROM cnd)
+         SELECT source, CAST(ksq AS DOUBLE) / 1000000.0 AS ks,
+                round(lnp / ln(10.0), 6) AS log10_p, rnk,
+                CAST(CASE WHEN rnk <= kmax THEN 1 ELSE 0 END AS INT) AS rejected
+         FROM cnd CROSS JOIN km ORDER BY source""",
+
     // DuckDB's native ASOF vs our union+running-last plan (q49's
     // cross-engine pairing), then the exact inverse-CDF selection
     "q179_latency_percentiles" ->
@@ -7388,6 +7940,79 @@ object Oracles {
          SELECT CAST(q AS BIGINT) AS pos, CAST(xs AS DOUBLE) / 1000000.0 AS loading,
                 round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS eigval
          FROM x4 CROSS JOIN nm CROSS JOIN dn ORDER BY pos"""
+    },
+
+    // q138's unroll + 4 PC2 rounds, each normalize followed by the
+    // sign-split orthogonalization against the frozen x4 = u1
+    "q187_pca_deflation" -> {
+      def round1(k: Int): String = {
+        val prev = if (k == 1) "x0" else s"x${k - 1}"
+        s"""y$k AS (SELECT p, sum(c * xs) AS ys FROM cc JOIN $prev USING (q)
+                    GROUP BY p),
+              mx$k AS (SELECT max(abs(ys)) AS mm FROM y$k),
+              x$k AS MATERIALIZED (
+                    SELECT p AS q,
+                           CASE WHEN ys < 0 THEN -1 ELSE 1 END *
+                             ((abs(ys) * 1000000) // mm) AS xs
+                    FROM y$k CROSS JOIN mx$k)"""
+      }
+      def round2(k: Int): String = {
+        val prev = if (k == 1) "z0" else s"z${k - 1}"
+        s"""w$k AS (SELECT p, sum(c * xs) AS ys FROM cc JOIN $prev USING (q)
+                    GROUP BY p),
+              wm$k AS (SELECT max(abs(ys)) AS mm FROM w$k),
+              wn$k AS (SELECT p AS q,
+                              CASE WHEN ys < 0 THEN -1 ELSE 1 END *
+                                ((abs(ys) * 1000000) // mm) AS xs
+                       FROM w$k CROSS JOIN wm$k),
+              dq$k AS (SELECT sum(u.xs * w.xs) AS dq
+                       FROM x4 u JOIN wn$k w USING (q)),
+              z$k AS MATERIALIZED (
+                    SELECT w.q,
+                           w.xs - (CASE WHEN dq * u.xs < 0 THEN -1 ELSE 1 END) *
+                                  (abs(dq * u.xs) // uu) AS xs
+                    FROM wn$k w JOIN x4 u USING (q)
+                    CROSS JOIN dq$k CROSS JOIN uuv)"""
+      }
+      s"""WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                            unnest(embedding) AS v
+                     FROM embeddings),
+              ev AS (SELECT vec_id, pos,
+                            CAST(floor(CAST(v AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+                     FROM u),
+              sp AS (SELECT pos, CAST(sum(vq) AS HUGEINT) AS sv FROM ev GROUP BY pos),
+              nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM ev),
+              m2 AS (SELECT a.pos AS p, b.pos AS q,
+                            CAST(sum(a.vq * b.vq) AS HUGEINT) AS m
+                     FROM ev a JOIN ev b ON a.vec_id = b.vec_id
+                     GROUP BY a.pos, b.pos),
+              cc AS MATERIALIZED (
+                    SELECT p, q, n * m - sa.sv * sb.sv AS c
+                    FROM m2 JOIN sp sa ON m2.p = sa.pos
+                            JOIN sp sb ON m2.q = sb.pos
+                    CROSS JOIN nn),
+              x0 AS (SELECT unnest(range(64)) AS q, CAST(1000000 AS HUGEINT) AS xs),
+              ${(1 to 4).map(round1).mkString(",\n              ")},
+              nm1 AS (SELECT sum(b.xs * c * a.xs) AS num
+                      FROM cc JOIN x4 a ON cc.q = a.q JOIN x4 b ON cc.p = b.q),
+              dn1 AS (SELECT sum(xs * xs) AS den FROM x4),
+              uuv AS (SELECT sum(xs * xs) AS uu FROM x4),
+              z0 AS (SELECT unnest(range(64)) AS q, CAST(1000000 AS HUGEINT) AS xs),
+              ${(1 to 4).map(round2).mkString(",\n              ")},
+              nm2 AS (SELECT sum(b.xs * c * a.xs) AS num
+                      FROM cc JOIN z4 a ON cc.q = a.q JOIN z4 b ON cc.p = b.q),
+              dn2 AS (SELECT sum(xs * xs) AS den FROM z4)
+         SELECT * FROM (
+           SELECT CAST(1 AS INT) AS component, CAST(q AS BIGINT) AS pos,
+                  CAST(xs AS DOUBLE) / 1000000.0 AS loading,
+                  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS eigval
+           FROM x4 CROSS JOIN nm1 CROSS JOIN dn1
+           UNION ALL
+           SELECT CAST(2 AS INT) AS component, CAST(q AS BIGINT) AS pos,
+                  CAST(xs AS DOUBLE) / 1000000.0 AS loading,
+                  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS eigval
+           FROM z4 CROSS JOIN nm2 CROSS JOIN dn2)
+         ORDER BY component, pos"""
     },
 
     // same Scala-computed Benford literals interpolated both engines

@@ -178,6 +178,24 @@ object StreamingOps {
   def redactIngest(docs: DataFrame): DataFrame = graft.Queries.piiReport(docs)
 
   /**
+   * Streaming banned-phrase blocklist scan — the phrase-filtering twin
+   * of [[redactIngest]]: one Aho-Corasick pass per arriving document
+   * matches the whole blocklist simultaneously (O(|text| + matches)
+   * regardless of blocklist size), emitting per-(doc, pattern) hit
+   * counts for quarantine routing. A pure stateless codegen-adjacent
+   * projection — no state store, no watermark, scales as a map stage —
+   * that DELEGATES to the same [[graft.Queries.blocklistHits]]
+   * definition the batch query (q175) checks against DuckDB, so batch
+   * and streaming match semantics cannot drift (StreamingSpec replays
+   * the live fixture and proves row-set equality with the batch q175
+   * output).
+   */
+  def blocklistIngest(
+      docs: DataFrame,
+      patterns: Seq[String] = graft.Queries.blocklistPatterns): DataFrame =
+    graft.Queries.blocklistHits(docs, patterns)
+
+  /**
    * Streaming CDC re-crawl gate — the chunk-level twin of
    * [[nearDupCandidatesIngest]], catching the case banding misses:
    * a document that is mostly VERBATIM REUSE of the existing corpus

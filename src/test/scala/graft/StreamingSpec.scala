@@ -600,6 +600,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream ${got.size} rows != batch ${batch.size}")
   }
 
+  test("blocklist scan at ingest reproduces the batch q175 rows exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = Queries.queries("q175_blocklist")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(batch.nonEmpty, "fixture must contain blocklist hits")
+    // replay the same documents as a stream through the ingest stage
+    val rows = Queries.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.blocklistIngest(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("blocklist_ingest").start()
+    rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    val got = spark.table("blocklist_ingest").collect().map(_.toSeq).toSet
+    q.stop()
+    assert(got == batch, s"stream ${got.size} rows != batch ${batch.size}")
+  }
+
   test("streaming seasonal anomaly detector replays to the batch q99 answer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
