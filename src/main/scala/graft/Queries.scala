@@ -3079,6 +3079,95 @@ object Queries {
         .orderBy("source")
     }),
 
+    // JENKS NATURAL BREAKS — OPTIMAL variance-minimizing 4-bucket
+    // segmentation of the document-length distribution (Fisher 1958 /
+    // Jenks 1967; the SSE-optimal counterpart of q176's padding-argmin:
+    // q176 minimizes pad waste, this minimizes within-bucket variance —
+    // the classing every length-stratified sampler or router wants):
+    // an exact integer DP over the LENGTH HISTOGRAM (distinct token
+    // counts — bounded by max doc length at ANY corpus size, ~100 keys
+    // here), segment cost sse_micro = ((Q*cnt - S^2) * 1e6) div cnt
+    // from prefix sums (nonnegative by Cauchy-Schwarz, so truncation
+    // agrees cross-engine), layer-by-layer argmin with (total, prev)
+    // ties — the q149 integer-DP discipline on a GLOBAL aggregate: the
+    // DP runs on the driver over the collected histogram (aggregate-
+    // sized, the BpeTrainer K-scalars rule) and unrolls in the oracle
+    // as 4 chained layer CTEs with row_number argmin.
+    "q189_jenks_breaks" -> ((s, d) => {
+      import s.implicits._
+      val hist = t(s, d, "documents")
+        .select(TF.tokenCount(col("text")).cast("long").as("len"))
+        .groupBy("len").agg(count(lit(1)).as("c"))
+        .orderBy("len")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val m = hist.length
+      require(m >= 4, s"need >= 4 distinct lengths, got $m")
+      val C = new Array[BigInt](m + 1)
+      val S = new Array[BigInt](m + 1)
+      val Q = new Array[BigInt](m + 1)
+      C(0) = 0; S(0) = 0; Q(0) = 0
+      for (i <- 1 to m) {
+        val (len, c) = hist(i - 1)
+        C(i) = C(i - 1) + c
+        S(i) = S(i - 1) + BigInt(len) * c
+        Q(i) = Q(i - 1) + BigInt(len) * len * c
+      }
+      // segment covering histogram rows a+1..b (1-based)
+      def sse(a: Int, b: Int): BigInt = {
+        val cnt = C(b) - C(a); val ss = S(b) - S(a); val qq = Q(b) - Q(a)
+        ((qq * cnt - ss * ss) * 1000000) / cnt
+      }
+      // layered argmin with (total, prev) ties, smallest prev wins —
+      // the oracle's row_number(ORDER BY tot, a) semantics exactly
+      def layer(prevTot: Int => Option[BigInt], lo: Int): Array[Option[(BigInt, Int)]] =
+        Array.tabulate(m + 1) { b =>
+          val cands = (lo until b).flatMap(a => prevTot(a).map(t => (t + sse(a, b), a)))
+          if (cands.isEmpty) None
+          else Some(cands.minBy { case (t, a) => (t, BigInt(a)) })
+        }
+      val d1 = Array.tabulate(m + 1)(b => if (b >= 1) Some(sse(0, b)) else None)
+      val d2 = layer(a => if (a >= 1) d1(a) else None, 1)
+      val d3 = layer(a => d2(a).map(_._1), 2)
+      val (_, a3) = (3 until m).map(a => (d3(a).get._1 + sse(a, m), a))
+        .minBy { case (t, a) => (t, BigInt(a)) }
+      val a2 = d3(a3).get._2
+      val a1 = d2(a2).get._2
+      val bounds = Seq((1, 0, a1), (2, a1, a2), (3, a2, a3), (4, a3, m))
+      bounds.map { case (k, lo, hi) =>
+        (k, hist(lo)._1, hist(hi - 1)._1, (C(hi) - C(lo)).toLong,
+          (S(hi) - S(lo)).toLong, sse(lo, hi).toDouble / 1000000.0)
+      }.toDF("bucket", "lo_len", "hi_len", "n_docs", "n_tokens", "sse")
+        .orderBy("bucket")
+    }),
+
+    // INTER-ARRIVAL BURSTINESS — per event type, the coefficient of
+    // variation of per-user inter-event gaps (CV ~ 1 is Poisson, CV > 1
+    // bursty, CV < 1 regular — the q120 token-burstiness read applied
+    // to the EVENT stream; what a rate limiter or anomaly baseline
+    // assumes and never checks). Gaps are exact integer microseconds,
+    // and CV^2 = (n*Q - S^2)/S^2 is one truncating micro-scaled
+    // division of exact DECIMAL(38,0)/HUGEINT products — no float
+    // anywhere. The lag window partitions by (user_id, event_type) —
+    // the high-cardinality allowed class, bounded per user activity.
+    "q190_interarrival_cv" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), tsMicros.as("us"), col("event_id"))
+      val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+      e.withColumn("gap", col("us") - lag("us", 1).over(w))
+        .where(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sgap"),
+          sum(expr("cast(gap as decimal(38,0)) * gap")).as("qgap"))
+        .where(col("sgap") > 0)
+        .select(col("event_type"), col("n_gaps"),
+          expr("sgap div n_gaps").as("mean_gap_us"),
+          expr("cast(((cast(n_gaps as decimal(38,0)) * qgap - " +
+            "cast(sgap as decimal(38,0)) * sgap) * 1000000) " +
+            "div (cast(sgap as decimal(38,0)) * sgap) as bigint)")
+            .cast("double")./(lit(1000000.0)).as("cv2"))
+        .orderBy("event_type")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -7074,6 +7163,85 @@ object Oracles {
                 round(lnp / ln(10.0), 6) AS log10_p, rnk,
                 CAST(CASE WHEN rnk <= kmax THEN 1 ELSE 0 END AS INT) AS rejected
          FROM cnd CROSS JOIN km ORDER BY source""",
+
+    // the 3-layer DP unrolled: per-b argmin via row_number(tot, a),
+    // backtrace by joining stored prev pointers; sse recipe shared
+    "q189_jenks_breaks" ->
+      """WITH n0 AS (SELECT CAST(len(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS BIGINT) AS len
+                     FROM documents),
+              h AS (SELECT len, CAST(count(*) AS BIGINT) AS c FROM n0 GROUP BY len),
+              ix AS (SELECT len, c, CAST(row_number() OVER (ORDER BY len) AS INT) AS i FROM h),
+              pre0 AS (SELECT i, len,
+                              CAST(sum(c) OVER w AS HUGEINT) AS cc,
+                              CAST(sum(len * c) OVER w AS HUGEINT) AS ss,
+                              CAST(sum(len * len * c) OVER w AS HUGEINT) AS qq
+                       FROM ix WINDOW w AS (ORDER BY len
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              pre AS (SELECT CAST(0 AS INT) AS i, CAST(0 AS BIGINT) AS len,
+                             CAST(0 AS HUGEINT) AS cc, CAST(0 AS HUGEINT) AS ss,
+                             CAST(0 AS HUGEINT) AS qq
+                      UNION ALL SELECT * FROM pre0),
+              cost AS (SELECT a.i AS a, b.i AS b,
+                              (((b.qq - a.qq) * (b.cc - a.cc)
+                                - (b.ss - a.ss) * (b.ss - a.ss)) * 1000000)
+                                // (b.cc - a.cc) AS sse
+                       FROM pre a JOIN pre b ON a.i < b.i),
+              d1 AS (SELECT b, sse AS tot FROM cost WHERE a = 0),
+              d2 AS (SELECT b, tot, prev FROM (
+                       SELECT c2.b, d1.tot + c2.sse AS tot, c2.a AS prev,
+                              row_number() OVER (PARTITION BY c2.b
+                                ORDER BY d1.tot + c2.sse, c2.a) AS rn
+                       FROM d1 JOIN cost c2 ON c2.a = d1.b) t WHERE rn = 1),
+              d3 AS (SELECT b, tot, prev FROM (
+                       SELECT c3.b, d2.tot + c3.sse AS tot, c3.a AS prev,
+                              row_number() OVER (PARTITION BY c3.b
+                                ORDER BY d2.tot + c3.sse, c3.a) AS rn
+                       FROM d2 JOIN cost c3 ON c3.a = d2.b) t WHERE rn = 1),
+              mm AS (SELECT max(i) AS m FROM pre),
+              d4 AS (SELECT prev FROM (
+                       SELECT c4.a AS prev,
+                              row_number() OVER (ORDER BY d3.tot + c4.sse, c4.a) AS rn
+                       FROM d3 JOIN cost c4 ON c4.a = d3.b
+                                JOIN mm ON c4.b = mm.m) t WHERE rn = 1),
+              bt AS (SELECT d2.prev AS a1, d3.prev AS a2, d4.prev AS a3, mm.m
+                     FROM d4 JOIN d3 ON d3.b = d4.prev
+                             JOIN d2 ON d2.b = d3.prev CROSS JOIN mm),
+              bounds AS (SELECT 1 AS bucket, 0 AS lo_i, a1 AS hi_i FROM bt
+                         UNION ALL SELECT 2, a1, a2 FROM bt
+                         UNION ALL SELECT 3, a2, a3 FROM bt
+                         UNION ALL SELECT 4, a3, m FROM bt)
+         SELECT CAST(bucket AS INT) AS bucket,
+                lo.len AS lo_len, hi.len AS hi_len,
+                CAST(phi.cc - plo.cc AS BIGINT) AS n_docs,
+                CAST(phi.ss - plo.ss AS BIGINT) AS n_tokens,
+                CAST(co.sse AS DOUBLE) / 1000000.0 AS sse
+         FROM bounds
+           JOIN pre plo ON plo.i = lo_i
+           JOIN pre phi ON phi.i = hi_i
+           JOIN pre lo ON lo.i = lo_i + 1
+           JOIN pre hi ON hi.i = hi_i
+           JOIN cost co ON co.a = lo_i AND co.b = hi_i
+         ORDER BY bucket""",
+
+    // exact integer microsecond gaps; CV^2 = (n*Q - S^2)/S^2, one
+    // truncating HUGEINT division
+    "q190_interarrival_cv" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+                    FROM events),
+              g AS (SELECT event_type,
+                           us - lag(us) OVER (PARTITION BY user_id, event_type
+                                              ORDER BY us, event_id) AS gap
+                    FROM e),
+              a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                           CAST(sum(gap) AS BIGINT) AS sgap,
+                           sum(CAST(gap AS HUGEINT) * gap) AS qgap
+                    FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+         SELECT event_type, n_gaps,
+                CAST(sgap // n_gaps AS BIGINT) AS mean_gap_us,
+                CAST(CAST(((CAST(n_gaps AS HUGEINT) * qgap - CAST(sgap AS HUGEINT) * sgap)
+                      * 1000000) // (CAST(sgap AS HUGEINT) * sgap) AS BIGINT) AS DOUBLE)
+                  / 1000000.0 AS cv2
+         FROM a WHERE sgap > 0 ORDER BY event_type""",
 
     // DuckDB's native ASOF vs our union+running-last plan (q49's
     // cross-engine pairing), then the exact inverse-CDF selection
