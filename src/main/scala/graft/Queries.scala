@@ -211,6 +211,15 @@ object Queries {
     new PcaCore(s, cMat)
   }
 
+  /** Binary entropy (bits) of `p` positives among `n`, as a SQL
+    * fragment interpolated VERBATIM into both the Spark expr and the
+    * DuckDB oracle (the q139 shared-literal rule: one definition, two
+    * engines, zero drift). Degenerate splits contribute exactly 0. */
+  private[graft] def binEntropySql(p: String, n: String): String =
+    s"(CASE WHEN $p <= 0 OR $p >= $n THEN 0.0 ELSE " +
+      s"-(($p*1.0/$n)*log2($p*1.0/$n) + " +
+      s"(($n-$p)*1.0/$n)*log2(($n-$p)*1.0/$n)) END)"
+
   private def contaminationSides(docs: DataFrame): (DataFrame, DataFrame) = {
     val shingleSetUdf = shingleSet3Udf
     val heldout = docs.where(col("doc_id") % 97 === 0)
@@ -3165,6 +3174,235 @@ object Queries {
             "cast(sgap as decimal(38,0)) * sgap) * 1000000) " +
             "div (cast(sgap as decimal(38,0)) * sgap) as bigint)")
             .cast("double")./(lit(1000000.0)).as("cv2"))
+        .orderBy("event_type")
+    }),
+
+    // BOOTSTRAP CONFIDENCE INTERVAL for per-source mean quality (Efron
+    // 1979, the percentile method — the uncertainty bar q100's dataset
+    // card reports as a bare point estimate): B=64 DETERMINISTIC
+    // resamples via the q18/q38 md5-membership idiom (md5(doc_id#b) <
+    // 'cc' ~ 80% draws — seeded resampling that is reproducible across
+    // engines BY CONSTRUCTION, no RNG state anywhere), per-resample
+    // means as truncating integer divisions of micro-scaled quality
+    // (qm = floor(q*1e6 + 0.5), the q139 idiom — identical doubles in,
+    // identical integers out; integer sums are order-independent where
+    // float sums are not), CI bounds as exact order statistics
+    // (ceil-index selection over the per-source resample means). Scale
+    // shape: qm computed ONCE per doc, the 64x membership fan-out is a
+    // stateless projection into a partial-aggregated (source, b)
+    // groupBy — aggregate-sized from there on; ranking windows order
+    // <=64-row partitions.
+    "q191_bootstrap_ci" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          floor(TF.qualityScore(col("text")) * 1000000.0 + 0.5)
+            .cast("long").as("qm"))
+        .localCheckpoint(false) // consumers: full mean, 64 resamples
+      val bs = s.range(0, 64).select(col("id").cast("int").as("b"))
+      val means = docs.crossJoin(broadcast(bs))
+        .where(md5(concat(col("doc_id").cast("string"), lit("#"),
+          col("b").cast("string")).cast("binary")) < "cc")
+        .groupBy("source", "b")
+        .agg(expr("cast(sum(qm) div count(*) as bigint)").as("mean_b"))
+      val ranked = means
+        .withColumn("nb", count(lit(1)).over(Window.partitionBy("source")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("mean_b", "b")))
+      val ci = ranked.groupBy("source")
+        .agg(
+          max(when(col("rn") === expr("(nb * 25 + 999) div 1000"),
+            col("mean_b"))).as("lo_m"),
+          max(when(col("rn") === expr("(nb * 975 + 999) div 1000"),
+            col("mean_b"))).as("hi_m"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("cast(sum(qm) div count(*) as bigint)").as("mean_m"))
+        .join(ci, "source")
+        .select(col("source"), col("n_docs"),
+          (col("mean_m").cast("double") / lit(1000000.0)).as("mean_q"),
+          (col("lo_m").cast("double") / lit(1000000.0)).as("ci_lo"),
+          (col("hi_m").cast("double") / lit(1000000.0)).as("ci_hi"))
+        .orderBy("source")
+    }),
+
+    // IVF nPROBE RECALL SWEEP — the MEASUREMENT behind the nProbe knob
+    // every IVF deployment hand-tunes (q39 searches at one setting;
+    // this is the recall-vs-probes curve that justifies it, the q140/
+    // q156 audit-next-to-exact theme aimed at the pruning parameter):
+    // one q153 integer k-means training, one corpus assignment pass,
+    // then for nProbe in {1, 2, 4} the probed integer-L2 top-4 per
+    // anchor against the exact top-4 — per-(nProbe, anchor) hit counts
+    // and micro-scaled recall. Candidates are probed-cell members ONLY
+    // (the IVF contract — never all-pairs); the top-k windows partition
+    // by (nProbe, anchor) — bounded partitions; cell ranking for 8
+    // anchors x 8 cells happens driver-side on the trained K x D
+    // centroids (the BpeTrainer K-scalars discipline), ties (d2, cid)
+    // everywhere, mirroring the oracle's row_number exactly.
+    "q192_nprobe_sweep" -> ((s, d) => {
+      import s.implicits._
+      val embs = t(s, d, "embeddings")
+      val u = embs.select(col("vec_id").as("vid"),
+          Similarity.quantized(col("embedding")).as("q"))
+        .localCheckpoint(false) // consumers: train, assign, exact, candidates
+      val (cents, _) = Similarity.kmeansTrainExactQuantized(u, k = 8, rounds = 3)
+      val cellWrap = Array(cents)
+      val cellUdf = udf((q: Seq[Long]) => Similarity.pqNearestCodes(q, cellWrap)(0))
+      val assigned = u.select(col("vid"), col("q"), cellUdf(col("q")).as("cid"))
+      val qs = u.where(col("vid") < 8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      // per-anchor cell ranking on the K x D trained table, ties (d2, cid)
+      val probes = qs.toSeq.flatMap { case (qid, qq) =>
+        cents.zipWithIndex.map { case (c, cid) =>
+          (cid, c.zip(qq).map { case (a, b) =>
+            BigInt(a - b) * BigInt(a - b) }.sum) }
+          .sortBy { case (cid, d2) => (d2, BigInt(cid)) }
+          .map(_._1).zipWithIndex
+          .map { case (cid, r) => (qid, cid, r + 1) }
+      }.toDF("qid", "cid", "cellrank")
+      val qdf = qs.toSeq.map { case (id, qq) => (id, qq.toSeq) }.toDF("qid", "qq")
+      val d2 = expr("aggregate(zip_with(qq, q, (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)")
+      val nps = Seq(1, 2, 4).toDF("nprobe")
+      val probed = broadcast(probes).join(broadcast(nps),
+          col("cellrank") <= col("nprobe"))
+        .join(assigned, "cid").where(col("vid") =!= col("qid"))
+        .join(broadcast(qdf), "qid")
+        .withColumn("d2", d2)
+        .withColumn("rk", row_number().over(Window.partitionBy("nprobe", "qid")
+          .orderBy(col("d2"), col("vid"))))
+        .where(col("rk") <= 4).select("nprobe", "qid", "vid")
+      val exact = u.join(broadcast(qdf), col("vid") =!= col("qid"))
+        .withColumn("d2", d2)
+        .withColumn("rk", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("d2"), col("vid"))))
+        .where(col("rk") <= 4).select(col("qid"), col("vid"))
+      val grid = nps.crossJoin(qdf.select(col("qid")))
+      grid.join(probed.join(exact, Seq("qid", "vid")), Seq("nprobe", "qid"), "left")
+        .groupBy("nprobe", "qid")
+        .agg(count(col("vid")).as("n_hits"))
+        .select(col("nprobe"), col("qid").as("vec_id"), col("n_hits"),
+          (expr("cast((n_hits * 1000000) div 4 as bigint)").cast("double")
+            / lit(1000000.0)).as("recall"))
+        .orderBy("nprobe", "vec_id")
+    }),
+
+    // CHARACTER ENTROPY RATE — per-source FIRST-ORDER conditional
+    // entropy H(c2|c1) in bits/char (Shannon 1951's next-symbol
+    // experiment; the sequential-structure read q135's zeroth-order
+    // H(c) misses: random character soup and real text can share a
+    // character HISTOGRAM while differing wildly in bigram structure —
+    // the gap H(c) - H(c2|c1) IS the detectable structure): term
+    // (n12/N)*log2(n1/n12) per bigram TYPE over the (source, char-pair)
+    // histogram — bounded by alphabet^2 per source at ANY corpus size —
+    // every log2 a ratio of exact integers (q135's parity), rounded
+    // into DECIMAL and summed exactly. One corpus pass into a
+    // partial-aggregated groupBy; everything downstream is
+    // alphabet-sized.
+    "q193_char_entropy_rate" -> ((s, d) => {
+      val pr = t(s, d, "documents")
+        .withColumn("cs", split(col("text"), ""))
+        .select(col("source"), explode(expr(
+          "zip_with(slice(cs, 1, size(cs)-1), slice(cs, 2, size(cs)-1)," +
+            " (a, b) -> concat(a, b))")).as("pair"))
+        .where(length(col("pair")) === 2)
+        .groupBy("source", "pair").agg(count(lit(1)).as("n12"))
+        .localCheckpoint(false) // consumers: context totals, source totals, terms
+      val ctx = pr.select(col("source"), substring(col("pair"), 1, 1).as("c1"),
+          col("n12"))
+        .groupBy("source", "c1").agg(sum("n12").as("n1"))
+      val tot = pr.groupBy("source").agg(sum("n12").as("np"))
+      pr.withColumn("c1", substring(col("pair"), 1, 1))
+        .join(ctx, Seq("source", "c1"))
+        .join(broadcast(tot), "source")
+        .withColumn("term",
+          round((col("n12") * lit(1.0) / col("np")) *
+            log2(col("n1") * lit(1.0) / col("n12")), 6).cast(DecimalType(18, 6)))
+        .groupBy("source")
+        .agg(max("np").as("n_pairs"), count(lit(1)).as("n_pair_types"),
+          sum("term").as("h"))
+        .select(col("source"), col("n_pairs"), col("n_pair_types"),
+          round(col("h"), 6).cast("double").as("entropy_rate"))
+        .orderBy("source")
+    }),
+
+    // QUALITY DECISION STUMP — the information-gain-optimal threshold
+    // on q24's quality score against the Gopher label (the 1-split
+    // decision tree trained IN-ENGINE; q180 showed the calibration,
+    // q181 the ranking power — this answers "where do I actually CUT"):
+    // every candidate threshold is a distinct rounded score value, and
+    // its split counts are CUMULATIVE sums over the value-ordered
+    // HISTOGRAM (bounded by round-6 granularity of a [0,1] score at ANY
+    // corpus size — the q181 window argument); IG = H(P,N) -
+    // weighted-H(children) with the binary-entropy fragment
+    // interpolated VERBATIM into both engines (binEntropySql — one
+    // definition, zero drift), ranked on the round-6 value with the
+    // threshold as tie key (round-before-order). Top-5 stumps emitted.
+    "q194_quality_stump" -> ((s, d) => {
+      val hist = t(s, d, "documents")
+        .select(round(TF.qualityScore(col("text")), 6).as("q"),
+          TF.gopherKeep(col("text")).cast("long").as("gk"))
+        .groupBy("q").agg(sum("gk").as("p"), count(lit(1)).as("m"))
+      val w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+      val cum = hist.withColumn("cp", sum("p").over(w))
+        .withColumn("cn", sum("m").over(w))
+      val tot = hist.agg(sum("p").as("pp"), sum("m").as("nn"))
+      cum.crossJoin(broadcast(tot)).where(col("cn") < col("nn"))
+        .withColumn("ig", round(expr(
+          s"${binEntropySql("pp", "nn")} - (cn*1.0/nn) * ${binEntropySql("cp", "cn")}" +
+            s" - ((nn-cn)*1.0/nn) * ${binEntropySql("(pp-cp)", "(nn-cn)")}"), 6))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("ig").desc, col("q"))))
+        .where(col("rank") <= 5)
+        .select(col("rank"), col("q").as("threshold"),
+          col("cn").as("n_left"), col("cp").as("pos_left"),
+          (col("nn") - col("cn")).as("n_right"),
+          (col("pp") - col("cp")).as("pos_right"), col("ig"))
+        .orderBy("rank")
+    }),
+
+    // MARKOV STATIONARY DISTRIBUTION of the event-type chain — where
+    // the q103 transition model SETTLES (the long-run visit share a
+    // capacity planner reads; empirical share answers "what happened",
+    // the stationary vector answers "what the dynamics converge to" —
+    // the gap flags transient traffic mixes): 20 fixed power-iteration
+    // rounds over the EXACT integer transition counts, each step a
+    // truncating per-edge division ((x_i * n_ij) div n_i, nonnegative —
+    // div == //) followed by a sum-normalize, all in driver BigInt
+    // mirrored by 20 unrolled HUGEINT CTE rounds (the q78/q138 fixed-
+    // round discipline). The K x K transition matrix is the ONLY
+    // corpus-derived input — one lead-window pass + a partial-
+    // aggregated groupBy, collected at aggregate size (the BpeTrainer
+    // K-scalars rule); the lead window partitions by user_id, the
+    // high-cardinality allowed class.
+    "q195_markov_stationary" -> ((s, d) => {
+      import s.implicits._
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), tsMicros.as("us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val tm = e.withColumn("next", lead("event_type", 1).over(w))
+        .where(col("next").isNotNull)
+        .groupBy(col("event_type").as("prev"), col("next"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val types = tm.flatMap(t3 => Seq(t3._1, t3._2)).distinct.sorted
+      val nOut = tm.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val nIn = tm.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val total = tm.map(_._3).sum
+      var x: Map[String, BigInt] =
+        types.map(tp => tp -> (BigInt(1000000) / types.length)).toMap
+      for (_ <- 1 to 20) {
+        val y = types.map { j =>
+          j -> tm.filter(_._2 == j)
+            .map { case (i, _, c) => (x(i) * c) / nOut(i) }
+            .foldLeft(BigInt(0))(_ + _)
+        }.toMap
+        val tot = y.values.foldLeft(BigInt(0))(_ + _)
+        x = types.map(j => j -> (y(j) * 1000000 / tot)).toMap
+      }
+      types.map { j =>
+        (j, nOut.getOrElse(j, 0L), nIn.getOrElse(j, 0L),
+          x(j).toDouble / 1000000.0,
+          (BigInt(nIn.getOrElse(j, 0L)) * 1000000 / total).toDouble / 1000000.0)
+      }.toSeq.toDF("event_type", "n_out", "n_in", "stationary", "empirical")
         .orderBy("event_type")
     }),
 
@@ -7242,6 +7480,193 @@ object Oracles {
                       * 1000000) // (CAST(sgap AS HUGEINT) * sgap) AS BIGINT) AS DOUBLE)
                   / 1000000.0 AS cv2
          FROM a WHERE sgap > 0 ORDER BY event_type""",
+
+    // scoredDocsCte's q micro-scaled once (floor(q*1e6+0.5), the q139
+    // idiom); md5(doc_id#b) membership; ceil-index order statistics
+    "q191_bootstrap_ci" ->
+      s"""WITH $scoredDocsCte,
+              dq AS (SELECT source, doc_id,
+                            CAST(floor(q * 1000000.0 + 0.5) AS BIGINT) AS qm
+                     FROM scored),
+              bs AS (SELECT CAST(unnest(range(64)) AS INT) AS b),
+              mem AS (SELECT source, b, qm FROM dq CROSS JOIN bs
+                      WHERE md5(CAST(doc_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)) < 'cc'),
+              mn AS (SELECT source, b,
+                            CAST(sum(qm) // count(*) AS BIGINT) AS mean_b
+                     FROM mem GROUP BY source, b),
+              rk AS (SELECT source, mean_b,
+                            count(*) OVER (PARTITION BY source) AS nb,
+                            row_number() OVER (PARTITION BY source
+                              ORDER BY mean_b, b) AS rn
+                     FROM mn),
+              ci AS (SELECT source,
+                            max(CASE WHEN rn = (nb * 25 + 999) // 1000
+                                THEN mean_b END) AS lo_m,
+                            max(CASE WHEN rn = (nb * 975 + 999) // 1000
+                                THEN mean_b END) AS hi_m
+                     FROM rk GROUP BY source),
+              fl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                            CAST(sum(qm) // count(*) AS BIGINT) AS mean_m
+                     FROM dq GROUP BY source)
+         SELECT source, n_docs,
+                CAST(mean_m AS DOUBLE) / 1000000.0 AS mean_q,
+                CAST(lo_m AS DOUBLE) / 1000000.0 AS ci_lo,
+                CAST(hi_m AS DOUBLE) / 1000000.0 AS ci_hi
+         FROM fl JOIN ci USING (source) ORDER BY source""",
+
+    // kmeansCtes + q173's assignment + q172's exact top-4, swept over
+    // the probe depths; all distances integer, ties (d2, id)
+    "q192_nprobe_sweep" ->
+      s"""WITH ${kmeansCtes(8, 3)},
+              dA AS (SELECT u.vec_id, c.cid,
+                            CAST(sum((u.vq - c.cq) * (u.vq - c.cq)) AS BIGINT) AS dist
+                     FROM u JOIN c3 c ON u.pos = c.pos
+                     GROUP BY u.vec_id, c.cid),
+              aA AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                       FROM dA) t WHERE rn = 1),
+              qd AS (SELECT vec_id AS qid, cid, dist AS dq FROM dA WHERE vec_id < 8),
+              pr AS (SELECT qid, cid,
+                            CAST(row_number() OVER (PARTITION BY qid ORDER BY dq, cid) AS INT) AS cellrank
+                     FROM qd),
+              np AS (SELECT CAST(unnest([1, 2, 4]) AS INT) AS nprobe),
+              cnd AS (SELECT nprobe, qid, a.vec_id AS vid
+                      FROM pr JOIN np ON pr.cellrank <= np.nprobe
+                              JOIN aA a ON a.cid = pr.cid
+                      WHERE a.vec_id != qid),
+              cd AS (SELECT c.nprobe, c.qid, c.vid,
+                            CAST(sum((uq.vq - uc.vq) * (uq.vq - uc.vq)) AS BIGINT) AS d2
+                     FROM cnd c JOIN u uq ON uq.vec_id = c.qid
+                                JOIN u uc ON uc.vec_id = c.vid AND uc.pos = uq.pos
+                     GROUP BY c.nprobe, c.qid, c.vid),
+              pt AS (SELECT nprobe, qid, vid FROM (
+                       SELECT nprobe, qid, vid,
+                              row_number() OVER (PARTITION BY nprobe, qid
+                                ORDER BY d2, vid) AS rk
+                       FROM cd) t WHERE rk <= 4),
+              exd AS (SELECT ua.vec_id AS qid, ub.vec_id AS vid,
+                             CAST(sum((ua.vq - ub.vq) * (ua.vq - ub.vq)) AS BIGINT) AS d2
+                      FROM u ua JOIN u ub
+                        ON ub.pos = ua.pos AND ub.vec_id != ua.vec_id
+                      WHERE ua.vec_id < 8
+                      GROUP BY ua.vec_id, ub.vec_id),
+              ex4 AS (SELECT qid, vid FROM (
+                        SELECT qid, vid,
+                               row_number() OVER (PARTITION BY qid ORDER BY d2, vid) AS rk
+                        FROM exd) t WHERE rk <= 4),
+              grid AS (SELECT nprobe, qid FROM np CROSS JOIN
+                         (SELECT DISTINCT vec_id AS qid FROM u WHERE vec_id < 8) qq),
+              hits AS (SELECT g.nprobe, g.qid, CAST(count(h.vid) AS BIGINT) AS n_hits
+                       FROM grid g LEFT JOIN
+                         (SELECT pt.nprobe, pt.qid, pt.vid
+                          FROM pt JOIN ex4 USING (qid, vid)) h
+                         ON h.nprobe = g.nprobe AND h.qid = g.qid
+                       GROUP BY g.nprobe, g.qid)
+         SELECT nprobe, qid AS vec_id, n_hits,
+                CAST((n_hits * 1000000) // 4 AS DOUBLE) / 1000000.0 AS recall
+         FROM hits ORDER BY nprobe, vec_id""",
+
+    // q135's char split + the q174 pair construction; every log2 a
+    // ratio of exact integers, terms summed as DECIMAL
+    "q193_char_entropy_rate" ->
+      """WITH cs AS (SELECT source, string_split_regex(text, '') AS t FROM documents),
+              pp AS (SELECT source, unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || t[i+1])) AS pair
+                     FROM cs),
+              pr AS (SELECT source, pair, CAST(count(*) AS BIGINT) AS n12
+                     FROM pp WHERE length(pair) = 2 GROUP BY source, pair),
+              cx AS (SELECT source, substr(pair, 1, 1) AS c1,
+                            CAST(sum(n12) AS BIGINT) AS n1
+                     FROM pr GROUP BY source, c1),
+              tt AS (SELECT source, CAST(sum(n12) AS BIGINT) AS np
+                     FROM pr GROUP BY source),
+              tm AS (SELECT pr.source, n12, np,
+                            CAST(round((n12 * 1.0 / np) * log2(n1 * 1.0 / n12), 6)
+                                 AS DECIMAL(18,6)) AS term
+                     FROM pr JOIN cx ON pr.source = cx.source
+                                    AND substr(pr.pair, 1, 1) = cx.c1
+                             JOIN tt ON pr.source = tt.source)
+         SELECT source, max(np) AS n_pairs,
+                CAST(count(*) AS BIGINT) AS n_pair_types,
+                CAST(round(sum(term), 6) AS DOUBLE) AS entropy_rate
+         FROM tm GROUP BY source ORDER BY source""",
+
+    // scored's q/gk histogram + cumulative split counts; the SAME
+    // binEntropySql fragment interpolated into both engines
+    "q194_quality_stump" ->
+      s"""WITH $scoredDocsCte,
+              h AS (SELECT round(q, 6) AS q, CAST(sum(gk) AS BIGINT) AS p,
+                           CAST(count(*) AS BIGINT) AS m
+                    FROM scored GROUP BY 1),
+              cum AS (SELECT q, p, m,
+                             sum(p) OVER (ORDER BY q
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+                             sum(m) OVER (ORDER BY q
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+                      FROM h),
+              tt AS (SELECT CAST(sum(p) AS BIGINT) AS pp,
+                            CAST(sum(m) AS BIGINT) AS nn FROM h),
+              ig AS (SELECT q, cp, cn, pp, nn,
+                            round(${Queries.binEntropySql("pp", "nn")}
+                                  - (cn*1.0/nn) * ${Queries.binEntropySql("cp", "cn")}
+                                  - ((nn-cn)*1.0/nn) * ${Queries.binEntropySql("(pp-cp)", "(nn-cn)")}, 6) AS ig
+                     FROM cum CROSS JOIN tt WHERE cn < nn),
+              rk AS (SELECT *, CAST(row_number() OVER (ORDER BY ig DESC, q) AS INT) AS rank
+                     FROM ig)
+         SELECT rank, q AS threshold,
+                CAST(cn AS BIGINT) AS n_left, CAST(cp AS BIGINT) AS pos_left,
+                CAST(nn - cn AS BIGINT) AS n_right,
+                CAST(pp - cp AS BIGINT) AS pos_right, ig
+         FROM rk WHERE rank <= 5 ORDER BY rank""",
+
+    // 20 HUGEINT power rounds unrolled (per-edge truncating division
+    // then sum-normalize), mirroring the driver BigInt loop exactly
+    "q195_markov_stationary" -> {
+      def round(k: Int): String = {
+        val prev = if (k == 1) "x0" else s"x${k - 1}"
+        s"""y$k AS (SELECT tm.next AS et, sum((x.xs * tm.cnt) // tm.ntot) AS ys
+                    FROM tm JOIN $prev x ON x.et = tm.prev GROUP BY tm.next),
+              t$k AS (SELECT sum(ys) AS tt FROM y$k),
+              x$k AS MATERIALIZED (
+                    SELECT et, (ys * 1000000) // tt AS xs
+                    FROM y$k CROSS JOIN t$k)"""
+      }
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+                     FROM events),
+              pr AS (SELECT event_type AS prev,
+                            lead(event_type) OVER (PARTITION BY user_id
+                                                   ORDER BY us, event_id) AS next
+                     FROM e),
+              tc AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS cnt
+                     FROM pr WHERE next IS NOT NULL GROUP BY prev, next),
+              no AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS ntot FROM tc GROUP BY prev),
+              tm AS (SELECT tc.prev, tc.next, CAST(cnt AS HUGEINT) AS cnt,
+                            CAST(ntot AS HUGEINT) AS ntot
+                     FROM tc JOIN no USING (prev)),
+              ty AS (SELECT DISTINCT et FROM
+                       (SELECT prev AS et FROM tc UNION SELECT next FROM tc) u0),
+              kk AS (SELECT CAST(count(*) AS HUGEINT) AS k FROM ty),
+              x0 AS (SELECT et, CAST(1000000 AS HUGEINT) // k AS xs
+                     FROM ty CROSS JOIN kk),
+              ${(1 to 20).map(round).mkString(",\n              ")},
+              ni AS (SELECT next AS et, CAST(sum(cnt) AS BIGINT) AS n_in
+                     FROM tc GROUP BY next),
+              no2 AS (SELECT prev AS et, CAST(sum(cnt) AS BIGINT) AS n_out
+                      FROM tc GROUP BY prev),
+              ttt AS (SELECT CAST(sum(cnt) AS HUGEINT) AS tot FROM tc)
+         SELECT ty.et AS event_type,
+                coalesce(no2.n_out, 0) AS n_out,
+                coalesce(ni.n_in, 0) AS n_in,
+                CAST(coalesce(x20.xs, 0) AS DOUBLE) / 1000000.0 AS stationary,
+                CAST((CAST(coalesce(ni.n_in, 0) AS HUGEINT) * 1000000) // tot AS DOUBLE)
+                  / 1000000.0 AS empirical
+         FROM ty LEFT JOIN x20 ON ty.et = x20.et
+                 LEFT JOIN no2 ON ty.et = no2.et
+                 LEFT JOIN ni ON ty.et = ni.et
+                 CROSS JOIN ttt
+         ORDER BY event_type"""
+    },
 
     // DuckDB's native ASOF vs our union+running-last plan (q49's
     // cross-engine pairing), then the exact inverse-CDF selection

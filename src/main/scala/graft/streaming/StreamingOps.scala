@@ -397,6 +397,61 @@ object StreamingOps {
   case class SampleEntry(stratum: String, doc_id: Long, h: String,
                          live: Int, n_seen: Long)
 
+  /** One emitted row of [[interarrivalStatsIngest]]: the running
+    * per-(user, event_type) gap aggregate after the micro-batch. The
+    * squared-gap sum is split into base-1e18 limbs (qgap = qgap_hi*1e18
+    * + qgap_lo) so it stays EXACT in long-typed state — squared
+    * microsecond gaps overflow one BIGINT; the batch q190 recompute
+    * recombines the limbs as BigInt (StreamingSpec proves equality). */
+  case class GapStatsRow(event_type: String, user_id: Long,
+                         n_gaps: Long, sgap: Long,
+                         qgap_hi: Long, qgap_lo: Long)
+
+  /**
+   * q190's streaming twin — per-(user, event_type) inter-arrival gap
+   * statistics maintained AT INGEST (the burstiness/CV baseline a rate
+   * limiter or anomaly detector reads live instead of recomputing the
+   * lag window over history): state per key is FIVE longs (last
+   * timestamp, n, sum, and the squared-sum limbs) — constant-size
+   * regardless of stream length, the Misra-Gries boundedness argument
+   * at the key grain. Within a micro-batch rows sort by (us, event_id)
+   * — the batch lag order — and across batches order is arrival order
+   * (the ingest contract every *Ingest op shares); replayed in order,
+   * the final per-key states sum per event_type to EXACTLY the batch
+   * q190 aggregates (StreamingSpec proves it on the live fixture).
+   * Production keys evict via timeout — the fixture gates state rows
+   * == live keys (StreamingStateSpec).
+   */
+  def interarrivalStatsIngest(
+      events: DataFrame // (user_id, event_type, us, event_id)
+  ): Dataset[GapStatsRow] = {
+    import events.sparkSession.implicits._
+    val limb = BigInt("1000000000000000000") // 1e18
+    events
+      .select(col("user_id").cast("long"), col("event_type").cast("string"),
+        col("us").cast("long"), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long), GapStatsRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (last, n, s, qHi, qLo) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L, 0L))
+          var q = BigInt(qHi) * limb + qLo
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { r =>
+            if (last != Long.MinValue) {
+              val g = r._3 - last
+              n += 1; s += g; q += BigInt(g) * g
+            }
+            last = r._3
+          }
+          state.update((last, n, s, (q / limb).toLong, (q % limb).toLong))
+          Iterator.single(GapStatsRow(key._2, key._1, n, s,
+            (q / limb).toLong, (q % limb).toLong))
+      }
+  }
+
   /** Spark-parity md5 hex of a string (the same value `md5(cast(cast(id
     * as string) as binary))` produces), so the streaming order key IS
     * the batch order key. */

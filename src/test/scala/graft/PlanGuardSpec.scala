@@ -353,4 +353,40 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p173.collect { case j: SortMergeJoinExec => j }.isEmpty,
       "q173's offset/budget join degraded to sort-merge")
   }
+
+  test("r13 batch 2: q182 equi-only candidates; q184/q185/q191 broadcast tails; q192 checkpointed") {
+    // q182: LSH candidates and both text re-attachments are equi-joins —
+    // a cartesian or nested-loop here means the verifier is no longer
+    // candidate-bounded
+    val p182 = executedPlans("q182_edit_verified_pairs")
+    assert(p182.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j }.isEmpty,
+      "q182 grew a cartesian join")
+    assert(p182.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "q182 lost an equi-key (nested-loop join)")
+    // q184: every side below the first groupBy is aggregate-sized
+    // (splits x sources) — a sort-merge join means a broadcast was lost
+    val p184 = executedPlans("q184_chi2_split_balance")
+    assert(p184.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "q184's contingency-table join degraded to sort-merge")
+    // q185: the D-row per-dim stats LUT joins back by broadcast (the
+    // r11 constant-table-as-relation rule)
+    val p185 = executedPlans("q185_embedding_outliers")
+    assert(p185.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "q185's per-dim stats join degraded to sort-merge")
+    // q191: the resample means and the full-sample means join on the
+    // aggregate-sized source key — broadcast, never sort-merge
+    val p191 = executedPlans("q191_bootstrap_ci")
+    assert(p191.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "q191's CI/mean join degraded to sort-merge")
+    // q192: every consumer reads the checkpointed quantized table — a
+    // parquet scan in the final plan means the checkpoint was dropped
+    val p192 = executedPlans("q192_nprobe_sweep")
+    assert(p192.collect { case s: FileSourceScanExec => s }.isEmpty,
+      "q192 final plan re-scans parquet — the quantized table fell out of the checkpoint")
+    assert(p192.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j }.isEmpty,
+      "q192 grew a cartesian join")
+  }
 }

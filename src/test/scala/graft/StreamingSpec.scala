@@ -623,6 +623,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream ${got.size} rows != batch ${batch.size}")
   }
 
+  test("streaming inter-arrival stats replay to the batch q190 aggregates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val limb = BigInt("1000000000000000000")
+    val ev = Queries.t(spark, sf, "events")
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        col("ts").as("us"), col("event_id").cast("long").as("event_id"))
+    // batch expectation: q190's pre-division aggregates via the lag window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    val expected = ev.withColumn("gap", col("us") - lag("us", 1).over(w))
+      .where(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("gap").as("s"),
+        sum(expr("cast(gap as decimal(38,0)) * gap")).as("q"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), BigInt(r.getDecimal(3).toBigInteger)))).toMap
+    assert(expected.nonEmpty)
+    // replay in global event-time order (the in-order ingest contract)
+    val rows = ev.orderBy("us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val q = StreamingOps.interarrivalStatsIngest(
+        input.toDF().toDF("user_id", "event_type", "us", "event_id"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("gap_ingest").start()
+    rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    val finals = spark.table("gap_ingest").as[StreamingOps.GapStatsRow]
+      .collect()
+      .groupBy(r => (r.event_type, r.user_id))
+      .map { case (_, rs) => rs.maxBy(_.n_gaps) }
+    q.stop()
+    val got = finals.groupBy(_.event_type).map { case (et, rs) =>
+      (et, (rs.map(_.n_gaps).sum, rs.map(_.sgap).sum,
+        rs.map(r => BigInt(r.qgap_hi) * limb + r.qgap_lo).sum))
+    }
+    assert(got == expected,
+      s"streaming per-type gap aggregates diverge: $got vs $expected")
+  }
+
   test("streaming seasonal anomaly detector replays to the batch q99 answer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

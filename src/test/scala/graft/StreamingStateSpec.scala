@@ -181,6 +181,27 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(bytes < BytesCap)
   }
 
+  test("inter-arrival stats: state rows = live (user, event_type) keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val q = StreamingOps.interarrivalStatsIngest(
+        input.toDF().toDF("user_id", "event_type", "us", "event_id"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ss_gaps").start()
+    // 300 events over 10 users x 2 event types = 20 live keys
+    input.addData((0 until 300).map(i =>
+      ((i % 10).toLong, s"t${(i / 10) % 2}",
+        1700000000000000L + i * 1000000L, i.toLong)): _*)
+    q.processAllAvailable()
+    val (rows, bytes) = stateOf(q)
+    q.stop()
+    report("interarrivalStatsIngest", rows, bytes)
+    assert(rows == 20L,
+      s"state must be one row per live (user, event_type) key (20), got $rows")
+    assert(bytes < BytesCap)
+  }
+
   test("explanation-at-close: state rows = OPEN windows, removed at close") {
     import spark.implicits._
     import graft.streaming.StreamingOps.StreamObs
