@@ -3406,6 +3406,75 @@ object Queries {
         .orderBy("event_type")
     }),
 
+    // ABSORPTION TIME TO PURCHASE — expected number of events until the
+    // chain first reaches the absorbing 'purchase' state, from each
+    // event type (the funnel-length read next to q195's long-run shares
+    // and q70's realized funnels: q70 measures what DID convert, this
+    // is what the transition dynamics PREDICT): the fundamental-matrix
+    // system t = 1 + P_transient * t solved by 20 fixed value-iteration
+    // rounds over the exact integer counts — per round one truncating
+    // division per type ((sum n_ij * t_j) div n_i, nonneg ⇒ div == //),
+    // driver BigInt mirrored by 20 unrolled HUGEINT CTE rounds (the
+    // q195 machinery with an absorbing boundary). The 20-round
+    // truncated expectation IS the contract (chains that avoid
+    // absorption diverge; the fixed horizon bounds them). Types with no
+    // observed outgoing edges pin at exactly one step.
+    "q197_absorption_time" -> ((s, d) => {
+      import s.implicits._
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), tsMicros.as("us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val tm = e.withColumn("next", lead("event_type", 1).over(w))
+        .where(col("next").isNotNull)
+        .groupBy(col("event_type").as("prev"), col("next"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val types = tm.flatMap(t3 => Seq(t3._1, t3._2)).distinct.sorted
+      val nOut = tm.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      var ts: Map[String, BigInt] = types.map(_ -> BigInt(0)).toMap
+      for (_ <- 1 to 20) {
+        ts = types.map { i =>
+          i -> (if (i == "purchase") BigInt(0)
+          else {
+            val acc = tm.filter(_._1 == i)
+              .map { case (_, j, c) => BigInt(c) * ts(j) }
+              .foldLeft(BigInt(0))(_ + _)
+            BigInt(1000000) +
+              (if (nOut.getOrElse(i, 0L) > 0) acc / nOut(i) else BigInt(0))
+          })
+        }.toMap
+      }
+      types.map { i =>
+        (i, nOut.getOrElse(i, 0L), ts(i).toDouble / 1000000.0)
+      }.toSeq.toDF("event_type", "n_out", "exp_steps")
+        .orderBy("event_type")
+    }),
+
+    // WITHIN-DOC REPEATED-N-GRAM PROBE — the long-repetition detector
+    // complementing q47's dup-token/bigram fractions and q105's
+    // CROSS-doc span removal (Lee et al.'s other failure mode: a doc
+    // repeating its own 16-gram is boilerplate/generation-loop junk a
+    // bigram fraction barely moves): for the fixed probe grid n in
+    // {2, 4, 8, 16}, one early-exiting fused-kernel pass per probe with
+    // an EXACT string set — the grid stands in for "longest repeated
+    // n-gram" without quadratic suffix-array work, and the oracle
+    // reproduces each flag as len(ngrams) > len(distinct ngrams). A
+    // narrow stateless projection — no shuffle beyond the output sort.
+    "q196_repeated_ngram_probe" -> ((s, d) => {
+      val ns = Array(2, 4, 8, 16)
+      val probeUdf = udf((text: String) =>
+        graft.functions.ShingleKernel.repeatedNgramFlags(text, ns))
+      t(s, d, "documents")
+        .select(col("doc_id"), probeUdf(col("text")).as("f"))
+        .select(col("doc_id"),
+          col("f").getItem(0).as("rep2"), col("f").getItem(1).as("rep4"),
+          col("f").getItem(2).as("rep8"), col("f").getItem(3).as("rep16"))
+        .withColumn("max_rep_n", expr(
+          "cast(case when rep16 = 1 then 16 when rep8 = 1 then 8 " +
+            "when rep4 = 1 then 4 when rep2 = 1 then 2 else 0 end as int)"))
+        .orderBy("doc_id")
+    }),
+
     // ---- scans / projections / filters (S1-S6, P1-P9) ----
     "q01_scan_filter_project" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -7666,6 +7735,66 @@ object Oracles {
                  LEFT JOIN ni ON ty.et = ni.et
                  CROSS JOIN ttt
          ORDER BY event_type"""
+    },
+
+    // the q195 round machinery with an absorbing boundary: 20 unrolled
+    // value-iteration rounds, purchase pinned to 0 each round
+    "q197_absorption_time" -> {
+      def round(k: Int): String = {
+        val prev = s"t${k - 1}"
+        s"""s$k AS (SELECT tm.prev AS et,
+                           sum(tm.cnt * x.ts) // max(tm.ntot) AS acc
+                    FROM tm JOIN $prev x ON x.et = tm.next
+                    GROUP BY tm.prev),
+              t$k AS MATERIALIZED (
+                    SELECT ty.et,
+                           CASE WHEN ty.et = 'purchase' THEN CAST(0 AS HUGEINT)
+                                ELSE 1000000 + coalesce(s$k.acc, CAST(0 AS HUGEINT))
+                           END AS ts
+                    FROM ty LEFT JOIN s$k ON s$k.et = ty.et)"""
+      }
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+                     FROM events),
+              pr AS (SELECT event_type AS prev,
+                            lead(event_type) OVER (PARTITION BY user_id
+                                                   ORDER BY us, event_id) AS next
+                     FROM e),
+              tc AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS cnt
+                     FROM pr WHERE next IS NOT NULL GROUP BY prev, next),
+              no AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS ntot FROM tc GROUP BY prev),
+              tm AS (SELECT tc.prev, tc.next, CAST(cnt AS HUGEINT) AS cnt,
+                            CAST(ntot AS HUGEINT) AS ntot
+                     FROM tc JOIN no USING (prev)),
+              ty AS (SELECT DISTINCT et FROM
+                       (SELECT prev AS et FROM tc UNION SELECT next FROM tc) u0),
+              t0 AS (SELECT et, CAST(0 AS HUGEINT) AS ts FROM ty),
+              ${(1 to 20).map(round).mkString(",\n              ")},
+              no2 AS (SELECT prev AS et, CAST(sum(cnt) AS BIGINT) AS n_out
+                      FROM tc GROUP BY prev)
+         SELECT ty.et AS event_type, coalesce(no2.n_out, 0) AS n_out,
+                CAST(t20.ts AS DOUBLE) / 1000000.0 AS exp_steps
+         FROM ty JOIN t20 ON ty.et = t20.et
+                 LEFT JOIN no2 ON ty.et = no2.et
+         ORDER BY event_type"""
+    },
+
+    // each flag = len(ngrams) > len(distinct ngrams) over the same
+    // whitespace tokens; empty probe windows contribute 0
+    "q196_repeated_ngram_probe" -> {
+      def ng(n: Int): String =
+        s"list_transform(range(1, len(t) - $n + 2), i -> array_to_string(t[i:i+${n - 1}], ' '))"
+      def rep(n: Int): String =
+        s"CAST(CASE WHEN len(${ng(n)}) > len(list_distinct(${ng(n)})) THEN 1 ELSE 0 END AS INT) AS rep$n"
+      s"""WITH tk AS (SELECT doc_id,
+                             string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t
+                      FROM documents),
+              f AS (SELECT doc_id, ${rep(2)}, ${rep(4)}, ${rep(8)}, ${rep(16)}
+                    FROM tk)
+         SELECT doc_id, rep2, rep4, rep8, rep16,
+                CAST(CASE WHEN rep16 = 1 THEN 16 WHEN rep8 = 1 THEN 8
+                          WHEN rep4 = 1 THEN 4 WHEN rep2 = 1 THEN 2
+                          ELSE 0 END AS INT) AS max_rep_n
+         FROM f ORDER BY doc_id"""
     },
 
     // DuckDB's native ASOF vs our union+running-last plan (q49's

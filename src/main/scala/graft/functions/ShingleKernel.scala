@@ -260,6 +260,32 @@ object ShingleKernel {
     Array(toks.length, tokSet.size, math.max(toks.length - 1, 0), biSet.size)
   }
 
+  /** For each probe length n, 1 if some token n-gram occurs >= 2 times
+    * in the document, else 0 — one early-exiting pass per probe over
+    * the token array with an EXACT string set (no hashing, so a SQL
+    * oracle's `len(ngrams) > len(distinct(ngrams))` reproduces it
+    * verbatim). The probe lengths are the operator's contract: a
+    * binary-search-style fixed grid stands in for "longest repeated
+    * n-gram" without quadratic suffix work. */
+  def repeatedNgramFlags(text: String, ns: Array[Int]): Array[Int] = {
+    if (text == null) return ns.map(_ => 0)
+    val toks = ws.split(text, -1)
+    ns.map { n =>
+      val seen = new java.util.HashSet[String]()
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      var rep = 0
+      while (i <= toks.length - n && rep == 0) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+        if (!seen.add(sb.toString)) rep = 1
+        i += 1
+      }
+      rep
+    }
+  }
+
   @inline private def hashShingles(text: String, n: Int)
                                   (hash: Array[Byte] => Long): Array[Long] = {
     val toks = ws.split(text, -1)

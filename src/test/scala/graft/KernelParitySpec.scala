@@ -118,6 +118,30 @@ class KernelParitySpec extends AnyFunSuite {
     }
   }
 
+  test("repeatedNgramFlags matches the column-form distinct comparison") {
+    import spark.implicits._
+    val ns = Array(2, 4, 8, 16)
+    // crafted cases: a repeated 4-gram that is NOT an 8-gram repeat;
+    // a doc repeating a full 16-gram; the shared fixture corpus
+    val crafted = Seq(
+      "p q r s x p q r s y",                          // rep4, not rep8
+      (("a b c d e f g h i j k l m n o p " * 2) + "z").trim, // rep16
+      "all tokens unique here one two three")          // none
+    val all = texts ++ crafted
+    val df = all.toDF("text")
+    val columnForm = df.select(array(ns.map { n =>
+      val sh = TextFunctions.shingles(col("text"), n)
+      when(size(sh) > size(array_distinct(sh)), 1).otherwise(0)
+    }: _*)).collect().map(_.getSeq[Int](0))
+    val kernel = all.map(t => ShingleKernel.repeatedNgramFlags(t, ns).toSeq)
+    columnForm.zip(kernel).zipWithIndex.foreach { case ((c, k), i) =>
+      assert(c == k, s"repeated-ngram mismatch on input $i: '${all(i)}'")
+    }
+    assert(kernel(texts.length) == Seq(1, 1, 0, 0))
+    assert(kernel(texts.length + 1) == Seq(1, 1, 1, 1))
+    assert(kernel(texts.length + 2) == Seq(0, 0, 0, 0))
+  }
+
   test("lshBucketsOf matches the quantized+lshBucket column form") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
