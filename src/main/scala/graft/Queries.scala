@@ -3450,6 +3450,123 @@ object Queries {
         .orderBy("event_type")
     }),
 
+    // PER-SOURCE PSI (population stability index, the credit-scoring /
+    // model-monitoring standard; Karakoulas 2004) of the quality-score
+    // distribution vs the corpus — the FIXED-BUCKET drift member next
+    // to q84's mass-KL and q122/q188's KS: PSI's equal-width buckets
+    // need NO window at all (bucket = floor(q*10) on the [0,1] score —
+    // q180's decile ntile is the one corpus window this family can't
+    // avoid; PSI avoids it), so the whole query is two partial-
+    // aggregated groupBys and an alphabet-sized join. Add-one smoothing
+    // keeps every share POSITIVE; each term (ps - pg) * ln(ps/pg) is
+    // evaluated with the IDENTICAL expression text in both engines
+    // ((c+1)*1.0/(n+10): long-to-double exact below 2^53, every IEEE op
+    // correctly rounded — parity without integer products that would
+    // wrap at web scale), rounded into DECIMAL and summed exactly.
+    "q198_quality_psi" -> ((s, d) => {
+      val b = t(s, d, "documents")
+        .select(col("source"),
+          least(floor(TF.qualityScore(col("text")) * 10.0), lit(9.0))
+            .cast("int").as("bucket"))
+        .groupBy("source", "bucket").agg(count(lit(1)).as("cs"))
+        .localCheckpoint(false) // consumers: corpus buckets, source totals, grid
+      val g = b.groupBy("bucket").agg(sum("cs").as("cg"))
+        .crossJoin(broadcast(b.agg(sum("cs").as("ng"))))
+      val ns = b.groupBy("source").agg(sum("cs").as("ns"))
+      val grid = ns.crossJoin(g.select("bucket", "cg", "ng"))
+        .join(b, Seq("source", "bucket"), "left")
+        .withColumn("cs", coalesce(col("cs"), lit(0L)))
+      grid
+        .withColumn("term", expr(
+          "cast(round((cast(cs + 1 as double) / (ns + 10) - cast(cg + 1 as double) / (ng + 10)) " +
+            "* ln((cast(cs + 1 as double) / (ns + 10)) / (cast(cg + 1 as double) / (ng + 10))), 6) " +
+            "as decimal(18,6))"))
+        .groupBy("source")
+        .agg(max("ns").as("n_docs"), sum("term").as("psi_dec"))
+        .select(col("source"), col("n_docs"),
+          round(col("psi_dec"), 6).cast("double").as("psi"))
+        .orderBy("source")
+    }),
+
+    // VOCABULARY COVERAGE PROBES — "what vocab size covers the corpus"
+    // (the tokenizer-budget read behind every vocab-size decision;
+    // q82's Heaps curve counts NEW types, this counts MASS): for each
+    // probe K in {16..4096} the token mass covered by the top-K tokens.
+    // The ENGINE never ranks the full vocabulary: each probe is a
+    // TakeOrderedAndProject(K) over the partial-aggregated token
+    // histogram (5 bounded probes, deterministic (freq desc, token)
+    // ties) — the oracle, which has no scale constraint, ranks once and
+    // windows. Coverage is a micro-scaled DECIMAL/HUGEINT division
+    // (covered*1e6 wraps BIGINT once the corpus passes ~9e12 tokens).
+    "q199_vocab_coverage" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .localCheckpoint(false) // consumers: totals + 5 top-K probes
+      val tot = tf.agg(sum("freq").as("total"), count(lit(1)).as("vocab"))
+      val probes = Seq(16, 64, 256, 1024, 4096).map { k =>
+        tf.orderBy(col("freq").desc, col("token")).limit(k)
+          .agg(lit(k).as("k"), sum("freq").as("covered"))
+      }.reduce(_ unionByName _)
+      probes.crossJoin(broadcast(tot))
+        .select(col("k").cast("int").as("k"), col("covered"),
+          col("vocab"), col("total"),
+          (expr("cast((cast(covered as decimal(38,0)) * 1000000) div total as bigint)")
+            .cast("double") / lit(1000000.0)).as("coverage"))
+        .orderBy("k")
+    }),
+
+    // PER-SOURCE CORPUS SCORECARD — the r13 signals COMPOSED into the
+    // one table a dataset owner actually reads (q100's dataset card is
+    // corpus-global; this is the per-source drill-down): document
+    // count, micro-exact mean quality (q191's floor(q*1e6+0.5) idiom),
+    // exact-duplicate rate under the global min-doc_id keeper rule
+    // (q180's), Gopher pass rate, and the token-mass Gini (q186's
+    // histogram combinatorics over BPE token counts) — every rate a
+    // truncating micro-scaled division, every per-doc value computed in
+    // ONE corpus pass then reused via localCheckpoint (the dup keeper
+    // join is the q21 partial-aggregated shape; the Gini window orders
+    // per-source distinct lengths). One extra narrow pass nothing: the
+    // scorecard is four aggregate-sized joins on source.
+    "q200_source_scorecard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          floor(TF.qualityScore(col("text")) * 1000000.0 + 0.5)
+            .cast("long").as("qm"),
+          TF.gopherKeep(col("text")).cast("long").as("gk"),
+          md5(col("text")).as("content_hash"),
+          TF.bpeTokenCount(col("text")).cast("long").as("len"))
+        .localCheckpoint(false) // consumers: keeper agg, rates, gini hist
+      val keep = docs.groupBy("content_hash").agg(min("doc_id").as("keep_id"))
+      val rates = docs.join(keep, "content_hash")
+        .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("qm").as("sq"),
+          sum("gk").as("sg"), sum("is_dup").as("sd"))
+      val hist = docs.groupBy("source", "len").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("source").orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val gini = hist.withColumn("r_prev", coalesce(sum("c").over(w), lit(0L)))
+        .groupBy("source")
+        .agg(sum("c").as("nd"), sum(expr("len * c")).as("n_tokens"),
+          sum(expr("cast(len as decimal(38,0)) * " +
+            "(2 * cast(c as decimal(38,0)) * r_prev + cast(c as decimal(38,0)) * (c + 1))"))
+            .as("two_ix"))
+        .where(col("n_tokens") > 0)
+        .select(col("source"), col("n_tokens"), expr(
+          "cast(((two_ix - cast(nd + 1 as decimal(38,0)) * n_tokens) * 1000000) " +
+            "div (cast(nd as decimal(38,0)) * n_tokens) as bigint)").as("gini_micro"))
+      rates.join(gini, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (expr("sq div n_docs").cast("double") / lit(1000000.0)).as("mean_q"),
+          (expr("cast((sd * 1000000) div n_docs as bigint)").cast("double")
+            / lit(1000000.0)).as("dup_rate"),
+          (expr("cast((sg * 1000000) div n_docs as bigint)").cast("double")
+            / lit(1000000.0)).as("gopher_rate"),
+          (col("gini_micro").cast("double") / lit(1000000.0)).as("gini"))
+        .orderBy("source")
+    }),
+
     // WITHIN-DOC REPEATED-N-GRAM PROBE — the long-repetition detector
     // complementing q47's dup-token/bigram fractions and q105's
     // CROSS-doc span removal (Lee et al.'s other failure mode: a doc
@@ -7736,6 +7853,86 @@ object Oracles {
                  CROSS JOIN ttt
          ORDER BY event_type"""
     },
+
+    // the oracle ranks the vocab once (no scale constraint) where the
+    // engine runs 5 TakeOrdered probes
+    "q199_vocab_coverage" ->
+      """WITH tf AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (
+                       SELECT unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                       FROM documents) t0
+                     GROUP BY token),
+              tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total,
+                             CAST(count(*) AS BIGINT) AS vocab FROM tf),
+              rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rn
+                     FROM tf),
+              ks AS (SELECT CAST(unnest([16, 64, 256, 1024, 4096]) AS INT) AS k),
+              cov AS (SELECT k, CAST(sum(CASE WHEN rn <= k THEN freq ELSE 0 END) AS BIGINT) AS covered
+                      FROM ks CROSS JOIN rk GROUP BY k)
+         SELECT k, covered, vocab, total,
+                CAST((CAST(covered AS HUGEINT) * 1000000) // total AS DOUBLE)
+                  / 1000000.0 AS coverage
+         FROM cov CROSS JOIN tot ORDER BY k""",
+
+    // scored reused for quality/gopher/dup; q186's rank-sum CTEs over
+    // scored.toks; every rate the same truncating micro division
+    "q200_source_scorecard" ->
+      s"""WITH $scoredDocsCte,
+              dd AS (SELECT source, doc_id,
+                            CAST(floor(q * 1000000.0 + 0.5) AS BIGINT) AS qm,
+                            gk, content_hash, CAST(toks AS BIGINT) AS len
+                     FROM scored),
+              ke AS (SELECT content_hash, min(doc_id) AS keep_id
+                     FROM dd GROUP BY content_hash),
+              rt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                            CAST(sum(qm) AS BIGINT) AS sq,
+                            CAST(sum(gk) AS BIGINT) AS sg,
+                            CAST(sum(CASE WHEN dd.doc_id != ke.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS sd
+                     FROM dd JOIN ke USING (content_hash)
+                     GROUP BY source),
+              h AS (SELECT source, len, CAST(count(*) AS BIGINT) AS c
+                    FROM dd GROUP BY source, len),
+              cum AS (SELECT source, len, c,
+                             coalesce(sum(c) OVER (PARTITION BY source ORDER BY len
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r_prev
+                      FROM h),
+              gn AS (SELECT source, CAST(sum(c) AS BIGINT) AS nd,
+                            CAST(sum(len * c) AS BIGINT) AS n_tokens,
+                            sum(CAST(len AS HUGEINT) *
+                                (2 * CAST(c AS HUGEINT) * r_prev + CAST(c AS HUGEINT) * (c + 1))) AS two_ix
+                     FROM cum GROUP BY source)
+         SELECT rt.source, n_docs, n_tokens,
+                CAST(sq // n_docs AS DOUBLE) / 1000000.0 AS mean_q,
+                CAST((sd * 1000000) // n_docs AS DOUBLE) / 1000000.0 AS dup_rate,
+                CAST((sg * 1000000) // n_docs AS DOUBLE) / 1000000.0 AS gopher_rate,
+                CAST(CAST(((two_ix - CAST(nd + 1 AS HUGEINT) * n_tokens) * 1000000)
+                     // (CAST(nd AS HUGEINT) * n_tokens) AS BIGINT) AS DOUBLE)
+                  / 1000000.0 AS gini
+         FROM rt JOIN gn ON rt.source = gn.source
+         WHERE n_tokens > 0 ORDER BY rt.source""",
+
+    // scored's q into fixed equal-width buckets (no window); the SAME
+    // term expression text both engines, add-one smoothed
+    "q198_quality_psi" ->
+      s"""WITH $scoredDocsCte,
+              b AS (SELECT source,
+                           CAST(least(floor(q * 10.0), 9.0) AS INT) AS bucket,
+                           CAST(count(*) AS BIGINT) AS cs
+                    FROM scored GROUP BY 1, 2),
+              g AS (SELECT bucket, CAST(sum(cs) AS BIGINT) AS cg FROM b GROUP BY bucket),
+              nz AS (SELECT CAST(sum(cs) AS BIGINT) AS ng FROM b),
+              st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM b GROUP BY source),
+              grid AS (SELECT st.source, st.ns, g.bucket, g.cg, nz.ng,
+                              coalesce(b.cs, 0) AS cs
+                       FROM st CROSS JOIN g CROSS JOIN nz
+                            LEFT JOIN b ON b.source = st.source AND b.bucket = g.bucket),
+              tm AS (SELECT source, ns,
+                            CAST(round((CAST(cs + 1 AS DOUBLE) / (ns + 10) - CAST(cg + 1 AS DOUBLE) / (ng + 10))
+                                 * ln((CAST(cs + 1 AS DOUBLE) / (ns + 10)) / (CAST(cg + 1 AS DOUBLE) / (ng + 10))), 6)
+                                 AS DECIMAL(18,6)) AS term
+                     FROM grid)
+         SELECT source, max(ns) AS n_docs,
+                CAST(round(sum(term), 6) AS DOUBLE) AS psi
+         FROM tm GROUP BY source ORDER BY source""",
 
     // the q195 round machinery with an absorbing boundary: 20 unrolled
     // value-iteration rounds, purchase pinned to 0 each round

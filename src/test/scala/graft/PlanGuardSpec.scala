@@ -380,6 +380,14 @@ class PlanGuardSpec extends AnyFunSuite {
     val p191 = executedPlans("q191_bootstrap_ci")
     assert(p191.collect { case j: SortMergeJoinExec => j }.isEmpty,
       "q191's CI/mean join degraded to sort-merge")
+    // q199: each coverage probe is a TakeOrderedAndProject(K); a window
+    // or a non-output Sort means the engine started ranking the full
+    // vocabulary (the q51 rule applied to the probe family)
+    val p199 = executedPlans("q199_vocab_coverage")
+    assert(windowsOf(p199).isEmpty,
+      "q199 grew a window — the engine must never rank the full vocabulary")
+    assert(p199.collect { case t: TakeOrderedAndProjectExec => t }.size >= 5,
+      "q199 lost a TakeOrderedAndProject probe")
     // q192: every consumer reads the checkpointed quantized table — a
     // parquet scan in the final plan means the checkpoint was dropped
     val p192 = executedPlans("q192_nprobe_sweep")
