@@ -3516,6 +3516,51 @@ object Queries {
         .orderBy("k")
     }),
 
+    // SESSION-LEVEL EVENT-TYPE PMI — which event types co-occur within
+    // a session beyond chance (q90's NPMI collocation question lifted
+    // from token bigrams to BEHAVIORAL sessions; the affinity signal
+    // behind "users who error also sign up"): q50's 12 h gap
+    // sessionization verbatim, per-session DISTINCT type sets, pair
+    // counts by a session-keyed self-join (bounded per session by the
+    // type alphabet — at most K(K-1)/2 pairs per session, never a
+    // corpus quadratic), then PMI = ln(n_ab*N/(n_a*n_b)) over exact
+    // integer counts (ln-of-integer-ratio parity), round-6. The lag/
+    // running-sum windows partition by user_id (the high-cardinality
+    // allowed class); everything after the session-type distinct is
+    // alphabet-sized.
+    "q201_session_type_pmi" -> ((s, d) => {
+      val gapUs = 43200L * 1000000L
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), tsMicros.as("us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val st = e.withColumn("new_s",
+          when(lag("us", 1).over(w).isNull ||
+            col("us") - lag("us", 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("session_id"), col("event_type"))
+        .distinct()
+        .localCheckpoint(false) // consumers: totals, per-type counts, pair join
+      val nTot = st.select("user_id", "session_id").distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      val nt = st.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      val pairs = st.select(col("user_id"), col("session_id"),
+          col("event_type").as("type_a"))
+        .join(st.select(col("user_id"), col("session_id"),
+          col("event_type").as("type_b")), Seq("user_id", "session_id"))
+        .where(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(nt.select(col("event_type").as("type_a"), col("n_t").as("n_a"))), "type_a")
+        .join(broadcast(nt.select(col("event_type").as("type_b"), col("n_t").as("n_b"))), "type_b")
+        .crossJoin(broadcast(nTot))
+        .where(col("n_ab") >= 5)
+        .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
+          round(log(expr("cast(n_ab as double) * n_sessions") /
+            expr("cast(n_a as double) * n_b")), 6).as("pmi"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // PER-SOURCE CORPUS SCORECARD — the r13 signals COMPOSED into the
     // one table a dataset owner actually reads (q100's dataset card is
     // corpus-global; this is the per-source drill-down): document
@@ -7853,6 +7898,38 @@ object Oracles {
                  CROSS JOIN ttt
          ORDER BY event_type"""
     },
+
+    // q50's sessionization + distinct type sets; PMI over exact counts
+    // with the double casts written identically both engines
+    "q201_session_type_pmi" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+                    FROM events),
+              g AS (SELECT user_id, event_type, us, event_id,
+                           CASE WHEN lag(us) OVER w IS NULL
+                                  OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS new_s
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+              se AS (SELECT user_id, event_type,
+                            sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     FROM g),
+              st AS (SELECT DISTINCT user_id, session_id, event_type FROM se),
+              ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM
+                       (SELECT DISTINCT user_id, session_id FROM st) s0),
+              nt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+                     FROM st GROUP BY event_type),
+              pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                            CAST(count(*) AS BIGINT) AS n_ab
+                     FROM st a JOIN st b
+                       ON a.user_id = b.user_id AND a.session_id = b.session_id
+                      AND a.event_type < b.event_type
+                     GROUP BY 1, 2)
+         SELECT type_a, type_b, n_ab, na.n_t AS n_a, nb.n_t AS n_b,
+                round(ln((CAST(n_ab AS DOUBLE) * n_sessions)
+                         / (CAST(na.n_t AS DOUBLE) * nb.n_t)), 6) AS pmi
+         FROM pr JOIN nt na ON pr.type_a = na.event_type
+                 JOIN nt nb ON pr.type_b = nb.event_type
+                 CROSS JOIN ns
+         WHERE n_ab >= 5 ORDER BY type_a, type_b""",
 
     // the oracle ranks the vocab once (no scale constraint) where the
     // engine runs 5 TakeOrdered probes
