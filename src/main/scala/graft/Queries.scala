@@ -3561,6 +3561,571 @@ object Queries {
         .orderBy("type_a", "type_b")
     }),
 
+    // FLESCH READABILITY per source (Flesch 1948; Kincaid et al. 1975 —
+    // the classic surface-feature readability pair, the curation signal
+    // next to q24's quality heuristic that CCNet-style pipelines bucket
+    // on): words = the q22 whitespace token count, sentences =
+    // [.!?]+ runs floored at 1 per doc, syllables approximated by
+    // [aeiouy]+ vowel-group runs (the standard regex surrogate). Both
+    // grade and reading-ease are EXACT truncating integer recipes over
+    // the per-source count sums — fk_micro = 390000*W div S +
+    // 11800000*Y div W - 15590000 (the recipe IS the statistic, q153's
+    // rule) — with DECIMAL(38,0)/HUGEINT products because W*1015000
+    // crosses 2^63 once a source passes ~9e12 words (r13 rule). One
+    // narrow stateless projection + one partial-aggregated groupBy;
+    // nothing downstream is corpus-sized.
+    "q202_readability" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("source"),
+          TF.tokenCount(col("text")).cast("long").as("w"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long").as("sn"),
+          regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long").as("y"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+          sum("sn").as("n_sentences"), sum("y").as("n_syllables"))
+        .where(col("n_words") > 0)
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_sentences"), col("n_syllables"),
+          ((expr("(cast(n_words as decimal(38,0)) * 390000) div n_sentences + " +
+            "(cast(n_syllables as decimal(38,0)) * 11800000) div n_words")
+            - lit(15590000L)).cast("double") / lit(1000000.0)).as("fk_grade"),
+          ((lit(206835000L) -
+            expr("(cast(n_words as decimal(38,0)) * 1015000) div n_sentences") -
+            expr("(cast(n_syllables as decimal(38,0)) * 84600000) div n_words"))
+            .cast("double") / lit(1000000.0)).as("reading_ease"))
+        .orderBy("source")
+    }),
+
+    // SPEARMAN RANK CORRELATION between q24's quality score and BPE
+    // length, per source (Spearman 1904 — the monotone-association read
+    // q95's OLS line and q137's categorical MI both miss; "do longer
+    // docs score better?" asked rank-wise, robust to both scales): ranks
+    // are NEVER assigned per row — average ranks come from the two
+    // value HISTOGRAMS (doubled to stay integer: R2 = 2*r_prev + c + 1),
+    // whose cumulative windows order distinct round-6 quality keys
+    // (≤1e6+1 per source) and distinct lengths (bounded by max doc
+    // length) — the r13 allowed-window argument at ANY corpus size.
+    // Centering by the exact rank mean n+1 makes Σcx = 0, so rho =
+    // Σcxcy / sqrt(Σcx²·Σcy²) needs NO n·S products: every sum is a
+    // DECIMAL(38,0)/HUGEINT of |cx·cy| ≤ 4n² terms (exact to n ~ 1e12),
+    // and the one double expression is textually identical both engines
+    // (q198's discipline), round-6 at the emit. Docs join their ranks
+    // by aggregate-keyed (source, value) joins — linear, no corpus
+    // window ever.
+    "q203_spearman_rank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          floor(TF.qualityScore(col("text")) * 1000000.0 + 0.5)
+            .cast("long").as("qm"),
+          TF.bpeTokenCount(col("text")).cast("long").as("len"))
+        .localCheckpoint(false) // consumers: n, two rank histograms, rank join
+      val n = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      def ranks(keyCol: String, rankName: String): DataFrame = {
+        val h = docs.groupBy("source", keyCol).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("source").orderBy(keyCol)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        h.withColumn("r_prev", coalesce(sum("c").over(w), lit(0L)))
+          .select(col("source"), col(keyCol),
+            (col("r_prev") * 2 + col("c") + 1).as(rankName))
+      }
+      docs.join(ranks("qm", "r2x"), Seq("source", "qm"))
+        .join(ranks("len", "r2y"), Seq("source", "len"))
+        .join(broadcast(n), "source")
+        .select(col("source"), col("n"),
+          (col("r2x") - col("n") - 1).as("cx"),
+          (col("r2y") - col("n") - 1).as("cy"))
+        .groupBy("source", "n")
+        .agg(
+          sum(expr("cast(cx as decimal(38,0)) * cy")).as("sxy"),
+          sum(expr("cast(cx as decimal(38,0)) * cx")).as("sxx"),
+          sum(expr("cast(cy as decimal(38,0)) * cy")).as("syy"))
+        .where(col("sxx") > 0 && col("syy") > 0)
+        .select(col("source"), col("n"),
+          round(col("sxy").cast("double") /
+            sqrt(col("sxx").cast("double") * col("syy").cast("double")), 6)
+            .as("rho"))
+        .orderBy("source")
+    }),
+
+    // WEEKLY SEASONAL DECOMPOSITION of daily event volume (the
+    // classical additive decomposition behind STL, Cleveland et al.
+    // 1990 — the model q99's anomaly z-flags assume but never exhibit:
+    // volume = trend + weekday seasonal + remainder): trend is the
+    // centered 7-day moving average (exact micro-scaled: (Σ7·1e6) div
+    // 7, null at the 3-day edges where the frame is short), seasonal is
+    // the per-weekday mean of the detrended series via SIGN-SPLIT
+    // truncating division (detrended goes negative — DuckDB // floors
+    // where Spark div truncates, q177's rule), remainder is exact
+    // subtraction. Every window orders the DAY relation — aggregate-
+    // sized at any corpus size (the r13 allowed-window class); the one
+    // corpus pass is the daily groupBy count. Products ride
+    // DECIMAL(38,0)/HUGEINT (v·1e6 wraps BIGINT past ~9e12 events/day).
+    "q204_seasonal_volume" -> ((s, d) => {
+      val days = t(s, d, "events")
+        .select(date_format(timestamp_micros(tsMicros), "yyyy-MM-dd").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("v"))
+        .localCheckpoint(false) // aggregate-sized; consumers: trend + weekday means
+      val f7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val det = days
+        .withColumn("n7", count(lit(1)).over(f7))
+        .withColumn("s7", sum("v").over(f7))
+        .withColumn("trend_micro",
+          when(col("n7") === 7,
+            expr("cast((cast(s7 as decimal(38,0)) * 1000000) div 7 as bigint)")))
+        .withColumn("det_micro",
+          expr("cast((cast(v as decimal(38,0)) * 1000000) as bigint) - trend_micro"))
+        .withColumn("wd", weekday(to_date(col("day"))))
+        .localCheckpoint(false) // consumers: weekday agg + final join
+      val se = det.where(col("det_micro").isNotNull)
+        .groupBy("wd")
+        .agg(sum("det_micro").as("sd"), count(lit(1)).as("nd"))
+        .select(col("wd"), expr(
+          "case when sd < 0 then -((-sd) div nd) else sd div nd end")
+          .as("seasonal_micro"))
+      det.join(broadcast(se), Seq("wd"), "left")
+        .select(col("day"), col("v"),
+          (col("trend_micro").cast("double") / lit(1000000.0)).as("trend"),
+          (col("seasonal_micro").cast("double") / lit(1000000.0)).as("seasonal"),
+          ((col("det_micro") - col("seasonal_micro")).cast("double")
+            / lit(1000000.0)).as("remainder"))
+        .orderBy("day")
+    }),
+
+    // LEXICAL DIVERSITY INDICES per source (Simpson 1949; Hurlbert 1971's
+    // PIE; Berger & Parker 1970 — the ecology trio applied to token
+    // distributions, complementing q135's entropy with the
+    // pair-collision view: Simpson = P(two random tokens are the same
+    // type), computed COMBINATORIALLY as Σc(c−1)/(n(n−1)) over the
+    // (source, token) histogram — q150's distinct-signature pair rule,
+    // exact where plug-in Σp² is biased): every index a truncating
+    // micro-scaled division of DECIMAL(38,0)/HUGEINT products (Σc(c−1)
+    // and n(n−1) cross 2^63 past ~3e9 tokens per source); one
+    // partial-aggregated (source, token) groupBy is the only
+    // corpus-sized stage, no window anywhere, and the Zipfian token key
+    // never partitions one (the q52 de-skew discipline).
+    "q205_lexical_diversity" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+          max("c").as("max_c"),
+          sum(expr("cast(c as decimal(38,0)) * (c - 1)")).as("rep2"))
+        .where(col("n_tokens") > 1)
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          (expr("cast((rep2 * 1000000) div (cast(n_tokens as decimal(38,0)) " +
+            "* (n_tokens - 1)) as bigint)").cast("double")
+            / lit(1000000.0)).as("simpson"),
+          ((lit(1000000L) -
+            expr("cast((rep2 * 1000000) div (cast(n_tokens as decimal(38,0)) " +
+              "* (n_tokens - 1)) as bigint)")).cast("double")
+            / lit(1000000.0)).as("pie"),
+          (expr("cast((cast(max_c as decimal(38,0)) * 1000000) div n_tokens " +
+            "as bigint)").cast("double") / lit(1000000.0)).as("berger_parker"),
+          (expr("cast((cast(n_types as decimal(38,0)) * 1000000) div n_tokens " +
+            "as bigint)").cast("double") / lit(1000000.0)).as("ttr"))
+        .orderBy("source")
+    }),
+
+    // DEGREE ASSORTATIVITY of the near-dup graph (Newman 2002 — do
+    // heavy duplicators link to other heavy duplicators? Positive r =
+    // template FAMILIES (hub-hub boilerplate ecosystems, the k-core
+    // q136 peels); negative r = hub-and-spoke (one canonical page,
+    // many one-off copies — cheap to dedup). Edges are the SAME
+    // minhashLshPairs call q26/q43/q86 oracle (banded, hot-bucket
+    // capped, never all-pairs); degrees via partial-aggregated groupBy
+    // joined back to the persisted edge list (aggregate-keyed, linear —
+    // the q52 shape, no window). The Pearson-over-edges sums S1=Σ(j+k),
+    // S2=Σ(j²+k²), S3=Σjk are DECIMAL(38,0)/HUGEINT (deg² products
+    // cross 2^63 on hub-heavy graphs), r = (4M·S3−S1²)/(2M·S2−S1²) one
+    // identical double expression, NULL when the degree variance is 0
+    // (all-equal degrees — decided by an EXACT integer comparison, not
+    // a float epsilon).
+    "q206_dup_assortativity" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")
+        .select("doc_a", "doc_b")
+        .localCheckpoint(false) // consumers: degree agg + edge join
+      val deg = pairs.select(col("doc_a").as("id"))
+        .unionByName(pairs.select(col("doc_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false) // consumers: node count + two edge joins
+      val e = pairs
+        .join(deg.select(col("id").as("doc_a"), col("deg").as("da")), "doc_a")
+        .join(deg.select(col("id").as("doc_b"), col("deg").as("db")), "doc_b")
+      val agg = e.agg(
+        count(lit(1)).as("m_edges"),
+        sum(expr("cast(da as decimal(38,0)) + db")).as("s1"),
+        sum(expr("cast(da as decimal(38,0)) * da + cast(db as decimal(38,0)) * db")).as("s2"),
+        sum(expr("cast(da as decimal(38,0)) * db")).as("s3"))
+      val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+      agg.crossJoin(broadcast(nodes)) // one-row aggregate broadcast
+        .select(col("n_nodes"), col("m_edges"),
+          when(expr("2 * cast(m_edges as decimal(38,0)) * s2 - s1 * s1") === lit(0),
+            lit(null).cast("double"))
+            .otherwise(round(
+              expr("cast(4 * cast(m_edges as decimal(38,0)) * s3 - s1 * s1 as double)") /
+              expr("cast(2 * cast(m_edges as decimal(38,0)) * s2 - s1 * s1 as double)"), 6))
+            .as("assortativity"))
+    }),
+
+    // BLOOM-FILTER FALSE-POSITIVE AUDIT (Bloom 1970; the measured-vs-
+    // predicted read on the machinery q67's decontamination prunes
+    // with — approximation-error-as-data, the q140/q156 theme aimed at
+    // the engine's own membership sketch): an m=2^16-bit, k=4 filter is
+    // BUILT in-plan from the low-id sources' distinct content hashes
+    // (positions = portable md5 draws, the PortableHash convention), then
+    // probed with the high-id sources' TRUE NON-members (exact anti-join
+    // membership is the ground truth only a validation corpus can
+    // afford); measured FPR = probes hitting all 4 set bits, predicted
+    // FPR = fill^k = (bits_set⁴·1e6) div 2^64 — EXACT integer arithmetic
+    // (bits_set⁴ crosses 2^63, so DECIMAL(38,0)/HUGEINT), no libm pow
+    // anywhere. The bit SET is aggregate-sized (≤ 2^16 rows at ANY
+    // corpus size) and explicitly broadcast into the probe semi-join;
+    // position expansion is a stateless 4× fan-out; per-probe hit
+    // counting groups by the high-cardinality hash key (allowed class).
+    "q207_bloom_fpr" -> ((s, d) => {
+      val m = 65536
+      val docs = t(s, d, "documents").select(
+        expr("cast(substring(source, 4) as int)").as("sid"),
+        expr("cast(conv(substr(md5(cast(text as binary)), 1, 15), 16, 10) as bigint)").as("h"))
+      val ins = docs.where(col("sid") < 10).select("h").distinct()
+        .localCheckpoint(false) // consumers: bits, anti-join, count
+      val probes = docs.where(col("sid") >= 10).select("h").distinct()
+        .join(ins, Seq("h"), "left_anti")
+        .localCheckpoint(false) // consumers: probe fan-out + count
+      def positions(df: DataFrame): DataFrame = df
+        .select(col("h"), explode(array((0 until 4).map(lit): _*)).as("i"))
+        .select(col("h"), expr("cast(conv(substr(md5(cast(concat(h, '#', i) " +
+          s"as binary)), 1, 15), 16, 10) as bigint) % $m").as("pos"))
+      val bits = positions(ins).select("pos").distinct()
+        .localCheckpoint(false) // consumers: fill count + probe semi-join
+      val nFp = positions(probes)
+        .join(broadcast(bits), Seq("pos"), "left_semi")
+        .groupBy("h").agg(count(lit(1)).as("nhit"))
+        .where(col("nhit") === 4)
+        .agg(count(lit(1)).as("n_false_pos"))
+      ins.agg(count(lit(1)).as("n_inserted"))
+        .crossJoin(broadcast(probes.agg(count(lit(1)).as("n_probes"))))
+        .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+        .crossJoin(broadcast(nFp))
+        .select(col("n_inserted"), col("n_probes"), lit(m.toLong).as("m_bits"),
+          lit(4L).as("k_hashes"), col("bits_set"), col("n_false_pos"),
+          when(col("n_probes") === 0, lit(null).cast("double"))
+            .otherwise(expr("cast((cast(n_false_pos as decimal(38,0)) * 1000000) " +
+              "div n_probes as bigint)").cast("double") / lit(1000000.0))
+            .as("measured_fpr"),
+          (expr("cast((cast(bits_set as decimal(38,0)) * bits_set * bits_set * bits_set " +
+            "* 1000000) div 18446744073709551616 as bigint)").cast("double")
+            / lit(1000000.0)).as("predicted_fpr"))
+    }),
+
+    // HOLT DOUBLE EXPONENTIAL SMOOTHING of daily event volume (Holt
+    // 1957 — the level+trend forecaster behind every ops dashboard;
+    // q204 decomposes history, THIS extrapolates it): α=1/2 and β=1/4
+    // are DYADIC, so the whole recurrence is exact integer arithmetic —
+    // l_t = (v_t·1e6 + l_{t-1} + b_{t-1}) div 2, b_t = (l_t − l_{t-1} +
+    // 3·b_{t-1}) div 4 — with TRUNCATING division on possibly-negative
+    // operands (Scala BigInt / truncates toward zero; the oracle
+    // sign-splits DuckDB's flooring //, q177's rule). The day relation
+    // is aggregate-sized at any corpus size, so the sequential pass is
+    // a driver BigInt loop (the BpeTrainer K-scalars rule); the oracle
+    // replays it as a DuckDB RECURSIVE CTE over the day index — a
+    // single-row frontier, no fixed-round unroll, any day count.
+    // One-step forecast fc_t = l_{t-1} + b_{t-1} and its error are
+    // emitted per day (NULL at t=1).
+    "q208_holt_smoothing" -> ((s, d) => {
+      import s.implicits._
+      val days = t(s, d, "events")
+        .select(date_format(timestamp_micros(tsMicros), "yyyy-MM-dd").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("v"))
+        .orderBy("day")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      require(days.nonEmpty, "no events")
+      val M = BigInt(1000000)
+      def tdiv(x: BigInt, q: BigInt): BigInt = if (x < 0) -((-x) / q) else x / q
+      val out = Array.ofDim[(String, Long, Double, Double, Option[Double], Option[Double])](days.length)
+      var l = BigInt(days(0)._2) * M
+      var b = BigInt(0)
+      out(0) = (days(0)._1, days(0)._2, l.toDouble / 1e6, 0.0, None, None)
+      for (i <- 1 until days.length) {
+        val (day, v) = days(i)
+        val fc = l + b
+        val nl = tdiv(BigInt(v) * M + l + b, 2)
+        val nb = tdiv(nl - l + 3 * b, 4)
+        l = nl; b = nb
+        out(i) = (day, v, l.toDouble / 1e6, b.toDouble / 1e6,
+          Some(fc.toDouble / 1e6), Some((BigInt(v) * M - fc).toDouble / 1e6))
+      }
+      out.toSeq.toDF("day", "v", "level", "trend", "forecast", "fc_error")
+        .orderBy("day")
+    }),
+
+    // BURROWS' DELTA between sources (Burrows 2002; Argamon 2008 — THE
+    // stylometric distance: mean |z-score difference| of the top-50
+    // function-word frequencies; here "who wrote this source" becomes
+    // "which sources share a template/generator", the provenance read
+    // next to q109's contamination matrix): relative frequencies are
+    // exact micro integers ((c·1e6) div n_i), the per-token z-score
+    // collapses algebraically to (k·f − Σf)/sqrt(k·Σf² − (Σf)²) — exact
+    // integer operands, ONE identical double expression both engines —
+    // and is re-quantized to 6dp BEFORE the pairwise sum, so Δ is an
+    // order-free exact integer mean (the q112 no-float-order rule).
+    // Zero-variance tokens drop by an EXACT integer filter. Everything
+    // below the (source, token) histogram is aggregate-sized (top-50 ×
+    // k sources); the top-50 selection is a TakeOrdered over the
+    // partial-aggregated global histogram, never a vocabulary rank.
+    "q209_burrows_delta" -> ((s, d) => {
+      val hist = t(s, d, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // consumers: totals, top-50, freq join
+      val totals = hist.groupBy("source").agg(sum("c").as("n_tok"))
+      val top = hist.groupBy("token").agg(sum("c").as("gc"))
+        .orderBy(col("gc").desc, col("token")).limit(50).select("token")
+      val f = totals.crossJoin(broadcast(top))
+        .join(hist, Seq("source", "token"), "left")
+        .select(col("source"), col("token"),
+          expr("cast((cast(coalesce(c, 0) as decimal(38,0)) * 1000000) " +
+            "div n_tok as bigint)").as("fm"))
+        .localCheckpoint(false) // consumers: token stats + z join
+      val st = f.groupBy("token").agg(count(lit(1)).as("k"),
+          sum("fm").as("sf"),
+          sum(expr("cast(fm as decimal(38,0)) * fm")).as("qf"))
+        .where(expr("cast(k as decimal(38,0)) * qf - cast(sf as decimal(38,0)) * sf") > 0)
+      val z = f.join(broadcast(st), "token")
+        .select(col("source"), col("token"),
+          expr("cast(round(cast(cast(k as decimal(38,0)) * fm - sf as double) / " +
+            "sqrt(cast(cast(k as decimal(38,0)) * qf - " +
+            "cast(sf as decimal(38,0)) * sf as double)) * 1000000, 0) as bigint)")
+            .as("zm"))
+      z.select(col("source").as("source_a"), col("token"), col("zm").as("za"))
+        .join(z.select(col("source").as("source_b"), col("token"), col("zm").as("zb")),
+          "token")
+        .where(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_features"), sum(abs(col("za") - col("zb"))).as("sad"))
+        .select(col("source_a"), col("source_b"), col("n_features"),
+          (expr("sad div n_features").cast("double") / lit(1000000.0)).as("delta"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // ONE-WAY ANOVA of quality across sources (Fisher 1925 — the
+    // omnibus "do sources differ at all?" test upstream of q191's
+    // per-source CIs and q143's two-group permutation test): between/
+    // within sums of squares as EXACT truncating integer recipes over
+    // micro-scaled quality — w_i = (S_i²·1e6) div n_i, SSB = Σw_i −
+    // (S²·1e6) div N, SSW = (ΣQ_i)·1e6 − Σw_i (the recipe IS the
+    // statistic, q153's rule; DECIMAL(38,0)/HUGEINT since S_i² crosses
+    // 2^63 past ~3e9 docs) — and F and η² as one identical double
+    // expression each. The per-source moment table is the only
+    // corpus-derived input; everything downstream is k rows.
+    // The per-source moment table is the only corpus-derived input —
+    // k rows, so the exact arithmetic is a driver BigInt fold (the
+    // BpeTrainer K-scalars rule; per-group S_i²·1e6 div n_i exceeds
+    // BIGINT past ~1e6 docs/source, and Spark's div lands in LONG —
+    // the oracle's HUGEINT // has no such ceiling, the driver's BigInt
+    // matches it exactly).
+    "q210_anova_quality" -> ((s, d) => {
+      import s.implicits._
+      val g = t(s, d, "documents")
+        .select(col("source"),
+          floor(TF.qualityScore(col("text")) * 1000000.0 + 0.5)
+            .cast("long").as("qm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("qm").as("sq"),
+          sum(expr("cast(qm as decimal(38,0)) * qm")).as("qq"))
+        .collect()
+        .map(r => (BigInt(r.getLong(1)), BigInt(r.getLong(2)),
+          BigInt(r.getDecimal(3).toBigInteger)))
+      require(g.nonEmpty, "no documents")
+      val M = BigInt(1000000)
+      val k = BigInt(g.length)
+      val n = g.map(_._1).sum
+      val sTot = g.map(_._2).sum
+      val qTot = g.map(_._3).sum
+      val wSum = g.map { case (ni, si, _) => (si * si * M) / ni }.sum
+      val ssb = wSum - (sTot * sTot * M) / n
+      val ssw = qTot * M - wSum
+      val f =
+        if (ssw == 0 || k <= 1) None
+        else Some(BigDecimal((ssb * (n - k)).toDouble / (ssw * (k - 1)).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val eta2 =
+        if (ssb + ssw == 0) None
+        else Some(((ssb * M) / (ssb + ssw)).toDouble / 1e6)
+      Seq((k.toLong, n.toLong, ssb.toDouble / 1e6, ssw.toDouble / 1e6, f, eta2))
+        .toDF("k_groups", "n_docs", "ssb", "ssw", "f_stat", "eta2")
+    }),
+
+    // KENDALL TAU-B of quality vs length per source (Kendall 1945, the
+    // tie-corrected form — the concordance twin of q203's Spearman;
+    // the two disagree exactly when association is driven by a few
+    // extreme ranks, so shipping both is the standard practice):
+    // counted COMBINATORIALLY over a FIXED-GRID contingency table —
+    // decile-ish buckets qb = floor(q·10), lb = floor(len/64) capped,
+    // fixed-width so NO window is needed anywhere (q198's bucket
+    // argument; a rank-based decile would cost the one global ntile
+    // q180 documents) — concordant/discordant pairs are ONE cell
+    // self-join within source (≤100 cells/source at ANY corpus size),
+    // tie terms from row/column margins, everything DECIMAL(38,0)/
+    // HUGEINT (cell products cross 2^63 past ~3e9 docs), tau-b one
+    // identical double expression with exact-integer zero guards.
+    "q211_kendall_tau" -> ((s, d) => {
+      val cells = t(s, d, "documents")
+        .select(col("source"),
+          least(lit(9L), floor(TF.qualityScore(col("text")) * 10.0)).as("qb"),
+          least(lit(9L), TF.bpeTokenCount(col("text")).cast("long").divide(lit(64)).cast("long")).as("lb"))
+        .groupBy("source", "qb", "lb").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // consumers: pair join, margins, totals
+      val pairs = cells.select(col("source"), col("qb").as("qa"), col("lb").as("la"),
+          col("c").as("ca"))
+        .join(cells.select(col("source"), col("qb").as("qbb"), col("lb").as("lbb"),
+          col("c").as("cb")), "source")
+        .where(col("qa") < col("qbb"))
+        .groupBy("source")
+        .agg(
+          sum(when(col("la") < col("lbb"),
+            expr("cast(ca as decimal(38,0)) * cb")).otherwise(lit(0))).as("nc"),
+          sum(when(col("la") > col("lbb"),
+            expr("cast(ca as decimal(38,0)) * cb")).otherwise(lit(0))).as("nd"))
+      val rowm = cells.groupBy("source", "qb").agg(sum("c").as("r"))
+        .groupBy("source").agg(sum(expr("cast(r as decimal(38,0)) * (r - 1)")).as("tr"))
+      val colm = cells.groupBy("source", "lb").agg(sum("c").as("cc"))
+        .groupBy("source").agg(sum(expr("cast(cc as decimal(38,0)) * (cc - 1)")).as("tc"))
+      val tot = cells.groupBy("source").agg(sum("c").as("n"))
+      tot.join(pairs, Seq("source"), "left")
+        .join(rowm, "source").join(colm, "source")
+        .select(col("source"), col("n"),
+          coalesce(col("nc"), lit(0)).cast("decimal(38,0)").as("n_conc"),
+          coalesce(col("nd"), lit(0)).cast("decimal(38,0)").as("n_disc"),
+          col("tr"), col("tc"))
+        .select(col("source"), col("n"),
+          col("n_conc").cast("long").as("nc"), col("n_disc").cast("long").as("nd"),
+          when(expr("cast(n as decimal(38,0)) * (n - 1) - tr") === lit(0) ||
+               expr("cast(n as decimal(38,0)) * (n - 1) - tc") === lit(0),
+            lit(null).cast("double"))
+            .otherwise(round(
+              expr("cast(2 * (n_conc - n_disc) as double)") /
+              sqrt(expr("cast(cast(n as decimal(38,0)) * (n - 1) - tr as double)") *
+                expr("cast(cast(n as decimal(38,0)) * (n - 1) - tc as double)")), 6))
+            .as("tau_b"))
+        .orderBy("source")
+    }),
+
+    // MANN-KENDALL TREND TEST on daily event volume (Mann 1945 /
+    // Kendall 1975 — the nonparametric "is volume trending?" the ops
+    // review asks before q208's forecast is trusted; distribution-free
+    // where q177's Theil-Sen estimates the slope, this tests its
+    // existence): S = Σ sign(v_b − v_a) over day pairs — the day
+    // relation is aggregate-sized so the pair join is days² by
+    // construction, never a corpus quadratic; the tie-corrected
+    // variance stays the exact INTEGER 18·Var(S) = n(n−1)(2n+5) −
+    // Σt(t−1)(2t+5); the continuity-corrected z is one identical
+    // double expression both engines.
+    "q212_mann_kendall" -> ((s, d) => {
+      val days = t(s, d, "events")
+        .select(date_format(timestamp_micros(tsMicros), "yyyy-MM-dd").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("v"))
+        .localCheckpoint(false) // consumers: pair join, tie groups, count
+      // explicitly-quadratic over the AGGREGATE-SIZED day relation
+      // (days² pairs at any corpus size — the q177 slope-pair argument)
+      val sStat = days.select(col("day").as("day_a"), col("v").as("va"))
+        .crossJoin(days.select(col("day").as("day_b"), col("v").as("vb")))
+        .where(col("day_a") < col("day_b"))
+        .agg(sum(signum(col("vb") - col("va")).cast("long")).as("s_stat"))
+      val n = days.agg(count(lit(1)).as("n_days"))
+      val ties = days.groupBy("v").agg(count(lit(1)).as("tg"))
+        .agg(sum(expr("cast(tg as decimal(38,0)) * (tg - 1) * (2 * tg + 5)")).as("tsum"))
+      n.crossJoin(broadcast(sStat)).crossJoin(broadcast(ties))
+        .select(col("n_days"), col("s_stat"),
+          expr("cast(n_days as decimal(38,0)) * (n_days - 1) * (2 * n_days + 5) - tsum")
+            .cast("decimal(38,0)").as("var18"))
+        .select(col("n_days"), col("s_stat"), col("var18").cast("long").as("var18s"),
+          when(col("var18") === lit(0), lit(null).cast("double"))
+            .otherwise(round(
+              when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+                .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+                .otherwise(lit(0.0)) /
+              sqrt(col("var18").cast("double") / lit(18.0)), 6)).as("z"))
+        .withColumnRenamed("var18s", "var18")
+    }),
+
+    // AUTOCORRELATION FUNCTION of daily event volume at lags 1..7
+    // (Box & Jenkins 1970 — the dependence fingerprint that justifies
+    // q204's weekly seasonal model: a 7-day cycle shows as an ACF peak
+    // at lag 7): multiplying numerator and denominator by n² makes
+    // every term exact — r_k = Σ(n·v_t−S)(n·v_{t+k}−S) / Σ(n·v_t−S)²
+    // over DECIMAL(38,0)/HUGEINT products (n·v wraps BIGINT past ~9e5
+    // days × 1e13 events); the idx window and the lag-k self-join run
+    // on the aggregate-sized day relation; one identical double
+    // division per lag, round-6.
+    "q213_volume_acf" -> ((s, d) => {
+      val days = t(s, d, "events")
+        .select(date_format(timestamp_micros(tsMicros), "yyyy-MM-dd").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("v"))
+        .withColumn("idx", row_number().over(Window.orderBy("day")))
+        .localCheckpoint(false) // consumers: totals, den, 7 lag joins
+      val tot = days.agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val dev = days.crossJoin(broadcast(tot))
+        .select(col("idx"), expr("cast(n as decimal(38,0)) * v - sv").as("dv"))
+        .localCheckpoint(false) // consumers: den + lag join
+      val den = dev.agg(sum(expr("dv * dv")).as("den"))
+      val lags = (1 to 7).map { k =>
+        dev.select(col("idx"), col("dv").as("dva"))
+          .join(dev.select((col("idx") - k).as("idx"), col("dv").as("dvb")), "idx")
+          .agg(lit(k).as("lag"), count(lit(1)).as("n_pairs"),
+            sum(expr("dva * dvb")).as("num"))
+      }.reduce(_ unionByName _)
+      lags.crossJoin(broadcast(den))
+        .select(col("lag"), col("n_pairs"),
+          when(col("den") === lit(0), lit(null).cast("double"))
+            .otherwise(round(col("num").cast("double") / col("den").cast("double"), 6))
+            .as("acf"))
+        .orderBy("lag")
+    }),
+
+    // REFERENTIAL-INTEGRITY PROFILE of the relational star (the
+    // data-quality contract check every warehouse load runs before
+    // joining: orphaned children, childless parents, fan-out envelope —
+    // the profiling member q129's FD mining and q130's column profiles
+    // don't cover because they look at one table at a time): per
+    // (parent, child) edge, child rows aggregate to per-key fan-out
+    // FIRST (partial-aggregated groupBy on the join key — child rows
+    // never cross the shuffle raw), then ONE full-outer join against
+    // the parent key set classifies every key as matched / orphan /
+    // childless; all counts exact, mean fan-out a truncating micro
+    // division with a DECIMAL(38,0) numerator. Generic over (parent,
+    // pk, child, fk) — applied to orders→lineitem and customer→orders.
+    "q214_referential_integrity" -> ((s, d) => {
+      def profile(rel: String, parent: DataFrame, pk: String,
+          child: DataFrame, fk: String): DataFrame = {
+        val p = parent.select(col(pk).as("k")).withColumn("in_p", lit(1L))
+        val fan = child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("f"))
+        p.join(fan, Seq("k"), "full_outer")
+          .agg(
+            coalesce(sum("in_p"), lit(0L)).as("n_parent"),
+            coalesce(sum("f"), lit(0L)).as("n_child_rows"),
+            coalesce(sum(when(col("in_p").isNull, col("f"))), lit(0L))
+              .as("n_orphan_child_rows"),
+            coalesce(sum(when(col("in_p").isNotNull && col("f").isNull, lit(1L))),
+              lit(0L)).as("n_childless_parent"),
+            coalesce(max(when(col("in_p").isNotNull, coalesce(col("f"), lit(0L)))),
+              lit(0L)).as("max_fanout"))
+          .select(lit(rel).as("relation"), col("n_parent"), col("n_child_rows"),
+            col("n_orphan_child_rows"), col("n_childless_parent"), col("max_fanout"),
+            when(col("n_parent") === 0, lit(null).cast("double"))
+              .otherwise(expr("cast(((cast(n_child_rows as decimal(38,0)) - " +
+                "n_orphan_child_rows) * 1000000) div n_parent as bigint)")
+                .cast("double") / lit(1000000.0)).as("mean_fanout"))
+      }
+      profile("orders->lineitem", t(s, d, "orders"), "o_orderkey",
+          t(s, d, "lineitem"), "l_orderkey")
+        .unionByName(profile("customer->orders", t(s, d, "customer"), "c_custkey",
+          t(s, d, "orders"), "o_custkey"))
+        .orderBy("relation")
+    }),
+
     // PER-SOURCE CORPUS SCORECARD — the r13 signals COMPOSED into the
     // one table a dataset owner actually reads (q100's dataset card is
     // corpus-global; this is the per-source drill-down): document
@@ -7930,6 +8495,386 @@ object Oracles {
                  JOIN nt nb ON pr.type_b = nb.event_type
                  CROSS JOIN ns
          WHERE n_ab >= 5 ORDER BY type_a, type_b""",
+
+    // identical truncating integer recipes — word/sentence/syllable
+    // counts exact both engines, every division // on nonnegatives
+    "q202_readability" ->
+      """WITH dd AS (SELECT source,
+                CAST(len(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS BIGINT) AS w,
+                CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sn,
+                CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS y
+              FROM documents),
+              ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                            CAST(sum(w) AS BIGINT) AS n_words,
+                            CAST(sum(sn) AS BIGINT) AS n_sentences,
+                            CAST(sum(y) AS BIGINT) AS n_syllables
+                     FROM dd GROUP BY source)
+         SELECT source, n_docs, n_words, n_sentences, n_syllables,
+                CAST(CAST((CAST(n_words AS HUGEINT) * 390000) // n_sentences +
+                     (CAST(n_syllables AS HUGEINT) * 11800000) // n_words
+                     - 15590000 AS BIGINT) AS DOUBLE) / 1000000.0 AS fk_grade,
+                CAST(CAST(206835000 - (CAST(n_words AS HUGEINT) * 1015000) // n_sentences -
+                     (CAST(n_syllables AS HUGEINT) * 84600000) // n_words
+                     AS BIGINT) AS DOUBLE) / 1000000.0 AS reading_ease
+         FROM ag WHERE n_words > 0 ORDER BY source""",
+
+    // histogram average ranks (2*r_prev + c + 1), centered by the exact
+    // mean n+1 so no n*S product; one identical double expression
+    "q203_spearman_rank" ->
+      s"""WITH $scoredDocsCte,
+              dd AS (SELECT source, doc_id,
+                            CAST(floor(q * 1000000.0 + 0.5) AS BIGINT) AS qm,
+                            CAST(toks AS BIGINT) AS len FROM scored),
+              ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM dd GROUP BY source),
+              hx AS (SELECT source, qm, CAST(count(*) AS BIGINT) AS c FROM dd GROUP BY 1, 2),
+              rx AS (SELECT source, qm,
+                            2 * COALESCE(sum(c) OVER (PARTITION BY source ORDER BY qm
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2x
+                     FROM hx),
+              hy AS (SELECT source, len, CAST(count(*) AS BIGINT) AS c FROM dd GROUP BY 1, 2),
+              ry AS (SELECT source, len,
+                            2 * COALESCE(sum(c) OVER (PARTITION BY source ORDER BY len
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2y
+                     FROM hy),
+              ce AS (SELECT d.source, ns.n,
+                            rx.r2x - ns.n - 1 AS cx, ry.r2y - ns.n - 1 AS cy
+                     FROM dd d JOIN rx ON d.source = rx.source AND d.qm = rx.qm
+                               JOIN ry ON d.source = ry.source AND d.len = ry.len
+                               JOIN ns ON d.source = ns.source),
+              ag AS (SELECT source, n,
+                            sum(CAST(cx AS HUGEINT) * cy) AS sxy,
+                            sum(CAST(cx AS HUGEINT) * cx) AS sxx,
+                            sum(CAST(cy AS HUGEINT) * cy) AS syy
+                     FROM ce GROUP BY source, n)
+         SELECT source, n,
+                round(CAST(sxy AS DOUBLE) /
+                      sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6) AS rho
+         FROM ag WHERE sxx > 0 AND syy > 0 ORDER BY source""",
+
+    // centered 7-day MA + sign-split weekday means over the day
+    // aggregate; isodow-1 == Spark's weekday (0 = Monday)
+    "q204_seasonal_volume" ->
+      """WITH dv AS (SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS v
+                     FROM events GROUP BY 1),
+              tr AS (SELECT day, v,
+                            count(*) OVER w7 AS n7,
+                            sum(v) OVER w7 AS s7,
+                            isodow(CAST(day AS DATE)) - 1 AS wd
+                     FROM dv WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              de AS (SELECT day, v, wd,
+                            CASE WHEN n7 = 7 THEN
+                              CAST((CAST(s7 AS HUGEINT) * 1000000) // 7 AS BIGINT) END AS trend_micro
+                     FROM tr),
+              d2 AS (SELECT *, CAST(CAST(v AS HUGEINT) * 1000000 AS BIGINT) - trend_micro AS det_micro
+                     FROM de),
+              se AS (SELECT wd, CAST(sum(det_micro) AS HUGEINT) AS sd,
+                            CAST(count(*) AS BIGINT) AS nd
+                     FROM d2 WHERE det_micro IS NOT NULL GROUP BY wd),
+              sm AS (SELECT wd, CAST(CASE WHEN sd < 0 THEN -((-sd) // nd)
+                                          ELSE sd // nd END AS BIGINT) AS seasonal_micro
+                     FROM se)
+         SELECT day, v,
+                CAST(trend_micro AS DOUBLE) / 1000000.0 AS trend,
+                CAST(seasonal_micro AS DOUBLE) / 1000000.0 AS seasonal,
+                CAST(det_micro - seasonal_micro AS DOUBLE) / 1000000.0 AS remainder
+         FROM d2 LEFT JOIN sm USING (wd) ORDER BY day""",
+
+    // combinatorial Simpson over the (source, token) histogram; every
+    // index a truncating micro division of HUGEINT products
+    "q205_lexical_diversity" ->
+      """WITH tf AS (SELECT source, unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                     FROM documents),
+              h AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM tf GROUP BY 1, 2),
+              ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+                            CAST(sum(c) AS BIGINT) AS n_tokens,
+                            CAST(max(c) AS BIGINT) AS max_c,
+                            sum(CAST(c AS HUGEINT) * (c - 1)) AS rep2
+                     FROM h GROUP BY source)
+         SELECT source, n_types, n_tokens,
+                CAST(CAST((rep2 * 1000000) // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+                     AS BIGINT) AS DOUBLE) / 1000000.0 AS simpson,
+                CAST(1000000 - CAST((rep2 * 1000000) // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+                     AS BIGINT) AS DOUBLE) / 1000000.0 AS pie,
+                CAST(CAST((CAST(max_c AS HUGEINT) * 1000000) // n_tokens AS BIGINT) AS DOUBLE)
+                  / 1000000.0 AS berger_parker,
+                CAST(CAST((CAST(n_types AS HUGEINT) * 1000000) // n_tokens AS BIGINT) AS DOUBLE)
+                  / 1000000.0 AS ttr
+         FROM ag WHERE n_tokens > 1 ORDER BY source""",
+
+    // the q26 pair graph; Newman r over exact HUGEINT degree sums, the
+    // zero-variance guard an exact integer comparison
+    "q206_dup_assortativity" ->
+      s"""WITH $minhashPairsCte,
+              p AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+              dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+                       SELECT doc_a AS id FROM p UNION ALL SELECT doc_b AS id FROM p) u
+                     GROUP BY id),
+              e AS (SELECT x.deg AS da, y.deg AS db
+                    FROM p JOIN dg x ON p.doc_a = x.id JOIN dg y ON p.doc_b = y.id),
+              ag AS (SELECT CAST(count(*) AS BIGINT) AS m_edges,
+                            sum(CAST(da AS HUGEINT) + db) AS s1,
+                            sum(CAST(da AS HUGEINT) * da + CAST(db AS HUGEINT) * db) AS s2,
+                            sum(CAST(da AS HUGEINT) * db) AS s3
+                     FROM e),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM dg)
+         SELECT n_nodes, m_edges,
+                CASE WHEN 2 * CAST(m_edges AS HUGEINT) * s2 - s1 * s1 = 0 THEN NULL
+                     ELSE round(CAST(4 * CAST(m_edges AS HUGEINT) * s3 - s1 * s1 AS DOUBLE) /
+                                CAST(2 * CAST(m_edges AS HUGEINT) * s2 - s1 * s1 AS DOUBLE), 6)
+                END AS assortativity
+         FROM ag CROSS JOIN nn""",
+
+    // same portable-md5 position draws; fill^k as an exact HUGEINT
+    // quartic over 2^64
+    "q207_bloom_fpr" ->
+      """WITH dh AS (SELECT CAST(substr(source, 4) AS INT) AS sid,
+                            ('0x'||substr(md5(text),1,15))::BIGINT AS h
+                     FROM documents),
+              ins AS (SELECT DISTINCT h FROM dh WHERE sid < 10),
+              pr AS (SELECT DISTINCT h FROM dh WHERE sid >= 10
+                     AND h NOT IN (SELECT h FROM ins)),
+              ii AS (SELECT unnest(range(4)) AS i),
+              ip AS (SELECT h, ('0x'||substr(md5(h || '#' || i),1,15))::BIGINT % 65536 AS pos
+                     FROM ins CROSS JOIN ii),
+              bits AS (SELECT DISTINCT pos FROM ip),
+              pp AS (SELECT h, ('0x'||substr(md5(h || '#' || i),1,15))::BIGINT % 65536 AS pos
+                     FROM pr CROSS JOIN ii),
+              fp AS (SELECT CAST(count(*) AS BIGINT) AS n_false_pos FROM (
+                       SELECT pp.h FROM pp JOIN bits USING (pos)
+                       GROUP BY pp.h HAVING count(*) = 4) f),
+              ni AS (SELECT CAST(count(*) AS BIGINT) AS n_inserted FROM ins),
+              np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM pr),
+              bs AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits)
+         SELECT n_inserted, n_probes, CAST(65536 AS BIGINT) AS m_bits,
+                CAST(4 AS BIGINT) AS k_hashes, bits_set, n_false_pos,
+                CASE WHEN n_probes = 0 THEN NULL
+                     ELSE CAST(CAST((CAST(n_false_pos AS HUGEINT) * 1000000) // n_probes
+                          AS BIGINT) AS DOUBLE) / 1000000.0 END AS measured_fpr,
+                CAST(CAST((CAST(bits_set AS HUGEINT) * bits_set * bits_set * bits_set * 1000000)
+                     // 18446744073709551616 AS BIGINT) AS DOUBLE) / 1000000.0 AS predicted_fpr
+         FROM ni CROSS JOIN np CROSS JOIN bs CROSS JOIN fp""",
+
+    // the driver BigInt recurrence replayed as a RECURSIVE CTE over the
+    // day index — single-row frontier, sign-split truncating divisions
+    "q208_holt_smoothing" ->
+      """WITH RECURSIVE dv AS (
+                SELECT day, v, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+                FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS v
+                      FROM events GROUP BY 1) g),
+              hw(idx, l, b, fc) AS (
+                SELECT idx, CAST(v AS HUGEINT) * 1000000, CAST(0 AS HUGEINT),
+                       CAST(NULL AS HUGEINT)
+                FROM dv WHERE idx = 1
+                UNION ALL
+                SELECT idx, nl,
+                       CASE WHEN nl - pl + 3 * pb < 0 THEN -((-(nl - pl + 3 * pb)) // 4)
+                            ELSE (nl - pl + 3 * pb) // 4 END,
+                       fc
+                FROM (SELECT d.idx, h.l AS pl, h.b AS pb, h.l + h.b AS fc,
+                             CASE WHEN CAST(d.v AS HUGEINT) * 1000000 + h.l + h.b < 0
+                                  THEN -((-(CAST(d.v AS HUGEINT) * 1000000 + h.l + h.b)) // 2)
+                                  ELSE (CAST(d.v AS HUGEINT) * 1000000 + h.l + h.b) // 2
+                             END AS nl
+                      FROM dv d JOIN hw h ON d.idx = h.idx + 1) x)
+         SELECT dv.day, dv.v,
+                CAST(hw.l AS DOUBLE) / 1000000.0 AS level,
+                CAST(hw.b AS DOUBLE) / 1000000.0 AS trend,
+                CAST(hw.fc AS DOUBLE) / 1000000.0 AS forecast,
+                CAST(CAST(dv.v AS HUGEINT) * 1000000 - hw.fc AS DOUBLE) / 1000000.0 AS fc_error
+         FROM dv JOIN hw USING (idx) ORDER BY day""",
+
+    // top-50 by one vocabulary rank (the engine TakeOrders); z collapses
+    // to (k*f - Sf)/sqrt(k*Qf - Sf^2) — exact integer operands, one
+    // identical double expression, re-quantized to 6dp before the
+    // order-free pairwise integer sum
+    "q209_burrows_delta" ->
+      """WITH tf AS (SELECT source, unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                     FROM documents),
+              h AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM tf GROUP BY 1, 2),
+              tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok FROM h GROUP BY source),
+              gt AS (SELECT token, CAST(sum(c) AS BIGINT) AS gc FROM h GROUP BY token),
+              top AS (SELECT token FROM (
+                        SELECT token, row_number() OVER (ORDER BY gc DESC, token) AS rn
+                        FROM gt) r
+                      WHERE rn <= 50),
+              f AS (SELECT t.source, p.token,
+                           CAST((CAST(coalesce(h.c, 0) AS HUGEINT) * 1000000) // t.n_tok
+                                AS BIGINT) AS fm
+                    FROM tot t CROSS JOIN top p
+                    LEFT JOIN h ON h.source = t.source AND h.token = p.token),
+              s0 AS (SELECT token, CAST(count(*) AS BIGINT) AS k,
+                            CAST(sum(fm) AS BIGINT) AS sf,
+                            sum(CAST(fm AS HUGEINT) * fm) AS qf
+                     FROM f GROUP BY token),
+              st AS (SELECT * FROM s0
+                     WHERE CAST(k AS HUGEINT) * qf - CAST(sf AS HUGEINT) * sf > 0),
+              z AS (SELECT f.source, f.token,
+                           CAST(round(CAST(CAST(st.k AS HUGEINT) * f.fm - st.sf AS DOUBLE) /
+                                sqrt(CAST(CAST(st.k AS HUGEINT) * st.qf -
+                                     CAST(st.sf AS HUGEINT) * st.sf AS DOUBLE))
+                                * 1000000, 0) AS BIGINT) AS zm
+                    FROM f JOIN st ON f.token = st.token),
+              ag AS (SELECT a.source AS source_a, b.source AS source_b,
+                            CAST(count(*) AS BIGINT) AS n_features,
+                            CAST(sum(abs(a.zm - b.zm)) AS BIGINT) AS sad
+                     FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+                     GROUP BY 1, 2)
+         SELECT source_a, source_b, n_features,
+                CAST(sad // n_features AS DOUBLE) / 1000000.0 AS delta
+         FROM ag ORDER BY source_a, source_b""",
+
+    // scored's q micro-scaled once; per-group and total micro quotients
+    // as HUGEINT //, mirroring the driver's truncating BigInt fold
+    "q210_anova_quality" ->
+      s"""WITH $scoredDocsCte,
+              dd AS (SELECT source, CAST(floor(q * 1000000.0 + 0.5) AS BIGINT) AS qm
+                     FROM scored),
+              g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(qm) AS BIGINT) AS sq,
+                           sum(CAST(qm AS HUGEINT) * qm) AS qq
+                    FROM dd GROUP BY source),
+              ag AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                            CAST(sum(n) AS BIGINT) AS n_docs,
+                            CAST(sum(sq) AS HUGEINT) AS s_tot,
+                            CAST(sum(qq) AS HUGEINT) AS q_tot,
+                            sum((CAST(sq AS HUGEINT) * sq * 1000000) // n) AS w_sum
+                     FROM g),
+              fin AS (SELECT k_groups, n_docs,
+                             w_sum - (s_tot * s_tot * 1000000) // n_docs AS ssb_micro,
+                             q_tot * 1000000 - w_sum AS ssw_micro
+                      FROM ag)
+         SELECT k_groups, n_docs,
+                CAST(ssb_micro AS DOUBLE) / 1000000.0 AS ssb,
+                CAST(ssw_micro AS DOUBLE) / 1000000.0 AS ssw,
+                CASE WHEN ssw_micro = 0 OR k_groups <= 1 THEN NULL
+                     ELSE round(CAST(ssb_micro * (n_docs - k_groups) AS DOUBLE) /
+                                CAST(ssw_micro * (k_groups - 1) AS DOUBLE), 6) END AS f_stat,
+                CASE WHEN ssb_micro + ssw_micro = 0 THEN NULL
+                     WHEN ssb_micro < 0
+                       THEN -(CAST(((-ssb_micro) * 1000000) // (ssb_micro + ssw_micro)
+                              AS DOUBLE)) / 1000000.0
+                     ELSE CAST((ssb_micro * 1000000) // (ssb_micro + ssw_micro)
+                          AS DOUBLE) / 1000000.0 END AS eta2
+         FROM fin""",
+
+    // fixed-grid contingency cells (no window), one within-source cell
+    // self-join, tie margins, tau-b one identical double expression
+    "q211_kendall_tau" ->
+      s"""WITH $scoredDocsCte,
+              dd AS (SELECT source,
+                            least(9, CAST(floor(q * 10.0) AS BIGINT)) AS qb,
+                            least(9, CAST(toks AS BIGINT) // 64) AS lb
+                     FROM scored),
+              cells AS (SELECT source, qb, lb, CAST(count(*) AS BIGINT) AS c
+                        FROM dd GROUP BY 1, 2, 3),
+              pr AS (SELECT a.source,
+                            sum(CASE WHEN a.lb < b.lb THEN CAST(a.c AS HUGEINT) * b.c
+                                     ELSE 0 END) AS nc,
+                            sum(CASE WHEN a.lb > b.lb THEN CAST(a.c AS HUGEINT) * b.c
+                                     ELSE 0 END) AS nd
+                     FROM cells a JOIN cells b
+                       ON a.source = b.source AND a.qb < b.qb
+                     GROUP BY a.source),
+              rm AS (SELECT source, sum(CAST(r AS HUGEINT) * (r - 1)) AS tr FROM (
+                       SELECT source, qb, CAST(sum(c) AS BIGINT) AS r
+                       FROM cells GROUP BY 1, 2) x GROUP BY source),
+              cm AS (SELECT source, sum(CAST(cc AS HUGEINT) * (cc - 1)) AS tc FROM (
+                       SELECT source, lb, CAST(sum(c) AS BIGINT) AS cc
+                       FROM cells GROUP BY 1, 2) y GROUP BY source),
+              tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY source)
+         SELECT tt.source AS source, n,
+                CAST(coalesce(pr.nc, 0) AS BIGINT) AS nc,
+                CAST(coalesce(pr.nd, 0) AS BIGINT) AS nd,
+                CASE WHEN CAST(n AS HUGEINT) * (n - 1) - tr = 0
+                       OR CAST(n AS HUGEINT) * (n - 1) - tc = 0 THEN NULL
+                     ELSE round(CAST(2 * (coalesce(pr.nc, 0) - coalesce(pr.nd, 0)) AS DOUBLE) /
+                                sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - tr AS DOUBLE) *
+                                     CAST(CAST(n AS HUGEINT) * (n - 1) - tc AS DOUBLE)), 6)
+                END AS tau_b
+         FROM tt LEFT JOIN pr ON tt.source = pr.source
+                 JOIN rm ON tt.source = rm.source
+                 JOIN cm ON tt.source = cm.source
+         ORDER BY tt.source""",
+
+    // day-pair sign sum + exact integer 18*Var(S) with tie correction;
+    // continuity-corrected z one identical double expression
+    "q212_mann_kendall" ->
+      """WITH dv AS (SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS v
+                     FROM events GROUP BY 1),
+              sp AS (SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+                                          WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+                     FROM dv a JOIN dv b ON a.day < b.day),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM dv),
+              ti AS (SELECT sum(CAST(tg AS HUGEINT) * (tg - 1) * (2 * tg + 5)) AS tsum FROM (
+                       SELECT v, CAST(count(*) AS BIGINT) AS tg FROM dv GROUP BY v) g),
+              fin AS (SELECT n_days, s_stat,
+                             CAST(n_days AS HUGEINT) * (n_days - 1) * (2 * n_days + 5) - tsum AS var18
+                      FROM nn CROSS JOIN sp CROSS JOIN ti)
+         SELECT n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+                CASE WHEN var18 = 0 THEN NULL
+                     ELSE round((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                                      WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                                      ELSE 0.0 END) /
+                                sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) END AS z
+         FROM fin""",
+
+    // n^2-scaled exact deviations; per-lag numerators over the
+    // aggregate-sized day relation, LEFT-preserved so every lag emits
+    "q213_volume_acf" ->
+      """WITH dv AS (SELECT day, v, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+                     FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS v
+                           FROM events GROUP BY 1) g),
+              tt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv FROM dv),
+              de AS (SELECT idx, CAST(n AS HUGEINT) * v - sv AS dv2 FROM dv CROSS JOIN tt),
+              den AS (SELECT sum(dv2 * dv2) AS den FROM de),
+              ks AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS "lag"),
+              pairs AS (SELECT k."lag" AS "lag", a.dv2 AS da, b.dv2 AS db
+                        FROM ks k, de a, de b WHERE b.idx = a.idx + k."lag"),
+              nums AS (SELECT k."lag" AS "lag", CAST(count(p.da) AS BIGINT) AS n_pairs,
+                              sum(p.da * p.db) AS num
+                       FROM ks k LEFT JOIN pairs p ON k."lag" = p."lag"
+                       GROUP BY 1)
+         SELECT "lag", n_pairs,
+                CASE WHEN den = 0 THEN NULL
+                     ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS acf
+         FROM nums CROSS JOIN den ORDER BY "lag"""",
+
+    // per-edge fan-out aggregated before ONE full-outer key join; all
+    // counts exact, mean fan-out a truncating micro division
+    "q214_referential_integrity" ->
+      """WITH f1 AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS f
+                     FROM lineitem GROUP BY 1),
+              p1 AS (SELECT o_orderkey AS k, 1 AS in_p FROM orders),
+              a1 AS (SELECT 'orders->lineitem' AS relation,
+                            CAST(coalesce(sum(in_p), 0) AS BIGINT) AS n_parent,
+                            CAST(coalesce(sum(f), 0) AS BIGINT) AS n_child_rows,
+                            CAST(coalesce(sum(CASE WHEN in_p IS NULL THEN f END), 0) AS BIGINT)
+                              AS n_orphan_child_rows,
+                            CAST(coalesce(sum(CASE WHEN in_p IS NOT NULL AND f IS NULL
+                                               THEN 1 END), 0) AS BIGINT) AS n_childless_parent,
+                            CAST(coalesce(max(CASE WHEN in_p IS NOT NULL
+                                               THEN coalesce(f, 0) END), 0) AS BIGINT) AS max_fanout
+                     FROM p1 FULL OUTER JOIN f1 USING (k)),
+              f2 AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS f
+                     FROM orders GROUP BY 1),
+              p2 AS (SELECT c_custkey AS k, 1 AS in_p FROM customer),
+              a2 AS (SELECT 'customer->orders' AS relation,
+                            CAST(coalesce(sum(in_p), 0) AS BIGINT) AS n_parent,
+                            CAST(coalesce(sum(f), 0) AS BIGINT) AS n_child_rows,
+                            CAST(coalesce(sum(CASE WHEN in_p IS NULL THEN f END), 0) AS BIGINT)
+                              AS n_orphan_child_rows,
+                            CAST(coalesce(sum(CASE WHEN in_p IS NOT NULL AND f IS NULL
+                                               THEN 1 END), 0) AS BIGINT) AS n_childless_parent,
+                            CAST(coalesce(max(CASE WHEN in_p IS NOT NULL
+                                               THEN coalesce(f, 0) END), 0) AS BIGINT) AS max_fanout
+                     FROM p2 FULL OUTER JOIN f2 USING (k))
+         SELECT relation, n_parent, n_child_rows, n_orphan_child_rows,
+                n_childless_parent, max_fanout,
+                CASE WHEN n_parent = 0 THEN NULL
+                     ELSE CAST(CAST(((CAST(n_child_rows AS HUGEINT) - n_orphan_child_rows)
+                          * 1000000) // n_parent AS BIGINT) AS DOUBLE) / 1000000.0
+                END AS mean_fanout
+         FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) u ORDER BY relation""",
 
     // the oracle ranks the vocab once (no scale constraint) where the
     // engine runs 5 TakeOrdered probes

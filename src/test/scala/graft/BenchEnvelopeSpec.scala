@@ -94,19 +94,35 @@ class BenchEnvelopeSpec extends AnyFunSuite {
     assert(breaches.isEmpty, "shuffle-bytes envelope breaches:\n" + breaches.mkString("\n"))
   }
 
-  test("no query's clean min exceeds 3x its committed envelope at sf0.01") {
+  test("no query's clean min exceeds 3x its CONTENTION-NORMALIZED envelope at sf0.01") {
+    // r13 hardening: the fixed 3x margin flaked on a loaded host (a
+    // 0.18s-envelope query measured 4.3s min-of-3 while the same build's
+    // quiet Bench read 0.25s — pure scheduler starvation at load_ratio
+    // ~5, not a regression). Host contention slows EVERY query by a
+    // similar factor, so normalize by the suite-wide MEDIAN
+    // ratio-to-envelope before judging any single query: a contended run
+    // raises the median and every limit with it, while one genuinely
+    // regressed query still stands 3x above its peers. A regression
+    // broad enough to move the median itself is exactly what the
+    // driver's per-round 2x-gate sweep and the shuffle-bytes plan gate
+    // above are for.
     val env = BenchEnvelope.load().getOrElse(sfKey, Map.empty)
     assert(env.nonEmpty, "BENCH_ENVELOPE.json must carry an sf0.01 section")
-    val breaches = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      env.get(name).flatMap { limit0 =>
-        val limit = 3.0 * limit0
-        timeOnce(name) // warm: JIT + codegen + page cache, untimed
-        val first = timeOnce(name)
-        val best =
-          if (first <= limit) first
-          else math.min(first, (1 to 2).map(_ => timeOnce(name)).min)
-        if (best > limit) Some(f"$name: $best%.2fs > 3x envelope ${limit0}%.2fs") else None
-      }
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(env.contains)
+    val firstPass = names.map { name =>
+      timeOnce(name) // warm: JIT + codegen + page cache, untimed
+      name -> timeOnce(name)
+    }
+    val ratios = firstPass.map { case (n, s) => s / env(n) }.sorted
+    val medianRatio = math.max(1.0, ratios(ratios.size / 2))
+    val breaches = firstPass.flatMap { case (name, first) =>
+      val limit = 3.0 * env(name) * medianRatio
+      val best =
+        if (first <= limit) first
+        else math.min(first, (1 to 2).map(_ => timeOnce(name)).min)
+      if (best > limit)
+        Some(f"$name: $best%.2fs > 3x envelope ${env(name)}%.2fs x median ratio $medianRatio%.2f")
+      else None
     }
     assert(breaches.isEmpty, "runtime envelope breaches:\n" + breaches.mkString("\n"))
   }

@@ -397,4 +397,37 @@ class PlanGuardSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j }.isEmpty,
       "q192 grew a cartesian join")
   }
+
+  test("r13 batch 3: q202/q205/q211 windowless; q207/q209 broadcast sides; q209 TakeOrdered") {
+    // q202/q205/q211 are designed around NOT needing a window (fixed-
+    // width buckets / pure partial-aggregated groupBys — the q198
+    // argument); one appearing means the design regressed to ranking
+    for (q <- Seq("q202_readability", "q205_lexical_diversity", "q211_kendall_tau")) {
+      assert(windowsOf(executedPlans(q)).isEmpty,
+        s"$q grew a window — the fixed-grid/partial-agg design regressed")
+    }
+    // q207: the <=2^16-row bit set rides a BROADCAST semi-join into the
+    // probe stream; a sort-merge join here shuffles the probe stream
+    // against an aggregate-sized side
+    val p207 = executedPlans("q207_bloom_fpr")
+    assert(p207.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "q207's bit-set semi-join degraded to sort-merge")
+    assert(p207.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j }.isEmpty,
+      "q207 grew a cartesian join")
+    // q209: top-50 selection is a TakeOrderedAndProject over the
+    // aggregated global histogram (the q51/q199 rule), and the
+    // 50-token/20-source frame joins stay broadcast
+    val p209 = executedPlans("q209_burrows_delta")
+    assert(p209.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "q209 lost its TakeOrderedAndProject top-50")
+    assert(windowsOf(p209).isEmpty,
+      "q209 grew a window — the engine must never rank the vocabulary")
+    // q206: the degree join-back stays equi-keyed; the only
+    // nested-loop is the documented one-row aggregate broadcast
+    val p206 = executedPlans("q206_dup_assortativity")
+    assert(p206.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j }.isEmpty,
+      "q206 grew a cartesian join")
+  }
 }
