@@ -128,3 +128,39 @@ pd.DataFrame(golden_rows).to_csv(OUT, index=False)
 print(f"wrote {OUT}: {len(golden_rows)} cases, "
       f"{os.path.getsize(OUT) // 1024} KiB; "
       f"counts={[r['n_matches'] for r in golden_rows]}")
+
+# ---- operator-level golden for FalsePositiveFilter's concat mode ----
+# (r13 verdict #5) The kernel golden above proves MatchKernel reproduces
+# every stumpy-shim count from the exact (pattern, concatenated-series)
+# arrays the reference built. This second dump exposes the RAW
+# observation rows those arrays were built FROM, plus the cross-trace
+# concatenation order actually used, so a Spark test can run
+# FalsePositiveFilter.matchCounts(refSeriesMode="concat") end-to-end on
+# the obs table and hit the same counts — proving the operator's series
+# construction (not just the kernel) matches the reference's
+# listdir-ordered refs.loc[:, col] concatenation bit-for-bit, boundary
+# straddles included.
+OBS_OUT = os.path.join(REPO, "src/test/resources/fp_obs_golden.csv")
+ORDER_OUT = os.path.join(REPO, "src/test/resources/fp_trace_order.txt")
+# EVERY column except type_data is a "feature" to the reference — its
+# cols_to_visit includes the bookkeeping columns (original_filename
+# coerces via float("1_1") == 11.0, Python's underscore separator!),
+# their counts participate in the keep rule's argmin fallback, so the
+# operator golden must carry them to reproduce the keep flags exactly
+feats = [c for c in refs.columns if c != "type_data"]
+obs_rows = []
+for df in (refs, anos):
+    for wk, r in df.iterrows():
+        for f in feats:
+            obs_rows.append({
+                "window_key": wk, "trace_id": r["original_filename"],
+                "ano_id": int(r["ano_id"]), "timestamp": int(r["timestamp"]),
+                "type_data": int(r["type_data"]), "feature": f,
+                "value": repr(float(r[f]))})
+pd.DataFrame(obs_rows).to_csv(OBS_OUT, index=False)
+# the dict-insertion order of refs IS the reference's concatenation
+# order (listdir file order, then label-row order within a file)
+trace_order = list(dict.fromkeys(refs["original_filename"]))
+with open(ORDER_OUT, "w") as f:
+    f.write("\n".join(trace_order) + "\n")
+print(f"wrote {OBS_OUT}: {len(obs_rows)} obs rows; trace order {trace_order}")

@@ -169,14 +169,39 @@ object Bench {
     // a clean tail reading exonerates the code (host contention mid-sweep),
     // a repeated overshoot is a genuine regression — either way the round's
     // record carries both numbers instead of one polluted one.
+    // r13 hardening (verdict #2: one tail re-run on a load_ratio-5.49 host
+    // still read 12x on five queries with byte-identical plans): the tail
+    // re-run LOOPS — up to 3 attempts, stopping early the moment the min
+    // drops under 2x the envelope — so a contention burst has three
+    // separate chances to have passed before the number is believed, and
+    // the sweep also emits `median_env_ratio` (suite-wide median of
+    // min/envelope) so any consumer can median-normalize single-query
+    // readings exactly like BenchEnvelopeSpec's gate does.
     val noisy: Seq[(String, Double)] = good.flatMap { case (name, ok, _, _, _) =>
       envelope.get(name) match {
         case Some(env) if ok.min > 2.0 * env =>
           val fn = selected.toMap.apply(name)
-          val rerun = (1 to runs).map(_ => runOnce(name, fn)).collect { case Right(t) => t._1 }
-          if (rerun.nonEmpty) Some(name -> rerun.min) else None
+          var best = Double.MaxValue
+          var attempts = 0
+          while (attempts < 3 && best > 2.0 * env) {
+            val rerun = (1 to runs).map(_ => runOnce(name, fn))
+              .collect { case Right(t) => t._1 }
+            if (rerun.nonEmpty) best = math.min(best, rerun.min)
+            attempts += 1
+          }
+          if (best < Double.MaxValue) Some(name -> best) else None
         case _ => None
       }
+    }
+    val medianEnvRatio: Double = {
+      val rs = good.flatMap { case (name, ok, _, _, _) =>
+        envelope.get(name).map { env =>
+          val best = noisy.collectFirst { case (`name`, v) => math.min(v, ok.min) }
+            .getOrElse(ok.min)
+          best / math.max(env, 1e-9)
+        }
+      }.sorted
+      if (rs.isEmpty) 1.0 else rs(rs.size / 2)
     }
 
     // the second envelope dimension (r9 verdict #7): shuffle-bytes drift.
@@ -251,7 +276,7 @@ object Bench {
 
     val noisyJson = noisy.map { case (k, v) => jStr(k) + ":" + v }.mkString("{", ",", "}")
     val driftJson = bytesDrift.map { case (k, v) => jStr(k) + ":" + v }.mkString("{", ",", "}")
-    val contention = s""","wall_sec":$sweepWall,"load_ratio":${math.round(loadRatio * 100) / 100.0},"noisy":$noisyJson,"shuffle_bytes":$sbytes,"exchanges":$exchs,"bytes_drift":$driftJson"""
+    val contention = s""","wall_sec":$sweepWall,"load_ratio":${math.round(loadRatio * 100) / 100.0},"median_env_ratio":${math.round(medianEnvRatio * 1000) / 1000.0},"noisy":$noisyJson,"shuffle_bytes":$sbytes,"exchanges":$exchs,"bytes_drift":$driftJson"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"errors":$errs$contention,"n_ok":${good.size},"n_err":$nErr,"runs":$runs,"sf":"$sfDir"$extras}"""
     println(line)
     // The full per-query line is ~2.5 KB and grows with every query; a
@@ -259,7 +284,7 @@ object Bench {
     // mid-object (BENCH_r04.json: "parsed": null). Emit a second, compact
     // summary line AFTER it so any tail window always ends with one
     // complete parseable JSON object carrying the headline numbers.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${good.size},"n_err":$nErr,"runs":$runs,"load_ratio":${math.round(loadRatio * 100) / 100.0},"n_noisy":${noisy.size},"n_bytes_drift":${bytesDrift.size},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${good.size},"n_err":$nErr,"runs":$runs,"load_ratio":${math.round(loadRatio * 100) / 100.0},"median_env_ratio":${math.round(medianEnvRatio * 1000) / 1000.0},"n_noisy":${noisy.size},"n_bytes_drift":${bytesDrift.size},"sf":"$sfDir"}"""
     println(summary)
     // stdout of an sbt run is buried in [info] noise and tail-truncated
     // by at least one harness — ALWAYS write both lines to a file

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
@@ -138,7 +139,7 @@ object ExstreamPipeline {
       if (cfg.sampleFraction >= 1.0) lit(true)
       else md5(concat_ws("_", lit(cfg.seed), col("window_key"), col("type_data"),
         col("timestamp"), col("rs")).cast("binary")) < sampleCutoffHex(cfg.sampleFraction)
-    val obs = obs0.localCheckpoint(false)
+    val obs = obs0.ckptLazy
       .withColumn("rs", explode(array(rsValues.map(lit(_)): _*)))
       .where(col("rs") === -1 || sampled)
       .withColumn("window_key", concat_ws("#", col("rs"), col("window_key")))

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -195,7 +196,7 @@ object Queries {
     val ev = t(s, d, "embeddings")
       .select(col("vec_id"),
         posexplode(Similarity.quantized(col("embedding"))).as(Seq("pos", "vq")))
-      .localCheckpoint(false) // consumers: sums, n, moment matrix
+      .ckptLazy // consumers: sums, n, moment matrix
     val sPos = ev.groupBy("pos").agg(sum("vq").as("sv"))
     val nV = ev.agg(countDistinct("vec_id")).first().getLong(0)
     val cMat = ev.select(col("vec_id"), col("pos").as("p"), col("vq").as("va"))
@@ -207,7 +208,7 @@ object Queries {
       .select(col("p"), col("q"),
         (lit(nV).cast(DecimalType(38, 0)) * col("m").cast(DecimalType(38, 0)) -
           (col("sa") * col("sb")).cast(DecimalType(38, 0))).as("c"))
-      .localCheckpoint(eager = true) // reused by every matvec + rayleigh
+      .ckptEager // reused by every matvec + rayleigh
     new PcaCore(s, cMat)
   }
 
@@ -256,14 +257,14 @@ object Queries {
     val cnt = t(s, d, "documents")
       .select(col("lang"), TF.bpeTokenCount(col("text")).as("toks"))
       .groupBy("lang").agg(sum("toks").as("n_tokens"))
-      .localCheckpoint(false)
+      .ckptLazy
     val tot = cnt.agg(sum("n_tokens").as("nt"))
     val w = cnt.crossJoin(broadcast(tot))
       .select(col("lang"), col("n_tokens"),
         round(col("n_tokens").cast("double") / col("nt"), 6).as("p_raw"),
         round(sqrt(col("n_tokens").cast("double") / col("nt")), 6)
           .cast(DecimalType(18, 6)).as("w"))
-      .localCheckpoint(false)
+      .ckptLazy
     val z = w.agg(sum("w").as("z"))
     w.crossJoin(broadcast(z))
       .select(col("lang"), col("n_tokens"), col("p_raw"),
@@ -383,7 +384,7 @@ object Queries {
       val docs = t(s, d, "documents")
         .select(col("source"), TF.tokenCount(col("text")).cast("long").as("n"),
           chUdf(col("text")).as("chs"))
-        .localCheckpoint(false) // two consumers: chunk explode, token totals
+        .ckptLazy // two consumers: chunk explode, token totals
       val sc = docs.select(col("source"), explode(col("chs")).as("h"))
         .groupBy("source", "h").agg(count(lit(1)).as("c"))
       val agg = sc.groupBy("source")
@@ -420,7 +421,7 @@ object Queries {
         .select(col("doc_id"), col("source"), setUdf(col("text")).as("hs"))
         .where(size(col("hs")) > 0)
         .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
-        .localCheckpoint(false) // two consumers: first-occurrence, join back
+        .ckptLazy // two consumers: first-occurrence, join back
       val fd = sh.groupBy("h").agg(min("doc_id").as("fd"))
       sh.join(fd, "h")
         .groupBy("doc_id", "source")
@@ -451,7 +452,7 @@ object Queries {
       val lw = t(s, d, "documents")
         .select(col("lang"), explode(TF.tokens(col("text"))).as("word"))
         .groupBy("lang", "word").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false) // two consumers: vocabulary, apply join
+        .ckptLazy // two consumers: vocabulary, apply join
       val vocab = BpeTrainer.vocabularyFromCounts(lw, "word", "tf")
       val merges = BpeTrainer.train(vocab, merges = 6, minCount = 0L)
         .orderBy("merge_rank").collect().map(_.getString(1)).toSeq
@@ -489,7 +490,7 @@ object Queries {
         .select(col("doc_id"), setUdf(col("text")).as("hs"))
         .where(size(col("hs")) > 0)
         .select(col("doc_id"), explode(col("hs")).as("h"))
-        .localCheckpoint(false) // scanned once per greedy round
+        .ckptLazy // scanned once per greedy round
       var covered: DataFrame = s.range(0).select(col("id").as("h"))
       var selected = List.empty[Long]
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
@@ -509,7 +510,7 @@ object Queries {
           total += gain
           covered = covered
             .union(sh.where(col("doc_id") === docId).select("h"))
-            .distinct().localCheckpoint(eager = true)
+            .distinct().ckptEager
           out += ((r, docId, gain, total))
           r += 1
         }
@@ -590,7 +591,7 @@ object Queries {
         .select(explode(shUdf(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("r"))
         .groupBy("r").agg(count(lit(1)).as("n_r"))
-        .localCheckpoint(false) // two consumers: rows, shifted self-join
+        .ckptLazy // two consumers: rows, shifted self-join
       nr.where(col("r") <= 10)
         .join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")),
           Seq("r"), "left")
@@ -621,7 +622,7 @@ object Queries {
       val cnt = t(s, d, "documents")
         .select(col("source"), TF.bpeTokenCount(col("text")).cast("long").as("n"))
         .groupBy("source", "n").agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // consumers: spine, grid
+        .ckptLazy // consumers: spine, grid
       val spine = cnt.groupBy("n").agg(sum("c").as("cg"))
         .withColumn("gcum", sum("cg").over(Window.orderBy("n")))
         .crossJoin(broadcast(cnt.agg(sum("c").as("gtot"))))
@@ -637,7 +638,7 @@ object Queries {
           abs(expr("cast(cum * 1000000 as bigint) div tot") -
             expr("cast((gcum - cum) * 1000000 as bigint) div (gtot - tot)"))
             .as("diff"))
-        .localCheckpoint(false) // consumers: max, argmax join
+        .ckptLazy // consumers: max, argmax join
       val mx = diffs.groupBy("source").agg(max("diff").as("ksq"))
       diffs.join(mx, "source").where(col("diff") === col("ksq"))
         .groupBy("source").agg(min("n").as("n_at_max"), max("ksq").as("ksq"))
@@ -664,7 +665,7 @@ object Queries {
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("vec_id"), col("pos").cast("long").as("pos"),
           floor(col("v").cast("double") * 1024.0).cast("long").as("vq"))
-        .localCheckpoint(false) // consumers: range table, error pass
+        .ckptLazy // consumers: range table, error pass
       val mm = q.groupBy("pos").agg(min("vq").as("qmin"), max("vq").as("qmax"))
       q.join(broadcast(mm), "pos")
         .withColumn("c",
@@ -703,7 +704,7 @@ object Queries {
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("vec_id"), col("pos").cast("long").as("pos"),
           floor(col("v").cast("double") * 1024.0).cast("long").as("vq"))
-        .localCheckpoint(false) // consumers: projection, exact pairs
+        .ckptLazy // consumers: projection, exact pairs
       val signs = s.range(64).select(col("id").as("pos"))
         .crossJoin(s.range(16).select(col("id").as("j")))
         .withColumn("sgn", when(expr(
@@ -755,7 +756,7 @@ object Queries {
       val sh = t(s, d, "documents")
         .select(col("source"), explode(setUdf(col("text"))).as("h"))
         .distinct()
-        .localCheckpoint(false) // consumers: exact count, survivor ranks
+        .ckptLazy // consumers: exact count, survivor ranks
       val exact = sh.groupBy("source").agg(count(lit(1)).as("d_exact"))
       val hk = sh.where(col("h") < cutoff)
         .withColumn("rn",
@@ -915,7 +916,7 @@ object Queries {
       val tf = t(s, d, "documents")
         .select(col("source"), explode(TF.tokens(col("text"))).as("token"))
         .groupBy("source", "token").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false) // consumers: global counts, totals, rank
+        .ckptLazy // consumers: global counts, totals, rank
       val ft = tf.groupBy("token").agg(sum("tf").as("f"))
       val a = tf.agg(expr("sum(tf) div count(distinct source)").as("a"))
       val scored = tf.join(ft, "token").crossJoin(broadcast(a))
@@ -948,7 +949,7 @@ object Queries {
       val ev = t(s, d, "embeddings")
         .select(col("vec_id"), col("label"),
           posexplode(Similarity.quantized(col("embedding"))).as(Seq("pos", "vq")))
-        .localCheckpoint(false) // consumers: norms, centroids, dots
+        .ckptLazy // consumers: norms, centroids, dots
       val vnorm = ev.groupBy("vec_id").agg(sum(col("vq") * col("vq")).as("vn2"))
       val cs = ev.groupBy(col("label").as("c_label"), col("pos"))
         .agg(sum("vq").as("sq"))
@@ -999,7 +1000,7 @@ object Queries {
         .join(dc.groupBy("event_type")
           .agg(sum("c").as("tot"), count(lit(1)).as("nd")), "event_type")
         .withColumn("sS", abs(col("cum") * col("nd") - col("i") * col("tot")))
-        .localCheckpoint(false) // consumers: max, argmax join
+        .ckptLazy // consumers: max, argmax join
       cum.join(cum.groupBy("event_type").agg(max("sS").as("mx")), "event_type")
         .where(col("sS") === col("mx"))
         .groupBy("event_type")
@@ -1019,12 +1020,12 @@ object Queries {
     "q134_winsorized_stats" -> ((s, d) => {
       val n0 = t(s, d, "documents")
         .select(col("source"), TF.bpeTokenCount(col("text")).cast("long").as("n"))
-        .localCheckpoint(false) // consumers: percentile table, clip pass
+        .ckptLazy // consumers: percentile table, clip pass
       val cum = n0.groupBy("source", "n").agg(count(lit(1)).as("c"))
         .withColumn("cum", sum("c").over(
           Window.partitionBy("source").orderBy("n")))
         .withColumn("tot", sum("c").over(Window.partitionBy("source")))
-        .localCheckpoint(false) // consumers: p05, p95
+        .ckptLazy // consumers: p05, p95
       val p5 = cum.where(col("cum") * 100 >= col("tot") * 5)
         .groupBy("source").agg(min("n").as("p05"))
       val p95 = cum.where(col("cum") * 100 >= col("tot") * 95)
@@ -1060,7 +1061,7 @@ object Queries {
         .select(col("source"), explode(split(col("text"), "")).as("ch"))
         .where(col("ch") =!= "")
         .groupBy("source", "ch").agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // consumers: totals, terms
+        .ckptLazy // consumers: totals, terms
       val tot = ch.groupBy("source")
         .agg(sum("c").as("tot"), count(lit(1)).as("n_distinct_chars"))
       ch.join(broadcast(tot), "source")
@@ -1092,7 +1093,7 @@ object Queries {
         k = 64, bands = 16, shingleN = 3, threshold = 0.5,
         hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */)
       var edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .localCheckpoint(eager = true)
+        .ckptEager
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
       out += ((0,
         edges.select(col("a").as("v")).unionByName(edges.select(col("b").as("v")))
@@ -1103,12 +1104,12 @@ object Queries {
           .unionByName(edges.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("deg"))
           .where(col("deg") >= 2).select("v")
-          .localCheckpoint(eager = true)
+          .ckptEager
         edges = edges
           .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
           .select("a", "b")
-          .localCheckpoint(eager = true)
+          .ckptEager
         out += ((r, keep.count(), edges.count()))
       }
       import s.implicits._
@@ -1127,7 +1128,7 @@ object Queries {
     "q137_mutual_information" -> ((s, d) => {
       val xy = t(s, d, "documents")
         .groupBy("lang", "source").agg(count(lit(1)).as("cxy"))
-        .localCheckpoint(false) // consumers: marginals, terms
+        .ckptLazy // consumers: marginals, terms
       val cx = xy.groupBy("lang").agg(sum("cxy").as("cx"))
       val cy = xy.groupBy("source").agg(sum("cxy").as("cy"))
       val n = xy.agg(sum("cxy").as("n"))
@@ -1270,7 +1271,7 @@ object Queries {
           "vec_id", "embedding", minCosine = 0.4)
         .select(col("id_a"), col("id_b"),
           round(col("cosine"), 4).cast(DecimalType(18, 4)).as("cos4"))
-        .localCheckpoint(false) // consumers: counts, anti-join
+        .ckptLazy // consumers: counts, anti-join
       val ls = Similarity.lshNearDupPairs(t(s, d, "embeddings"),
           "vec_id", "embedding", dim = 64, nBits = 4, tables = 24,
           minCosine = 0.4)
@@ -1311,7 +1312,7 @@ object Queries {
         .orderBy(col("f").desc, col("token")).limit(k + 1)
         .withColumn("r",
           row_number().over(Window.orderBy(col("f").desc, col("token"))))
-        .localCheckpoint(false) // consumers: reference row, terms
+        .ckptLazy // consumers: reference row, terms
       val fref = top.where(col("r") === k + 1).select(col("f").as("fk"))
       top.where(col("r") <= k).crossJoin(broadcast(fref))
         .select(round(log(col("f") * lit(1.0) / col("fk")), 6)
@@ -1345,7 +1346,7 @@ object Queries {
           setUdf(col("text")).as("hs"))
         .where(size(col("hs")) > 0)
         .select(col("doc_id"), col("nib"), explode(col("hs")).as("h"))
-        .localCheckpoint(false) // consumers: doc counts, first-occurrence
+        .ckptLazy // consumers: doc counts, first-occurrence
       val docsPer = sh.select("doc_id", "nib").distinct()
         .groupBy("nib").agg(count(lit(1)).as("n_docs"))
       val firstNib = sh.groupBy("h").agg(min("nib").as("nib"))
@@ -1376,7 +1377,7 @@ object Queries {
       val y = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
           TF.bpeTokenCount(col("text")).cast("long").as("n"))
-        .localCheckpoint(false) // consumers: observed stats, null perms
+        .ckptLazy // consumers: observed stats, null perms
       val glob = y.agg(sum("n").as("gs"), count(lit(1)).as("gn"))
       val obs = y.groupBy("source").agg(sum("n").as("sa"), count(lit(1)).as("na"))
         .crossJoin(broadcast(glob))
@@ -1422,7 +1423,7 @@ object Queries {
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
           k = 64, bands = 16, shingleN = 3, threshold = 0.5,
           hotBucketCap = Int.MaxValue)
-        .localCheckpoint(false) // consumers: pair metric, clusters
+        .ckptLazy // consumers: pair metric, clusters
       val clusters = Dedup.dupClusters(pairs)
       val setUdf = udf((text: String) =>
         graft.functions.ShingleKernel.md5ShingleSet60(text, 5))
@@ -1470,7 +1471,7 @@ object Queries {
           expr("cast(conv(substr(md5(cast(cast(vec_id as string) as binary)), 1, 15), 16, 10) as bigint) % 5")
             .cast("int").as("fold"),
           posexplode(Similarity.quantized(col("embedding"))).as(Seq("pos", "vq")))
-        .localCheckpoint(false) // consumers: per-fold sums, scoring
+        .ckptLazy // consumers: per-fold sums, scoring
       // grouped by pos, each vector contributes exactly one row, so the
       // count IS the fold+label vector count
       val perFold = ev.groupBy("fold", "label", "pos")
@@ -1518,7 +1519,7 @@ object Queries {
         Dedup.minhashLshPairs(docs, "doc_id", "text",
           k = 64, bands = 16, shingleN = 3, threshold = 0.5,
           hotBucketCap = Int.MaxValue))
-        .localCheckpoint(false) // consumers: sizes, membership join
+        .ckptLazy // consumers: sizes, membership join
       val csize = clusters.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
       val withSz = docs
         .select(col("doc_id"), col("source"),
@@ -1545,7 +1546,7 @@ object Queries {
       val pl = t(s, d, "documents")
         .select(col("lang"), TF.langId(col("text")).as("pred"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
-        .localCheckpoint(false) // consumers: totals, rows
+        .ckptLazy // consumers: totals, rows
       pl.join(pl.groupBy("lang").agg(sum("n").as("tot")), "lang")
         .select(col("lang"), col("pred"), col("n"),
           (expr("cast(n * 1000000 as bigint) div tot").cast("double")
@@ -1565,7 +1566,7 @@ object Queries {
     "q148_vocab_coverage" -> ((s, d) => {
       val words = t(s, d, "documents")
         .select(col("source"), explode(TF.tokens(col("text"))).as("w"))
-        .localCheckpoint(false) // consumers: vocab, coverage
+        .ckptLazy // consumers: vocab, coverage
       val vocab = words.groupBy("w").agg(count(lit(1)).as("f"))
         .orderBy(col("f").desc, col("w")).limit(16)
         .select(col("w"), lit(1).as("iv"))
@@ -1637,7 +1638,7 @@ object Queries {
         Multimodal.perceptualHash60(Multimodal.decodeFrames(content, 64)))
       val groups = packed.select(hashUdf(col("content")).as("sim"))
         .groupBy("sim").agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // consumers: h0 mass, banding, two weight joins
+        .ckptLazy // consumers: h0 mass, banding, two weight joins
       val h0 = groups.agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("n_pairs"))
         .select(lit(0).cast("int").as("hamming"), col("n_pairs"))
         .where(col("n_pairs") > 0)
@@ -1670,7 +1671,7 @@ object Queries {
           k = 64, bands = 16, shingleN = 3, threshold = 0.5,
           hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */)
         .select("doc_a", "doc_b")
-        .localCheckpoint(false) // consumers: pre-clusters, rtbf edges
+        .ckptLazy // consumers: pre-clusters, rtbf edges
       val clustersFull = docs.select("doc_id")
         .join(Dedup.dupClusters(pairs), Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -1679,7 +1680,7 @@ object Queries {
         graft.functions.ShingleKernel.md5ShingleSet60(text, 5))
       val postings = docs
         .select(col("doc_id"), explode(shUdf(col("text"))).as("h"))
-        .localCheckpoint(false) // consumers: first-occurrence, re-attribution
+        .ckptLazy // consumers: first-occurrence, re-attribution
       val firstOcc = postings.groupBy("h").agg(min("doc_id").as("doc_id"))
       val deleted = docs.where(col("doc_id") % 101 === 0).select("doc_id")
       val (nc, nf) = Dedup.rtbfApply(clustersFull, pairs, postings, firstOcc, deleted)
@@ -1706,7 +1707,7 @@ object Queries {
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
         .where(length(col("word")).between(1, 16))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false) // consumers: vocabulary, apply join
+        .ckptLazy // consumers: vocabulary, apply join
       val words = tf.groupBy("word").agg(sum("tf").as("wc"))
       val model = UnigramTrainer
         .trainFromWordCounts(words, maxPieceLen = 4,
@@ -1804,7 +1805,7 @@ object Queries {
         embs, "vec_id", "embedding", nSub = 4, k = 8, rounds = 3)
       val qv = embs.select(col("vec_id").as("vid"),
           Similarity.quantized(col("embedding")).as("q"))
-        .localCheckpoint(false) // consumers: query pick + scoring pass
+        .ckptLazy // consumers: query pick + scoring pass
       val nVecs = qv.count() // materializes the checkpoint; sizing input
       val queryVecs = Similarity.auditQueryDraw(qv, 8 /* oracle: pinned */)
       val nSub = cents.length
@@ -1834,7 +1835,7 @@ object Queries {
         .select(col("t._1").as("query_id"), col("vid"),
           col("t._2").as("adc"), col("t._3").as("ex"))
         .where(col("vid") =!= col("query_id"))
-        .localCheckpoint(false) // consumers: adc ranks, exact ranks
+        .ckptLazy // consumers: adc ranks, exact ranks
       val shards = Similarity.topkShardsFor(queryVecs.length.toLong, nVecs)
       def top5(dcol: String) =
         Similarity.twoLevelTopK(scored, "query_id", "vid", dcol, K, shards)
@@ -1872,7 +1873,7 @@ object Queries {
         embs, "vec_id", "embedding", nSub = 4, k = 8, rounds = 3)
       val qv = embs.select(col("vec_id").as("vid"),
           Similarity.quantized(col("embedding")).as("q"))
-        .localCheckpoint(false) // consumers: query pick + scoring pass
+        .ckptLazy // consumers: query pick + scoring pass
       val nVecs = qv.count() // materializes the checkpoint; sizing input
       val queryVecs = Similarity.auditQueryDraw(qv, 8 /* oracle: pinned */)
       def l2(a: Array[Long], b: Array[Long]): Long = {
@@ -1906,7 +1907,7 @@ object Queries {
         .select(col("t._1").as("query_id"), col("vid"),
           col("t._2").as("adc"), col("t._3").as("ex"), col("t._4").as("cand"))
         .where(col("vid") =!= col("query_id"))
-        .localCheckpoint(false) // consumers: adc ranks, exact ranks, n_cand
+        .ckptLazy // consumers: adc ranks, exact ranks, n_cand
       val shards = Similarity.topkShardsFor(queryVecs.length.toLong, nVecs)
       def top5(df: DataFrame, dcol: String) =
         Similarity.twoLevelTopK(df, "query_id", "vid", dcol, K, shards)
@@ -1947,7 +1948,7 @@ object Queries {
           Similarity.quantized(col("embedding")).as("q"))
         .withColumn("nrm",
           expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .localCheckpoint(false) // consumers: anchor side, negative side
+        .ckptLazy // consumers: anchor side, negative side
       val pairs = embs.select(col("vec_id").as("anchor_id"))
         .crossJoin(broadcast(embs.agg(count(lit(1)).as("n"))))
         .select(col("anchor_id"), col("n"),
@@ -1996,14 +1997,14 @@ object Queries {
       val cellWrap = Array(cellCents)
       val qv = embs.select(col("vec_id").as("vid"),
           Similarity.quantized(col("embedding")).as("q"))
-        .localCheckpoint(false) // consumers: residual build, query pick, scoring
+        .ckptLazy // consumers: residual build, query pick, scoring
       val nVecs = qv.count() // materializes the checkpoint; sizing input
       val resUdf = udf((q: Seq[Long]) => {
         val cent = cellCents(Similarity.pqNearestCodes(q, cellWrap)(0))
         Array.tabulate(q.length)(i => q(i) - cent(i))
       })
       val rv = qv.select(col("vid"), resUdf(col("q")).as("q"))
-        .localCheckpoint(false) // consumers: training init + per-round passes
+        .ckptLazy // consumers: training init + per-round passes
       val (cents, _) = Similarity.pqTrainExactQuantized(rv, nSub = 4, k = 8, rounds = 3)
       val queryVecs = Similarity.auditQueryDraw(qv, 8 /* oracle: pinned */)
       def l2(a: Array[Long], b: Array[Long]): Long = {
@@ -2048,7 +2049,7 @@ object Queries {
         .select(col("t._1").as("query_id"), col("vid"),
           col("t._2").as("adc"), col("t._3").as("ex"), col("t._4").as("cand"))
         .where(col("vid") =!= col("query_id"))
-        .localCheckpoint(false) // consumers: adc ranks, exact ranks, n_cand
+        .ckptLazy // consumers: adc ranks, exact ranks, n_cand
       val shards = Similarity.topkShardsFor(queryVecs.length.toLong, nVecs)
       def top5(df: DataFrame, dcol: String) =
         Similarity.twoLevelTopK(df, "query_id", "vid", dcol, K, shards)
@@ -2105,7 +2106,7 @@ object Queries {
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
         .where(length(col("word")).between(1, 16))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false) // consumers: vocabulary, apply join
+        .ckptLazy // consumers: vocabulary, apply join
       val words = tf.groupBy("word").agg(sum("tf").as("wc"))
       val (_, encFinal) = WordPieceTrainer.trainWithVocab(
         WordPieceTrainer.vocabularyFromCounts(words, countCol = "wc"),
@@ -2139,7 +2140,7 @@ object Queries {
       val embs = t(s, d, "embeddings")
       val qv = embs.select(col("vec_id").as("vid"),
           Similarity.quantized(col("embedding")).as("q"))
-        .localCheckpoint(false) // consumers: seed pick + K-1 round passes
+        .ckptLazy // consumers: seed pick + K-1 round passes
       // r11 advice: degrade gracefully on a corpus with < K vectors (the
       // oracle's unrolled CTEs already do) — empty seed -> empty result,
       // and each round stops early when no unselected vector remains
@@ -2215,7 +2216,7 @@ object Queries {
       val bias = docs.select(col("doc_id"), lit(64L).as("bucket"), lit(1L).as("x"))
       val feats = tokFeats.unionByName(bias)
         .join(labels, "doc_id")
-        .localCheckpoint(false) // consumers: one margin+update pass per round
+        .ckptLazy // consumers: one margin+update pass per round
       var w = Array.fill(65)(0L)
       val hist = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
       val wdoc = Window.partitionBy("doc_id")
@@ -2308,7 +2309,7 @@ object Queries {
     // then ride the q126 DECIMAL cast).
     "q166_dedup_agreement" -> ((s, d) => {
       val docsC = t(s, d, "documents").select("doc_id", "text")
-        .localCheckpoint(false) // consumers: exact hash + minhash chain
+        .ckptLazy // consumers: exact hash + minhash chain
       val exact = docsC.select(col("doc_id"), md5(col("text")).as("c1"))
       val pairs = Dedup.minhashLshPairs(docsC, "doc_id", "text",
         k = 64, bands = 16, shingleN = 3, threshold = 0.5,
@@ -2317,7 +2318,7 @@ object Queries {
         .join(Dedup.dupClusters(pairs), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("c2"))
       val joined = exact.join(mh, "doc_id")
-        .localCheckpoint(false) // consumers: three comb2 aggregates + count
+        .ckptLazy // consumers: three comb2 aggregates + count
       def comb2(cols: Seq[String], as: String) = joined
         .groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
         .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as(as))
@@ -2362,7 +2363,7 @@ object Queries {
         Multimodal.perceptualHash60(Multimodal.byteBandEnergies(content, 64)))
       val groups = packed.select(hashUdf(col("content")).as("sim"))
         .groupBy("sim").agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // consumers: h0 mass, banding, two weight joins
+        .ckptLazy // consumers: h0 mass, banding, two weight joins
       val h0 = groups.agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("n_pairs"))
         .select(lit(0).cast("int").as("hamming"), col("n_pairs"))
         .where(col("n_pairs") > 0)
@@ -2412,7 +2413,7 @@ object Queries {
       val lw = t(s, d, "documents")
         .select(col("lang"), explode(TF.bpeTokens(col("text"))).as("word"))
         .groupBy("lang", "word").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false) // two consumers: vocabulary, apply join
+        .ckptLazy // two consumers: vocabulary, apply join
       val vocab = BpeTrainer.vocabularyFromCounts(lw, "word", "tf")
       val merges = BpeTrainer.trainEncoded(
           vocab.select(BpeTrainer.encodeByteHex(col("word")).as("enc"), col("freq")),
@@ -2455,7 +2456,7 @@ object Queries {
           md5(col("text")).as("content_hash"),
           coalesce(rules.map { case (n, c) => when(!c, lit(n)) }
             :+ lit(null).cast("string"): _*).as("gfail"))
-        .localCheckpoint(false) // consumers: keeper agg + ledger join
+        .ckptLazy // consumers: keeper agg + ledger join
       val keepExact = base.groupBy("content_hash").agg(min("doc_id").as("keep_id"))
       val clusters = Dedup.dupClusters(
         Dedup.minhashLshPairs(docs, "doc_id", "text",
@@ -2497,19 +2498,20 @@ object Queries {
         .orderBy("vec_id", "nn_rank")),
 
     // the graph's RECALL measured against exact search (the q140/q156
-    // approximation-error-as-data theme): for the q29 anchor set, the
-    // fraction of the true integer-L2 top-4 present in the q171 graph's
-    // neighbor list. Exact side is anchor-sized (8 x n broadcast join,
-    // the audit-scale pattern), recall is the micro-scaled nonneg
-    // division.
+    // approximation-error-as-data theme), as a CURVE over refinement
+    // rounds (r13 verdict #4: one build, four measurements — each
+    // round's graph is the next one's input, so reading recall at
+    // rounds 0..3 costs the same single build q171 runs, instead of a
+    // full rebuild per point): for the q29 anchor set, the fraction of
+    // the true integer-L2 top-4 present in round r's neighbor list.
+    // Exact side is anchor-sized (8 x n broadcast join, the audit-scale
+    // pattern), recall is the micro-scaled nonneg division.
     "q172_nsw_recall" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
-      val g = NswGraph.nswBuild(embs, "vec_id", "embedding",
-          k = 8, rounds = 3, seeds = 8)
-        .where(col("vec_id") < 8)
-        .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+      val gs = NswGraph.nswBuildRounds(embs, "vec_id", "embedding",
+        k = 8, rounds = 3, seeds = 8)
       val qv = embs.select(col("vec_id"), Similarity.quantized(col("embedding")).as("q"))
-        .localCheckpoint(false) // consumers: anchor side + corpus side
+        .ckptLazy // consumers: anchor side + corpus side
       val anchors = qv.where(col("vec_id") < 8)
         .select(col("vec_id").as("a"), col("q").as("qa"))
       val ex4 = qv.select(col("vec_id").as("b"), col("q").as("qb"))
@@ -2518,14 +2520,18 @@ object Queries {
         .withColumn("rk", row_number().over(
           Window.partitionBy("a").orderBy(col("d2"), col("b"))))
         .where(col("rk") <= 4)
-      val hit = ex4.join(g, Seq("a", "b"), "left_semi")
-        .groupBy("a").agg(count(lit(1)).as("h"))
-      anchors.select("a").join(hit, Seq("a"), "left")
-        .select(col("a").as("vec_id"),
-          coalesce(col("h"), lit(0L)).as("n_hits"),
-          (expr("cast(coalesce(h, 0L) * 1000000 div 4 as bigint)")
-            .cast("double") / lit(1000000.0)).as("recall"))
-        .orderBy("vec_id")
+        .select("a", "b")
+        .ckptLazy // consumers: one semi-join per round
+      gs.zipWithIndex.map { case (g, r) =>
+        val edges = g.where(col("a") < 8).select("a", "b")
+        val hit = ex4.join(edges, Seq("a", "b"), "left_semi")
+          .groupBy("a").agg(count(lit(1)).as("h"))
+        anchors.select("a").join(hit, Seq("a"), "left")
+          .select(lit(r).as("round"), col("a").as("vec_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (expr("cast(coalesce(h, 0L) * 1000000 div 4 as bigint)")
+              .cast("double") / lit(1000000.0)).as("recall"))
+      }.reduce(_ unionByName _).orderBy("round", "vec_id")
     }),
 
     // CLUSTER-BALANCED SUBSAMPLING (the embedding-space twin of q88's
@@ -2551,7 +2557,7 @@ object Queries {
       val docsWithCell = t(s, d, "documents")
         .join(cells, "doc_id") // the embedded subset is the sampling frame
         .select(col("doc_id"), col("cell"), col("text"))
-        .localCheckpoint(false) // consumers: budget aggregate + prefix pass
+        .ckptLazy // consumers: budget aggregate + prefix pass
       val budgets = docsWithCell.select("cell").distinct()
         .crossJoin(broadcast(docsWithCell
           .agg(sum(TF.bpeTokenCount(col("text")).cast("long")).as("tt"))))
@@ -2590,7 +2596,7 @@ object Queries {
         .groupBy("bigram").agg(count(lit(1)).as("c"))
         .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
         .withColumn("w2", expr("split_part(bigram, ' ', 2)"))
-        .localCheckpoint(false) // consumers: ctx, cont, ntypes, scoring
+        .ckptLazy // consumers: ctx, cont, ntypes, scoring
       val ctx = bc.groupBy("w1").agg(sum("c").as("ctx"), count(lit(1)).as("n1p"))
       val cont = bc.groupBy("w2").agg(count(lit(1)).as("ncont"))
       val ntypes = bc.agg(count(lit(1)).as("ntypes"))
@@ -2635,13 +2641,13 @@ object Queries {
       val hist = t(s, d, "documents")
         .select(TF.tokenCount(col("text")).cast("long").as("len"))
         .groupBy("len").agg(count(lit(1)).as("n"))
-        .localCheckpoint(false) // consumers: grid, max, cost join, final stats
+        .ckptLazy // consumers: grid, max, cost join, final stats
       val mx = hist.agg(max("len").as("mx"))
       val cand = hist.crossJoin(broadcast(mx))
         .select(col("len"), expr("(mx + 63) div 64").as("step"))
         .select(expr("((len + step - 1) div step) * step").as("b"))
         .distinct()
-        .localCheckpoint(false) // consumers: 3 triple sides + max boundary
+        .ckptLazy // consumers: 3 triple sides + max boundary
       val bmax = cand.agg(max("b").as("b4"))
       val triples = cand.select(col("b").as("b1"))
         .join(cand.select(col("b").as("b2")), col("b1") < col("b2"))
@@ -2681,7 +2687,7 @@ object Queries {
       val dc = t(s, d, "events")
         .select(col("event_type"), expr("ts div 86400000000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // consumers: both pair sides + n_days
+        .ckptLazy // consumers: both pair sides + n_days
       val pairs = dc.select(col("event_type"), col("day").as("d1"), col("c").as("c1"))
         .join(dc.select(col("event_type"), col("day").as("d2"), col("c").as("c2")),
           Seq("event_type"))
@@ -2787,7 +2793,7 @@ object Queries {
           round(TF.qualityScore(col("text")), 6).as("q"),
           md5(col("text")).as("content_hash"),
           TF.gopherKeep(col("text")).cast("long").as("gk"))
-        .localCheckpoint(false) // consumers: keeper agg + decile pass
+        .ckptLazy // consumers: keeper agg + decile pass
       val keepExact = base.groupBy("content_hash").agg(min("doc_id").as("keep_id"))
       base.join(keepExact, "content_hash")
         .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("long"))
@@ -2858,7 +2864,7 @@ object Queries {
     "q182_edit_verified_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("text"))
-        .localCheckpoint(false) // consumers: LSH pairs + two text joins
+        .ckptLazy // consumers: LSH pairs + two text joins
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
       pairs.select(col("doc_a"), col("doc_b"))
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
@@ -2894,12 +2900,12 @@ object Queries {
         .select(col("doc_id"), explode(expr(
           "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
             " (a, b) -> concat(a, ' ', b))")).as("bigram"))
-        .localCheckpoint(false) // consumers: train counts, scoring tf
+        .ckptLazy // consumers: train counts, scoring tf
       val bc = bg.where(col("doc_id") % 97 === 0)
         .groupBy("bigram").agg(count(lit(1)).as("c"))
         .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
         .withColumn("w2", expr("split_part(bigram, ' ', 2)"))
-        .localCheckpoint(false) // consumers: ctx, cont, ntypes, score join
+        .ckptLazy // consumers: ctx, cont, ntypes, score join
       val ctx = bc.groupBy("w1").agg(sum("c").as("ctx"), count(lit(1)).as("n1p"))
       val cont = bc.groupBy("w2").agg(count(lit(1)).as("ncont"))
       val nt = bc.agg(count(lit(1)).as("ntypes"))
@@ -2947,7 +2953,7 @@ object Queries {
         .select(when(h < "0d", "test").when(h < "1a", "val")
           .otherwise("train").as("split"), col("source"))
         .groupBy("split", "source").agg(count(lit(1)).as("o"))
-        .localCheckpoint(false) // consumers: row totals, col totals, N, cells
+        .ckptLazy // consumers: row totals, col totals, N, cells
       val ns = cells.groupBy("split").agg(sum("o").as("ns"))
       val nc = cells.groupBy("source").agg(sum("o").as("nc"))
       val nt = cells.agg(sum("o").as("n_total"))
@@ -2983,7 +2989,7 @@ object Queries {
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("vec_id"), col("pos").cast("long").as("pos"),
           floor(col("v").cast("double") * 1024.0).cast("long").as("vq"))
-        .localCheckpoint(false) // consumers: per-dim stats, score pass
+        .ckptLazy // consumers: per-dim stats, score pass
       val st = q.groupBy("pos").agg(count(lit(1)).as("n"), sum("vq").as("s"),
         sum(col("vq") * col("vq")).as("qq"))
       q.join(broadcast(st), "pos")
@@ -3047,7 +3053,7 @@ object Queries {
       val cnt = t(s, d, "documents")
         .select(col("source"), TF.bpeTokenCount(col("text")).cast("long").as("n"))
         .groupBy("source", "n").agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // consumers: spine, grid, tots
+        .ckptLazy // consumers: spine, grid, tots
       val spine = cnt.groupBy("n").agg(sum("c").as("cg"))
         .withColumn("gcum", sum("cg").over(Window.orderBy("n")))
         .crossJoin(broadcast(cnt.agg(sum("c").as("gtot"))))
@@ -3197,7 +3203,7 @@ object Queries {
         .select(col("source"), col("doc_id"),
           floor(TF.qualityScore(col("text")) * 1000000.0 + 0.5)
             .cast("long").as("qm"))
-        .localCheckpoint(false) // consumers: full mean, 64 resamples
+        .ckptLazy // consumers: full mean, 64 resamples
       val bs = s.range(0, 64).select(col("id").cast("int").as("b"))
       val means = docs.crossJoin(broadcast(bs))
         .where(md5(concat(col("doc_id").cast("string"), lit("#"),
@@ -3243,7 +3249,7 @@ object Queries {
       val embs = t(s, d, "embeddings")
       val u = embs.select(col("vec_id").as("vid"),
           Similarity.quantized(col("embedding")).as("q"))
-        .localCheckpoint(false) // consumers: train, assign, exact, candidates
+        .ckptLazy // consumers: train, assign, exact, candidates
       val (cents, _) = Similarity.kmeansTrainExactQuantized(u, k = 8, rounds = 3)
       val cellWrap = Array(cents)
       val cellUdf = udf((q: Seq[Long]) => Similarity.pqNearestCodes(q, cellWrap)(0))
@@ -3305,7 +3311,7 @@ object Queries {
             " (a, b) -> concat(a, b))")).as("pair"))
         .where(length(col("pair")) === 2)
         .groupBy("source", "pair").agg(count(lit(1)).as("n12"))
-        .localCheckpoint(false) // consumers: context totals, source totals, terms
+        .ckptLazy // consumers: context totals, source totals, terms
       val ctx = pr.select(col("source"), substring(col("pair"), 1, 1).as("c1"),
           col("n12"))
         .groupBy("source", "c1").agg(sum("n12").as("n1"))
@@ -3469,7 +3475,7 @@ object Queries {
           least(floor(TF.qualityScore(col("text")) * 10.0), lit(9.0))
             .cast("int").as("bucket"))
         .groupBy("source", "bucket").agg(count(lit(1)).as("cs"))
-        .localCheckpoint(false) // consumers: corpus buckets, source totals, grid
+        .ckptLazy // consumers: corpus buckets, source totals, grid
       val g = b.groupBy("bucket").agg(sum("cs").as("cg"))
         .crossJoin(broadcast(b.agg(sum("cs").as("ng"))))
       val ns = b.groupBy("source").agg(sum("cs").as("ns"))
@@ -3502,7 +3508,7 @@ object Queries {
       val tf = t(s, d, "documents")
         .select(explode(TF.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("freq"))
-        .localCheckpoint(false) // consumers: totals + 5 top-K probes
+        .ckptLazy // consumers: totals + 5 top-K probes
       val tot = tf.agg(sum("freq").as("total"), count(lit(1)).as("vocab"))
       val probes = Seq(16, 64, 256, 1024, 4096).map { k =>
         tf.orderBy(col("freq").desc, col("token")).limit(k)
@@ -3540,7 +3546,7 @@ object Queries {
           sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("user_id"), col("session_id"), col("event_type"))
         .distinct()
-        .localCheckpoint(false) // consumers: totals, per-type counts, pair join
+        .ckptLazy // consumers: totals, per-type counts, pair join
       val nTot = st.select("user_id", "session_id").distinct()
         .agg(count(lit(1)).as("n_sessions"))
       val nt = st.groupBy("event_type").agg(count(lit(1)).as("n_t"))
@@ -3619,7 +3625,7 @@ object Queries {
           floor(TF.qualityScore(col("text")) * 1000000.0 + 0.5)
             .cast("long").as("qm"),
           TF.bpeTokenCount(col("text")).cast("long").as("len"))
-        .localCheckpoint(false) // consumers: n, two rank histograms, rank join
+        .ckptLazy // consumers: n, two rank histograms, rank join
       val n = docs.groupBy("source").agg(count(lit(1)).as("n"))
       def ranks(keyCol: String, rankName: String): DataFrame = {
         val h = docs.groupBy("source", keyCol).agg(count(lit(1)).as("c"))
@@ -3665,7 +3671,7 @@ object Queries {
       val days = t(s, d, "events")
         .select(date_format(timestamp_micros(tsMicros), "yyyy-MM-dd").as("day"))
         .groupBy("day").agg(count(lit(1)).as("v"))
-        .localCheckpoint(false) // aggregate-sized; consumers: trend + weekday means
+        .ckptLazy // aggregate-sized; consumers: trend + weekday means
       val f7 = Window.orderBy("day").rowsBetween(-3, 3)
       val det = days
         .withColumn("n7", count(lit(1)).over(f7))
@@ -3676,7 +3682,7 @@ object Queries {
         .withColumn("det_micro",
           expr("cast((cast(v as decimal(38,0)) * 1000000) as bigint) - trend_micro"))
         .withColumn("wd", weekday(to_date(col("day"))))
-        .localCheckpoint(false) // consumers: weekday agg + final join
+        .ckptLazy // consumers: weekday agg + final join
       val se = det.where(col("det_micro").isNotNull)
         .groupBy("wd")
         .agg(sum("det_micro").as("sd"), count(lit(1)).as("nd"))
@@ -3745,11 +3751,11 @@ object Queries {
     "q206_dup_assortativity" -> ((s, d) => {
       val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")
         .select("doc_a", "doc_b")
-        .localCheckpoint(false) // consumers: degree agg + edge join
+        .ckptLazy // consumers: degree agg + edge join
       val deg = pairs.select(col("doc_a").as("id"))
         .unionByName(pairs.select(col("doc_b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
-        .localCheckpoint(false) // consumers: node count + two edge joins
+        .ckptLazy // consumers: node count + two edge joins
       val e = pairs
         .join(deg.select(col("id").as("doc_a"), col("deg").as("da")), "doc_a")
         .join(deg.select(col("id").as("doc_b"), col("deg").as("db")), "doc_b")
@@ -3790,16 +3796,16 @@ object Queries {
         expr("cast(substring(source, 4) as int)").as("sid"),
         expr("cast(conv(substr(md5(cast(text as binary)), 1, 15), 16, 10) as bigint)").as("h"))
       val ins = docs.where(col("sid") < 10).select("h").distinct()
-        .localCheckpoint(false) // consumers: bits, anti-join, count
+        .ckptLazy // consumers: bits, anti-join, count
       val probes = docs.where(col("sid") >= 10).select("h").distinct()
         .join(ins, Seq("h"), "left_anti")
-        .localCheckpoint(false) // consumers: probe fan-out + count
+        .ckptLazy // consumers: probe fan-out + count
       def positions(df: DataFrame): DataFrame = df
         .select(col("h"), explode(array((0 until 4).map(lit): _*)).as("i"))
         .select(col("h"), expr("cast(conv(substr(md5(cast(concat(h, '#', i) " +
           s"as binary)), 1, 15), 16, 10) as bigint) % $m").as("pos"))
       val bits = positions(ins).select("pos").distinct()
-        .localCheckpoint(false) // consumers: fill count + probe semi-join
+        .ckptLazy // consumers: fill count + probe semi-join
       val nFp = positions(probes)
         .join(broadcast(bits), Seq("pos"), "left_semi")
         .groupBy("h").agg(count(lit(1)).as("nhit"))
@@ -3879,16 +3885,21 @@ object Queries {
       val hist = t(s, d, "documents")
         .select(col("source"), explode(TF.tokens(col("text"))).as("token"))
         .groupBy("source", "token").agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // consumers: totals, top-50, freq join
+        .ckptLazy // consumers: totals, top-50, freq join
       val totals = hist.groupBy("source").agg(sum("c").as("n_tok"))
       val top = hist.groupBy("token").agg(sum("c").as("gc"))
         .orderBy(col("gc").desc, col("token")).limit(50).select("token")
+      // NOT checkpointed (r13 verdict #1): f is aggregate-sized (top-50 ×
+      // k sources) and derives from the checkpointed hist, so recompute
+      // is cheap — and keeping it in-plan means the top-50
+      // TakeOrderedAndProject and the windowless shape stay visible to
+      // PlanGuardSpec's executed-plan walk instead of hiding inside a
+      // separate checkpoint materialization.
       val f = totals.crossJoin(broadcast(top))
         .join(hist, Seq("source", "token"), "left")
         .select(col("source"), col("token"),
           expr("cast((cast(coalesce(c, 0) as decimal(38,0)) * 1000000) " +
             "div n_tok as bigint)").as("fm"))
-        .localCheckpoint(false) // consumers: token stats + z join
       val st = f.groupBy("token").agg(count(lit(1)).as("k"),
           sum("fm").as("sf"),
           sum(expr("cast(fm as decimal(38,0)) * fm")).as("qf"))
@@ -3899,8 +3910,12 @@ object Queries {
             "sqrt(cast(cast(k as decimal(38,0)) * qf - " +
             "cast(sf as decimal(38,0)) * sf as double)) * 1000000, 0) as bigint)")
             .as("zm"))
+      // both sides are ≤ 50 tokens × k sources — broadcast explicitly
+      // (r13 verdict #6: the planner's stats guess planned this as a
+      // sort-merge join over aggregate-sized relations)
       z.select(col("source").as("source_a"), col("token"), col("zm").as("za"))
-        .join(z.select(col("source").as("source_b"), col("token"), col("zm").as("zb")),
+        .join(broadcast(
+          z.select(col("source").as("source_b"), col("token"), col("zm").as("zb"))),
           "token")
         .where(col("source_a") < col("source_b"))
         .groupBy("source_a", "source_b")
@@ -3977,7 +3992,7 @@ object Queries {
           least(lit(9L), floor(TF.qualityScore(col("text")) * 10.0)).as("qb"),
           least(lit(9L), TF.bpeTokenCount(col("text")).cast("long").divide(lit(64)).cast("long")).as("lb"))
         .groupBy("source", "qb", "lb").agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // consumers: pair join, margins, totals
+        .ckptLazy // consumers: pair join, margins, totals
       val pairs = cells.select(col("source"), col("qb").as("qa"), col("lb").as("la"),
           col("c").as("ca"))
         .join(cells.select(col("source"), col("qb").as("qbb"), col("lb").as("lbb"),
@@ -4001,7 +4016,13 @@ object Queries {
           coalesce(col("nd"), lit(0)).cast("decimal(38,0)").as("n_disc"),
           col("tr"), col("tc"))
         .select(col("source"), col("n"),
-          col("n_conc").cast("long").as("nc"), col("n_disc").cast("long").as("nd"),
+          // nc/nd OUTPUT as double (r13 ADVICE: a LONG cast would
+          // silently null in Spark / error in DuckDB exactly past the
+          // ~3e9-docs/source scale the DECIMAL bridge exists for —
+          // decimal→double and HUGEINT→double both round IEEE-nearest,
+          // so the engines stay in lockstep at any scale; tau_b itself
+          // is computed from the exact decimals, never these outputs)
+          col("n_conc").cast("double").as("nc"), col("n_disc").cast("double").as("nd"),
           when(expr("cast(n as decimal(38,0)) * (n - 1) - tr") === lit(0) ||
                expr("cast(n as decimal(38,0)) * (n - 1) - tc") === lit(0),
             lit(null).cast("double"))
@@ -4027,7 +4048,7 @@ object Queries {
       val days = t(s, d, "events")
         .select(date_format(timestamp_micros(tsMicros), "yyyy-MM-dd").as("day"))
         .groupBy("day").agg(count(lit(1)).as("v"))
-        .localCheckpoint(false) // consumers: pair join, tie groups, count
+        .ckptLazy // consumers: pair join, tie groups, count
       // explicitly-quadratic over the AGGREGATE-SIZED day relation
       // (days² pairs at any corpus size — the q177 slope-pair argument)
       val sStat = days.select(col("day").as("day_a"), col("v").as("va"))
@@ -4065,11 +4086,11 @@ object Queries {
         .select(date_format(timestamp_micros(tsMicros), "yyyy-MM-dd").as("day"))
         .groupBy("day").agg(count(lit(1)).as("v"))
         .withColumn("idx", row_number().over(Window.orderBy("day")))
-        .localCheckpoint(false) // consumers: totals, den, 7 lag joins
+        .ckptLazy // consumers: totals, den, 7 lag joins
       val tot = days.agg(count(lit(1)).as("n"), sum("v").as("sv"))
       val dev = days.crossJoin(broadcast(tot))
         .select(col("idx"), expr("cast(n as decimal(38,0)) * v - sv").as("dv"))
-        .localCheckpoint(false) // consumers: den + lag join
+        .ckptLazy // consumers: den + lag join
       val den = dev.agg(sum(expr("dv * dv")).as("den"))
       val lags = (1 to 7).map { k =>
         dev.select(col("idx"), col("dv").as("dva"))
@@ -4146,7 +4167,7 @@ object Queries {
           TF.gopherKeep(col("text")).cast("long").as("gk"),
           md5(col("text")).as("content_hash"),
           TF.bpeTokenCount(col("text")).cast("long").as("len"))
-        .localCheckpoint(false) // consumers: keeper agg, rates, gini hist
+        .ckptLazy // consumers: keeper agg, rates, gini hist
       val keep = docs.groupBy("content_hash").agg(min("doc_id").as("keep_id"))
       val rates = docs.join(keep, "content_hash")
         .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("long"))
@@ -4511,7 +4532,7 @@ object Queries {
           TF.bpeTokenCount(col("text")).as("toks"),
           md5(col("text")).as("content_hash"),
           TF.gopherKeep(col("text")).cast("int").as("gk"))
-        .localCheckpoint(false) // every stage derives from it
+        .ckptLazy // every stage derives from it
       val keepExact = base.groupBy("content_hash").agg(min("doc_id").as("keep_id"))
       val s1 = base.join(keepExact,
         base("doc_id") === keepExact("keep_id"), "left_semi")
@@ -4633,7 +4654,7 @@ object Queries {
         .withColumn("bucket",
           expr("cast(conv(substr(md5(cast(token as binary)), 1, 8), 16, 10) as bigint) % 64"))
         .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false)
+        .ckptLazy
       val tgt = tf.where(col("lang") === "en").groupBy("bucket").agg(sum("tf").as("ct"))
       val raw = tf.groupBy("bucket").agg(sum("tf").as("cr"))
       val totals = tf.agg(
@@ -4671,7 +4692,7 @@ object Queries {
         .select(col("doc_id"), explode(shingleSet3Udf(col("text"))).as("sh"))
         .select(col("doc_id"),
           expr("cast(conv(substr(md5(cast(sh as binary)), 1, 15), 16, 10) as bigint)").as("h"))
-        .localCheckpoint(false)
+        .ckptLazy
       val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
       sh.join(dfreq, "h")
         .groupBy("doc_id")
@@ -4757,7 +4778,7 @@ object Queries {
         .withColumn("bucket",
           expr("cast(conv(substr(md5(cast(token as binary)), 1, 8), 16, 10) as bigint) % 64"))
         .groupBy("split", "bucket").agg(count(lit(1)).as("c"))
-        .localCheckpoint(false)
+        .ckptLazy
       val scaffold = tb.select("split").where(col("split") =!= "train").distinct()
         .crossJoin(broadcast(tb.select("bucket").distinct()))
       val joined = scaffold
@@ -4820,7 +4841,7 @@ object Queries {
           k = 64, bands = 16, shingleN = 3, threshold = 0.5,
           hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .localCheckpoint(false) // multi-consumer: degrees, orientation, closure
+        .ckptLazy // multi-consumer: degrees, orientation, closure
       val deg = pairs.select(col("a").as("v"))
         .union(pairs.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -4833,7 +4854,7 @@ object Queries {
       val oriented = aFirst.select(
           when(col("fwd"), col("a")).otherwise(col("b")).as("u"),
           when(col("fwd"), col("b")).otherwise(col("a")).as("w"))
-        .localCheckpoint(false) // self-joined below
+        .ckptLazy // self-joined below
       val wedges = oriented.as("e1").join(oriented.as("e2"),
           col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
         .select(col("e1.u").as("x"),
@@ -4876,7 +4897,7 @@ object Queries {
       val tf = t(s, d, "documents")
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false) // two consumers: vocabulary, apply join
+        .ckptLazy // two consumers: vocabulary, apply join
       val vocab = BpeTrainer.vocabularyFromCounts(tf, "word", "tf")
       val merges = BpeTrainer.train(vocab, merges = 6, minCount = 0L)
         .orderBy("merge_rank").collect().map(_.getString(1)).toSeq
@@ -4939,7 +4960,7 @@ object Queries {
       val sh = t(s, d, "documents")
         .select(col("source"), explode(md5Sh(col("text"))).as("h"))
         .distinct()
-        .localCheckpoint(false) // three consumers: counts, masks, sketches
+        .ckptLazy // three consumers: counts, masks, sketches
       // ONE aggregate pass yields both the per-source counts and the
       // dense index (a second distinct() would re-read the corpus-sized
       // checkpoint per consumer); the aggregate-sized result is itself
@@ -4955,7 +4976,7 @@ object Queries {
         .withColumn("idx", expr(
           "CASE WHEN idx < 64 THEN idx ELSE CAST(raise_error(" +
             "'q89_source_overlap: exact bitmask path supports at most 64 sources') AS BIGINT) END"))
-        .localCheckpoint(false) // three consumers: pairs (x2 sides), hist
+        .ckptLazy // three consumers: pairs (x2 sides), hist
       val srcIdx = cnt.select("source", "idx")
       val hist = sh.join(broadcast(srcIdx), "source")
         .groupBy("h")
@@ -5038,7 +5059,7 @@ object Queries {
       val isNew = md5(col("doc_id").cast("string").cast("binary")) < "1a"
       val tagged = docs.select(col("doc_id"), isNew.as("is_new"),
           md5(col("text")).as("ch"))
-        .localCheckpoint(false) // consumed by base hashes, new ids, joins
+        .ckptLazy // consumed by base hashes, new ids, joins
       val baseH = tagged.where(!col("is_new")).select("ch").distinct()
       val exactDup = tagged.where(col("is_new"))
         .join(baseH, Seq("ch"), "left_semi")
@@ -5046,7 +5067,7 @@ object Queries {
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
           k = 64, bands = 16, shingleN = 3, threshold = 0.5,
           hotBucketCap = Int.MaxValue /* oracle: exact all-pairs banding */)
-        .localCheckpoint(false) // read from both directions
+        .ckptLazy // read from both directions
       val nearNew = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
         .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("other")))
         .join(tagged.where(col("is_new")).select("doc_id"), Seq("doc_id"))
@@ -5092,14 +5113,14 @@ object Queries {
       val k = 5
       val docs = t(s, d, "documents")
         .select(col("doc_id"), TF.tokens(col("text")).as("t"))
-        .localCheckpoint(false) // two consumers: shingle table, reconstruction
+        .ckptLazy // two consumers: shingle table, reconstruction
       val sh = docs.where(size(col("t")) >= k)
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(1, size(t) - ${k - 1}), i -> " +
             s"cast(conv(substr(md5(cast(concat_ws(' ', slice(t, i, $k)) as binary)), 1, 15), 16, 10) as bigint))"))
           .as(Seq("p0", "h")))
         .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
-        .localCheckpoint(false) // two consumers: first-occurrence, classification
+        .ckptLazy // two consumers: first-occurrence, classification
       val fd = sh.groupBy("h").agg(min("doc_id").as("fd"))
       val fo = sh.join(fd, "h").where(col("doc_id") === col("fd"))
         .groupBy("h", "fd").agg(min("pos").as("fp"))
@@ -5259,7 +5280,7 @@ object Queries {
         .select(col("doc_id"), explode(expr(
           "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
             " (a, b) -> concat(a, ' ', b))")).as("bigram"))
-        .localCheckpoint(false) // two consumers: train counts, scoring
+        .ckptLazy // two consumers: train counts, scoring
       val c2 = bg.where(col("doc_id") % 97 === 0)
         .groupBy("bigram").agg(count(lit(1)).as("c2"))
       val c1 = c2.withColumn("w1", expr("split_part(bigram, ' ', 1)"))
@@ -5310,7 +5331,7 @@ object Queries {
         .select((col("doc_id") % 2).cast("int").as("side"),
           explode(TF.tokens(col("text"))).as("token"))
         .groupBy("side", "token").agg(count(lit(1)).as("freq"))
-        .localCheckpoint(false) // two consumers: the two sides
+        .ckptLazy // two consumers: the two sides
       def topK(side: Int) = tf.where(col("side") === side)
         .orderBy(col("freq").desc, col("token")).limit(k)
         .withColumn("r",
@@ -5411,7 +5432,7 @@ object Queries {
       val pairs = e
         .withColumn("next", lead("event_type", 1).over(w))
         .where(col("next").isNotNull)
-        .localCheckpoint(false) // two consumers: train counts, test scoring
+        .ckptLazy // two consumers: train counts, test scoring
       val split = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
       val train = pairs.crossJoin(broadcast(split)).where(col("us") < col("mid"))
       val model = train
@@ -5447,7 +5468,7 @@ object Queries {
       val minsup = 20L
       val docTok = t(s, d, "documents")
         .select(col("doc_id"), explode(TF.tokenSet(col("text"))).as("token"))
-        .localCheckpoint(false) // two consumers: df counts, pair explode
+        .ckptLazy // two consumers: df counts, pair explode
       val freq = docTok.groupBy("token").agg(count(lit(1)).as("df"))
         .where(col("df") >= minsup)
       docTok.join(freq.select("token"), Seq("token"))
@@ -5474,7 +5495,7 @@ object Queries {
         .select(col("label"),
           posexplode(Similarity.quantized(col("embedding"))).as(Seq("pos", "qv")))
         .groupBy("label", "pos").agg(sum("qv").as("sq"))
-        .localCheckpoint(false) // self-joined
+        .ckptLazy // self-joined
       val pairs = cs.as("a").join(cs.as("b"),
           col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
         .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
@@ -5502,7 +5523,7 @@ object Queries {
           TF.qualityScore(col("text")).as("q"),
           TF.bpeTokenCount(col("text")).as("toks"),
           md5(col("text")).as("content_hash"))
-        .localCheckpoint(false) // three consumers: dup hashes, stats, sources
+        .ckptLazy // three consumers: dup hashes, stats, sources
       val dupHashes = base.groupBy("content_hash").agg(count(lit(1)).as("dc"))
       val stats = base.join(dupHashes, "content_hash")
         .groupBy("lang").agg(
@@ -5665,7 +5686,7 @@ object Queries {
       val uw = t(s, d, "events")
         .select(col("user_id"), expr(s"ts div $weekUs").as("week"))
         .distinct()
-        .localCheckpoint(false) // two consumers: cohort mins, activity join
+        .ckptLazy // two consumers: cohort mins, activity join
       val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
       val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
       uw.join(cohort, "user_id")
@@ -5697,7 +5718,7 @@ object Queries {
       val uni = t(s, d, "documents")
         .select(explode(TF.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // three consumers: w1 side, w2 side, total
+        .ckptLazy // three consumers: w1 side, w2 side, total
       val n1 = uni.agg(sum("c").as("n1"))
       val bi = t(s, d, "documents")
         .withColumn("tk", TF.tokens(col("text")))
@@ -5705,7 +5726,7 @@ object Queries {
           "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1)," +
             " (a, b) -> concat(a, ' ', b))")).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("c12"))
-        .localCheckpoint(false) // two consumers: pair scoring, total
+        .ckptLazy // two consumers: pair scoring, total
       val n2 = bi.agg(sum("c12").as("n2"))
       bi.where(col("c12") >= 10)
         .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
@@ -5874,7 +5895,7 @@ object Queries {
       val tf = docs
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false)
+        .ckptLazy
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val ndocs = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
@@ -6070,7 +6091,7 @@ object Queries {
       val tf = t(s, d, "documents")
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false)
+        .ckptLazy
       val vocab = tf.groupBy("token").agg(sum("tf").as("cnt"))
       val totals = tf.agg(sum("tf").as("total"))
       tf.join(vocab, Seq("token"))
@@ -6110,7 +6131,7 @@ object Queries {
             " (a, b) -> concat(a, ' ', b))")).as("bigram"))
         .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
         .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
-        .localCheckpoint(false)
+        .ckptLazy
       val cb = bt.groupBy("w1", "bigram").agg(sum("tf").as("c2"))
       val c1 = cb.groupBy("w1").agg(sum("c2").as("c1"))
       bt.join(cb, Seq("w1", "bigram"))
@@ -6160,7 +6181,7 @@ object Queries {
       val tf = t(s, d, "documents")
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false)
+        .ckptLazy
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       val stats = tf.agg(countDistinct("doc_id").as("n_docs"), sum("tf").as("total_toks"))
@@ -6285,7 +6306,7 @@ object Queries {
     // expression tree in both engines, round 6 only on outputs.
     "q92_label_agreement" -> ((s, d) => {
       val conf = centroidConfusion(s, d)
-        .localCheckpoint(false) // four consumers: total, diagonal, rows, cols
+        .ckptLazy // four consumers: total, diagonal, rows, cols
       val n = conf.agg(sum("n_vectors").as("n_total"))
       val diag = conf.where(col("true_label") === col("pred_label"))
         .agg(coalesce(sum("n_vectors"), lit(0L)).as("n_agree"))
@@ -6376,7 +6397,7 @@ object Queries {
     "q67_bloom_decontaminate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val (heldout, corpusShingles) = contaminationSides(docs)
-      val heldoutCached = heldout.localCheckpoint(false)
+      val heldoutCached = heldout.ckptLazy
       val bf = heldoutCached.stat.bloomFilter("shingle",
         math.max(1000L, heldoutCached.count()), 0.01)
       val bfB = s.sparkContext.broadcast(bf)
@@ -8783,8 +8804,8 @@ object Oracles {
                        FROM cells GROUP BY 1, 2) y GROUP BY source),
               tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY source)
          SELECT tt.source AS source, n,
-                CAST(coalesce(pr.nc, 0) AS BIGINT) AS nc,
-                CAST(coalesce(pr.nd, 0) AS BIGINT) AS nd,
+                CAST(coalesce(pr.nc, 0) AS DOUBLE) AS nc,
+                CAST(coalesce(pr.nd, 0) AS DOUBLE) AS nd,
                 CASE WHEN CAST(n AS HUGEINT) * (n - 1) - tr = 0
                        OR CAST(n AS HUGEINT) * (n - 1) - tc = 0 THEN NULL
                      ELSE round(CAST(2 * (coalesce(pr.nc, 0) - coalesce(pr.nd, 0)) AS DOUBLE) /
@@ -9186,7 +9207,9 @@ object Oracles {
          SELECT a AS vec_id, CAST(rk AS INT) AS nn_rank, b AS neighbor_id, d2
          FROM g3 ORDER BY vec_id, nn_rank""",
 
-    // exact integer-L2 top-4 per q29 anchor vs the g2 graph edges
+    // exact integer-L2 top-4 per q29 anchor vs EACH round's graph edges
+    // (the per-round g0..g3 CTEs are already materialized — the curve
+    // reads them all from the one unrolled build, mirroring the engine)
     "q172_nsw_recall" ->
       s"""WITH ${nswCtes(8, 3, 8)},
               exd AS (SELECT ua.vec_id AS a, ub.vec_id AS b,
@@ -9200,12 +9223,13 @@ object Oracles {
                                row_number() OVER (PARTITION BY a ORDER BY d2, b) AS rk
                         FROM exd) t
                       WHERE rk <= 4),
-              hits AS (SELECT e.a, CAST(count(g.b) AS BIGINT) AS n_hits
-                       FROM ex4 e LEFT JOIN g3 g ON g.a = e.a AND g.b = e.b
-                       GROUP BY e.a)
-         SELECT a AS vec_id, n_hits,
+              hits AS (${(0 to 3).map(r =>
+                s"""SELECT $r AS rd, e.a, CAST(count(g.b) AS BIGINT) AS n_hits
+                       FROM ex4 e LEFT JOIN g$r g ON g.a = e.a AND g.b = e.b
+                       GROUP BY e.a""").mkString(" UNION ALL ")})
+         SELECT CAST(rd AS INT) AS round, a AS vec_id, n_hits,
                 CAST((n_hits * 1000000) // 4 AS DOUBLE) / 1000000.0 AS recall
-         FROM hits ORDER BY vec_id""",
+         FROM hits ORDER BY round, vec_id""",
 
     // md5-offset negative draws + exact integer dot/norm cosine; is_hard
     // from the rounded cosine (round-before-compare)

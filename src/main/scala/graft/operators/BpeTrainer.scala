@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -144,7 +145,7 @@ object BpeTrainer {
     // eager per-round checkpoints (the GraphRank trade): live memory is
     // bounded to one vocabulary table, and the winner lookup reads an
     // already-materialized RDD instead of re-running the round's plan
-    var enc = enc0.localCheckpoint(eager = true)
+    var enc = enc0.ckptEager
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var k = 1
     var stop = false
@@ -159,7 +160,7 @@ object BpeTrainer {
         enc = enc
           .withColumn("enc", replace(col("enc"),
             lit(S + x + E + S + y + E), lit(S + x + y + E)))
-          .localCheckpoint(eager = true)
+          .ckptEager
         k += 1
       }
     }

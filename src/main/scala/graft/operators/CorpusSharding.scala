@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -135,7 +136,7 @@ object CorpusSharding {
                                   attachBudget: DataFrame => DataFrame,
                                   strataCol: String = "lang"): DataFrame = {
     val base = withHashShard(docs, tokenCount, prefixHexChars, Seq(strataCol))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val shardTotals = base.groupBy(strataCol, "shard").agg(sum("toks").as("st"))
     val wOff = Window.partitionBy(strataCol).orderBy("shard")
     val offsets = attachBudget(shardTotals

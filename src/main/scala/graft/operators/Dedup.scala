@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -49,7 +50,7 @@ object Dedup {
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = docs
       .select(col(idCol), md5(col(textCol)).as("content_hash"))
-      .localCheckpoint(eager = false)
+      .ckptLazy
     val counts = hashed.groupBy("content_hash").agg(count(lit(1)).as("dup_count"))
     hashed.join(counts, Seq("content_hash"))
       .select(col(idCol), col("content_hash"), col("dup_count"))
@@ -294,10 +295,10 @@ object Dedup {
     val fwd = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint()
+      .ckptEager
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .ckptEager
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -308,13 +309,13 @@ object Dedup {
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("mid"))
-        .localCheckpoint()
+        .ckptEager
       // pointer jumping: follow the propagated label one hop (its own
       // propagated label is <= it, both in the same component)
       val updated = propagated
         .join(propagated.select(col("mid").as("jump"), col("node").as("mid")), Seq("mid"))
         .select(col("node"), col("label"), col("jump").as("next"))
-        .localCheckpoint()
+        .ckptEager
       changed = updated.where(col("next") < col("label")).count()
       labels = updated.select(col("node"), col("next").as("label"))
       rounds += 1
@@ -403,7 +404,7 @@ object Dedup {
       // chunked feeds both the stats and the join -> lazy localCheckpoint
       // so the signature projection (potentially a decode+hash kernel)
       // runs once (r5 rule).
-      val chk = chunked.localCheckpoint(eager = false)
+      val chk = chunked.ckptLazy
       val withN =
         if (hotBucketCap == CapAuto)
           chk.crossJoin(broadcast(sig.agg(count(lit(1)).as("n_docs"))))
@@ -518,10 +519,10 @@ object Dedup {
       deleted: DataFrame,
       maxBroadcastMembers: Long = 4000000L): (DataFrame, DataFrame) = {
     val del = deleted.select("doc_id").distinct()
-      .localCheckpoint(eager = false) // consumers: affected ids, 3 anti/semi joins
+      .ckptLazy // consumers: affected ids, 3 anti/semi joins
     val affectedIds = clustersFull.join(broadcast(del), Seq("doc_id"), "left_semi")
       .select("cluster_id").distinct()
-      .localCheckpoint(eager = false) // consumers: member semi + pass-through anti
+      .ckptLazy // consumers: member semi + pass-through anti
     val affected = clustersFull
       .join(broadcast(affectedIds), Seq("cluster_id"), "left_semi")
     val unaffected = clustersFull
@@ -529,12 +530,17 @@ object Dedup {
       .select("doc_id", "cluster_id")
     val survivors = affected.join(broadcast(del), Seq("doc_id"), "left_anti")
       .select("doc_id")
-      .localCheckpoint(eager = false) // consumers: count + edge semi-joins + isolated anti
+      .ckptLazy // consumers: count + edge semi-joins + isolated anti
     // survivors/reclustered are affected-cluster-MEMBERSHIP-sized, not
     // deletion-sized: force-broadcast them only under the cap (the count
     // also materializes the survivors checkpoint for its later consumers);
     // a mega-cluster deletion falls back to the planner's shuffle join.
-    val survivorBcast = survivors.count() <= maxBroadcastMembers
+    // maxBroadcastMembers <= 0 skips the sizing count entirely (r12/r13
+    // carried ADVICE: the count is an eager job at PLAN-CONSTRUCTION
+    // time, outside the final plan's bench metrics — callers that want
+    // a construction-silent plan, or a bench that must time exactly one
+    // execution, pass 0 and take the planner's join choice)
+    val survivorBcast = maxBroadcastMembers > 0 && survivors.count() <= maxBroadcastMembers
     def memberSide(df: DataFrame): DataFrame =
       if (survivorBcast) broadcast(df) else df
     val survEdges = pairs
@@ -586,16 +592,16 @@ object Dedup {
    */
   def rtbfStep(st: RtbfState, deleted: DataFrame): RtbfState = {
     val del = deleted.select("doc_id").distinct()
-      .localCheckpoint(eager = false) // consumers: apply + 3 evidence anti-joins
+      .ckptLazy // consumers: apply + 3 evidence anti-joins
     val (nc, nf) = rtbfApply(st.clusters, st.pairs, st.postings, st.firstOcc, del)
     val np = st.pairs
       .join(broadcast(del.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_anti")
       .join(broadcast(del.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_anti")
     val npost = st.postings.join(broadcast(del), Seq("doc_id"), "left_anti")
     RtbfState(
-      nc.localCheckpoint(eager = false),
-      np.localCheckpoint(eager = false),
-      npost.localCheckpoint(eager = false),
-      nf.localCheckpoint(eager = false))
+      nc.ckptLazy,
+      np.ckptLazy,
+      npost.ckptLazy,
+      nf.ckptLazy)
   }
 }

@@ -61,6 +61,25 @@ object FalsePositiveFilter {
    *            align on besides `feature` — e.g. a resample id, so a
    *            window sampled under resample i only ever matches against
    *            series built from resample i's rows (fused-pipeline mode)
+   * @param refSeriesMode `"perTrace"` (default, the scale path: one
+   *            series per (feature, trace), counts summed — each row
+   *            bounded by one trace's ref span) or `"concat"` (the
+   *            REFERENCE-FIDELITY mode, r13 verdict #5: ONE series per
+   *            feature, every trace's ref windows concatenated in
+   *            (traceOrder, ano_id, timestamp) order exactly as the
+   *            reference's `refs.loc[:, col]` is built —
+   *            `/root/reference/utils/get_data.py:95-103` concatenates
+   *            per (listdir file order, label-row order) and
+   *            `script_1.py:66` matches against the whole column.
+   *            Reproduces the reference bit-for-bit INCLUDING the
+   *            boundary-straddling phantom subsequences and cross-trace
+   *            exclusion zones that per-trace mode documents away; the
+   *            series row is corpus-ref-sized, so this mode is for
+   *            parity runs, not the 100 TB path)
+   * @param traceOrder `concat` mode's cross-trace order (the
+   *            reference's os.listdir order, which is machine-specific
+   *            — pass the observed order for bit parity); empty =
+   *            lexicographic trace_id, the deterministic canonicalization
    * @return `(window_key, feature, n_matches, kept)`
    */
   def matchCounts(
@@ -69,13 +88,39 @@ object FalsePositiveFilter {
       maxDistance: Double,
       matchCountKeep: Int,
       patternFromRefWindow: Boolean,
-      seriesAlignKeys: Seq[String] = Nil): DataFrame = {
+      seriesAlignKeys: Seq[String] = Nil,
+      refSeriesMode: String = "perTrace",
+      traceOrder: Seq[String] = Nil): DataFrame = {
+    require(refSeriesMode == "perTrace" || refSeriesMode == "concat",
+      s"unknown refSeriesMode $refSeriesMode")
     val spark = obs.sparkSession
     import spark.implicits._
 
     // reference series per (feature, [align keys], trace), canonical order
-    // inside the trace — row size bounded by one trace's ref span
-    val series = obs
+    // inside the trace — row size bounded by one trace's ref span.
+    // concat mode: per (feature, [align keys]) only, traces glued in
+    // (traceOrder rank, ano_id, timestamp) order — ano_id stands in for
+    // the reference's label-row order (label files list anomalies in
+    // ano_id order, so the two coincide on reference-shaped data).
+    val series = if (refSeriesMode == "concat") {
+      val tRank: org.apache.spark.sql.Column =
+        if (traceOrder.isEmpty) $"trace_id".cast("string")
+        else coalesce(
+          lpad(element_at(
+            map(traceOrder.zipWithIndex.flatMap { case (t, i) =>
+              Seq(lit(t), lit(i)) }: _*), $"trace_id").cast("string"), 9, "0"),
+          concat(lit("z_"), $"trace_id")) // unlisted traces: after, by id
+      obs
+        .where($"type_data" === 0)
+        .groupBy("feature", seriesAlignKeys: _*)
+        .agg(
+          transform(
+            array_sort(collect_list(struct(
+              tRank.as("t_rank"), $"ano_id".cast("long").as("ano_id"),
+              $"timestamp", $"value".cast("double").as("value")))),
+            x => x.getField("value")
+          ).as("series"))
+    } else obs
       .where($"type_data" === 0)
       .groupBy("feature", seriesAlignKeys :+ "trace_id": _*)
       .agg(

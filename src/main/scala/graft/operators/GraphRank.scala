@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -58,12 +59,12 @@ object GraphRank {
       maxIterations: Int = 20,
       tol: Double = 1e-6,
       redistributeDangling: Boolean = false): (DataFrame, Int) = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).distinct().ckptEager
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().ckptEager
     val n = nodes.count() // the one up-front driver scalar
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).ckptEager
     // sinks: nodes with no out-edges — aggregate-sized, computed once,
     // and only if the redistribution path actually needs it. A graph
     // with NO sinks short-circuits the whole dm machinery (dm ≡ 0):
@@ -72,14 +73,14 @@ object GraphRank {
     // back three stages per round.
     lazy val danglers = nodes.join(
       outDeg.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint()
+      .ckptEager
     val redistribute = redistributeDangling && danglers.count() > 0
     // loop-invariant: attach each edge's source out-degree ONCE — the
     // per-round plan is then a single join (ranks) + one partial
     // aggregation, not two joins
     val eDeg = e.join(outDeg, "src")
-      .select(col("src"), col("dst"), col("deg")).localCheckpoint()
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+      .select(col("src"), col("dst"), col("deg")).ckptEager
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).ckptEager
     var i = 0
     var delta = Double.MaxValue
     while (i < maxIterations && delta >= tol) {
@@ -103,7 +104,7 @@ object GraphRank {
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("in_sum"), lit(0.0)) + col("dm") / n)).as("rank"))
-        .localCheckpoint(eager = true)
+        .ckptEager
       // the convergence scalar is only worth a driver round-trip when the
       // early exit is armed; tol = 0 keeps the loop fully pipelined
       if (tol > 0.0) {

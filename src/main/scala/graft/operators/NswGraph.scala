@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -67,19 +68,47 @@ object NswGraph {
    * @param seeds  init draws per node (before dedup/self-removal)
    */
   def nswBuild(corpus: DataFrame, idCol: String, vecCol: String,
-               k: Int = 4, rounds: Int = 2, seeds: Int = 4): DataFrame = {
+               k: Int = 4, rounds: Int = 2, seeds: Int = 4): DataFrame =
+    project(nswBuildRounds(corpus, idCol, vecCol, k, rounds, seeds).last)
+
+  private def project(g: DataFrame): DataFrame =
+    g.select(col("a").as("vec_id"), col("rk").cast("int").as("nn_rank"),
+      col("b").as("neighbor_id"), col("d2"))
+
+  /** Vector-table broadcast gate (the `lshBitsFor` sizing-rule pattern):
+    * the candidate→vector attach join broadcasts the quantized table
+    * while it plausibly fits an executor (≤ this many vectors — a
+    * checkpointed RDD has no stats, so without the explicit hint the
+    * planner guesses huge and sort-merges 2K·n byte-light candidate
+    * rows against it every round); past the cap the join falls back to
+    * the shuffled equi-join, which is the correct 1e9-vector shape. */
+  def broadcastVectorCapFor(n: Long): Boolean = n <= 1000000L
+
+  /**
+   * Per-round graphs: element r is the graph AFTER r refinement rounds
+   * (r = 0 is the scored init draws), columns (a, b, d2, rk). Each
+   * round rides its own eager checkpoint and is the next round's input,
+   * so asking for all rounds costs the SAME one build as asking for the
+   * last (r13 verdict #4: q172 was rebuilding q171's graph only to read
+   * 8 anchors' rows — now one build serves the whole recall-vs-rounds
+   * curve).
+   */
+  def nswBuildRounds(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, rounds: Int, seeds: Int): Seq[DataFrame] = {
     require(k > 0 && rounds >= 0 && seeds > 0)
     val qv = corpus
       .select(col(idCol).as("vid"), Similarity.quantized(col(vecCol)).as("q"))
-      .localCheckpoint(eager = false) // consumers: sizing count + per-round scoring
+      .ckptLazy // consumers: sizing count + per-round scoring
     // contiguous-id contract (the q158 draw's): ids are 0..n-1
     val n = qv.count() // doubles as the checkpoint materialization
     require(n >= 2, s"graph construction needs >= 2 vectors, got $n")
+    val hint: DataFrame => DataFrame =
+      if (broadcastVectorCapFor(n)) broadcast(_) else identity
 
     def scored(cand: DataFrame): DataFrame =
       cand
-        .join(qv.select(col("vid").as("a"), col("q").as("qa")), "a")
-        .join(qv.select(col("vid").as("b"), col("q").as("qb")), "b")
+        .join(hint(qv.select(col("vid").as("a"), col("q").as("qa"))), "a")
+        .join(hint(qv.select(col("vid").as("b"), col("q").as("qb"))), "b")
         .select(col("a"), col("b"), d2Udf(col("qa"), col("qb")).as("d2"))
 
     val w = Window.partitionBy("a").orderBy(col("d2"), col("b"))
@@ -92,7 +121,9 @@ object NswGraph {
         "pmod(a + 1 + pmod(cast(conv(substr(md5(cast(concat(a, '_', j) " +
           s"as binary)), 1, 15), 16, 10) as bigint), ${n - 1}L), ${n}L)").as("b"))
       .distinct()
-    var g = topK(scored(init)).localCheckpoint(eager = true)
+    var g = topK(scored(init)).ckptEager
+    val perRound = Vector.newBuilder[DataFrame]
+    perRound += g
     for (_ <- 1 to rounds) {
       // undirected edges + the self-union of current edges as ONE
       // explode projection (no Union node: Catalyst's union-constraint
@@ -102,7 +133,7 @@ object NswGraph {
           struct(col("a"), col("b")),
           struct(col("b").as("a"), col("a").as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
-        .localCheckpoint(eager = false) // consumers: both sides of the 2-hop join
+        .ckptLazy // consumers: both sides of the 2-hop join
       // 2-hop closure of the undirected graph; m-paths back to the
       // start drop via b != a. Keeping each node's own current edges in
       // the candidate set (the explode's first struct survives into
@@ -119,9 +150,9 @@ object NswGraph {
       // keeps re-deriving every round)
       val fresh = scored(cand.join(g.select("a", "b"), Seq("a", "b"), "left_anti"))
       g = topK(fresh.unionByName(g.select("a", "b", "d2")))
-        .localCheckpoint(eager = true)
+        .ckptEager
+      perRound += g
     }
-    g.select(col("a").as("vec_id"), col("rk").cast("int").as("nn_rank"),
-      col("b").as("neighbor_id"), col("d2"))
+    perRound.result()
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -365,7 +366,7 @@ object Similarity {
     // multi-consumer intermediate (pair join probe + build, final join) —
     // lazy localCheckpoint per the repo cache-lifecycle rule
     val asgn = ivfCells(corpus, idCol, vecCol, nCells, trainedCentroids)
-      ._2.localCheckpoint(eager = false)
+      ._2.ckptLazy
     val a = asgn.select(col("cell"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("norm").as("norm_a"))
     val b = asgn.select(col("cell"), col("id").as("id_b"),
@@ -470,7 +471,7 @@ object Similarity {
     val shUdf = udf((text: String) =>
       graft.functions.ShingleKernel.shingleStrings(text, shingleN))
     val sh = docs.select(col(idCol).as("doc_id"), explode(shUdf(col(textCol))).as("sh"))
-      .localCheckpoint(eager = false) // two consumers: df counts, postings
+      .ckptLazy // two consumers: df counts, postings
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val ndocs = docs.agg(count(lit(1)).as("n_docs"))
     val kept = dfreq.crossJoin(broadcast(ndocs)).where(col("df") <= dfCapCol(dfCap))
@@ -478,7 +479,7 @@ object Similarity {
       .withColumn("wq", expr(
         "cast(round((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000, 0) as bigint)"))
       .select(col("sh"), col("doc_id"), col("wq"))
-      .localCheckpoint(eager = false) // two consumers: norms, pair join
+      .ckptLazy // two consumers: norms, pair join
     val norms = postings.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("nrm"))
     val pairs = postings.as("a").join(postings.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -516,7 +517,7 @@ object Similarity {
       .where(size(col("hset")) > 0)
       // materialize the hashing behind an exchange (the q27 lesson)
       .repartition(spark.sparkContext.defaultParallelism, col("doc"))
-      .localCheckpoint(eager = false) // consumers: postings, two verify fetches
+      .ckptLazy // consumers: postings, two verify fetches
     val po = sets.select(col("doc"), explode(col("hset")).as("h"))
     // the corpus count exists only on the sized path — a pinned cap
     // (the oracle entry point) adds no count job
@@ -573,7 +574,7 @@ object Similarity {
       k: Int, rounds: Int): (Array[Array[Long]], Array[Long]) =
     kmeansTrainExactQuantized(
       corpus.select(col(idCol).as("vid"), quantized(col(vecCol)).as("q"))
-        .localCheckpoint(eager = false), // consumers: init pick + per-round passes
+        .ckptLazy, // consumers: init pick + per-round passes
       k, rounds)
 
   /** [[kmeansTrainExact]] over an ALREADY-QUANTIZED (vid, q: array<long>)
@@ -656,7 +657,7 @@ object Similarity {
       : (Array[Array[Array[Long]]], Array[Array[Long]]) =
     pqTrainExactQuantized(
       corpus.select(col(idCol).as("vid"), quantized(col(vecCol)).as("q"))
-        .localCheckpoint(eager = false), // consumers: init pick + per-round passes
+        .ckptLazy, // consumers: init pick + per-round passes
       nSub, k, rounds)
 
   /** [[pqTrainExact]] over an ALREADY-QUANTIZED (vid, q: array<long>)
@@ -892,7 +893,7 @@ object Similarity {
     // corpus.count() plus two quantizing scans).
     val qv = corpus.select(col(idCol).as("vid"), col(labelCol).as("lbl"),
         quantized(col(vecCol)).as("q"))
-      .localCheckpoint(eager = false) // consumers: sizing count, 2 trainings, anchors, members
+      .ckptLazy // consumers: sizing count, 2 trainings, anchors, members
     val nCells =
       if (cells == CellsAuto) ivfCellsFor(qv.count()) else cells
     val qvPlain = qv.select("vid", "q")

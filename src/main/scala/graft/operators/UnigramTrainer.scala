@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -179,7 +180,7 @@ object UnigramTrainer {
     val spark = words0.sparkSession
     import spark.implicits._
     val words = words0.select(col("word"), col("wc"))
-      .localCheckpoint(eager = false) // consumers: seeding + one job per round
+      .ckptLazy // consumers: seeding + one job per round
     // all substrings up to maxPieceLen WITH multiplicity — pure codegen
     // (nested sequence transforms), no UDF before the aggregate
     val substrExpr =
@@ -188,7 +189,7 @@ object UnigramTrainer {
         s"k -> substring(word, i, k - i + 1))))"
     val cand = words.select(col("wc"), explode(expr(substrExpr)).as("piece"))
       .groupBy("piece").agg(sum("wc").as("c"))
-      .localCheckpoint(eager = false) // consumers: singles, multi top-K
+      .ckptLazy // consumers: singles, multi top-K
     val mV = if (multiVocab == VocabAuto) unigramVocabFor(words.count()) else multiVocab
     def collectCounts(df: DataFrame): Seq[(String, Long)] =
       df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -209,7 +210,7 @@ object UnigramTrainer {
       val segUdf = udf((w: String) => viterbiPieces(w, cm, mp))
       cnts = words.select(col("wc"), explode(segUdf(col("word"))).as("piece"))
         .groupBy("piece").agg(sum("wc").as("c"))
-        .localCheckpoint(eager = false) // re-read: prune collect + output join
+        .ckptLazy // re-read: prune collect + output join
       if (r < rounds) {
         mCur = math.ceil(mCur * shrink).toInt
         val counted = collectCounts(cnts).toMap

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -140,7 +141,7 @@ object WordPieceTrainer {
         "before training")
     var enc = vocab
       .select(encodeChars(col("word")).as("enc"), col("freq"))
-      .localCheckpoint(eager = true)
+      .ckptEager
     val out = scala.collection.mutable.ArrayBuffer.empty[WpMerge]
     var k = 1
     var stop = false
@@ -166,7 +167,7 @@ object WordPieceTrainer {
         enc = enc
           .withColumn("enc", replace(col("enc"),
             lit(S + x + E + S + y + E), lit(S + mergedSymbol(pair) + E)))
-          .localCheckpoint(eager = true)
+          .ckptEager
         k += 1
       }
     }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -377,7 +378,7 @@ object StreamingOps {
       .groupBy("shard", "token")
       .agg(max_by(col("est"), col("n_shard")).as("est"))
       .where(col("est") > 0) // tombstoned == evicted from that shard
-      .localCheckpoint(false) // consumers: per-token sums, shard totals
+      .ckptLazy // consumers: per-token sums, shard totals
     val shardBounds = entries.toDF()
       .groupBy("shard").agg(max("n_shard").as("n_s"))
       .agg(sum(expr(s"n_s div ${capacity + 1}")).as("err_bound"),

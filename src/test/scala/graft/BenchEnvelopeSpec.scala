@@ -114,7 +114,20 @@ class BenchEnvelopeSpec extends AnyFunSuite {
       name -> timeOnce(name)
     }
     val ratios = firstPass.map { case (n, s) => s / env(n) }.sorted
-    val medianRatio = math.max(1.0, ratios(ratios.size / 2))
+    val rawMedianRatio = math.max(1.0, ratios(ratios.size / 2))
+    // r13 ADVICE: an uncapped median normalization would also silence a
+    // genuine regression broad enough to slow >= half the suite (the
+    // median co-moves with it). Cap the factor at 5x — higher observed
+    // medians are still treated as weather for the per-query limits,
+    // but the cap itself failing loudly below keeps a plan-invariant
+    // global slowdown (driver config, GC, codegen regression) visible:
+    // a contended host clears on a retry of the suite, a real global
+    // regression keeps tripping it.
+    val medianRatio = math.min(rawMedianRatio, 5.0)
+    if (rawMedianRatio > 5.0)
+      info(f"WARNING: suite-wide median ratio $rawMedianRatio%.2f exceeds the 5x cap — " +
+        "either the host is severely contended or a global regression landed; " +
+        "re-run on a quiet host before trusting this gate")
     val breaches = firstPass.flatMap { case (name, first) =>
       val limit = 3.0 * env(name) * medianRatio
       val best =

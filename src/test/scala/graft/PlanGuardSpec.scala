@@ -430,4 +430,40 @@ class PlanGuardSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j }.isEmpty,
       "q206 grew a cartesian join")
   }
+
+  test("full-plan audit with checkpoint boundaries bypassed: the window guards cover the WHOLE tree") {
+    // r13 verdict #1 / ADVICE: a localCheckpoint truncates the executed
+    // plan at a LogicalRDD, so every window/TakeOrdered assertion above
+    // only sees the segment AFTER the last checkpoint — partially
+    // vacuous for checkpoint-split queries. Ckpt.withoutCheckpoints
+    // compiles the whole tree into ONE executed plan (results are
+    // unchanged — checkpoints are reuse boundaries, not semantics), so
+    // the same assertions become total over the plan. Restricted to
+    // NON-ITERATIVE queries: trainer loops need their eager per-round
+    // checkpoints to keep lineage bounded.
+    Ckpt.withoutCheckpoints {
+      // windowless by design (fixed-grid buckets / partial-agg groupBys)
+      for (q <- Seq("q198_quality_psi", "q202_readability",
+                    "q205_lexical_diversity", "q209_burrows_delta",
+                    "q211_kendall_tau")) {
+        assert(windowsOf(executedPlans(q)).isEmpty,
+          s"$q grew a window somewhere in its FULL tree — the fixed-grid/partial-agg design regressed")
+      }
+      // windows allowed, but never partitioned by the Zipfian key — now
+      // checked across the full tree, not the post-checkpoint segment
+      for ((q, banned) <- Seq("q21_dedup_exact" -> "content_hash",
+                              "q76_bm25" -> "token")) {
+        val bad = windowsOf(executedPlans(q)).filter(
+          _.partitionSpec.exists(_.references.exists(_.name == banned)))
+        assert(bad.isEmpty, s"$q has a window partitioned by $banned in its full tree")
+      }
+      // q209's top-50 TakeOrderedAndProject, asserted on the execution
+      // that actually contains it (the r13 RED guard's fix: with the
+      // boundary bypassed there is exactly one execution)
+      val p209 = executedPlans("q209_burrows_delta")
+      assert(p209.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        "q209 lost its TakeOrderedAndProject top-50 (full-tree check)")
+    }
+    assert(Ckpt.enabled, "Ckpt.withoutCheckpoints must restore the flag")
+  }
 }
