@@ -324,6 +324,16 @@ object Queries {
           .as("n_alloc"))
   }
 
+  /** q224's HLL numerator alpha_64 · m² · 2^55 as ONE pre-folded double
+    * literal interpolated into BOTH engines' SQL (scientific notation →
+    * parsed as DOUBLE by both): spelling the arithmetic out as
+    * `0.7213 / (1.0 + ...)` is NOT cross-engine — DuckDB types bare
+    * decimal literals as DECIMAL and its decimal-division scale rules
+    * differ from Spark's, which showed up as a 1-ulp (1e-6 after
+    * round-6) estimate drift at sf0.001. */
+  private[graft] lazy val hllNumerator: String =
+    (0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * 3.6028797018963968e16).toString
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // winnowing fingerprints (Schleimer et al. 2003 — the MOSS local
     // document fingerprint, the coverage-GUARANTEED selection q25's
@@ -1815,7 +1825,7 @@ object Queries {
       val luts = queryVecs.map { case (qid, qq) =>
         (qid, qq, Similarity.adcLut(qq, cents))
       }
-      val distUdf = udf((q: Seq[Long]) => {
+      val distUdf = udf((q: Array[Long]) => {
         val codes = Similarity.pqNearestCodes(q, cents)
         luts.map { case (qid, qq, lut) =>
           var adc = 0L
@@ -1892,7 +1902,7 @@ object Queries {
       val luts = queryVecs.map { case (qid, qq) =>
         (qid, qq, Similarity.adcLut(qq, cents))
       }
-      val distUdf = udf((q: Seq[Long]) => {
+      val distUdf = udf((q: Array[Long]) => {
         val cell = Similarity.pqNearestCodes(q, cellWrap)(0)
         val codes = Similarity.pqNearestCodes(q, cents)
         val qa = q.toArray
@@ -1999,7 +2009,7 @@ object Queries {
           Similarity.quantized(col("embedding")).as("q"))
         .ckptLazy // consumers: residual build, query pick, scoring
       val nVecs = qv.count() // materializes the checkpoint; sizing input
-      val resUdf = udf((q: Seq[Long]) => {
+      val resUdf = udf((q: Array[Long]) => {
         val cent = cellCents(Similarity.pqNearestCodes(q, cellWrap)(0))
         Array.tabulate(q.length)(i => q(i) - cent(i))
       })
@@ -2028,7 +2038,7 @@ object Queries {
           }
         }.toMap
       val nSub = cents.length
-      val distUdf = udf((q: Seq[Long]) => {
+      val distUdf = udf((q: Array[Long]) => {
         val cell = Similarity.pqNearestCodes(q, cellWrap)(0)
         val cent = cellCents(cell)
         val res = Array.tabulate(q.length)(i => q(i) - cent(i))
@@ -2159,7 +2169,7 @@ object Queries {
         while (r <= K && !exhausted) {
         val cents = selected.map(_._2).toArray
         val selIds = selected.map(_._1)
-        val minDistUdf = udf((q: Seq[Long]) => {
+        val minDistUdf = udf((q: Array[Long]) => {
           var best = Long.MaxValue
           var c = 0
           while (c < cents.length) {
@@ -2551,7 +2561,7 @@ object Queries {
       val (cents, _) = Similarity.kmeansTrainExact(
         embs, "vec_id", "embedding", k = 8, rounds = 3)
       val cellWrap = Array(cents)
-      val cellUdf = udf((q: Seq[Long]) => Similarity.pqNearestCodes(q, cellWrap)(0))
+      val cellUdf = udf((q: Array[Long]) => Similarity.pqNearestCodes(q, cellWrap)(0))
       val cells = embs.select(col("vec_id").as("doc_id"),
         cellUdf(Similarity.quantized(col("embedding"))).as("cell"))
       val docsWithCell = t(s, d, "documents")
@@ -3252,7 +3262,7 @@ object Queries {
         .ckptLazy // consumers: train, assign, exact, candidates
       val (cents, _) = Similarity.kmeansTrainExactQuantized(u, k = 8, rounds = 3)
       val cellWrap = Array(cents)
-      val cellUdf = udf((q: Seq[Long]) => Similarity.pqNearestCodes(q, cellWrap)(0))
+      val cellUdf = udf((q: Array[Long]) => Similarity.pqNearestCodes(q, cellWrap)(0))
       val assigned = u.select(col("vid"), col("q"), cellUdf(col("q")).as("cid"))
       val qs = u.where(col("vid") < 8).collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
@@ -4145,6 +4155,405 @@ object Queries {
         .unionByName(profile("customer->orders", t(s, d, "customer"), "c_custkey",
           t(s, d, "orders"), "o_custkey"))
         .orderBy("relation")
+    }),
+
+    // KOLMOGOROV-SMIRNOV two-sample distance of the quality
+    // distribution, each source vs the REST of the corpus (Kolmogorov
+    // 1933/Smirnov 1939 — the distribution-free "is this source's
+    // quality profile different AT ALL?" that q198's binned PSI can
+    // blur: KS is the sup over EVERY threshold, not 10 fixed bins).
+    // Exact end to end via the r13 allowed-window argument: quality is
+    // the micro integer qm = floor(q·1e6 + 0.5), the per-(source, qm)
+    // histogram is ≤ 1e6·k rows at ANY corpus size, and the sup runs
+    // over the distinct-qm spine — cdf differences cross-multiplied to
+    // integers (|scum·(N−n_s) − rcum·n_s|, DECIMAL(38,0)/HUGEINT since
+    // the products cross 2^63 past ~3e9 docs), so the max is an
+    // order-free integer comparison and KS is one truncating micro
+    // division. The few-key per-source window sits over the
+    // aggregate-sized grid (an aggregate beneath — the PlanGuardSpec
+    // two-level contract), never over raw docs.
+    "q215_ks_two_sample" -> ((s, d) => {
+      val hist = t(s, d, "documents")
+        .select(col("source"),
+          floor(TF.qualityScore(col("text")) * 1000000.0 + 0.5)
+            .cast("long").as("qm"))
+        .groupBy("source", "qm").agg(count(lit(1)).as("c"))
+        .ckptLazy // consumers: per-source totals, global cum, grid
+      val srcN = hist.groupBy("source").agg(sum("c").as("n_s"))
+      val nTot = hist.agg(sum("c").as("n_tot"))
+      val gcum = hist.groupBy("qm").agg(sum("c").as("cg"))
+        .withColumn("gcum", sum("cg").over(Window.orderBy("qm")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wS = Window.partitionBy("source").orderBy("qm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      broadcast(srcN).crossJoin(gcum.select("qm", "gcum"))
+        .join(hist, Seq("source", "qm"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("scum", sum("c").over(wS))
+        .crossJoin(broadcast(nTot))
+        .withColumn("dnum", expr(
+          "abs(cast(scum as decimal(38,0)) * (n_tot - n_s) - " +
+            "cast(gcum - scum as decimal(38,0)) * n_s)"))
+        .groupBy("source")
+        .agg(max("n_s").as("n_docs"), max("dnum").as("dmax"),
+          max(expr("cast(n_tot - n_s as decimal(38,0)) * n_s")).as("den"))
+        .select(col("source"), col("n_docs"),
+          when(col("den") === lit(0), lit(null).cast("double"))
+            .otherwise(expr("cast((dmax * 1000000) div den as bigint)")
+              .cast("double") / lit(1000000.0)).as("ks"))
+        .orderBy("source")
+    }),
+
+    // ZIPF EXPONENT MLE per source (the discrete power-law MLE at
+    // xmin=1, Clauset/Shalizi/Newman 2009 §3.5 continuous approximation
+    // alpha = 1 + V / Σ ln f — the one-number summary of how head-heavy
+    // a source's token distribution is; a template-generated or spammy
+    // source shows a visibly steeper exponent than organic text, the
+    // drill-down next to q200's scorecard): token frequencies are exact
+    // integers from the partial-aggregated (source, token) groupBy — no
+    // window anywhere near the Zipfian key — and the transcendental
+    // crosses engines by the q149/q183 ln discipline: each ln f is
+    // micro-scaled to BIGINT (round(ln(f)·1e6)) BEFORE summing, so the
+    // vocab-sized sum is order-free integer arithmetic, and alpha is
+    // one identical double expression over two exact integers.
+    "q216_zipf_mle" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("f"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("v_types"), sum("f").as("n_tokens"),
+          sum(expr("cast(round(ln(cast(f as double)) * 1000000, 0) as bigint)"))
+            .as("sl"))
+        .select(col("source"), col("v_types"), col("n_tokens"),
+          when(col("sl") === lit(0), lit(null).cast("double"))
+            .otherwise(expr(
+              "round(1.0 + cast(v_types as double) * 1000000.0 / cast(sl as double), 6)"))
+            .as("alpha"))
+        .orderBy("source")
+    }),
+
+    // HEAPS' LAW vocabulary-growth curve + exponent (Heaps 1978;
+    // Herdan 1960 — V(n) ~ K·n^beta; the planning number behind "how
+    // much NEW vocabulary does the next 10 TB buy?", and a corpus
+    // whose beta collapses is recycling itself — the growth-side twin
+    // of q199's coverage probes): the md5(doc_id) hex prefix gives the
+    // canonical corpus order AND the checkpoint grid in one stroke
+    // (the CorpusSharding shard-major-order-IS-global-order argument):
+    // bucket b = first hex nibble, V at checkpoint b = tokens whose
+    // FIRST bucket ≤ b — a vocab-sized min-aggregate, then a 16-row
+    // cumulative window (aggregate-sized by construction). beta is the
+    // log-log least-squares slope over the ≤16 checkpoints, every
+    // operand an exact micro-scaled integer (the q149 ln bridge), the
+    // slope one identical double expression over DECIMAL sums.
+    "q217_heaps_law" -> ((s, d) => {
+      val db = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), expr(
+          "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 1), " +
+            "16, 10) as bigint)").as("bucket"))
+        .ckptLazy // consumers: doc counts, token first-bucket
+      val newV = db.select(col("bucket"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(min("bucket").as("fb"))
+        .groupBy("fb").agg(count(lit(1)).as("nv"))
+      val nd = db.groupBy("bucket").agg(count(lit(1)).as("ndc"))
+      val wB = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pts = nd.join(newV.withColumnRenamed("fb", "bucket"), Seq("bucket"), "left")
+        .na.fill(0L, Seq("nv"))
+        .withColumn("n_docs_cum", sum("ndc").over(wB))
+        .withColumn("vocab_cum", sum("nv").over(wB))
+        .where(col("n_docs_cum") > 0 && col("vocab_cum") > 0)
+        .select(col("bucket"), col("n_docs_cum"), col("vocab_cum"),
+          expr("cast(round(ln(cast(n_docs_cum as double)) * 1000000, 0) as bigint)")
+            .as("x"),
+          expr("cast(round(ln(cast(vocab_cum as double)) * 1000000, 0) as bigint)")
+            .as("y"))
+        .ckptLazy // consumers: regression scalar + output rows
+      val beta = pts.agg(count(lit(1)).as("k"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+          sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+        .select(when(
+            expr("cast(k as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx")
+              === lit(0), lit(null).cast("double"))
+          .otherwise(expr(
+            "round(cast(cast(k as decimal(38,0)) * sxy - " +
+              "cast(sx as decimal(38,0)) * sy as double) / " +
+              "cast(cast(k as decimal(38,0)) * sxx - " +
+              "cast(sx as decimal(38,0)) * sx as double), 6)")).as("beta"))
+      pts.select("bucket", "n_docs_cum", "vocab_cum")
+        .crossJoin(broadcast(beta))
+        .orderBy("bucket")
+    }),
+
+    // GOOD-TURING count-of-counts + discounted counts (Good 1953 — the
+    // frequency-of-frequencies table that prices the UNSEEN: r* =
+    // (r+1)·N_{r+1}/N_r and the missing mass P0 = N_1/N, the smoothing
+    // family KN (q174) descends from, and on a corpus report the
+    // "how much of this source is hapax noise?" row): everything below
+    // the token histogram is count-of-counts-sized (≤ max frequency
+    // rows), the r↔r+1 attach is a broadcast self-join of that tiny
+    // relation, and r*/P0 are truncating micro divisions of exact
+    // integers — no float until the final division.
+    "q218_good_turing" -> ((s, d) => {
+      val cc = t(s, d, "documents")
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("f"))
+        .groupBy("f").agg(count(lit(1)).as("n_r"))
+        .ckptLazy // consumers: totals, r rows, r+1 attach
+      val tot = cc.agg(sum(expr("cast(f as decimal(38,0)) * n_r"))
+          .cast("decimal(38,0)").as("n_tok"),
+        coalesce(sum(when(col("f") === 1, col("n_r"))), lit(0L)).as("n1"))
+      // the 10 SMALLEST observed frequencies (a fixed `r <= 10` grid can
+      // be empty on a dense-vocabulary corpus — the fixture's every
+      // token recurs >10 times); TakeOrdered over the count-of-counts
+      cc.orderBy("f").limit(10)
+        .join(broadcast(cc.select((col("f") - 1).as("f"), col("n_r").as("n_r1"))),
+          Seq("f"), "left")
+        .na.fill(0L, Seq("n_r1"))
+        .crossJoin(broadcast(tot))
+        .select(col("f").as("r"), col("n_r"), col("n_r1"),
+          (expr("cast(((f + 1) * cast(n_r1 as decimal(38,0)) * 1000000) " +
+            "div n_r as bigint)").cast("double") / lit(1000000.0)).as("r_star"),
+          (expr("cast((cast(n1 as decimal(38,0)) * 1000000) div n_tok as bigint)")
+            .cast("double") / lit(1000000.0)).as("p_unseen"))
+        .orderBy("r")
+    }),
+
+    // SPLIT-CONFORMAL COVERAGE of the quality score (Vovk 2005;
+    // Papadopoulos 2002 — the distribution-free guarantee check: pick
+    // tau as the ⌈0.9(n+1)⌉-th smallest calibration score and the
+    // test-set fraction ≥ tau must be ~0.9 REGARDLESS of the score's
+    // distribution; a miss means the calibration/test split is not
+    // exchangeable — i.e. the corpus drifted between splits, the
+    // actionable reading): the md5(doc_id) split is the deterministic
+    // q46 recipe, tau is EXACT integer percentile selection over the
+    // calibration qm histogram (the r13 distinct-round-6-values window
+    // argument — never a rank over raw docs), and coverage is one
+    // truncating micro division.
+    "q219_conformal_coverage" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(
+          floor(TF.qualityScore(col("text")) * 1000000.0 + 0.5)
+            .cast("long").as("qm"),
+          (expr("cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), " +
+            "1, 1), 16, 10) as bigint)") < 8).as("is_cal"))
+        .groupBy("qm", "is_cal").agg(count(lit(1)).as("c"))
+        .ckptLazy // consumers: calibration cum, test coverage, totals
+      val nCal = docs.where(col("is_cal")).agg(sum("c").as("n_cal"))
+      val wQ = Window.orderBy("qm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tau = docs.where(col("is_cal"))
+        .withColumn("cum", sum("c").over(wQ))
+        .crossJoin(broadcast(nCal))
+        .where(col("cum") >= expr("(9 * (n_cal + 1) + 9) div 10"))
+        .agg(min("qm").as("tau_m"))
+      val test = docs.where(!col("is_cal"))
+        .crossJoin(broadcast(tau))
+        .agg(sum("c").as("n_test"),
+          coalesce(sum(when(col("qm") >= col("tau_m"), col("c"))), lit(0L))
+            .as("n_cov"))
+      nCal.crossJoin(broadcast(test)).crossJoin(broadcast(tau))
+        .select(col("n_cal"), col("n_test"),
+          (col("tau_m").cast("double") / lit(1000000.0)).as("tau"),
+          lit(0.9).as("target"),
+          when(col("n_test") === 0, lit(null).cast("double"))
+            .otherwise(expr("cast((n_cov * 1000000) div n_test as bigint)")
+              .cast("double") / lit(1000000.0)).as("coverage"))
+    }),
+
+    // LLM WATERMARK DETECTION (Kirchenbauer et al. 2023, the green-list
+    // z-test — THE synthetic-text screen a training pipeline runs now
+    // that model output is in every crawl: with gamma = 1/2 a doc's
+    // green-token fraction is Binomial(T, 1/2) under H0, z = (2g−T)/√T,
+    // and a watermarked doc stands many sigma out): the green list is
+    // the md5 parity of the token (the PortableHash convention — the
+    // same deterministic hash both engines), g and T are exact
+    // per-doc integers from ONE partial-aggregated pass (doc_id is the
+    // allowed N-key aggregation, never a window), the z is micro-scaled
+    // to an integer BEFORE the top-50 selection so the TakeOrdered ties
+    // break on integers (the no-float-order rule).
+    "q220_watermark_detect" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .select(col("doc_id"), (expr(
+          "cast(conv(substr(md5(cast(token as binary)), 1, 15), 16, 10) as bigint)")
+          % 2 === 0).cast("long").as("is_green"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("is_green").as("n_green"))
+        .where(col("n_tokens") > 0)
+        .withColumn("zm", expr(
+          "cast(round((2.0 * n_green - n_tokens) / sqrt(cast(n_tokens as double)) " +
+            "* 1000000, 0) as bigint)"))
+        .orderBy(col("zm").desc, col("doc_id")).limit(50)
+        .select(col("doc_id"), col("n_tokens"), col("n_green"),
+          (col("zm").cast("double") / lit(1000000.0)).as("z_green"))
+    }),
+
+    // CRAMER'S V of source × language (Cramér 1946 — the normalized
+    // effect size on top of q184's chi-square machinery: chi² grows
+    // with N, V ∈ [0,1] answers "HOW entangled are source and language",
+    // the one-number multilingual-mix summary): q184's exact integer
+    // recipe per cell (em = (ns·nc·1e6) div N, contrib = diffm² div em,
+    // DECIMAL/HUGEINT), then — the step q184 deliberately left to the
+    // reader — the chi² TOTAL as an exact INTEGER sum of the per-cell
+    // micro contributions (order-free, unlike a float sum), and V one
+    // identical double expression.
+    "q221_cramers_v" -> ((s, d) => {
+      val cells = t(s, d, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        .ckptLazy // consumers: margins, N, cells
+      val ns = cells.groupBy("source").agg(sum("o").as("ns"))
+      val nc = cells.groupBy("lang").agg(sum("o").as("nc"))
+      val nt = cells.agg(sum("o").as("n_total"),
+        count_distinct(col("source")).as("r_levels"),
+        count_distinct(col("lang")).as("c_levels"))
+      cells.join(broadcast(ns), "source").join(broadcast(nc), "lang")
+        .crossJoin(broadcast(nt))
+        .withColumn("em", expr(
+          "cast((cast(ns as decimal(38,0)) * nc * 1000000) div n_total as bigint)"))
+        .withColumn("contrib_micro", expr(
+          "cast((cast(o * 1000000 - em as decimal(38,0)) * (o * 1000000 - em)) " +
+            "div em as bigint)"))
+        .groupBy("n_total", "r_levels", "c_levels")
+        .agg(sum("contrib_micro").as("chi2_micro"))
+        .select(col("n_total"), col("r_levels"), col("c_levels"),
+          (col("chi2_micro").cast("double") / lit(1000000.0)).as("chi2"),
+          when(least(col("r_levels"), col("c_levels")) <= 1,
+            lit(null).cast("double"))
+            .otherwise(expr(
+              "round(sqrt(cast(chi2_micro as double) / 1000000.0 / " +
+                "cast(n_total as double) / " +
+                "cast(least(r_levels, c_levels) - 1 as double)), 6)")).as("v"))
+    }),
+
+    // BROWN-FORSYTHE variance homogeneity across sources (Brown &
+    // Forsythe 1974 — the robust Levene: q210's ANOVA compares MEANS
+    // and silently assumes equal variances; this tests that assumption
+    // on |q − median| and is the standard pre-check before trusting
+    // q210's F): per-source medians are EXACT integer percentile
+    // selections over the qm histogram (the r13 selection discipline —
+    // the few-key window sits over the aggregate-sized histogram), the
+    // centered deviations zm = |qm − med| are exact integers, and the F
+    // on them is q210's driver BigInt fold verbatim (k-scalar moments;
+    // per-group z-sum squares cross 2^63 past ~1e6 docs/source, BigInt
+    // has no ceiling and matches the oracle's HUGEINT //).
+    "q222_brown_forsythe" -> ((s, d) => {
+      import s.implicits._
+      val qs = t(s, d, "documents")
+        .select(col("source"),
+          floor(TF.qualityScore(col("text")) * 1000000.0 + 0.5)
+            .cast("long").as("qm"))
+        .ckptLazy // consumers: histogram/median, deviation pass
+      val hist = qs.groupBy("source", "qm").agg(count(lit(1)).as("c"))
+        .ckptLazy // consumers: totals + cum
+      val nS = hist.groupBy("source").agg(sum("c").as("n_s"))
+      val wS = Window.partitionBy("source").orderBy("qm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = hist.withColumn("cum", sum("c").over(wS))
+        .join(broadcast(nS), "source")
+        .where(col("cum") * 2 >= col("n_s"))
+        .groupBy("source").agg(min("qm").as("med"))
+      val g = qs.join(broadcast(med), "source")
+        .select(col("source"), abs(col("qm") - col("med")).as("zm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("zm").as("sz"),
+          sum(expr("cast(zm as decimal(38,0)) * zm")).as("zz"))
+        .collect()
+        .map(r => (BigInt(r.getLong(1)), BigInt(r.getLong(2)),
+          BigInt(r.getDecimal(3).toBigInteger)))
+      require(g.nonEmpty, "no documents")
+      val M = BigInt(1000000)
+      val k = BigInt(g.length)
+      val n = g.map(_._1).sum
+      val sTot = g.map(_._2).sum
+      val zTot = g.map(_._3).sum
+      val wSum = g.map { case (ni, si, _) => (si * si * M) / ni }.sum
+      val ssb = wSum - (sTot * sTot * M) / n
+      val ssw = zTot * M - wSum
+      val f =
+        if (ssw == 0 || k <= 1) None
+        else Some(BigDecimal((ssb * (n - k)).toDouble / (ssw * (k - 1)).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      Seq((k.toLong, n.toLong, ssb.toDouble / 1e6, ssw.toDouble / 1e6, f))
+        .toDF("k_groups", "n_docs", "ssb_z", "ssw_z", "f_bf")
+    }),
+
+    // BENFORD FIRST-DIGIT AUDIT of line-item prices (Benford 1938 /
+    // Newcomb 1881 — the forensic data-quality screen: organically
+    // generated magnitudes follow P(d) = log10(1+1/d); a synthetic or
+    // truncated feed shows up as a flat or spiked digit histogram):
+    // prices become exact integer cents via the floor(x·100+0.5) idiom
+    // (round() diverges on .5 boundaries — CLAUDE.md), the leading
+    // digit is a STRING head over the bigint (deterministic both
+    // engines — no float log10 boundary), observed fractions and the
+    // mean absolute deviation are truncating micro divisions of exact
+    // counts, and the Benford expectation is one identical rounded
+    // double expression per digit.
+    "q223_benford_prices" -> ((s, d) => {
+      val digits = t(s, d, "lineitem")
+        .select(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"))
+        .where(col("cents") > 0)
+        .select(expr("cast(substr(cast(cents as string), 1, 1) as bigint)")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        .ckptLazy // consumers: total, rows, mad
+      val tot = digits.agg(sum("n_obs").as("n_total"))
+      val rows = digits.crossJoin(broadcast(tot))
+        .withColumn("obs_ppm", expr("cast((n_obs * 1000000) div n_total as bigint)"))
+        .withColumn("exp_ppm", expr(
+          "cast(round(log10(1.0 + 1.0 / cast(digit as double)) * 1000000, 0) as bigint)"))
+        .ckptLazy // consumers: output, mad scalar
+      val mad = rows.agg((expr("cast(sum(abs(obs_ppm - exp_ppm)) div 9 as bigint)")
+        .cast("double") / lit(1000000.0)).as("mad"))
+      rows.crossJoin(broadcast(mad))
+        .select(col("digit"), col("n_obs"),
+          (col("obs_ppm").cast("double") / lit(1000000.0)).as("obs_frac"),
+          (col("exp_ppm").cast("double") / lit(1000000.0)).as("benford_frac"),
+          col("mad"))
+        .orderBy("digit")
+    }),
+
+    // HYPERLOGLOG DISTINCT-COUNT AUDIT per source (Flajolet et al.
+    // 2007 — the sketch every 100 TB cardinality question actually
+    // runs; here built DETERMINISTICALLY so the estimate itself is
+    // cross-engine oracled, and scored against the exact distinct so
+    // the sketch's error is DATA, the q140/q156/q172
+    // approximation-error-as-data theme): 60-bit md5 token hashes (the
+    // PortableHash convention), m = 64 registers — bucket = top 6 bits,
+    // rank = leading-zeros-in-54-bits + 1 via the minimal-width bin()
+    // string length (identical in Spark and DuckDB, no float log2
+    // boundary), registers are a partial-aggregated max per (source,
+    // bucket) — HLL over instances EQUALS HLL over distincts, no dedup
+    // pass needed — and the harmonic sum is EXACT: Σ 2^(55−M_j) as
+    // BIGINT (≤ 64·2^55 < 2^63), estimate and relative error one
+    // identical double expression each.
+    "q224_hll_audit" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("token"))
+        .select(col("source"), col("token"), expr(
+          "cast(conv(substr(md5(cast(token as binary)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+        .ckptLazy // consumers: registers, exact distinct
+      val regs = tf
+        .select(col("source"), expr("h div 18014398509481984").as("bucket"),
+          expr("case when h % 18014398509481984 = 0 then 55 " +
+            "else 55 - length(bin(h % 18014398509481984)) end").as("rank"))
+        .groupBy("source", "bucket").agg(max("rank").as("m"))
+      val spine = tf.select("source").distinct()
+        .select(col("source"), explode(expr("sequence(0, 63)")).as("bucket"))
+      val sSum = spine.join(regs, Seq("source", "bucket"), "left")
+        .na.fill(0L, Seq("m"))
+        .groupBy("source")
+        .agg(sum(expr("shiftleft(cast(1 as bigint), cast(55 - m as int))")).as("hsum"))
+      val exact = tf.select("source", "token").distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_distinct"))
+      exact.join(broadcast(sSum), "source")
+        .select(col("source"), col("n_distinct"),
+          expr(s"round($hllNumerator / cast(hsum as double), 6)")
+            .as("hll_estimate"),
+          expr(s"round(($hllNumerator / cast(hsum as double) - n_distinct) / " +
+            "cast(n_distinct as double), 6)").as("rel_err"))
+        .orderBy("source")
     }),
 
     // PER-SOURCE CORPUS SCORECARD — the r13 signals COMPOSED into the
@@ -8896,6 +9305,280 @@ object Oracles {
                           * 1000000) // n_parent AS BIGINT) AS DOUBLE) / 1000000.0
                 END AS mean_fanout
          FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2) u ORDER BY relation""",
+
+    // per-(source, qm) histogram, cdfs cross-multiplied to HUGEINT, sup
+    // as an integer max, KS one truncating micro division
+    "q215_ks_two_sample" ->
+      s"""WITH $scoredDocsCte,
+              dd AS (SELECT source, CAST(floor(q * 1000000.0 + 0.5) AS BIGINT) AS qm
+                     FROM scored),
+              h AS (SELECT source, qm, CAST(count(*) AS BIGINT) AS c
+                    FROM dd GROUP BY 1, 2),
+              sn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM h GROUP BY source),
+              nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM h),
+              gc AS (SELECT qm, CAST(sum(c) AS BIGINT) AS cg FROM h GROUP BY qm),
+              gcum AS (SELECT qm, CAST(sum(cg) OVER (ORDER BY qm
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gcum
+                       FROM gc),
+              grid AS (SELECT s.source, s.n_s, g.qm, g.gcum, coalesce(h.c, 0) AS c
+                       FROM sn s CROSS JOIN gcum g
+                       LEFT JOIN h ON h.source = s.source AND h.qm = g.qm),
+              cum AS (SELECT source, n_s, qm, gcum,
+                             CAST(sum(c) OVER (PARTITION BY source ORDER BY qm
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scum
+                      FROM grid),
+              dx AS (SELECT source, n_s,
+                            max(abs(CAST(scum AS HUGEINT) * (n_tot - n_s) -
+                                    CAST(gcum - scum AS HUGEINT) * n_s)) AS dmax,
+                            max(CAST(n_tot - n_s AS HUGEINT) * n_s) AS den
+                     FROM cum CROSS JOIN nt GROUP BY source, n_s)
+         SELECT source, n_s AS n_docs,
+                CASE WHEN den = 0 THEN NULL
+                     ELSE CAST(CAST((dmax * 1000000) // den AS BIGINT) AS DOUBLE) / 1000000.0
+                END AS ks
+         FROM dx ORDER BY source""",
+
+    // vocab-sized ln sum micro-scaled to integers BEFORE summing (the
+    // q149 ln discipline), alpha one identical double expression
+    "q216_zipf_mle" ->
+      """WITH tf AS (SELECT source, unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                     FROM documents),
+              h AS (SELECT source, token, CAST(count(*) AS BIGINT) AS f FROM tf GROUP BY 1, 2),
+              ag AS (SELECT source, CAST(count(*) AS BIGINT) AS v_types,
+                            CAST(sum(f) AS BIGINT) AS n_tokens,
+                            CAST(sum(CAST(round(ln(CAST(f AS DOUBLE)) * 1000000, 0) AS BIGINT))
+                              AS BIGINT) AS sl
+                     FROM h GROUP BY source)
+         SELECT source, v_types, n_tokens,
+                CASE WHEN sl = 0 THEN NULL
+                     ELSE round(1.0 + CAST(v_types AS DOUBLE) * 1000000.0 / CAST(sl AS DOUBLE), 6)
+                END AS alpha
+         FROM ag ORDER BY source""",
+
+    // md5-nibble checkpoint grid, token first-bucket min-aggregate,
+    // 16-row cumulative windows, log-log slope over DECIMAL sums
+    "q217_heaps_law" ->
+      """WITH db AS (SELECT doc_id, text,
+                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT AS bucket
+                     FROM documents),
+              fb AS (SELECT token, CAST(min(bucket) AS BIGINT) AS fb FROM (
+                       SELECT bucket, unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                       FROM db) t GROUP BY token),
+              nv AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS nv FROM fb GROUP BY fb),
+              nd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ndc FROM db GROUP BY bucket),
+              pts AS (SELECT nd.bucket,
+                             CAST(sum(ndc) OVER w AS BIGINT) AS n_docs_cum,
+                             CAST(sum(coalesce(nv, 0)) OVER w AS BIGINT) AS vocab_cum
+                      FROM nd LEFT JOIN nv ON nv.bucket = nd.bucket
+                      WINDOW w AS (ORDER BY nd.bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              pp AS (SELECT bucket, n_docs_cum, vocab_cum,
+                            CAST(round(ln(CAST(n_docs_cum AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+                            CAST(round(ln(CAST(vocab_cum AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+                     FROM pts WHERE n_docs_cum > 0 AND vocab_cum > 0),
+              reg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                             sum(CAST(x AS HUGEINT) * y) AS sxy,
+                             sum(CAST(x AS HUGEINT) * x) AS sxx
+                      FROM pp),
+              bt AS (SELECT CASE WHEN CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+                                 THEN NULL
+                                 ELSE round(CAST(CAST(k AS HUGEINT) * sxy -
+                                        CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+                                      CAST(CAST(k AS HUGEINT) * sxx -
+                                        CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+                            END AS beta
+                     FROM reg)
+         SELECT bucket, n_docs_cum, vocab_cum, beta
+         FROM pp CROSS JOIN bt ORDER BY bucket""",
+
+    // count-of-counts, r+1 attach as a tiny self-join, truncating micro
+    // divisions for r* and the missing mass
+    "q218_good_turing" ->
+      """WITH h AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM (
+                      SELECT unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                      FROM documents) t GROUP BY token),
+              cc AS (SELECT f, CAST(count(*) AS BIGINT) AS n_r FROM h GROUP BY f),
+              tot AS (SELECT sum(CAST(f AS HUGEINT) * n_r) AS n_tok,
+                             CAST(coalesce(sum(CASE WHEN f = 1 THEN n_r END), 0) AS BIGINT) AS n1
+                      FROM cc)
+         SELECT a.f AS r, a.n_r, CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r1,
+                CAST(CAST(((a.f + 1) * CAST(coalesce(b.n_r, 0) AS HUGEINT) * 1000000)
+                     // a.n_r AS BIGINT) AS DOUBLE) / 1000000.0 AS r_star,
+                CAST(CAST((CAST(n1 AS HUGEINT) * 1000000) // n_tok AS BIGINT) AS DOUBLE)
+                  / 1000000.0 AS p_unseen
+         FROM (SELECT * FROM cc ORDER BY f LIMIT 10) a
+         LEFT JOIN cc b ON b.f = a.f + 1 CROSS JOIN tot
+         ORDER BY r""",
+
+    // exact integer percentile selection for tau over the calibration
+    // histogram; coverage a truncating micro division
+    "q219_conformal_coverage" ->
+      s"""WITH $scoredDocsCte,
+              dd AS (SELECT CAST(floor(q * 1000000.0 + 0.5) AS BIGINT) AS qm,
+                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT < 8
+                              AS is_cal
+                     FROM scored),
+              h AS (SELECT qm, is_cal, CAST(count(*) AS BIGINT) AS c FROM dd GROUP BY 1, 2),
+              ncal AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_cal
+                       FROM h WHERE is_cal),
+              cum AS (SELECT qm, CAST(sum(c) OVER (ORDER BY qm
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                      FROM h WHERE is_cal),
+              tau AS (SELECT CAST(min(qm) AS BIGINT) AS tau_m
+                      FROM cum CROSS JOIN ncal
+                      WHERE cum >= (9 * (n_cal + 1) + 9) // 10),
+              test AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_test,
+                              CAST(coalesce(sum(CASE WHEN qm >= tau_m THEN c END), 0)
+                                AS BIGINT) AS n_cov
+                       FROM h CROSS JOIN tau WHERE NOT is_cal)
+         SELECT n_cal, n_test,
+                CAST(tau_m AS DOUBLE) / 1000000.0 AS tau,
+                0.9 AS target,
+                CASE WHEN n_test = 0 THEN NULL
+                     ELSE CAST(CAST((n_cov * 1000000) // n_test AS BIGINT) AS DOUBLE) / 1000000.0
+                END AS coverage
+         FROM ncal CROSS JOIN test CROSS JOIN tau""",
+
+    // md5-parity green list, per-doc exact integers, micro-scaled z as
+    // the integer selection key
+    "q220_watermark_detect" ->
+      """WITH tk AS (SELECT doc_id,
+                            CASE WHEN ('0x' || substr(md5(token), 1, 15))::BIGINT % 2 = 0
+                                 THEN 1 ELSE 0 END AS is_green
+                     FROM (SELECT doc_id,
+                                  unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                           FROM documents) t),
+              g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                           CAST(sum(is_green) AS BIGINT) AS n_green
+                    FROM tk GROUP BY doc_id),
+              z AS (SELECT doc_id, n_tokens, n_green,
+                           CAST(round((2.0 * n_green - n_tokens) /
+                             sqrt(CAST(n_tokens AS DOUBLE)) * 1000000, 0) AS BIGINT) AS zm
+                    FROM g WHERE n_tokens > 0)
+         SELECT doc_id, n_tokens, n_green, CAST(zm AS DOUBLE) / 1000000.0 AS z_green
+         FROM z ORDER BY zm DESC, doc_id LIMIT 50""",
+
+    // q184's exact cell recipe, chi2 total as an order-free INTEGER sum
+    // of micro contributions, V one identical double expression
+    "q221_cramers_v" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+                        FROM documents GROUP BY 1, 2),
+              ns AS (SELECT source, CAST(sum(o) AS BIGINT) AS ns FROM cells GROUP BY source),
+              nc AS (SELECT lang, CAST(sum(o) AS BIGINT) AS nc FROM cells GROUP BY lang),
+              nt AS (SELECT CAST(sum(o) AS BIGINT) AS n_total,
+                            CAST(count(DISTINCT source) AS BIGINT) AS r_levels,
+                            CAST(count(DISTINCT lang) AS BIGINT) AS c_levels
+                     FROM cells),
+              cx AS (SELECT c.o,
+                            CAST((CAST(ns.ns AS HUGEINT) * nc.nc * 1000000) // nt.n_total
+                              AS BIGINT) AS em,
+                            nt.n_total, nt.r_levels, nt.c_levels
+                     FROM cells c JOIN ns ON c.source = ns.source
+                     JOIN nc ON c.lang = nc.lang CROSS JOIN nt),
+              ag AS (SELECT n_total, r_levels, c_levels,
+                            CAST(sum(CAST(CAST(o * 1000000 - em AS HUGEINT) *
+                              (o * 1000000 - em) // em AS BIGINT)) AS BIGINT) AS chi2_micro
+                     FROM cx GROUP BY 1, 2, 3)
+         SELECT n_total, r_levels, c_levels,
+                CAST(chi2_micro AS DOUBLE) / 1000000.0 AS chi2,
+                CASE WHEN least(r_levels, c_levels) <= 1 THEN NULL
+                     ELSE round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0 /
+                            CAST(n_total AS DOUBLE) /
+                            CAST(least(r_levels, c_levels) - 1 AS DOUBLE)), 6)
+                END AS v
+         FROM ag""",
+
+    // per-source lower-median selection over the qm histogram, then
+    // q210's exact F recipe on |qm − med| as HUGEINT //
+    "q222_brown_forsythe" ->
+      s"""WITH $scoredDocsCte,
+              dd AS (SELECT source, CAST(floor(q * 1000000.0 + 0.5) AS BIGINT) AS qm
+                     FROM scored),
+              h AS (SELECT source, qm, CAST(count(*) AS BIGINT) AS c
+                    FROM dd GROUP BY 1, 2),
+              sn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM h GROUP BY source),
+              cum AS (SELECT source, qm, CAST(sum(c) OVER (PARTITION BY source ORDER BY qm
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                      FROM h),
+              med AS (SELECT c.source, CAST(min(c.qm) AS BIGINT) AS med
+                      FROM cum c JOIN sn ON c.source = sn.source
+                      WHERE c.cum * 2 >= sn.n_s GROUP BY c.source),
+              zz AS (SELECT d.source, abs(d.qm - m.med) AS zm
+                     FROM dd d JOIN med m ON d.source = m.source),
+              g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(zm) AS BIGINT) AS sz,
+                           sum(CAST(zm AS HUGEINT) * zm) AS zq
+                    FROM zz GROUP BY source),
+              ag AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                            CAST(sum(n) AS BIGINT) AS n_docs,
+                            CAST(sum(sz) AS HUGEINT) AS s_tot,
+                            CAST(sum(zq) AS HUGEINT) AS q_tot,
+                            sum((CAST(sz AS HUGEINT) * sz * 1000000) // n) AS w_sum
+                     FROM g),
+              fin AS (SELECT k_groups, n_docs,
+                             w_sum - (s_tot * s_tot * 1000000) // n_docs AS ssb_micro,
+                             q_tot * 1000000 - w_sum AS ssw_micro
+                      FROM ag)
+         SELECT k_groups, n_docs,
+                CAST(ssb_micro AS DOUBLE) / 1000000.0 AS ssb_z,
+                CAST(ssw_micro AS DOUBLE) / 1000000.0 AS ssw_z,
+                CASE WHEN ssw_micro = 0 OR k_groups <= 1 THEN NULL
+                     ELSE round(CAST(ssb_micro * (n_docs - k_groups) AS DOUBLE) /
+                                CAST(ssw_micro * (k_groups - 1) AS DOUBLE), 6) END AS f_bf
+         FROM fin""",
+
+    // exact integer cents, string-head leading digit (no float log10
+    // boundary), micro fractions, integer MAD
+    "q223_benford_prices" ->
+      """WITH dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                     FROM (SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+                           FROM lineitem) t
+                     WHERE cents > 0),
+              h AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM dg GROUP BY digit),
+              tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM h),
+              rows_ AS (SELECT digit, n_obs,
+                               CAST((n_obs * 1000000) // n_total AS BIGINT) AS obs_ppm,
+                               CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000, 0)
+                                 AS BIGINT) AS exp_ppm
+                        FROM h CROSS JOIN tot),
+              mad AS (SELECT CAST(CAST(sum(abs(obs_ppm - exp_ppm)) // 9 AS BIGINT) AS DOUBLE)
+                               / 1000000.0 AS mad
+                      FROM rows_)
+         SELECT digit, n_obs,
+                CAST(obs_ppm AS DOUBLE) / 1000000.0 AS obs_frac,
+                CAST(exp_ppm AS DOUBLE) / 1000000.0 AS benford_frac,
+                mad
+         FROM rows_ CROSS JOIN mad ORDER BY digit""",
+
+    // deterministic 64-register HLL: bucket = top 6 of 60 md5 bits,
+    // rank via minimal-width bin() length, EXACT harmonic sum as
+    // Σ 2^(55−M) BIGINT, estimate/error one double expression each
+    "q224_hll_audit" ->
+      s"""WITH tf AS (SELECT source, token,
+                            ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+                     FROM (SELECT source,
+                                  unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS token
+                           FROM documents) t),
+              regs AS (SELECT source, h // 18014398509481984 AS bucket,
+                              CAST(max(CASE WHEN h % 18014398509481984 = 0 THEN 55
+                                       ELSE 55 - length(bin(h % 18014398509481984)) END)
+                                AS BIGINT) AS m
+                       FROM tf GROUP BY 1, 2),
+              spine AS (SELECT DISTINCT source, unnest(range(0, 64)) AS bucket FROM tf),
+              s AS (SELECT sp.source,
+                           CAST(sum(CAST(1 AS BIGINT) << CAST(55 - coalesce(r.m, 0) AS INT))
+                             AS BIGINT) AS hsum
+                    FROM spine sp LEFT JOIN regs r
+                      ON r.source = sp.source AND r.bucket = sp.bucket
+                    GROUP BY sp.source),
+              ex AS (SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_distinct
+                     FROM tf GROUP BY source)
+         SELECT ex.source, ex.n_distinct,
+                round(${Queries.hllNumerator} / CAST(s.hsum AS DOUBLE), 6) AS hll_estimate,
+                round((${Queries.hllNumerator} / CAST(s.hsum AS DOUBLE) - ex.n_distinct)
+                  / CAST(ex.n_distinct AS DOUBLE), 6) AS rel_err
+         FROM ex JOIN s ON ex.source = s.source ORDER BY ex.source""",
 
     // the oracle ranks the vocab once (no scale constraint) where the
     // engine runs 5 TakeOrdered probes

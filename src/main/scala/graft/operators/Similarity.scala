@@ -595,7 +595,7 @@ object Similarity {
     var sizes: Array[Long] = Array.fill(k)(0L)
     for (_ <- 1 to rounds) {
       val bc = cents.map(_.clone)
-      val assignUdf = udf((q: Seq[Long]) => {
+      val assignUdf = udf((q: Array[Long]) => {
         var best = 0
         var bd = Long.MaxValue
         var c = 0
@@ -684,7 +684,7 @@ object Similarity {
     var sizes: Array[Array[Long]] = Array.fill(nSub, k)(0L)
     for (_ <- 1 to rounds) {
       val bc = cents.map(_.map(_.clone))
-      val assignUdf = udf((q: Seq[Long]) => pqNearestCodes(q, bc))
+      val assignUdf = udf((q: Array[Long]) => pqNearestCodes(q, bc))
       val stats = qv.withColumn("cids", assignUdf(col("q")))
         .select(col("cids"), posexplode(col("q")).as(Seq("pos", "vq")))
         .withColumn("sub", (col("pos") / lit(subDim)).cast("int"))
@@ -738,7 +738,7 @@ object Similarity {
     * code id — the shared PQ encode kernel ([[pqTrainExact]] rounds,
     * corpus encoding for ADC search). Deterministic; the oracle mirrors
     * it with a row_number over (dist, cid). */
-  def pqNearestCodes(q: Seq[Long], cents: Array[Array[Array[Long]]]): Array[Int] = {
+  def pqNearestCodes(q: Array[Long], cents: Array[Array[Array[Long]]]): Array[Int] = {
     val nSub = cents.length
     val k = cents(0).length
     val subDim = cents(0)(0).length
@@ -778,7 +778,7 @@ object Similarity {
     val k = cents(0).length
     val subDim = cents(0)(0).length
     val dim = nSub * subDim
-    val errUdf = udf((q: Seq[Long]) => {
+    val errUdf = udf((q: Array[Long]) => {
       var total = 0L
       var s = 0
       while (s < nSub) {
@@ -900,8 +900,8 @@ object Similarity {
     val (cellCents, _) = kmeansTrainExactQuantized(qvPlain, nCells, rounds)
     val (cents, _) = pqTrainExactQuantized(qvPlain, nSub, k, rounds)
     val cellWrap = Array(cellCents)
-    val cellUdf = udf((q: Seq[Long]) => pqNearestCodes(q, cellWrap)(0))
-    val lutUdf = udf((q: Seq[Long]) => {
+    val cellUdf = udf((q: Array[Long]) => pqNearestCodes(q, cellWrap)(0))
+    val lutUdf = udf((q: Array[Long]) => {
       val lut = adcLut(q.toArray, cents)
       for (s2 <- lut.indices; c <- lut(s2).indices)
         yield (s2, c, lut(s2)(c))
@@ -911,7 +911,7 @@ object Similarity {
         cellUdf(col("q")).as("cell"), explode(lutUdf(col("q"))).as("t"))
       .select(col("anchor_id"), col("la"), col("cell"),
         col("t._1").as("sub"), col("t._2").as("cid"), col("t._3").as("dist"))
-    val codesUdf = udf((q: Seq[Long]) => pqNearestCodes(q, cents).toSeq)
+    val codesUdf = udf((q: Array[Long]) => pqNearestCodes(q, cents).toSeq)
     val members = qv
       .select(col("vid").as("neg_id"), col("lbl").as("lb"),
         cellUdf(col("q")).as("cell"),

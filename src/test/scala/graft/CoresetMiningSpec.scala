@@ -108,7 +108,7 @@ class CoresetMiningSpec extends AnyFunSuite {
     val cells = embs
       .select(col("vec_id"), Similarity.quantized(col("embedding")).as("q"))
       .collect().map(r => r.getLong(0) ->
-        Similarity.pqNearestCodes(r.getSeq[Long](1), cellWrap)(0)).toMap
+        Similarity.pqNearestCodes(r.getSeq[Long](1).toArray, cellWrap)(0)).toMap
     out.foreach { case (a, _, n, _) =>
       assert(labels(a) != labels(n), s"pair ($a,$n) shares label ${labels(a)}")
       assert(cells(a) == cells(n), s"pair ($a,$n) crosses cells")

@@ -172,7 +172,7 @@ class KmeansExactSpec extends AnyFunSuite {
     val query = Array(5000L, -2000L, 3000L, 100L)
     def exact(x: Array[Long]) = query.zip(x).map { case (a, b) => (a - b) * (a - b) }.sum
     def adc(x: Array[Long]) = {
-      val codes = Similarity.pqNearestCodes(x.toSeq, cents)
+      val codes = Similarity.pqNearestCodes(x, cents)
       (0 until 2).map { s =>
         val cent = cents(s)(codes(s))
         (0 until 2).map(i => {

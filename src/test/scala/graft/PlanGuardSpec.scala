@@ -431,6 +431,45 @@ class PlanGuardSpec extends AnyFunSuite {
       "q206 grew a cartesian join")
   }
 
+  test("r14 batch: q216/q220/q224 windowless over the Zipfian key; q220 TakeOrdered; " +
+      "q215/q217/q219/q222 windows only over aggregate-sized inputs") {
+    // q216 (Zipf MLE), q224 (HLL registers), q220 (watermark z) are
+    // pure partial-aggregated groupBys over (source|doc, token) — any
+    // window means a regression to ranking the vocabulary / the corpus
+    for (q <- Seq("q216_zipf_mle", "q224_hll_audit")) {
+      assert(windowsOf(executedPlans(q)).isEmpty,
+        s"$q grew a window — the partial-agg design regressed")
+    }
+    val p220 = executedPlans("q220_watermark_detect")
+    assert(windowsOf(p220).isEmpty, "q220 grew a window")
+    assert(p220.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "q220 lost its TakeOrderedAndProject top-50")
+    // q215/q217/q219/q222: the cumulative-cdf / checkpoint-grid /
+    // percentile-selection windows are LEGAL only over aggregate-sized
+    // inputs (the distinct-value histogram / 16-bucket grid) — an
+    // aggregate node must sit beneath every one of them (the two-level
+    // contract the r4 guards enforce for the budget family). Checked
+    // with checkpoint boundaries bypassed: q217's windows live upstream
+    // of its pts checkpoint and would otherwise be invisible (the exact
+    // r13 vacuousness this mechanism exists for). q222 is excluded: its
+    // median windows run inside the plan-construction collect (the
+    // driver BigInt fold), so the returned frame is a local relation
+    // with no plan to walk.
+    Ckpt.withoutCheckpoints {
+      for (q <- Seq("q215_ks_two_sample", "q217_heaps_law",
+                    "q219_conformal_coverage")) {
+        val ws = windowsOf(executedPlans(q))
+        assert(ws.nonEmpty, s"$q lost its histogram-cumulative window entirely")
+        ws.foreach { w =>
+          val aggBeneath = collectPlans(w.child).exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+          assert(aggBeneath,
+            s"$q has a window over a NON-aggregated input — corpus-sized sort risk")
+        }
+      }
+    }
+  }
+
   test("full-plan audit with checkpoint boundaries bypassed: the window guards cover the WHOLE tree") {
     // r13 verdict #1 / ADVICE: a localCheckpoint truncates the executed
     // plan at a LogicalRDD, so every window/TakeOrdered assertion above
