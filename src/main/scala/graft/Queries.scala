@@ -723,18 +723,22 @@ object Queries {
       val proj = q.join(broadcast(signs), "pos")
         .groupBy("vec_id", "j").agg(sum(col("sgn") * col("vq")).as("y"))
         .where(col("vec_id") < 16)
+      // 16 anchors × 16 projections — every relation below is ≤ ~1k rows;
+      // broadcast the self-join/attach sides (r14 SMJ sweep)
       val dProj = proj.select(col("vec_id").as("vec_a"), col("j"), col("y").as("ya"))
-        .join(proj.select(col("vec_id").as("vec_b"), col("j"), col("y").as("yb")), "j")
+        .join(broadcast(
+          proj.select(col("vec_id").as("vec_b"), col("j"), col("y").as("yb"))), "j")
         .where(col("vec_a") < col("vec_b"))
         .groupBy("vec_a", "vec_b")
         .agg(sum(expr("(ya - yb) * (ya - yb)")).as("d2_proj"))
       val ua = q.where(col("vec_id") < 16)
       val dOrig = ua.select(col("vec_id").as("vec_a"), col("pos"), col("vq").as("qa"))
-        .join(ua.select(col("vec_id").as("vec_b"), col("pos"), col("vq").as("qb")), "pos")
+        .join(broadcast(
+          ua.select(col("vec_id").as("vec_b"), col("pos"), col("vq").as("qb"))), "pos")
         .where(col("vec_a") < col("vec_b"))
         .groupBy("vec_a", "vec_b")
         .agg(sum(expr("(qa - qb) * (qa - qb)")).as("d2_orig"))
-      dOrig.join(dProj, Seq("vec_a", "vec_b"))
+      dOrig.join(broadcast(dProj), Seq("vec_a", "vec_b"))
         .select(col("vec_a"), col("vec_b"), col("d2_orig"), col("d2_proj"),
           round(col("d2_proj").cast("double") /
             (col("d2_orig").cast("double") * 16.0), 6).as("distortion"))
@@ -2532,11 +2536,14 @@ object Queries {
         .where(col("rk") <= 4)
         .select("a", "b")
         .ckptLazy // consumers: one semi-join per round
+      // anchor-sized relations on every side (≤ 8·k rows) — broadcast
+      // explicitly: the checkpointed frames have no stats, so the
+      // planner's guess sort-merges 16 tiny joins (r14 SMJ sweep)
       gs.zipWithIndex.map { case (g, r) =>
         val edges = g.where(col("a") < 8).select("a", "b")
-        val hit = ex4.join(edges, Seq("a", "b"), "left_semi")
+        val hit = ex4.join(broadcast(edges), Seq("a", "b"), "left_semi")
           .groupBy("a").agg(count(lit(1)).as("h"))
-        anchors.select("a").join(hit, Seq("a"), "left")
+        anchors.select("a").join(broadcast(hit), Seq("a"), "left")
           .select(lit(r).as("round"), col("a").as("vec_id"),
             coalesce(col("h"), lit(0L)).as("n_hits"),
             (expr("cast(coalesce(h, 0L) * 1000000 div 4 as bigint)")
@@ -2698,8 +2705,12 @@ object Queries {
         .select(col("event_type"), expr("ts div 86400000000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
         .ckptLazy // consumers: both pair sides + n_days
+      // the day-count relation is aggregate-sized (days × types — bounded
+      // by corpus AGE, not volume): broadcast the pair side explicitly
+      // (r14 SMJ sweep — no stats on the checkpointed histogram)
       val pairs = dc.select(col("event_type"), col("day").as("d1"), col("c").as("c1"))
-        .join(dc.select(col("event_type"), col("day").as("d2"), col("c").as("c2")),
+        .join(broadcast(
+          dc.select(col("event_type"), col("day").as("d2"), col("c").as("c2"))),
           Seq("event_type"))
         .where(col("d1") < col("d2"))
         .withColumn("slope_q", expr("((c2 - c1) * 1000000) div (d2 - d1)"))
@@ -2707,7 +2718,8 @@ object Queries {
         .orderBy(col("slope_q"), col("d1"), col("d2"))
       pairs
         .withColumn("rn", row_number().over(w))
-        .join(pairs.groupBy("event_type").agg(count(lit(1)).as("np")), "event_type")
+        .join(broadcast(pairs.groupBy("event_type").agg(count(lit(1)).as("np"))),
+          "event_type")
         .where(col("rn") === expr("(np + 1) div 2"))
         .join(dc.groupBy("event_type").agg(count(lit(1)).as("n_days")), "event_type")
         .select(col("event_type"), col("n_days"), col("np").as("n_pairs"),
@@ -4005,8 +4017,11 @@ object Queries {
         .ckptLazy // consumers: pair join, margins, totals
       val pairs = cells.select(col("source"), col("qb").as("qa"), col("lb").as("la"),
           col("c").as("ca"))
-        .join(cells.select(col("source"), col("qb").as("qbb"), col("lb").as("lbb"),
-          col("c").as("cb")), "source")
+        // ≤100 fixed-grid cells per source at ANY corpus size — broadcast
+        // the self-join side explicitly (r14 SMJ sweep: the checkpointed
+        // histogram has no stats, so the planner sort-merged this)
+        .join(broadcast(cells.select(col("source"), col("qb").as("qbb"),
+          col("lb").as("lbb"), col("c").as("cb"))), "source")
         .where(col("qa") < col("qbb"))
         .groupBy("source")
         .agg(
@@ -4019,7 +4034,7 @@ object Queries {
       val colm = cells.groupBy("source", "lb").agg(sum("c").as("cc"))
         .groupBy("source").agg(sum(expr("cast(cc as decimal(38,0)) * (cc - 1)")).as("tc"))
       val tot = cells.groupBy("source").agg(sum("c").as("n"))
-      tot.join(pairs, Seq("source"), "left")
+      tot.join(broadcast(pairs), Seq("source"), "left")
         .join(rowm, "source").join(colm, "source")
         .select(col("source"), col("n"),
           coalesce(col("nc"), lit(0)).cast("decimal(38,0)").as("n_conc"),
@@ -4554,6 +4569,162 @@ object Queries {
           expr(s"round(($hllNumerator / cast(hsum as double) - n_distinct) / " +
             "cast(n_distinct as double), 6)").as("rel_err"))
         .orderBy("source")
+    }),
+
+    // DSIR IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling" — THE modern "select
+    // pretraining data that looks like the good data" move): target =
+    // the high-quality slice (round-6 q ≥ 0.8, the q44 gate), features
+    // = tokens hashed into 128 buckets (md5, the PortableHash
+    // convention), per-bucket log-ratio r_b = ln((ct+1)(C+128) /
+    // ((cc+1)(T+128))) — an EXACT integer rational inside the ln,
+    // micro-scaled to BIGINT before any sum (the q149 discipline) — and
+    // each doc's log-weight is the exact integer Σ count·r_b via a
+    // 128-row broadcast ratio table (the r11 LUT-as-relation rule).
+    // Top-25 by integer weight via TakeOrdered; no window anywhere.
+    "q225_dsir_weights" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          (round(TF.qualityScore(col("text")), 6) >= 0.8).as("is_target"),
+          explode(TF.tokens(col("text"))).as("token"))
+        .select(col("doc_id"), col("is_target"), expr(
+          "cast(conv(substr(md5(cast(token as binary)), 1, 15), 16, 10) as bigint) % 128")
+          .as("b"))
+        .groupBy("doc_id", "is_target", "b").agg(count(lit(1)).as("c"))
+        .ckptLazy // consumers: bucket table, per-doc weights
+      val buckets = toks.groupBy("b")
+        .agg(sum("c").as("cc"),
+          coalesce(sum(when(col("is_target"), col("c"))), lit(0L)).as("ct"))
+      val totals = buckets.agg(sum("cc").as("ctot"), sum("ct").as("ttot"))
+      val ratio = buckets.crossJoin(totals)
+        .select(col("b"), expr(
+          "cast(round(ln(cast((ct + 1) as double) * (ctot + 128) / " +
+            "(cast((cc + 1) as double) * (ttot + 128))) * 1000000, 0) as bigint)")
+          .as("r"))
+      toks.join(broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          sum(expr("c * r")).as("wm"))
+        .orderBy(col("wm").desc, col("doc_id")).limit(25)
+        .select(col("doc_id"), col("n_tokens"),
+          (col("wm").cast("double") / lit(1000000.0)).as("log_weight"))
+    }),
+
+    // SOURCE-LEVEL MINHASH JACCARD AUDIT (Broder 1997 — the q26 doc
+    // sketch lifted to SOURCE grain, scored against the exact overlap
+    // so the sketch error is DATA, the q224 theme): each source's
+    // distinct-token set gets the engine's own 64-permutation signature
+    // ((a_i·h+b_i) mod P over md5-32 hashes — MinHashSignature's exact
+    // constants, bit-reproducible in SQL), est-Jaccard = matching
+    // components / 64 vs exact |A∩B|/|A∪B|. Everything after the
+    // distinct (source, token) projection is vocab-bounded (×64 for the
+    // signature pass) or k²-sized; the per-token pair fan-out is ≤ k²
+    // per token by construction.
+    "q226_source_minhash_jaccard" -> ((s, d) => {
+      import graft.plans.MinHashSignature.{coeffA, coeffB, P}
+      val hs = t(s, d, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("token"))
+        .select(col("source"), expr(
+          "cast(conv(substr(md5(cast(token as binary)), 1, 8), 16, 10) as bigint)")
+          .as("h"))
+        .distinct()
+        .ckptLazy // consumers: signature pass, sizes, intersections
+      val perms = s.createDataFrame(
+        (0 until 64).map(i => (i, coeffA(i), coeffB(i)))).toDF("i", "pa", "pb")
+      val sig = hs.crossJoin(broadcast(perms))
+        .groupBy("source", "i")
+        .agg(min(expr(s"(pa * h + pb) % ${P}L")).as("mh"))
+      val est = sig.select(col("source").as("source_a"), col("i"), col("mh").as("ma"))
+        .join(broadcast(sig.select(col("source").as("source_b"), col("i"),
+          col("mh").as("mb"))), "i")
+        .where(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("n_match"))
+      val sizes = hs.groupBy("source").agg(count(lit(1)).as("nh"))
+      val inter = hs.select(col("source").as("source_a"), col("h"))
+        .join(hs.select(col("source").as("source_b"), col("h")), "h")
+        .where(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("ni"))
+      est
+        .join(broadcast(sizes.select(col("source").as("source_a"), col("nh").as("na"))),
+          "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"), col("nh").as("nb"))),
+          "source_b")
+        .join(broadcast(inter), Seq("source_a", "source_b"), "left")
+        .na.fill(0L, Seq("ni"))
+        .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+          (expr("cast(ni * 1000000 div (na + nb - ni) as bigint)")
+            .cast("double") / lit(1000000.0)).as("j_exact"),
+          (expr("cast(n_match * 1000000 div 64 as bigint)")
+            .cast("double") / lit(1000000.0)).as("j_est"))
+        .withColumn("abs_err", abs(round(col("j_est") - col("j_exact"), 6)))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // CROSS-SOURCE EXACT-DUPLICATE MATRIX (the provenance drill-down of
+    // q21: WHICH source pairs share content — mirror sites, syndication,
+    // template reuse — read next to q109's n-gram contamination and
+    // q209's stylometry): distinct (content_hash, source), self-joined
+    // per hash — the fan-out is ≤ k² PER HASH at any corpus size (the
+    // q211 bounded-cell argument), so the pair relation stays linear in
+    // distinct hashes; overlap Jaccard is the truncating micro division.
+    "q227_cross_source_dups" -> ((s, d) => {
+      val hs = t(s, d, "documents")
+        .select(md5(col("text")).as("ch"), col("source"))
+        .distinct()
+        .ckptLazy // consumers: sizes, pair intersections
+      val sizes = hs.groupBy("source").agg(count(lit(1)).as("nh"))
+      hs.select(col("source").as("source_a"), col("ch"))
+        .join(hs.select(col("source").as("source_b"), col("ch")), "ch")
+        .where(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("source").as("source_a"), col("nh").as("na"))),
+          "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"), col("nh").as("nb"))),
+          "source_b")
+        .select(col("source_a"), col("source_b"), col("na"), col("nb"), col("n_shared"),
+          (expr("cast(n_shared * 1000000 div (na + nb - n_shared) as bigint)")
+            .cast("double") / lit(1000000.0)).as("overlap_jaccard"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // CUSUM BURST DETECTION on daily event volume (Page 1954 — the
+    // sequential change-point screen upstream of q212's trend test:
+    // Mann-Kendall asks "is there a monotone trend?", CUSUM asks "WHEN
+    // did the level shift?"): both one-sided sums via the cum-minus-
+    // prefix-min identity S_t = cum_t − min_{s≤t} cum_s (the recursion
+    // max(0, S+y) made window-expressible — both windows run over the
+    // aggregate-sized day relation), with μ the truncating micro mean
+    // (recipe-is-the-statistic), σ one identical rounded double
+    // expression, slack k = σ/2 and threshold h = 4σ the textbook
+    // defaults in exact micro integers.
+    "q228_cusum_bursts" -> ((s, d) => {
+      val dv = t(s, d, "events")
+        .select(date_format(timestamp_micros(tsMicros), "yyyy-MM-dd").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("v"))
+        .ckptLazy // consumers: moments, cusum pass
+      val st = dv.agg(count(lit(1)).as("n"), sum("v").as("sv"),
+          sum(expr("cast(v as decimal(38,0)) * v")).as("qv"))
+        .select(col("n"),
+          expr("cast((cast(sv as decimal(38,0)) * 1000000) div n as bigint)").as("mum"),
+          expr("cast(round(sqrt(cast(cast(n as decimal(38,0)) * qv - " +
+            "cast(sv as decimal(38,0)) * sv as double)) / n * 1000000, 0) as bigint)")
+            .as("sm"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dv.crossJoin(broadcast(st))
+        .withColumn("yu", expr("v * 1000000 - mum - sm div 2"))
+        .withColumn("yl", expr("mum - sm div 2 - v * 1000000"))
+        .withColumn("cu", sum("yu").over(w))
+        .withColumn("cl", sum("yl").over(w))
+        .withColumn("su", col("cu") - least(min("cu").over(w), lit(0L)))
+        .withColumn("sl", col("cl") - least(min("cl").over(w), lit(0L)))
+        .select(col("day"), col("v"),
+          (col("su").cast("double") / lit(1000000.0)).as("s_upper"),
+          (col("sl").cast("double") / lit(1000000.0)).as("s_lower"),
+          (col("su") > col("sm") * 4 || col("sl") > col("sm") * 4)
+            .cast("int").as("is_burst"))
+        .orderBy("day")
     }),
 
     // PER-SOURCE CORPUS SCORECARD — the r13 signals COMPOSED into the
@@ -6721,7 +6892,9 @@ object Queries {
         .agg(coalesce(sum("n_vectors"), lit(0L)).as("n_agree"))
       val rw = conf.groupBy(col("true_label").as("l")).agg(sum("n_vectors").as("r"))
       val cl = conf.groupBy(col("pred_label").as("l")).agg(sum("n_vectors").as("c"))
-      val pn = rw.join(cl, "l").agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("s"))
+      // label-count relations (≤ |labels| rows) — broadcast (r14 SMJ sweep)
+      val pn = rw.join(broadcast(cl), "l")
+        .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("s"))
       val po = col("n_agree").cast("double") / col("n_total").cast("double")
       val pe = col("s").cast("double") /
         (col("n_total").cast("double") * col("n_total").cast("double"))
@@ -6941,8 +7114,8 @@ object Queries {
       val packed = Multimodal.packBinary(
         t(s, d, "documents").where(length(col("text")) > 0), "doc_id", "text")
       val feats = Multimodal.extractFrameFeatures(packed, "doc_id", frameBytes = 64)
-      val resizeUdf = udf((fs: Seq[Double]) =>
-        Multimodal.resizeNearest(fs.toArray, 8).toSeq)
+      val resizeUdf = udf((fs: Array[Double]) =>
+        Multimodal.resizeNearest(fs, 8).toSeq)
       feats.select(col("doc_id"), col("n_frames"),
         posexplode(resizeUdf(col("frame_features"))).as(Seq("k", "v")))
         .withColumn("v", round(col("v"), 6))
@@ -9579,6 +9752,129 @@ object Oracles {
                 round((${Queries.hllNumerator} / CAST(s.hsum AS DOUBLE) - ex.n_distinct)
                   / CAST(ex.n_distinct AS DOUBLE), 6) AS rel_err
          FROM ex JOIN s ON ex.source = s.source ORDER BY ex.source""",
+
+    // laplace-smoothed bucket log-ratios as micro integers, per-doc
+    // weight an exact integer dot product, top-25 by the integer key
+    "q225_dsir_weights" ->
+      s"""WITH $scoredDocsCte,
+              tk AS (SELECT d.doc_id, round(s.q, 6) >= 0.8 AS is_target,
+                            ('0x' || substr(md5(d.tok), 1, 15))::BIGINT % 128 AS b
+                     FROM (SELECT doc_id,
+                                  unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+                           FROM documents) d
+                     JOIN scored s ON s.doc_id = d.doc_id),
+              bk AS (SELECT b, CAST(count(*) AS BIGINT) AS cc,
+                            CAST(coalesce(sum(CASE WHEN is_target THEN 1 END), 0)
+                              AS BIGINT) AS ct
+                     FROM tk GROUP BY b),
+              tot AS (SELECT CAST(sum(cc) AS BIGINT) AS ctot,
+                             CAST(sum(ct) AS BIGINT) AS ttot FROM bk),
+              r AS (SELECT b, CAST(round(ln(CAST(ct + 1 AS DOUBLE) * (ctot + 128) /
+                            (CAST(cc + 1 AS DOUBLE) * (ttot + 128))) * 1000000, 0)
+                            AS BIGINT) AS r
+                    FROM bk CROSS JOIN tot),
+              db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+                     FROM tk GROUP BY 1, 2),
+              wts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                             CAST(sum(c * r.r) AS BIGINT) AS wm
+                      FROM db JOIN r USING (b) GROUP BY doc_id)
+         SELECT doc_id, n_tokens, CAST(wm AS DOUBLE) / 1000000.0 AS log_weight
+         FROM wts ORDER BY wm DESC, doc_id LIMIT 25""",
+
+    // the engine's own permutation constants as a VALUES table, exact
+    // 64-component signatures, estimated vs exact Jaccard per pair
+    "q226_source_minhash_jaccard" -> {
+      import graft.plans.MinHashSignature.{coeffA, coeffB, P}
+      val permVals = (0 until 64)
+        .map(i => s"(${i}, ${coeffA(i)}, ${coeffB(i)})").mkString(", ")
+      s"""WITH hs AS (SELECT DISTINCT source,
+                            ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+                     FROM (SELECT source,
+                                  unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS token
+                           FROM documents) t),
+              perms(i, pa, pb) AS (VALUES $permVals),
+              sig AS (SELECT source, i,
+                             CAST(min((pa * h + pb) % ${P}) AS BIGINT) AS mh
+                      FROM hs CROSS JOIN perms GROUP BY 1, 2),
+              est AS (SELECT a.source AS source_a, b.source AS source_b,
+                             CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_match
+                      FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+                      GROUP BY 1, 2),
+              sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nh
+                        FROM hs GROUP BY source),
+              inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                               CAST(count(*) AS BIGINT) AS ni
+                        FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+                        GROUP BY 1, 2),
+              fin AS (SELECT e.source_a, e.source_b, sa.nh AS na, sb.nh AS nb,
+                             CAST(coalesce(i.ni, 0) * 1000000
+                               // (sa.nh + sb.nh - coalesce(i.ni, 0)) AS BIGINT) AS jxm,
+                             CAST(e.n_match * 1000000 // 64 AS BIGINT) AS jem
+                      FROM est e JOIN sizes sa ON e.source_a = sa.source
+                      JOIN sizes sb ON e.source_b = sb.source
+                      LEFT JOIN inter i ON e.source_a = i.source_a
+                        AND e.source_b = i.source_b)
+         SELECT source_a, source_b, na, nb,
+                CAST(jxm AS DOUBLE) / 1000000.0 AS j_exact,
+                CAST(jem AS DOUBLE) / 1000000.0 AS j_est,
+                abs(round(CAST(jem AS DOUBLE) / 1000000.0 -
+                          CAST(jxm AS DOUBLE) / 1000000.0, 6)) AS abs_err
+         FROM fin ORDER BY source_a, source_b"""
+    },
+
+    // distinct (hash, source) self-join per hash — <= k^2 fan-out per
+    // hash; overlap Jaccard the truncating micro division
+    "q227_cross_source_dups" ->
+      """WITH hs AS (SELECT DISTINCT md5(text) AS ch, source FROM documents),
+              sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nh
+                        FROM hs GROUP BY source),
+              pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                               CAST(count(*) AS BIGINT) AS n_shared
+                        FROM hs a JOIN hs b ON a.ch = b.ch AND a.source < b.source
+                        GROUP BY 1, 2)
+         SELECT p.source_a, p.source_b, sa.nh AS na, sb.nh AS nb, p.n_shared,
+                CAST(p.n_shared * 1000000 // (sa.nh + sb.nh - p.n_shared) AS DOUBLE)
+                  / 1000000.0 AS overlap_jaccard
+         FROM pairs p JOIN sizes sa ON p.source_a = sa.source
+         JOIN sizes sb ON p.source_b = sb.source
+         ORDER BY p.source_a, p.source_b""",
+
+    // cum-minus-prefix-min CUSUM over the day relation; truncating
+    // micro mean, one identical rounded sigma expression
+    "q228_cusum_bursts" ->
+      """WITH dv AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                            CAST(count(*) AS BIGINT) AS v
+                     FROM events GROUP BY 1),
+              st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+                            sum(CAST(v AS HUGEINT) * v) AS qv
+                     FROM dv),
+              par AS (SELECT n,
+                             CAST((CAST(sv AS HUGEINT) * 1000000) // n AS BIGINT) AS mum,
+                             CAST(round(sqrt(CAST(CAST(n AS HUGEINT) * qv -
+                               CAST(sv AS HUGEINT) * sv AS DOUBLE)) / n * 1000000, 0)
+                               AS BIGINT) AS sm
+                      FROM st),
+              cs AS (SELECT day, v, sm,
+                            v * 1000000 - mum - sm // 2 AS yu,
+                            mum - sm // 2 - v * 1000000 AS yl
+                     FROM dv CROSS JOIN par),
+              c1 AS (SELECT day, v, sm,
+                            CAST(sum(yu) OVER w AS BIGINT) AS cu,
+                            CAST(sum(yl) OVER w AS BIGINT) AS cl
+                     FROM cs WINDOW w AS (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              c2 AS (SELECT day, v, sm, cu, cl,
+                            CAST(least(min(cu) OVER w, 0) AS BIGINT) AS mcu,
+                            CAST(least(min(cl) OVER w, 0) AS BIGINT) AS mcl
+                     FROM c1 WINDOW w AS (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT day, v,
+                CAST(cu - mcu AS DOUBLE) / 1000000.0 AS s_upper,
+                CAST(cl - mcl AS DOUBLE) / 1000000.0 AS s_lower,
+                CAST(CASE WHEN cu - mcu > 4 * sm OR cl - mcl > 4 * sm
+                          THEN 1 ELSE 0 END AS INT) AS is_burst
+         FROM c2 ORDER BY day""",
 
     // the oracle ranks the vocab once (no scale constraint) where the
     // engine runs 5 TakeOrdered probes

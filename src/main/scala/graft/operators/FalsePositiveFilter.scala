@@ -40,7 +40,9 @@ import graft.functions.MatchKernel
 object FalsePositiveFilter {
 
   private val matchCountUdf = udf {
-    (pattern: Seq[Row], series: Seq[Double], maxDistance: Double) =>
+    // series as Array[Double] (r14: the Seq signature boxes every
+    // element read; the Array signature is one primitive bulk copy)
+    (pattern: Seq[Row], series: Array[Double], maxDistance: Double) =>
       // value is the FINAL tie-break (ADVICE r4): without it, rows sharing
       // (trace, ts, class) would sort by collect_list arrival order —
       // nondeterministic across runs and silently divergent from
@@ -50,7 +52,7 @@ object FalsePositiveFilter {
       val q = pattern.sortBy(r =>
           (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
         .map(_.getDouble(3)).toArray
-      MatchKernel.matchCount(q, series.toArray, maxDistance)
+      MatchKernel.matchCount(q, series, maxDistance)
   }
 
   /**

@@ -455,9 +455,19 @@ class PlanGuardSpec extends AnyFunSuite {
     // median windows run inside the plan-construction collect (the
     // driver BigInt fold), so the returned frame is a local relation
     // with no plan to walk.
+    // batch-3 additions: q225/q226/q227 are pure partial-agg designs
+    // (hashed-bucket LUT join / signature minima / per-hash self-join)
+    for (q <- Seq("q225_dsir_weights", "q226_source_minhash_jaccard",
+                  "q227_cross_source_dups")) {
+      assert(windowsOf(executedPlans(q)).isEmpty,
+        s"$q grew a window — the partial-agg design regressed")
+    }
+    val p225 = executedPlans("q225_dsir_weights")
+    assert(p225.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "q225 lost its TakeOrderedAndProject top-25")
     Ckpt.withoutCheckpoints {
       for (q <- Seq("q215_ks_two_sample", "q217_heaps_law",
-                    "q219_conformal_coverage")) {
+                    "q219_conformal_coverage", "q228_cusum_bursts")) {
         val ws = windowsOf(executedPlans(q))
         assert(ws.nonEmpty, s"$q lost its histogram-cumulative window entirely")
         ws.foreach { w =>
