@@ -4688,6 +4688,118 @@ object Queries {
         .orderBy("source_a", "source_b")
     }),
 
+    // N-GRAM NOVELTY CURVE over corpus order (the q217 Heaps machinery
+    // at TRIGRAM grain — the memorization/diversity planning read: a
+    // corpus whose buckets stop contributing new trigram types is
+    // recycling itself at phrase level even when its token vocabulary
+    // still grows): md5(doc_id) nibble = canonical order + 16
+    // checkpoints; per-bucket distinct trigram types present vs types
+    // whose FIRST bucket is this one (a vocab-sized min-aggregate);
+    // novelty the truncating micro division. Trigram hashes ride the
+    // fused ShingleKernel (md5-32 of the shingle string — the exact
+    // convention the shSql oracle fragment reproduces).
+    "q229_ngram_novelty" -> ((s, d) => {
+      val shUdf = udf((text: String) =>
+        graft.functions.ShingleKernel.md5ShingleSet(text, 3))
+      val dh = t(s, d, "documents")
+        .select(expr(
+          "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 1), " +
+            "16, 10) as bigint)").as("bucket"),
+          explode(shUdf(col("text"))).as("h"))
+        .distinct()
+        .ckptLazy // consumers: present-type counts, first-bucket mins
+      val present = dh.groupBy("bucket").agg(count(lit(1)).as("n_types_present"))
+      val fresh = dh.groupBy("h").agg(min("bucket").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
+      present.join(broadcast(fresh), Seq("bucket"), "left")
+        .na.fill(0L, Seq("n_new_types"))
+        .select(col("bucket"), col("n_types_present"), col("n_new_types"),
+          (expr("cast(n_new_types * 1000000 div n_types_present as bigint)")
+            .cast("double") / lit(1000000.0)).as("novelty"))
+        .orderBy("bucket")
+    }),
+
+    // PAIRWISE JENSEN-SHANNON DIVERGENCE of length profiles between
+    // sources (Lin 1991 — the symmetric, always-finite divergence the
+    // mixture-weighting family (q59/q88/q173) wants as its distance
+    // input; KS (q215) asks "are they different", JSD gives the metric
+    // the mixture optimizer consumes): lengths drop into FIXED
+    // bit-length buckets (length(bin(toks)) — the windowless fixed-grid
+    // move, ≤ ~40 bins ever), and each per-bin KL term p·ln(p/m) is ONE
+    // identical double expression over exact integer counts micro-scaled
+    // to BIGINT before the ≤40-term sum (the q149 no-float-sum rule);
+    // the pair×bin grid is k²·bins rows at any corpus size.
+    "q230_length_jsd" -> ((s, d) => {
+      val hist = t(s, d, "documents")
+        .select(col("source"),
+          length(bin(greatest(TF.bpeTokenCount(col("text")).cast("long"), lit(1L))))
+            .cast("long").as("lb"))
+        .groupBy("source", "lb").agg(count(lit(1)).as("c"))
+        .ckptLazy // consumers: sizes, spine, both grid sides
+      val sizes = hist.groupBy("source").agg(sum("c").as("n"))
+      val spine = hist.select("lb").distinct()
+      val grid = sizes.select(col("source").as("source_a"), col("n").as("na"))
+        .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))),
+          col("source_a") < col("source_b"))
+        .crossJoin(broadcast(spine))
+        .join(hist.select(col("source").as("source_a"), col("lb"), col("c").as("ca")),
+          Seq("source_a", "lb"), "left")
+        .join(hist.select(col("source").as("source_b"), col("lb"), col("c").as("cb")),
+          Seq("source_b", "lb"), "left")
+        .na.fill(0L, Seq("ca", "cb"))
+      grid
+        .withColumn("ta", when(col("ca") > 0, expr(
+          "cast(round(cast(ca as double) * ln(2.0 * ca * nb / " +
+            "(cast(ca as double) * nb + cast(cb as double) * na)) / na " +
+            "* 1000000, 0) as bigint)")).otherwise(lit(0L)))
+        .withColumn("tb", when(col("cb") > 0, expr(
+          "cast(round(cast(cb as double) * ln(2.0 * cb * na / " +
+            "(cast(ca as double) * nb + cast(cb as double) * na)) / nb " +
+            "* 1000000, 0) as bigint)")).otherwise(lit(0L)))
+        .groupBy("source_a", "source_b")
+        .agg(count(when(col("ca") + col("cb") > 0, 1)).as("n_bins"),
+          sum("ta").as("sa"), sum("tb").as("sb"))
+        .select(col("source_a"), col("source_b"), col("n_bins"),
+          // JSD ≥ 0 by definition; the micro-rounded per-bin terms can
+          // sum to a tiny negative on near-identical profiles, where
+          // Spark's div (toward zero) and DuckDB's // (floor) diverge —
+          // clamp at 0 BEFORE the halving division on both engines
+          (expr("greatest(sa + sb, 0L) div 2").cast("double")
+            / lit(1000000.0)).as("jsd_nats"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // MEMORIZATION-RISK SCORE per document (the doc-grain read of
+    // q196's corpus-level repeated-n-gram probe — Carlini et al. 2022's
+    // observation that verbatim-repeated spans drive memorization: a
+    // doc composed of trigrams that each recur in ≥10 docs is
+    // boilerplate/template material the dedup family may still have
+    // missed): distinct trigram hashes per doc (fused ShingleKernel),
+    // per-trigram doc counts by partial-aggregated groupBy (never a
+    // window on the Zipfian key — the q76 shape), common-set join-back,
+    // per-doc fraction an exact micro integer, top-25 via TakeOrdered
+    // on the integer key.
+    "q231_memorization_risk" -> ((s, d) => {
+      val shUdf = udf((text: String) =>
+        graft.functions.ShingleKernel.md5ShingleSet(text, 3))
+      val dt = t(s, d, "documents")
+        .select(col("doc_id"), explode(shUdf(col("text"))).as("h"))
+        .distinct() // 32-bit collisions WITHIN a doc dedup exactly like
+                    // the oracle's DISTINCT (doc_id, h)
+        .ckptLazy // consumers: per-trigram doc counts, per-doc join-back
+      val common = dt.groupBy("h").agg(count(lit(1)).as("nd"))
+        .where(col("nd") >= 10).select(col("h"), lit(1L).as("is_common"))
+      dt.join(common, Seq("h"), "left")
+        .na.fill(0L, Seq("is_common"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"), sum("is_common").as("n_common"))
+        .withColumn("riskm",
+          expr("cast(n_common * 1000000 div n_trigrams as bigint)"))
+        .orderBy(col("riskm").desc, col("doc_id")).limit(25)
+        .select(col("doc_id"), col("n_trigrams"), col("n_common"),
+          (col("riskm").cast("double") / lit(1000000.0)).as("risk"))
+    }),
+
     // CUSUM BURST DETECTION on daily event volume (Page 1954 — the
     // sequential change-point screen upstream of q212's trend test:
     // Mann-Kendall asks "is there a monotone trend?", CUSUM asks "WHEN
@@ -9839,6 +9951,92 @@ object Oracles {
          FROM pairs p JOIN sizes sa ON p.source_a = sa.source
          JOIN sizes sb ON p.source_b = sb.source
          ORDER BY p.source_a, p.source_b""",
+
+    // shSql trigram strings hashed md5-32 (the ShingleKernel
+    // convention), first-bucket min-aggregate, truncating micro novelty
+    "q229_ngram_novelty" ->
+      s"""WITH tk AS (SELECT doc_id,
+                            string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t
+                     FROM documents),
+              sh AS (SELECT doc_id, unnest($shSql) AS sg FROM tk),
+              dh AS (SELECT DISTINCT
+                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT
+                              AS bucket,
+                            ('0x' || substr(md5(sg), 1, 8))::BIGINT AS h
+                     FROM sh),
+              pres AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_types_present
+                       FROM dh GROUP BY bucket),
+              fb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_types FROM (
+                       SELECT h, CAST(min(bucket) AS BIGINT) AS bucket
+                       FROM dh GROUP BY h) x GROUP BY bucket)
+         SELECT p.bucket, p.n_types_present,
+                CAST(coalesce(f.n_new_types, 0) AS BIGINT) AS n_new_types,
+                CAST(coalesce(f.n_new_types, 0) * 1000000 // p.n_types_present
+                  AS DOUBLE) / 1000000.0 AS novelty
+         FROM pres p LEFT JOIN fb f ON p.bucket = f.bucket ORDER BY p.bucket""",
+
+    // fixed bit-length buckets, per-bin KL terms micro-scaled before
+    // the sum, JSD clamped at 0 before the halving division
+    "q230_length_jsd" ->
+      s"""WITH $scoredDocsCte,
+              hh AS (SELECT source,
+                            CAST(length(bin(greatest(CAST(toks AS BIGINT), 1)))
+                              AS BIGINT) AS lb
+                     FROM scored),
+              hist AS (SELECT source, lb, CAST(count(*) AS BIGINT) AS c
+                       FROM hh GROUP BY 1, 2),
+              sizes AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+                        FROM hist GROUP BY source),
+              spine AS (SELECT DISTINCT lb FROM hist),
+              grid AS (SELECT a.source AS source_a, b.source AS source_b,
+                              a.n AS na, b.n AS nb, s.lb,
+                              coalesce(ha.c, 0) AS ca, coalesce(hb.c, 0) AS cb
+                       FROM sizes a JOIN sizes b ON a.source < b.source
+                       CROSS JOIN spine s
+                       LEFT JOIN hist ha ON ha.source = a.source AND ha.lb = s.lb
+                       LEFT JOIN hist hb ON hb.source = b.source AND hb.lb = s.lb),
+              tm AS (SELECT source_a, source_b,
+                            CASE WHEN ca > 0 THEN CAST(round(CAST(ca AS DOUBLE) *
+                              ln(2.0 * ca * nb / (CAST(ca AS DOUBLE) * nb +
+                                CAST(cb AS DOUBLE) * na)) / na * 1000000, 0)
+                              AS BIGINT) ELSE 0 END AS ta,
+                            CASE WHEN cb > 0 THEN CAST(round(CAST(cb AS DOUBLE) *
+                              ln(2.0 * cb * na / (CAST(ca AS DOUBLE) * nb +
+                                CAST(cb AS DOUBLE) * na)) / nb * 1000000, 0)
+                              AS BIGINT) ELSE 0 END AS tb,
+                            CASE WHEN ca + cb > 0 THEN 1 ELSE 0 END AS hasbin
+                     FROM grid),
+              ag AS (SELECT source_a, source_b, CAST(sum(hasbin) AS BIGINT) AS n_bins,
+                            CAST(sum(ta) AS BIGINT) AS sa,
+                            CAST(sum(tb) AS BIGINT) AS sb
+                     FROM tm GROUP BY 1, 2)
+         SELECT source_a, source_b, n_bins,
+                CAST(greatest(sa + sb, 0) // 2 AS DOUBLE) / 1000000.0 AS jsd_nats
+         FROM ag ORDER BY source_a, source_b""",
+
+    // distinct trigram hashes per doc, common set by partial-agg doc
+    // counts, risk the truncating micro fraction, top-25 by integer key
+    "q231_memorization_risk" ->
+      s"""WITH tk AS (SELECT doc_id,
+                            string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t
+                     FROM documents),
+              sh AS (SELECT doc_id, unnest($shSql) AS sg FROM tk),
+              dt AS (SELECT DISTINCT doc_id,
+                            ('0x' || substr(md5(sg), 1, 8))::BIGINT AS h
+                     FROM sh),
+              cm AS (SELECT h FROM (
+                       SELECT h, CAST(count(*) AS BIGINT) AS nd FROM dt GROUP BY h) x
+                     WHERE nd >= 10),
+              pd AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                            CAST(coalesce(sum(CASE WHEN c.h IS NOT NULL THEN 1 END), 0)
+                              AS BIGINT) AS n_common
+                     FROM dt d LEFT JOIN cm c ON d.h = c.h GROUP BY d.doc_id),
+              rk AS (SELECT doc_id, n_trigrams, n_common,
+                            CAST(n_common * 1000000 // n_trigrams AS BIGINT) AS riskm
+                     FROM pd)
+         SELECT doc_id, n_trigrams, n_common,
+                CAST(riskm AS DOUBLE) / 1000000.0 AS risk
+         FROM rk ORDER BY riskm DESC, doc_id LIMIT 25""",
 
     // cum-minus-prefix-min CUSUM over the day relation; truncating
     // micro mean, one identical rounded sigma expression

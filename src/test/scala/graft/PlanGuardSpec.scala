@@ -455,16 +455,25 @@ class PlanGuardSpec extends AnyFunSuite {
     // median windows run inside the plan-construction collect (the
     // driver BigInt fold), so the returned frame is a local relation
     // with no plan to walk.
-    // batch-3 additions: q225/q226/q227 are pure partial-agg designs
-    // (hashed-bucket LUT join / signature minima / per-hash self-join)
+    // batch-3/4 additions: q225-q227 and q229-q231 are pure partial-agg
+    // designs (hashed-bucket LUT join / signature minima / per-hash or
+    // per-trigram self-join / fixed-grid JSD) — no window anywhere
     for (q <- Seq("q225_dsir_weights", "q226_source_minhash_jaccard",
-                  "q227_cross_source_dups")) {
+                  "q227_cross_source_dups", "q230_length_jsd",
+                  "q231_memorization_risk")) {
       assert(windowsOf(executedPlans(q)).isEmpty,
         s"$q grew a window — the partial-agg design regressed")
     }
     val p225 = executedPlans("q225_dsir_weights")
     assert(p225.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
       "q225 lost its TakeOrderedAndProject top-25")
+    val p231 = executedPlans("q231_memorization_risk")
+    assert(p231.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "q231 lost its TakeOrderedAndProject top-25")
+    Ckpt.withoutCheckpoints {
+      assert(windowsOf(executedPlans("q229_ngram_novelty")).isEmpty,
+        "q229 grew a window — the min-aggregate checkpoint-grid design regressed")
+    }
     Ckpt.withoutCheckpoints {
       for (q <- Seq("q215_ks_two_sample", "q217_heaps_law",
                     "q219_conformal_coverage", "q228_cusum_bursts")) {
