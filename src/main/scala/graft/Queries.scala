@@ -4806,6 +4806,94 @@ object Queries {
           (col("riskm").cast("double") / lit(1000000.0)).as("risk"))
     }),
 
+    // GEOMETRIC MEDIAN of the embedding cloud (Weiszfeld 1937, 3 fixed
+    // rounds — the ROBUST centroid: the mean the ANN/QA family uses
+    // (q102, q185) moves arbitrarily far under a few poisoned/corrupt
+    // vectors, the geometric median moves at most the contamination
+    // fraction; shipping both makes the robustness delta DATA): the
+    // iteration is integer end to end — x lives in vq·1000 units, per-
+    // vector d² = Σ(vq·1000 − x)² is EXACT in long (≤1.1e15 < 2^53, so
+    // even its double image is exact), w = round(1e12/√d²) one identical
+    // rounded expression, and the per-dim update is a truncating BigInt
+    // division of DECIMAL-summed numerators (HUGEINT oracle; the
+    // kmeansCtes sign-split // discipline). Per round: ONE corpus pass
+    // (fused w kernel + posexplode partial agg); x is a D-sized driver
+    // scalar (the BpeTrainer K-scalars rule); d²=0 vectors drop (the
+    // textbook Weiszfeld singularity guard). Oracle unrolls the 3
+    // rounds as MATERIALIZED CTE chains.
+    "q232_geometric_median" -> ((s, d) => {
+      import s.implicits._
+      val qv = t(s, d, "embeddings")
+        .select(col("vec_id"), Similarity.quantized(col("embedding")).as("q"))
+        .ckptLazy // consumers: x0 mean, 3 weighted passes
+      val dims = qv.select(posexplode(col("q")).as(Seq("pos", "vq")))
+        .groupBy("pos").agg(count(lit(1)).as("n"), sum("vq").as("sv"))
+        .collect().map(r => (r.getInt(0), BigInt(r.getLong(2)) * 1000 / r.getLong(1)))
+        .sortBy(_._1)
+      var x: Array[Long] = dims.map(_._2.toLong)
+      val x0 = x.clone()
+      for (_ <- 1 to 3) {
+        val xb = x
+        val wUdf = udf((q: Array[Long]) => {
+          var s2 = 0L
+          var i = 0
+          while (i < q.length) { val d0 = q(i) * 1000L - xb(i); s2 += d0 * d0; i += 1 }
+          if (s2 == 0) 0L
+          else BigDecimal(1e12 / math.sqrt(s2.toDouble))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        })
+        val sums = qv.select(wUdf(col("q")).as("w"), col("q"))
+          .where(col("w") > 0)
+          .select(col("w"), posexplode(col("q")).as(Seq("pos", "vq")))
+          .groupBy("pos")
+          .agg(sum(expr("cast(w as decimal(38,0)) * vq * 1000")).as("num"),
+            sum("w").as("den"))
+          .collect().map(r => (r.getInt(0),
+            BigInt(r.getDecimal(1).toBigInteger), BigInt(r.getLong(2))))
+        if (sums.nonEmpty) {
+          val next = x.clone()
+          sums.foreach { case (p, num, den) => next(p) = (num / den).toLong }
+          x = next
+        }
+      }
+      x.indices.map(p => (p, x(p).toDouble / 1024000.0, x0(p).toDouble / 1024000.0))
+        .toDF("pos", "gmedian", "mean")
+        .orderBy("pos")
+    }),
+
+    // TOKEN BURSTINESS — Fano factors of the top-50 tokens (Church &
+    // Gale 1995: content words are BURSTY (variance-to-mean >> 1 across
+    // docs), function words near-Poisson — the one-number test of
+    // whether a token behaves like topic or like glue, and a corpus
+    // whose "content" words stop being bursty is template spam): top-50
+    // by global frequency via TakeOrdered (q51 rule), per-(token, doc)
+    // counts for THAT set only (broadcast semi-join — the hot-token
+    // groupBy is partial-aggregated, never a window), zero-docs enter
+    // through the closed form F = (N·Σc² − S²)/(N·S) over exact
+    // integers (DECIMAL/HUGEINT past 2^63), one truncating micro
+    // division.
+    "q233_token_burstiness" -> ((s, d) => {
+      val inst = t(s, d, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .ckptLazy // consumers: top-50, per-doc counts
+      val nDocs = t(s, d, "documents").agg(count(lit(1)).as("nd"))
+      val top = inst.groupBy("token").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token")).limit(50)
+        .ckptLazy // consumers: semi-join + final attach
+      val mo = inst.join(broadcast(top.select("token")), Seq("token"), "left_semi")
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("df"), sum("c").as("sc"),
+          sum(expr("cast(c as decimal(38,0)) * c")).as("qc"))
+      mo.join(broadcast(top), "token").crossJoin(broadcast(nDocs))
+        .select(col("token"), col("tf"), col("df"),
+          (expr("cast(((cast(nd as decimal(38,0)) * qc - " +
+            "cast(sc as decimal(38,0)) * sc) * 1000000) div " +
+            "(cast(nd as decimal(38,0)) * sc) as bigint)")
+            .cast("double") / lit(1000000.0)).as("fano"))
+        .orderBy(col("tf").desc, col("token"))
+    }),
+
     // CUSUM BURST DETECTION on daily event volume (Page 1954 — the
     // sequential change-point screen upstream of q212's trend test:
     // Mann-Kendall asks "is there a monotone trend?", CUSUM asks "WHEN
@@ -8206,6 +8294,41 @@ object Oracles {
     * c0, then d_r / a_r / s_r / c_r per round) — q153 reads the final
     * centroids+sizes, q173 appends one more assignment pass against the
     * final c_R to stratify documents by cell. */
+  /** q232's Weiszfeld rounds unrolled (the kmeansCtes discipline: vq
+    * bridge, sign-split truncating //, LEFT JOIN carry-forward). */
+  private def gmedCtes(R: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""u AS MATERIALIZED (
+          SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0) AS BIGINT) AS vq
+          FROM embeddings),
+        x0 AS MATERIALIZED (
+          SELECT pos, CASE WHEN sv >= 0 THEN (sv * 1000) // n
+                           ELSE -(((-sv) * 1000) // n) END AS x
+          FROM (SELECT pos, CAST(sum(vq) AS BIGINT) AS sv,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM u GROUP BY pos) t),\n"""
+    for (r <- 1 to R) {
+      sb ++= s"""d$r AS MATERIALIZED (
+          SELECT u.vec_id,
+                 CAST(sum((u.vq * 1000 - x.x) * (u.vq * 1000 - x.x)) AS BIGINT) AS d2
+          FROM u JOIN x${r - 1} x ON u.pos = x.pos GROUP BY u.vec_id),
+        w$r AS MATERIALIZED (
+          SELECT vec_id, CAST(round(1e12 / sqrt(CAST(d2 AS DOUBLE)), 0) AS BIGINT) AS w
+          FROM d$r WHERE d2 > 0),
+        x$r AS MATERIALIZED (
+          SELECT p.pos, coalesce(CASE WHEN t.den > 0 THEN
+                   CASE WHEN t.num >= 0 THEN CAST(t.num // t.den AS BIGINT)
+                        ELSE CAST(-((-t.num) // t.den) AS BIGINT) END END, p.x) AS x
+          FROM x${r - 1} p LEFT JOIN (
+            SELECT u.pos, sum(CAST(w.w AS HUGEINT) * u.vq * 1000) AS num,
+                   CAST(sum(w.w) AS BIGINT) AS den
+            FROM u JOIN w$r w USING (vec_id) GROUP BY u.pos) t ON t.pos = p.pos),\n"""
+    }
+    val out = sb.toString
+    out.reverse.replaceFirst("\\s*,", "").reverse
+  }
+
   private def kmeansCtes(K: Int, R: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""u AS MATERIALIZED (
@@ -10043,6 +10166,40 @@ object Oracles {
          SELECT doc_id, n_trigrams, n_common,
                 CAST(riskm AS DOUBLE) / 1000000.0 AS risk
          FROM rk ORDER BY riskm DESC, doc_id LIMIT 25""",
+
+    // Weiszfeld rounds unrolled; gmedian vs mean in float units
+    "q232_geometric_median" ->
+      s"""WITH ${gmedCtes(3)}
+         SELECT x3.pos, CAST(x3.x AS DOUBLE) / 1024000.0 AS gmedian,
+                CAST(x0.x AS DOUBLE) / 1024000.0 AS mean
+         FROM x3 JOIN x0 ON x3.pos = x0.pos ORDER BY x3.pos""",
+
+    // top-50 by frequency, per-(token, doc) counts for that set only,
+    // zero-docs through the closed form, HUGEINT products
+    "q233_token_burstiness" ->
+      """WITH inst AS (SELECT doc_id,
+                             unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS token
+                      FROM documents),
+              nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+              topt AS (SELECT token, tf FROM (
+                         SELECT token, tf,
+                                row_number() OVER (ORDER BY tf DESC, token) AS rn
+                         FROM (SELECT token, CAST(count(*) AS BIGINT) AS tf
+                               FROM inst GROUP BY token) h) r
+                       WHERE rn <= 50),
+              dc AS (SELECT i.token, i.doc_id, CAST(count(*) AS BIGINT) AS c
+                     FROM inst i JOIN topt t ON i.token = t.token
+                     GROUP BY 1, 2),
+              mo AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+                            CAST(sum(c) AS BIGINT) AS sc,
+                            sum(CAST(c AS HUGEINT) * c) AS qc
+                     FROM dc GROUP BY token)
+         SELECT t.token, t.tf, m.df,
+                CAST(CAST(((CAST(nd AS HUGEINT) * qc - CAST(sc AS HUGEINT) * sc)
+                  * 1000000) // (CAST(nd AS HUGEINT) * sc) AS BIGINT) AS DOUBLE)
+                  / 1000000.0 AS fano
+         FROM mo m JOIN topt t USING (token) CROSS JOIN nd
+         ORDER BY t.tf DESC, t.token""",
 
     // cum-minus-prefix-min CUSUM over the day relation; truncating
     // micro mean, one identical rounded sigma expression

@@ -470,6 +470,17 @@ class PlanGuardSpec extends AnyFunSuite {
     val p231 = executedPlans("q231_memorization_risk")
     assert(p231.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
       "q231 lost its TakeOrderedAndProject top-25")
+    // q233: the top-50 selection is a TakeOrdered over the token
+    // histogram (q51 rule); no window anywhere in the moments pipeline.
+    // Under the checkpoint bypass — the top-50 frame rides a ckptLazy,
+    // so its TakeOrdered lives in the materialization execution (the
+    // exact q209 lesson)
+    Ckpt.withoutCheckpoints {
+      val p233 = executedPlans("q233_token_burstiness")
+      assert(windowsOf(p233).isEmpty, "q233 grew a window over the token key")
+      assert(p233.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        "q233 lost its TakeOrderedAndProject top-50")
+    }
     Ckpt.withoutCheckpoints {
       assert(windowsOf(executedPlans("q229_ngram_novelty")).isEmpty,
         "q229 grew a window — the min-aggregate checkpoint-grid design regressed")
