@@ -398,6 +398,51 @@ object StreamingOps {
   case class SampleEntry(stratum: String, doc_id: Long, h: String,
                          live: Int, n_seen: Long)
 
+  /** One emitted row of [[cusumIngest]]: the per-key CUSUM state after
+    * consuming observation `seq` (micro-scaled, the q228 units). */
+  case class CusumRow(key: String, seq: Long, v: Long,
+                      s_upper: Long, s_lower: Long, is_burst: Int)
+
+  /**
+   * q228's streaming twin — one-sided CUSUM change-point sums
+   * (Page 1954) maintained AT INGEST: the online deployment of the
+   * batch recipe, with the baseline (mum, sm — the truncating micro
+   * mean and the rounded micro sigma, q228's exact parameters) trained
+   * on history and passed in, and the recursion S ← max(0, S + y) run
+   * directly — the batch query's cum-minus-prefix-min identity and this
+   * recursion are THE SAME function of the ordered sequence, so a
+   * replay of the day relation through this operator lands on exactly
+   * the batch q228 rows (StreamingSpec proves it). State per key is TWO
+   * longs — constant regardless of stream length (StreamingStateSpec
+   * gates rows == live keys). Within a micro-batch rows sort by seq —
+   * the batch day order; across batches order is arrival order (the
+   * shared *Ingest contract).
+   */
+  def cusumIngest(
+      obs: DataFrame, // (key, seq, v) — v the raw count per bucket
+      mum: Long, sm: Long): Dataset[CusumRow] = {
+    import obs.sparkSession.implicits._
+    obs
+      .select(col("key").cast("string"), col("seq").cast("long"),
+        col("v").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), CusumRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (su, sl) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, seq, v) =>
+            su = math.max(0L, su + (v * 1000000L - mum - sm / 2))
+            sl = math.max(0L, sl + (mum - sm / 2 - v * 1000000L))
+            CusumRow(key, seq, v, su, sl,
+              if (su > 4 * sm || sl > 4 * sm) 1 else 0)
+          }
+          state.update((su, sl))
+          out.iterator
+      }
+  }
+
   /** One emitted row of [[interarrivalStatsIngest]]: the running
     * per-(user, event_type) gap aggregate after the micro-batch. The
     * squared-gap sum is split into base-1e18 limbs (qgap = qgap_hi*1e18

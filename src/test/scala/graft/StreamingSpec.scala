@@ -835,4 +835,51 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming sample != batch stratum head: only-stream=${rec.diff(batch)} only-batch=${batch.diff(rec)}")
     assert(rec.groupBy(_._1).forall(_._2.size == 7))
   }
+
+  test("streaming CUSUM replay equals the batch q228 rows exactly (recursion == cum-minus-prefix-min)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the batch statistic and its parameters, recomputed with q228's
+    // own expressions on the same day relation
+    val batch = graft.Queries.queries("q228_cusum_bursts")(spark, sf)
+      .collect().map(r => (r.getString(0),
+        (r.getDouble(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+    val dv = graft.Queries.queries("q228_cusum_bursts")(spark, sf)
+      .select("day", "v").as[(String, Long)].collect().sortBy(_._1)
+    val st = spark.createDataset(dv.toSeq).toDF("day", "v")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        sum(expr("cast(v as decimal(38,0)) * v")).as("qv"))
+      .select(expr("cast((cast(sv as decimal(38,0)) * 1000000) div n as bigint)"),
+        expr("cast(round(sqrt(cast(cast(n as decimal(38,0)) * qv - " +
+          "cast(sv as decimal(38,0)) * sv as double)) / n * 1000000, 0) as bigint)"))
+      .collect().head
+    val (mum, sm) = (st.getLong(0), st.getLong(1))
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamingOps.cusumIngest(
+        input.toDF().toDF("key", "seq", "v"), mum = mum, sm = sm)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cusum").start()
+    // replay the day relation in three micro-batches, in day order
+    val seqd = dv.zipWithIndex.map { case ((day, v), i) => (day, i.toLong, v) }
+    seqd.grouped(11).foreach { b =>
+      input.addData(b.map { case (_, i, v) => ("vol", i, v) }.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("cusum")
+      .groupBy("seq")
+      .agg(max_by(col("s_upper"), col("seq")).as("su"),
+        max_by(col("s_lower"), col("seq")).as("sl"),
+        max_by(col("is_burst"), col("seq")).as("b"))
+      .as[(Long, Long, Long, Int)].collect()
+      .map { case (i, su, sl, b) => i -> (su / 1e6, sl / 1e6, b) }.toMap
+    seqd.foreach { case (day, i, _) =>
+      val (bsu, bsl, bb) = batch(day)
+      val (gsu, gsl, gb) = got(i)
+      assert(gsu == bsu && gsl == bsl && gb == bb,
+        s"day $day: streaming ($gsu,$gsl,$gb) != batch ($bsu,$bsl,$bb)")
+    }
+  }
 }

@@ -270,4 +270,23 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(rows == 3L, s"expected 3 buffered rows, got $rows")
     assert(bytes < BytesCap)
   }
+
+  test("cusum ingest: state rows = live keys (two longs each, constant per key)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamingOps.cusumIngest(
+        input.toDF().toDF("key", "seq", "v"), mum = 1000000L, sm = 500000L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ss_cusum").start()
+    // 90 observations over 3 keys = 3 live CUSUM registers
+    input.addData((0 until 90).map(i =>
+      (s"k${i % 3}", i.toLong, (i % 7).toLong)): _*)
+    q.processAllAvailable()
+    val (rows, bytes) = stateOf(q)
+    q.stop()
+    report("cusumIngest", rows, bytes)
+    assert(rows == 3L, s"state must be one row per live key (3), got $rows")
+    assert(bytes < BytesCap)
+  }
 }
