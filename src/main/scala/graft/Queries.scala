@@ -4806,6 +4806,67 @@ object Queries {
           (col("riskm").cast("double") / lit(1000000.0)).as("risk"))
     }),
 
+    // MAXIMUM MEAN DISCREPANCY between embedding label groups (Gretton
+    // et al. 2012 — THE kernel two-sample test; with polynomial kernels
+    // it has a CLOSED FORM over moment aggregates: linear-kernel MMD² =
+    // ||μ_a − μ_b||², quadratic-kernel MMD² = ||M_a/n_a − M_b/n_b||²_F
+    // for the second-moment matrix M = Σxxᵀ — so "did the encoder/
+    // domain drift between groups?" needs only per-group mean vectors
+    // and D×D moment matrices, both ONE partial-aggregated pass, never
+    // a pairwise kernel sum): per-dim/per-cell differences are EXACT
+    // cross-multiplied DECIMAL integers (Ma·nb − Mb·na), each squared
+    // term is micro-scaled to BIGINT as ONE identical double expression
+    // before the order-free integer sum (the q149/q230 rule — and the
+    // double square also sidesteps the DECIMAL(38) ceiling the exact
+    // square would hit past ~1e9 vectors); everything after the moment
+    // pass is (labels² × D²)-sized.
+    "q234_embedding_mmd" -> ((s, d) => {
+      val uv = t(s, d, "embeddings")
+        .select(col("label").cast("long").as("g"),
+          Similarity.quantized(col("embedding")).as("q"))
+        .ckptLazy // consumers: mean pass, moment pass
+      val means = uv.select(col("g"), posexplode(col("q")).as(Seq("pos", "vq")))
+        .groupBy("g", "pos").agg(count(lit(1)).as("n"), sum("vq").as("sv"))
+        .ckptLazy // consumers: both pair sides
+      val moments = uv
+        .select(col("g"), col("q"), posexplode(col("q")).as(Seq("i", "xi")))
+        .select(col("g"), col("i"), col("xi"), posexplode(col("q")).as(Seq("j", "xj")))
+        .groupBy("g", "i", "j").agg(sum(expr("xi * xj")).as("m"))
+        .ckptLazy // consumers: both pair sides
+      val lin = means.select(col("g").as("g_a"), col("pos"),
+          col("n").as("na"), col("sv").as("sa"))
+        .join(broadcast(means.select(col("g").as("g_b"), col("pos"),
+          col("n").as("nb"), col("sv").as("sb"))), "pos")
+        .where(col("g_a") < col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(max("na").as("n_a"), max("nb").as("n_b"),
+          sum(expr(
+            "cast(round(pow(cast(cast(sa as decimal(38,0)) * nb - " +
+              "cast(sb as decimal(38,0)) * na as double) / " +
+              "(cast(na as double) * nb * 1024.0), 2) * 1000000, 0) as bigint)"))
+            .as("lm"))
+      val quad = moments.select(col("g").as("g_a"), col("i"), col("j"),
+          col("m").as("ma"))
+        .join(broadcast(moments.select(col("g").as("g_b"), col("i"), col("j"),
+          col("m").as("mb"))), Seq("i", "j"))
+        .where(col("g_a") < col("g_b"))
+        .join(broadcast(means.groupBy("g").agg(max("n").as("n"))
+          .select(col("g").as("g_a"), col("n").as("na"))), "g_a")
+        .join(broadcast(means.groupBy("g").agg(max("n").as("n"))
+          .select(col("g").as("g_b"), col("n").as("nb"))), "g_b")
+        .groupBy("g_a", "g_b")
+        .agg(sum(expr(
+          "cast(round(pow(cast(cast(ma as decimal(38,0)) * nb - " +
+            "cast(mb as decimal(38,0)) * na as double) / " +
+            "(cast(na as double) * nb * 1048576.0), 2) * 1000000, 0) as bigint)"))
+          .as("qm"))
+      lin.join(broadcast(quad), Seq("g_a", "g_b"))
+        .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+          (col("lm").cast("double") / lit(1000000.0)).as("mmd2_linear"),
+          (col("qm").cast("double") / lit(1000000.0)).as("mmd2_quadratic"))
+        .orderBy("g_a", "g_b")
+    }),
+
     // GEOMETRIC MEDIAN of the embedding cloud (Weiszfeld 1937, 3 fixed
     // rounds — the ROBUST centroid: the mean the ANN/QA family uses
     // (q102, q185) moves arbitrarily far under a few poisoned/corrupt
@@ -10166,6 +10227,47 @@ object Oracles {
          SELECT doc_id, n_trigrams, n_common,
                 CAST(riskm AS DOUBLE) / 1000000.0 AS risk
          FROM rk ORDER BY riskm DESC, doc_id LIMIT 25""",
+
+    // closed-form polynomial-kernel MMD over moment aggregates; exact
+    // cross-multiplied cell diffs, micro-scaled squares, integer sums
+    "q234_embedding_mmd" ->
+      """WITH u AS (SELECT CAST(label AS BIGINT) AS g, vec_id,
+                           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0)
+                             AS BIGINT) AS vq
+                    FROM embeddings),
+              means AS (SELECT g, pos, CAST(count(*) AS BIGINT) AS n,
+                               CAST(sum(vq) AS BIGINT) AS sv
+                        FROM u GROUP BY 1, 2),
+              gn AS (SELECT g, CAST(max(n) AS BIGINT) AS n FROM means GROUP BY g),
+              mom AS (SELECT a.g, a.pos AS i, b.pos AS j,
+                             CAST(sum(a.vq * b.vq) AS BIGINT) AS m
+                      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.g = b.g
+                      GROUP BY 1, 2, 3),
+              lin AS (SELECT a.g AS g_a, b.g AS g_b,
+                             CAST(max(a.n) AS BIGINT) AS n_a,
+                             CAST(max(b.n) AS BIGINT) AS n_b,
+                             CAST(sum(CAST(round(pow(CAST(CAST(a.sv AS HUGEINT) * b.n -
+                               CAST(b.sv AS HUGEINT) * a.n AS DOUBLE) /
+                               (CAST(a.n AS DOUBLE) * b.n * 1024.0), 2) * 1000000, 0)
+                               AS BIGINT)) AS BIGINT) AS lm
+                      FROM means a JOIN means b ON a.pos = b.pos AND a.g < b.g
+                      GROUP BY 1, 2),
+              qd AS (SELECT ma.g AS g_a, mb.g AS g_b,
+                            CAST(sum(CAST(round(pow(CAST(CAST(ma.m AS HUGEINT) * nb.n -
+                              CAST(mb.m AS HUGEINT) * na.n AS DOUBLE) /
+                              (CAST(na.n AS DOUBLE) * nb.n * 1048576.0), 2) * 1000000, 0)
+                              AS BIGINT)) AS BIGINT) AS qm
+                     FROM mom ma JOIN mom mb
+                       ON ma.i = mb.i AND ma.j = mb.j AND ma.g < mb.g
+                     JOIN gn na ON na.g = ma.g
+                     JOIN gn nb ON nb.g = mb.g
+                     GROUP BY 1, 2)
+         SELECT l.g_a, l.g_b, l.n_a, l.n_b,
+                CAST(lm AS DOUBLE) / 1000000.0 AS mmd2_linear,
+                CAST(qm AS DOUBLE) / 1000000.0 AS mmd2_quadratic
+         FROM lin l JOIN qd ON l.g_a = qd.g_a AND l.g_b = qd.g_b
+         ORDER BY l.g_a, l.g_b""",
 
     // Weiszfeld rounds unrolled; gmedian vs mean in float units
     "q232_geometric_median" ->

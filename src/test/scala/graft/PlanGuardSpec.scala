@@ -460,7 +460,7 @@ class PlanGuardSpec extends AnyFunSuite {
     // per-trigram self-join / fixed-grid JSD) — no window anywhere
     for (q <- Seq("q225_dsir_weights", "q226_source_minhash_jaccard",
                   "q227_cross_source_dups", "q230_length_jsd",
-                  "q231_memorization_risk")) {
+                  "q231_memorization_risk", "q234_embedding_mmd")) {
       assert(windowsOf(executedPlans(q)).isEmpty,
         s"$q grew a window — the partial-agg design regressed")
     }
