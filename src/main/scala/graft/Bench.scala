@@ -177,21 +177,46 @@ object Bench {
     // the sweep also emits `median_env_ratio` (suite-wide median of
     // min/envelope) so any consumer can median-normalize single-query
     // readings exactly like BenchEnvelopeSpec's gate does.
-    val noisy: Seq[(String, Double)] = good.flatMap { case (name, ok, _, _, _) =>
+    // r14 hardening (verdict #2: at load_ratio 6.84 the ≤3 tail attempts
+    // saw the SAME contention that polluted the sweep, leaving 8 queries
+    // >3x with byte-identical plans): the tail re-run is now LOAD-AWARE —
+    // (a) when the sweep itself ran contended (loadRatio > 3) the tail
+    // first WAITS, capped, for the OS 1-min load average to decay under
+    // 1.25x the core count (the sweep's own contribution decays with the
+    // ~1-min loadavg time constant once the main loop stops, so a quiet
+    // host clears the bound within the cap and a still-contended host
+    // falls through after it); (b) when loadRatio > 5 the per-query
+    // attempt budget escalates 3 → 6, giving a contention burst twice as
+    // many independent chances to have passed.
+    val noisyCandidates = good.flatMap { case (name, ok, _, _, _) =>
       envelope.get(name) match {
-        case Some(env) if ok.min > 2.0 * env =>
-          val fn = selected.toMap.apply(name)
-          var best = Double.MaxValue
-          var attempts = 0
-          while (attempts < 3 && best > 2.0 * env) {
-            val rerun = (1 to runs).map(_ => runOnce(name, fn))
-              .collect { case Right(t) => t._1 }
-            if (rerun.nonEmpty) best = math.min(best, rerun.min)
-            attempts += 1
-          }
-          if (best < Double.MaxValue) Some(name -> best) else None
+        case Some(env) if ok.min > 2.0 * env => Some((name, env))
         case _ => None
       }
+    }
+    if (noisyCandidates.nonEmpty && loadRatio > 3.0) {
+      def loadPerCpu(): Double = {
+        val la = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        if (la < 0) 0.0 else la / Runtime.getRuntime.availableProcessors()
+      }
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (loadPerCpu() > 1.25 && System.nanoTime() < deadline)
+        Thread.sleep(5000)
+    }
+    val attemptCap = if (loadRatio > 5.0) 6 else 3
+    val noisy: Seq[(String, Double)] = noisyCandidates.flatMap {
+      case (name, env) =>
+        val fn = selected.toMap.apply(name)
+        var best = Double.MaxValue
+        var attempts = 0
+        while (attempts < attemptCap && best > 2.0 * env) {
+          val rerun = (1 to runs).map(_ => runOnce(name, fn))
+            .collect { case Right(t) => t._1 }
+          if (rerun.nonEmpty) best = math.min(best, rerun.min)
+          attempts += 1
+        }
+        if (best < Double.MaxValue) Some(name -> best) else None
     }
     val medianEnvRatio: Double = {
       val rs = good.flatMap { case (name, ok, _, _, _) =>

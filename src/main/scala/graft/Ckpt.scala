@@ -24,14 +24,21 @@ import org.apache.spark.sql.Dataset
  * orders), so removing the boundary changes only plan shape and reuse.
  */
 object Ckpt {
-  @volatile var enabled: Boolean = true
+  // DynamicVariable, not a JVM-global flag (r14 ADVICE): the bypass
+  // scopes to the calling thread, so a concurrent suite execution (or a
+  // parallel-test sbt setting) cannot strip checkpoint boundaries from
+  // unrelated queries mid-flight and unbound an iterative trainer's
+  // lineage. Plan construction happens on the caller's thread, so the
+  // thread-local view is exactly the guard's view.
+  private val bypass = new scala.util.DynamicVariable[Boolean](false)
 
-  /** Run `body` with checkpoint boundaries disabled (test-only). */
-  def withoutCheckpoints[A](body: => A): A = {
-    val prev = enabled
-    enabled = false
-    try body finally enabled = prev
-  }
+  /** Checkpoint boundaries active on THIS thread (true outside
+    * [[withoutCheckpoints]]). */
+  def enabled: Boolean = !bypass.value
+
+  /** Run `body` with checkpoint boundaries disabled (test-only),
+    * scoped to the calling thread. */
+  def withoutCheckpoints[A](body: => A): A = bypass.withValue(true)(body)
 
   implicit class CkptOps[T](private val ds: Dataset[T]) extends AnyVal {
     /** `localCheckpoint(eager = false)` unless bypassed. */

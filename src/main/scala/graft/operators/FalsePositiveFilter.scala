@@ -108,7 +108,12 @@ object FalsePositiveFilter {
       val tRank: org.apache.spark.sql.Column =
         if (traceOrder.isEmpty) $"trace_id".cast("string")
         else coalesce(
-          lpad(element_at(
+          // try_element_at, not element_at: under Spark 4's default ANSI
+          // mode a trace_id absent from traceOrder would THROW
+          // MAP_KEY_DOES_NOT_EXIST out of element_at, making the 'z_'
+          // fallback unreachable for library callers with default
+          // sessions (the EntropyReward.featIdxCol hazard, r14 ADVICE).
+          lpad(try_element_at(
             map(traceOrder.zipWithIndex.flatMap { case (t, i) =>
               Seq(lit(t), lit(i)) }: _*), $"trace_id").cast("string"), 9, "0"),
           concat(lit("z_"), $"trace_id")) // unlisted traces: after, by id

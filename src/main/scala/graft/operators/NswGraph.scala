@@ -85,8 +85,16 @@ object NswGraph {
     * checkpointed RDD has no stats, so without the explicit hint the
     * planner guesses huge and sort-merges 2K·n byte-light candidate
     * rows against it every round); past the cap the join falls back to
-    * the shuffled equi-join, which is the correct 1e9-vector shape. */
-  def broadcastVectorCapFor(n: Long): Boolean = n <= 1000000L
+    * the shuffled equi-join, which is the correct 1e9-vector shape.
+    *
+    * Sized in estimated BYTES, not rows (r14 ADVICE): each row carries a
+    * dim-element long array, so a row-count cap admits a ~0.5 GB
+    * broadcast for 1e6 64-dim vectors (hinted on BOTH join sides each
+    * refinement round — driver/executor OOM territory at the default
+    * 8 GB heap) while a 1e6-row 8-dim table is fine either way. Budget:
+    * 128 MiB of packed payload (dim longs + ~32 B of row overhead). */
+  def broadcastVectorCapFor(n: Long, dim: Int): Boolean =
+    n * (dim.toLong * 8L + 32L) <= (128L << 20)
 
   /**
    * Per-round graphs: element r is the graph AFTER r refinement rounds
@@ -106,8 +114,11 @@ object NswGraph {
     // contiguous-id contract (the q158 draw's): ids are 0..n-1
     val n = qv.count() // doubles as the checkpoint materialization
     require(n >= 2, s"graph construction needs >= 2 vectors, got $n")
+    // one-row read off the already-materialized checkpoint: the byte-sized
+    // broadcast gate needs the vector dimension, not just the row count
+    val dim = qv.select(size(col("q"))).head().getInt(0)
     val hint: DataFrame => DataFrame =
-      if (broadcastVectorCapFor(n)) broadcast(_) else identity
+      if (broadcastVectorCapFor(n, dim)) broadcast(_) else identity
 
     def scored(cand: DataFrame): DataFrame =
       cand
