@@ -44,6 +44,16 @@ def main(out_dir="/tmp/out"):
             if not k.endswith("_bytes") and isinstance(v, dict):
                 stats[f"envelope_{k}_queries"] = len(v)
                 stats[f"envelope_{k}_total_sec"] = round(sum(v.values()), 1)
+        # paste-ready fragment for the BASELINE.md envelope table row —
+        # the row is script-OWNED (r14 verdict #7: the r14 row was
+        # hand-typed from a pre-q234 snapshot and drifted)
+        frags = [
+            f"{k}: {stats[f'envelope_{k}_total_sec']} s / "
+            f"{stats[f'envelope_{k}_queries']} queries"
+            for k in sorted(env)
+            if not k.endswith("_bytes") and isinstance(env[k], dict)
+        ]
+        stats["envelope_row"] = "; ".join(frags)
     print(json.dumps(stats))
 
 

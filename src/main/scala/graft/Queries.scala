@@ -272,6 +272,44 @@ object Queries {
           .as("alpha_weight"))
   }
 
+  /** q237/q239's shared DSIR doc-grain stage: q225's bucket log-ratio
+    * weights extended to ALL docs with (lang, qm quality-micro,
+    * n_tokens) — returns the CHECKPOINTED (doc_id, lang, qm, n_tokens,
+    * wm) frame, one corpus token pass end to end (the (doc, bucket)
+    * count table rides its own ckptLazy feeding both the 128-row ratio
+    * LUT and the per-doc weight sums). */
+  private def dsirDocGrain(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      // quality in its OWN projection before the explode select (r14
+      // CollapseProject rule); qm once, is_target derived from it
+      .select(col("doc_id"), col("lang"),
+        floor(TF.qualityScore(col("text")) * 1000000.0 + 0.5)
+          .cast("long").as("qm"),
+        col("text"))
+      .select(col("doc_id"), col("lang"), col("qm"),
+        (col("qm") >= 800000L).as("is_target"),
+        explode(TF.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), col("lang"), col("qm"), col("is_target"), expr(
+        "cast(conv(substr(md5(cast(token as binary)), 1, 15), 16, 10) as bigint) % 128")
+        .as("b"))
+      .groupBy("doc_id", "lang", "qm", "is_target", "b")
+      .agg(count(lit(1)).as("c"))
+      .ckptLazy // consumers: bucket ratio table, per-doc weights
+    val buckets = base.groupBy("b")
+      .agg(sum("c").as("cc"),
+        coalesce(sum(when(col("is_target"), col("c"))), lit(0L)).as("ct"))
+    val totals = buckets.agg(sum("cc").as("ctot"), sum("ct").as("ttot"))
+    val ratio = buckets.crossJoin(broadcast(totals))
+      .select(col("b"), expr(
+        "cast(round(ln(cast((ct + 1) as double) * (ctot + 128) / " +
+          "(cast((cc + 1) as double) * (ttot + 128))) * 1000000, 0) as bigint)")
+        .as("r"))
+    base.join(broadcast(ratio), "b")
+      .groupBy("doc_id", "lang", "qm")
+      .agg(sum("c").as("n_tokens"), sum(expr("c * r")).as("wm"))
+      .ckptLazy // consumers: budget agg, selection input, flag join
+  }
+
   /** q65's centroid-assignment confusion matrix, shared with q92's
     * agreement statistics (one source of truth for the assignment
     * semantics): integer-quantized embeddings, per-label centroid sums
@@ -4354,7 +4392,11 @@ object Queries {
             "1, 1), 16, 10) as bigint)") < 8).as("is_cal"))
         .groupBy("qm", "is_cal").agg(count(lit(1)).as("c"))
         .ckptLazy // consumers: calibration cum, test coverage, totals
-      val nCal = docs.where(col("is_cal")).agg(sum("c").as("n_cal"))
+      // coalesce to 0, mirroring the oracle's coalesce(...,0): a corpus
+      // whose md5-nibble split leaves one side empty must not emit a
+      // dtype-strict NULL-vs-0 mismatch (r14 ADVICE).
+      val nCal = docs.where(col("is_cal"))
+        .agg(coalesce(sum("c"), lit(0L)).as("n_cal"))
       val wQ = Window.orderBy("qm")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tau = docs.where(col("is_cal"))
@@ -4364,7 +4406,7 @@ object Queries {
         .agg(min("qm").as("tau_m"))
       val test = docs.where(!col("is_cal"))
         .crossJoin(broadcast(tau))
-        .agg(sum("c").as("n_test"),
+        .agg(coalesce(sum("c"), lit(0L)).as("n_test"),
           coalesce(sum(when(col("qm") >= col("tau_m"), col("c"))), lit(0L))
             .as("n_cov"))
       nCal.crossJoin(broadcast(test)).crossJoin(broadcast(tau))
@@ -4828,10 +4870,19 @@ object Queries {
       val means = uv.select(col("g"), posexplode(col("q")).as(Seq("pos", "vq")))
         .groupBy("g", "pos").agg(count(lit(1)).as("n"), sum("vq").as("sv"))
         .ckptLazy // consumers: both pair sides
-      val moments = uv
-        .select(col("g"), col("q"), posexplode(col("q")).as(Seq("i", "xi")))
-        .select(col("g"), col("i"), col("xi"), posexplode(col("q")).as(Seq("j", "xj")))
-        .groupBy("g", "i", "j").agg(sum(expr("xi * xj")).as("m"))
+      // fused moment pass (r14 verdict #5): the double posexplode fanned
+      // every embedding out to D² = 4,096 rows BEFORE partial aggregation;
+      // the TypedImperativeAggregate computes the symmetric outer-product
+      // sum in one primitive loop per row and ships ONE D²-long partial
+      // per (group × partition) — cell values identical to sum(xi*xj), so
+      // the oracle is unchanged. The D²-row unpack below is per GROUP
+      // (labels × 4,096), aggregate-sized at any corpus size.
+      val dim = uv.select(size(col("q"))).head().getInt(0)
+      val moments = uv.groupBy("g")
+        .agg(graft.plans.VecAggs.outerProductSum(s, "q").as("mm"))
+        .select(col("g"), posexplode(col("mm")).as(Seq("idx", "m")))
+        .select(col("g"), expr(s"cast(idx div $dim as int)").as("i"),
+          expr(s"cast(idx % $dim as int)").as("j"), col("m"))
         .ckptLazy // consumers: both pair sides
       val lin = means.select(col("g").as("g_a"), col("pos"),
           col("n").as("na"), col("sv").as("sa"))
@@ -4865,6 +4916,222 @@ object Queries {
           (col("lm").cast("double") / lit(1000000.0)).as("mmd2_linear"),
           (col("qm").cast("double") / lit(1000000.0)).as("mmd2_quadratic"))
         .orderBy("g_a", "g_b")
+    }),
+
+    // QUALITY-CLASSIFIER TRAINING (r14 verdict #3 — the fastText-style
+    // quality filter Gopher/FineWeb/DCLM pipelines actually train):
+    // fixed-round full-batch gradient descent over K=8 hashed
+    // token-count features + bias, hard-sigmoid surrogate so the whole
+    // loop is integer-exact on both engines (operator doc:
+    // operators/QualityClassifier.scala — the BpeTrainer K-scalars
+    // rule: weights are a 9-long driver BigInt scalar, each round ONE
+    // partial-aggregated pass over the checkpointed doc-grain feature
+    // table, no join/window/UDF). Output: the micro-scaled weight
+    // trajectory (iter 0..3 × feature 0..8, bias last). Oracle unrolls
+    // the 3 rounds as MATERIALIZED HUGEINT CTE chains.
+    "q235_quality_lr_train" -> ((s, d) => {
+      import s.implicits._
+      val tr = operators.QualityClassifier.train(t(s, d, "documents"))
+      val rows = for {
+        (wr, r) <- tr.weights.zipWithIndex
+        j <- 0 to operators.QualityClassifier.K
+      } yield (r, j, wr(j).toDouble / 1000000.0)
+      rows.toDF("iter", "j", "w").orderBy("iter", "j")
+    }),
+
+    // QUALITY-CLASSIFIER EVALUATION — the trained q235 model applied
+    // back to its corpus: confusion counts at the pm >= 0.5 decision
+    // boundary plus truncating-micro accuracy. Same trainer call (the
+    // rounds are deterministic, so retraining IS the model registry);
+    // the eval pass rides the trainer's checkpointed feature table.
+    "q236_quality_lr_eval" -> ((s, d) => {
+      val tr = operators.QualityClassifier.train(t(s, d, "documents"))
+      val w = tr.weights.last
+      tr.feat
+        .select(expr(operators.QualityClassifier.pmSql(w)).as("pm"), col("ym"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pm") >= 500000L && col("ym") === 1000000L, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("pm") >= 500000L && col("ym") === 0L, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("pm") < 500000L && col("ym") === 1000000L, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("pm") < 500000L && col("ym") === 0L, 1L)
+            .otherwise(0L)).as("tn"))
+        .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+          (expr("cast(((tp + tn) * 1000000) div n as bigint)")
+            .cast("double") / lit(1000000.0)).as("accuracy"))
+    }),
+
+    // DSIR END-TO-END RESAMPLED CORPUS (r14 verdict #4 — the
+    // pipeline-level proof that the selection operators interoperate):
+    // q225's per-doc importance log-weights over ALL docs → budgeted
+    // top-weight selection keeping the highest-weight docs until 25% of
+    // the token mass is spent (CorpusSharding.scoreBudgetPrefix — the
+    // two-level descending-score prefix, bucket = the order's own
+    // leading bits) → before/after drift scorecard (doc/token
+    // retention, truncating-micro mean quality shift, per-language
+    // token-share L1 drift). ONE corpus pass per stage: the
+    // (doc,bucket) token table and the doc-grain weight table each ride
+    // ckptLazy; every downstream table is aggregate-sized or doc-grain.
+    // Integer end to end — no transcendental crosses the engines except
+    // q225's established round-0 ln micro-ratio.
+    "q237_dsir_resampled_drift" -> ((s, d) => {
+      val docGrain = dsirDocGrain(s, d)
+      val budget = docGrain.agg(expr("sum(n_tokens) div 4").as("budget"))
+      val kept = operators.CorpusSharding.scoreBudgetPrefix(
+          docGrain, col("wm"), col("n_tokens"), nBuckets = 256, budget)
+        .select(col("doc_id"), lit(1L).as("kept"))
+      val flagged = docGrain.join(kept, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("kept"))
+        .ckptLazy // consumers: overall scorecard, language drift
+      val overall = flagged.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept") === 1L, 1L).otherwise(0L)).as("n_docs_kept"),
+        sum("n_tokens").as("n_tokens_total"),
+        coalesce(sum(when(col("kept") === 1L, col("n_tokens"))), lit(0L))
+          .as("n_tokens_kept"),
+        sum("qm").as("sq"),
+        coalesce(sum(when(col("kept") === 1L, col("qm"))), lit(0L)).as("sqk"))
+      val l1 = flagged.groupBy("lang")
+        .agg(sum("n_tokens").as("lt"),
+          coalesce(sum(when(col("kept") === 1L, col("n_tokens"))), lit(0L))
+            .as("ltk"))
+        .crossJoin(broadcast(overall
+          .select(col("n_tokens_total").as("tt"), col("n_tokens_kept").as("tk"))))
+        .agg(sum(expr(
+          "abs((ltk * 1000000) div tk - (lt * 1000000) div tt)")).as("l1m"))
+      overall.crossJoin(broadcast(l1))
+        .select(col("n_docs"), col("n_docs_kept"),
+          col("n_tokens_total"), col("n_tokens_kept"),
+          (expr("cast(sq div n_docs as bigint)").cast("double")
+            / lit(1000000.0)).as("mean_q"),
+          when(col("n_docs_kept") === 0L, lit(null).cast("double"))
+            .otherwise(expr("cast(sqk div n_docs_kept as bigint)")
+              .cast("double") / lit(1000000.0)).as("mean_q_kept"),
+          (col("l1m").cast("double") / lit(1000000.0)).as("lang_l1_drift"))
+    }),
+
+    // QUALITY-CLASSIFIER CALIBRATION (the q180/q219 calibration theme
+    // applied to the q235 model — a filter whose confidence doesn't
+    // track its accuracy silently mis-budgets every downstream keep/
+    // drop threshold): predicted pm bins into 16 FIXED widths (the r13
+    // fixed-grid rule — never a quantile window over the corpus),
+    // per-bin confidence = truncating-micro mean of pm (means of exact
+    // operands via micro-scaled integer division), observed rate =
+    // pos·1e6 div n, |gap| exact; ECE = the n-weighted mean gap as ONE
+    // more truncating division over aggregate-sized rows. Everything
+    // after the (already checkpointed) feature table is 16-row.
+    "q238_quality_lr_calibration" -> ((s, d) => {
+      val tr = operators.QualityClassifier.train(t(s, d, "documents"))
+      val w = tr.weights.last
+      val bins = tr.feat
+        .select(expr(operators.QualityClassifier.pmSql(w)).as("pm"), col("ym"))
+        .select(least(expr("pm div 62500"), lit(15L)).as("bin"),
+          col("pm"), col("ym"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ym") === 1000000L, 1L).otherwise(0L)).as("pos"),
+          sum("pm").as("spm"))
+        .withColumn("confm", expr("cast(spm div n as bigint)"))
+        .withColumn("accm", expr("cast((pos * 1000000) div n as bigint)"))
+        .ckptLazy // consumers: per-bin rows, ECE total
+      val ece = bins
+        .agg(expr("cast(sum(n * abs(confm - accm)) div sum(n) as bigint)")
+          .as("ecem"))
+      bins.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n"), col("pos"),
+          (col("confm").cast("double") / lit(1000000.0)).as("confidence"),
+          (col("accm").cast("double") / lit(1000000.0)).as("observed"),
+          (col("ecem").cast("double") / lit(1000000.0)).as("ece"))
+        .orderBy("bin")
+    }),
+
+    // SELECTION-BIAS AUDIT (what did importance selection CHANGE vs a
+    // random sample of the same token budget? — the ablation a curation
+    // pipeline runs before committing to DSIR): the SAME
+    // scoreBudgetPrefix operator runs twice over the q237 doc grain,
+    // once ordered by the importance weight and once by a uniform md5
+    // hash (descending hash order IS the q46 deterministic random
+    // order), same 25% token budget; the scorecard reads the quality
+    // lift and the language-share L1 divergence BETWEEN the two kept
+    // sets. Integer end to end.
+    "q239_selection_bias_audit" -> ((s, d) => {
+      val docGrain = dsirDocGrain(s, d)
+      val budget = docGrain.agg(expr("sum(n_tokens) div 4").as("budget"))
+      def keptFlag(score: Column, name: String): DataFrame =
+        operators.CorpusSharding.scoreBudgetPrefix(
+            docGrain, score, col("n_tokens"), nBuckets = 256, budget)
+          .select(col("doc_id"), lit(1L).as(name))
+      val hashScore = expr(
+        "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint)")
+      val flagged = docGrain
+        .join(keptFlag(col("wm"), "k_dsir"), Seq("doc_id"), "left")
+        .join(keptFlag(hashScore, "k_rand"), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("k_dsir", "k_rand"))
+        .ckptLazy // consumers: overall scorecard, language L1
+      val overall = flagged.agg(
+        count(lit(1)).as("n_docs"),
+        sum("k_dsir").as("n_dsir"), sum("k_rand").as("n_rand"),
+        coalesce(sum(when(col("k_dsir") === 1L, col("n_tokens"))), lit(0L))
+          .as("t_dsir"),
+        coalesce(sum(when(col("k_rand") === 1L, col("n_tokens"))), lit(0L))
+          .as("t_rand"),
+        coalesce(sum(when(col("k_dsir") === 1L, col("qm"))), lit(0L)).as("sq_dsir"),
+        coalesce(sum(when(col("k_rand") === 1L, col("qm"))), lit(0L)).as("sq_rand"))
+      val l1 = flagged.groupBy("lang")
+        .agg(coalesce(sum(when(col("k_dsir") === 1L, col("n_tokens"))), lit(0L))
+            .as("ld"),
+          coalesce(sum(when(col("k_rand") === 1L, col("n_tokens"))), lit(0L))
+            .as("lr"))
+        .crossJoin(broadcast(overall.select(col("t_dsir"), col("t_rand"))))
+        .agg(sum(expr(
+          "abs((ld * 1000000) div t_dsir - (lr * 1000000) div t_rand)")).as("l1m"))
+      overall.crossJoin(broadcast(l1))
+        .select(col("n_docs"), col("n_dsir"), col("n_rand"),
+          col("t_dsir"), col("t_rand"),
+          (expr("cast(sq_dsir div n_dsir as bigint)").cast("double")
+            / lit(1000000.0)).as("mean_q_dsir"),
+          (expr("cast(sq_rand div n_rand as bigint)").cast("double")
+            / lit(1000000.0)).as("mean_q_rand"),
+          (expr("cast(sq_dsir div n_dsir as bigint) - " +
+            "cast(sq_rand div n_rand as bigint)").cast("double")
+            / lit(1000000.0)).as("q_lift"),
+          (col("l1m").cast("double") / lit(1000000.0)).as("lang_l1_selection"))
+    }),
+
+    // CONTAMINATION FIRST-SEEN ATTRIBUTION (the batch third of the q227/
+    // crossSourceContamIngest triangle — per SOURCE, how much content
+    // did it originate vs re-ingest, and from whom): per content hash
+    // the first arrival is min doc_id (the
+    // replay's seq — min_by/arg_min, unique ids make the tie moot);
+    // every later arrival classifies as same-source repeat or cross-
+    // source contamination. One partial-aggregated groupBy per hash +
+    // one equi-join back to the doc grain; window-free, pair-free.
+    "q240_contamination_first_seen" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("ch"))
+        .ckptLazy // consumers: first-arrival table, later-arrival join
+      // ALL hashes, not only duplicated ones: a unique doc counts as
+      // originating its content, so every source gets a row at every
+      // corpus scale and the repeat columns read zero until dups exist
+      val first = docs.groupBy("ch")
+        .agg(min("doc_id").as("first_doc"),
+          min_by(col("source"), col("doc_id")).as("first_source"))
+      docs.join(first, Seq("ch"))
+        .select(col("source"), col("doc_id"), col("first_doc"),
+          col("first_source"))
+        .groupBy("source")
+        .agg(
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .as("n_originated"),
+          sum(when(col("doc_id") =!= col("first_doc") &&
+            col("source") === col("first_source"), 1L).otherwise(0L))
+            .as("n_same_src_repeats"),
+          sum(when(col("doc_id") =!= col("first_doc") &&
+            col("source") =!= col("first_source"), 1L).otherwise(0L))
+            .as("n_cross_src_ingests"))
+        .orderBy("source")
     }),
 
     // GEOMETRIC MEDIAN of the embedding cloud (Weiszfeld 1937, 3 fixed
@@ -8390,6 +8657,55 @@ object Oracles {
     out.reverse.replaceFirst("\\s*,", "").reverse
   }
 
+  /** q235/q236 trainer rounds unrolled (r14 verdict #3): the hashed
+    * feature table, then per round a MATERIALIZED probability pass, a
+    * HUGEINT gradient aggregate, and the sign-split truncating weight
+    * update — the exact integer arithmetic of
+    * `operators/QualityClassifier.train` (lrNum=1, lrDen=256; the pm
+    * expression comes VERBATIM from QualityClassifier.pmOracleSql).
+    * Expects the `scored` CTE ([[scoredDocsCte]]) already in scope. */
+  private def qualityLrCtes(R: Int): String = {
+    import graft.operators.QualityClassifier.{K => LRK}
+    val sb = new StringBuilder
+    val xcols = (0 until LRK).map(j =>
+      s"CAST(least(coalesce(sum(CASE WHEN b = $j THEN 1 END), 0), 31) AS BIGINT) AS x$j")
+      .mkString(",\n                 ")
+    sb ++= s"""lrtk AS (
+          SELECT d.doc_id, round(s.q, 6) >= 0.8 AS is_target,
+                 ('0x' || substr(md5(d.tok), 1, 15))::BIGINT % $LRK AS b
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+                FROM documents) d
+          JOIN scored s ON s.doc_id = d.doc_id),
+        feat AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(CASE WHEN is_target THEN 1000000 ELSE 0 END AS BIGINT) AS ym,
+                 $xcols
+          FROM lrtk GROUP BY 1, 2),
+        nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM feat),
+        wr0 AS (SELECT ${(0 to LRK).map(j => s"CAST(0 AS HUGEINT) AS w$j").mkString(", ")}),\n"""
+    for (r <- 1 to R) {
+      val gcols = (0 until LRK).map(j =>
+        s"CAST(sum((pm - ym) * x$j) AS HUGEINT) AS g$j")
+        .mkString(",\n                 ") +
+        s",\n                 CAST(sum(pm - ym) AS HUGEINT) AS g$LRK"
+      val wcols = (0 to LRK).map(j =>
+        s"w.w$j - (CASE WHEN g.g$j < 0 THEN -1 ELSE 1 END) * " +
+          s"((abs(g.g$j) * 1) // (256 * nn.n)) AS w$j")
+        .mkString(",\n                 ")
+      sb ++= s"""p$r AS MATERIALIZED (
+          SELECT f.ym, ${(0 until LRK).map(j => s"f.x$j").mkString(", ")},
+                 ${graft.operators.QualityClassifier.pmOracleSql("w")} AS pm
+          FROM feat f CROSS JOIN wr${r - 1} w),
+        g$r AS (SELECT $gcols FROM p$r),
+        wr$r AS MATERIALIZED (
+          SELECT $wcols
+          FROM wr${r - 1} w CROSS JOIN g$r g CROSS JOIN nn),\n"""
+    }
+    val out = sb.toString
+    out.reverse.replaceFirst("\\s*,", "").reverse
+  }
+
   private def kmeansCtes(K: Int, R: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""u AS MATERIALIZED (
@@ -10268,6 +10584,235 @@ object Oracles {
                 CAST(qm AS DOUBLE) / 1000000.0 AS mmd2_quadratic
          FROM lin l JOIN qd ON l.g_a = qd.g_a AND l.g_b = qd.g_b
          ORDER BY l.g_a, l.g_b""",
+
+    // trainer rounds unrolled as MATERIALIZED HUGEINT CTE chains
+    // (qualityLrCtes); the weight trajectory unpivoted via UNION ALL
+    "q235_quality_lr_train" -> {
+      import graft.operators.QualityClassifier.{K => LRK}
+      val unpivot = (0 to 3).flatMap(r => (0 to LRK).map(j =>
+        s"SELECT $r AS iter, $j AS j, CAST(w$j AS DOUBLE) / 1000000.0 AS w FROM wr$r"))
+        .mkString("\n                UNION ALL ")
+      s"""WITH $scoredDocsCte,
+              ${qualityLrCtes(3)}
+         SELECT iter, j, w FROM (
+                $unpivot)
+         ORDER BY iter, j"""
+    },
+
+    // final-round weights applied back to the feature table; confusion
+    // counts at pm >= 0.5, truncating-micro accuracy
+    "q236_quality_lr_eval" ->
+      s"""WITH $scoredDocsCte,
+              ${qualityLrCtes(3)},
+              pe AS (SELECT ${graft.operators.QualityClassifier.pmOracleSql("w")} AS pm,
+                            f.ym
+                     FROM feat f CROSS JOIN wr3 w),
+              ev AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                            CAST(coalesce(sum(CASE WHEN pm >= 500000 AND ym = 1000000
+                              THEN 1 END), 0) AS BIGINT) AS tp,
+                            CAST(coalesce(sum(CASE WHEN pm >= 500000 AND ym = 0
+                              THEN 1 END), 0) AS BIGINT) AS fp,
+                            CAST(coalesce(sum(CASE WHEN pm < 500000 AND ym = 1000000
+                              THEN 1 END), 0) AS BIGINT) AS fn,
+                            CAST(coalesce(sum(CASE WHEN pm < 500000 AND ym = 0
+                              THEN 1 END), 0) AS BIGINT) AS tn
+                     FROM pe)
+         SELECT n, tp, fp, fn, tn,
+                CAST(((tp + tn) * 1000000) // n AS DOUBLE) / 1000000.0 AS accuracy
+         FROM ev""",
+
+    // q225's weight chain over ALL docs, the budget prefix as ONE global
+    // window over wm DESC (the oracle needs no two-level split — the
+    // engine's bucket-major order IS this order), the scorecard exact
+    // integer ratios
+    "q237_dsir_resampled_drift" ->
+      s"""WITH $scoredDocsCte,
+              dtk AS (SELECT d.doc_id, s.lang,
+                             CAST(floor(s.q * 1000000.0 + 0.5) AS BIGINT) AS qm,
+                             ('0x' || substr(md5(d.tok), 1, 15))::BIGINT % 128 AS b
+                      FROM (SELECT doc_id,
+                                   unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+                            FROM documents) d
+                      JOIN scored s ON s.doc_id = d.doc_id),
+              db AS MATERIALIZED (
+                SELECT doc_id, lang, qm, b, CAST(count(*) AS BIGINT) AS c
+                FROM dtk GROUP BY 1, 2, 3, 4),
+              bk AS (SELECT b, CAST(sum(c) AS BIGINT) AS cc,
+                            CAST(coalesce(sum(CASE WHEN qm >= 800000 THEN c END), 0)
+                              AS BIGINT) AS ct
+                     FROM db GROUP BY b),
+              tot AS (SELECT CAST(sum(cc) AS BIGINT) AS ctot,
+                             CAST(sum(ct) AS BIGINT) AS ttot FROM bk),
+              r AS (SELECT b, CAST(round(ln(CAST(ct + 1 AS DOUBLE) * (ctot + 128) /
+                            (CAST(cc + 1 AS DOUBLE) * (ttot + 128))) * 1000000, 0)
+                            AS BIGINT) AS r
+                    FROM bk CROSS JOIN tot),
+              wts AS MATERIALIZED (
+                SELECT doc_id, lang, qm, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(sum(c * r.r) AS BIGINT) AS wm
+                FROM db JOIN r USING (b) GROUP BY 1, 2, 3),
+              bud AS (SELECT CAST(CAST(sum(n_tokens) AS BIGINT) // 4 AS BIGINT)
+                        AS budget FROM wts),
+              sel AS (SELECT doc_id,
+                             CAST(coalesce(sum(n_tokens) OVER (ORDER BY wm DESC, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                               AS BIGINT) AS cb
+                      FROM wts),
+              kept AS (SELECT doc_id FROM sel CROSS JOIN bud WHERE cb < budget),
+              fl AS MATERIALIZED (
+                SELECT w.*, CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END AS kept
+                FROM wts w LEFT JOIN kept k USING (doc_id)),
+              ov AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                            CAST(coalesce(sum(CASE WHEN kept = 1 THEN 1 END), 0)
+                              AS BIGINT) AS n_docs_kept,
+                            CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+                            CAST(coalesce(sum(CASE WHEN kept = 1 THEN n_tokens END), 0)
+                              AS BIGINT) AS n_tokens_kept,
+                            CAST(sum(qm) AS BIGINT) AS sq,
+                            CAST(coalesce(sum(CASE WHEN kept = 1 THEN qm END), 0)
+                              AS BIGINT) AS sqk
+                     FROM fl),
+              ld AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lt,
+                            CAST(coalesce(sum(CASE WHEN kept = 1 THEN n_tokens END), 0)
+                              AS BIGINT) AS ltk
+                     FROM fl GROUP BY lang),
+              l1 AS (SELECT CAST(sum(abs((ltk * 1000000) // tk -
+                            (lt * 1000000) // tt)) AS BIGINT) AS l1m
+                     FROM ld CROSS JOIN (SELECT n_tokens_total AS tt,
+                                                n_tokens_kept AS tk FROM ov) o)
+         SELECT n_docs, n_docs_kept, n_tokens_total, n_tokens_kept,
+                CAST(sq // n_docs AS DOUBLE) / 1000000.0 AS mean_q,
+                CASE WHEN n_docs_kept = 0 THEN NULL
+                     ELSE CAST(sqk // n_docs_kept AS DOUBLE) / 1000000.0
+                END AS mean_q_kept,
+                CAST(l1m AS DOUBLE) / 1000000.0 AS lang_l1_drift
+         FROM ov CROSS JOIN l1""",
+
+    // wr3 weights applied to the feature table, 16 fixed pm bins,
+    // truncating-micro confidence/observed/ECE
+    "q238_quality_lr_calibration" ->
+      s"""WITH $scoredDocsCte,
+              ${qualityLrCtes(3)},
+              pe AS (SELECT ${graft.operators.QualityClassifier.pmOracleSql("w")} AS pm,
+                            f.ym
+                     FROM feat f CROSS JOIN wr3 w),
+              bins AS (SELECT CAST(least(pm // 62500, 15) AS BIGINT) AS bin,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(coalesce(sum(CASE WHEN ym = 1000000 THEN 1 END), 0)
+                                AS BIGINT) AS pos,
+                              CAST(sum(pm) AS BIGINT) AS spm
+                       FROM pe GROUP BY 1),
+              b2 AS (SELECT bin, n, pos,
+                            CAST(spm // n AS BIGINT) AS confm,
+                            CAST((pos * 1000000) // n AS BIGINT) AS accm
+                     FROM bins),
+              ece AS (SELECT CAST(sum(n * abs(confm - accm)) // sum(n) AS BIGINT)
+                        AS ecem FROM b2)
+         SELECT bin, n, pos,
+                CAST(confm AS DOUBLE) / 1000000.0 AS confidence,
+                CAST(accm AS DOUBLE) / 1000000.0 AS observed,
+                CAST(ecem AS DOUBLE) / 1000000.0 AS ece
+         FROM b2 CROSS JOIN ece ORDER BY bin""",
+
+    // the q237 weight chain, TWO window selections (wm desc vs md5
+    // desc) at the same budget, the between-selections scorecard
+    "q239_selection_bias_audit" ->
+      s"""WITH $scoredDocsCte,
+              dtk AS (SELECT d.doc_id, s.lang,
+                             CAST(floor(s.q * 1000000.0 + 0.5) AS BIGINT) AS qm,
+                             ('0x' || substr(md5(d.tok), 1, 15))::BIGINT % 128 AS b
+                      FROM (SELECT doc_id,
+                                   unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+                            FROM documents) d
+                      JOIN scored s ON s.doc_id = d.doc_id),
+              db AS MATERIALIZED (
+                SELECT doc_id, lang, qm, b, CAST(count(*) AS BIGINT) AS c
+                FROM dtk GROUP BY 1, 2, 3, 4),
+              bk AS (SELECT b, CAST(sum(c) AS BIGINT) AS cc,
+                            CAST(coalesce(sum(CASE WHEN qm >= 800000 THEN c END), 0)
+                              AS BIGINT) AS ct
+                     FROM db GROUP BY b),
+              tot AS (SELECT CAST(sum(cc) AS BIGINT) AS ctot,
+                             CAST(sum(ct) AS BIGINT) AS ttot FROM bk),
+              r AS (SELECT b, CAST(round(ln(CAST(ct + 1 AS DOUBLE) * (ctot + 128) /
+                            (CAST(cc + 1 AS DOUBLE) * (ttot + 128))) * 1000000, 0)
+                            AS BIGINT) AS r
+                    FROM bk CROSS JOIN tot),
+              wts AS MATERIALIZED (
+                SELECT doc_id, lang, qm, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(sum(c * r.r) AS BIGINT) AS wm
+                FROM db JOIN r USING (b) GROUP BY 1, 2, 3),
+              bud AS (SELECT CAST(CAST(sum(n_tokens) AS BIGINT) // 4 AS BIGINT)
+                        AS budget FROM wts),
+              seld AS (SELECT doc_id,
+                              CAST(coalesce(sum(n_tokens) OVER (ORDER BY wm DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                                AS BIGINT) AS cb
+                       FROM wts),
+              kd AS (SELECT doc_id FROM seld CROSS JOIN bud WHERE cb < budget),
+              hh AS (SELECT doc_id,
+                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                              AS hs
+                     FROM wts),
+              selr AS (SELECT w.doc_id,
+                              CAST(coalesce(sum(w.n_tokens) OVER (ORDER BY h.hs DESC,
+                                w.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                                AS BIGINT) AS cb
+                       FROM wts w JOIN hh h ON w.doc_id = h.doc_id),
+              kr AS (SELECT doc_id FROM selr CROSS JOIN bud WHERE cb < budget),
+              fl AS MATERIALIZED (
+                SELECT w.*,
+                       CASE WHEN kd.doc_id IS NULL THEN 0 ELSE 1 END AS k_dsir,
+                       CASE WHEN kr.doc_id IS NULL THEN 0 ELSE 1 END AS k_rand
+                FROM wts w LEFT JOIN kd ON w.doc_id = kd.doc_id
+                LEFT JOIN kr ON w.doc_id = kr.doc_id),
+              ov AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                            CAST(coalesce(sum(k_dsir), 0) AS BIGINT) AS n_dsir,
+                            CAST(coalesce(sum(k_rand), 0) AS BIGINT) AS n_rand,
+                            CAST(coalesce(sum(CASE WHEN k_dsir = 1 THEN n_tokens END), 0)
+                              AS BIGINT) AS t_dsir,
+                            CAST(coalesce(sum(CASE WHEN k_rand = 1 THEN n_tokens END), 0)
+                              AS BIGINT) AS t_rand,
+                            CAST(coalesce(sum(CASE WHEN k_dsir = 1 THEN qm END), 0)
+                              AS BIGINT) AS sq_dsir,
+                            CAST(coalesce(sum(CASE WHEN k_rand = 1 THEN qm END), 0)
+                              AS BIGINT) AS sq_rand
+                     FROM fl),
+              lds AS (SELECT lang,
+                             CAST(coalesce(sum(CASE WHEN k_dsir = 1 THEN n_tokens END), 0)
+                               AS BIGINT) AS tld,
+                             CAST(coalesce(sum(CASE WHEN k_rand = 1 THEN n_tokens END), 0)
+                               AS BIGINT) AS tlr
+                      FROM fl GROUP BY lang),
+              l1 AS (SELECT CAST(sum(abs((tld * 1000000) // t_dsir -
+                            (tlr * 1000000) // t_rand)) AS BIGINT) AS l1m
+                     FROM lds CROSS JOIN (SELECT t_dsir, t_rand FROM ov) o)
+         SELECT n_docs, n_dsir, n_rand, t_dsir, t_rand,
+                CAST(sq_dsir // n_dsir AS DOUBLE) / 1000000.0 AS mean_q_dsir,
+                CAST(sq_rand // n_rand AS DOUBLE) / 1000000.0 AS mean_q_rand,
+                CAST(CAST(sq_dsir // n_dsir AS BIGINT) -
+                     CAST(sq_rand // n_rand AS BIGINT) AS DOUBLE) / 1000000.0 AS q_lift,
+                CAST(l1m AS DOUBLE) / 1000000.0 AS lang_l1_selection
+         FROM ov CROSS JOIN l1""",
+
+    // per-hash first arrival by min doc_id (arg_min == min_by, unique
+    // ids), later arrivals classified same- vs cross-source
+    "q240_contamination_first_seen" ->
+      """WITH dd AS (SELECT doc_id, source, md5(text) AS ch FROM documents),
+              fs AS (SELECT ch, CAST(min(doc_id) AS BIGINT) AS first_doc,
+                            arg_min(source, doc_id) AS first_source
+                     FROM dd GROUP BY ch)
+         SELECT d.source,
+                CAST(coalesce(sum(CASE WHEN d.doc_id = f.first_doc THEN 1 END), 0)
+                  AS BIGINT) AS n_originated,
+                CAST(coalesce(sum(CASE WHEN d.doc_id <> f.first_doc
+                  AND d.source = f.first_source THEN 1 END), 0)
+                  AS BIGINT) AS n_same_src_repeats,
+                CAST(coalesce(sum(CASE WHEN d.doc_id <> f.first_doc
+                  AND d.source <> f.first_source THEN 1 END), 0)
+                  AS BIGINT) AS n_cross_src_ingests
+         FROM dd d JOIN fs f USING (ch)
+         GROUP BY d.source ORDER BY d.source""",
 
     // Weiszfeld rounds unrolled; gmedian vs mean in float units
     "q232_geometric_median" ->

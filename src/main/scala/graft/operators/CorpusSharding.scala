@@ -152,4 +152,61 @@ object CorpusSharding {
       .where(col("cum_before") < col("budget"))
       .select("doc_id", strataCol, "toks", "budget")
   }
+
+  /** DESCENDING-SCORE global token-budget prefix (r14 verdict #4 — the
+    * importance-resampling selection step: keep the highest-scoring docs
+    * until a global token budget is spent). Two-level like the hash
+    * prefix, but the shard is the ORDER'S OWN leading bits (the r4
+    * rule): integer scores band into `nBuckets` equal-width buckets over
+    * the observed [lo, hi] range, and bucket-major (ascending bucket =
+    * descending score) order IS the global (score desc, doc_id) order
+    * because the bucket is a pure function of the score — equal scores
+    * can never straddle a boundary, so the single-window answer is
+    * reproduced for EVERY nBuckets (ShardingSpec proves 4 == 256).
+    * Per-bucket running sums + an (≤nBuckets)-row offset join; the only
+    * global window runs over the aggregate-sized bucket-totals frame.
+    *
+    * Skew: a bucket holds at most its score band's mass; a degenerate
+    * corpus where most docs share ONE score value concentrates that band
+    * in one partition — bounded by the largest equal-score class, which
+    * for micro-scaled weight SUMS (q225's wm) is vanishingly small.
+    *
+    * `docs` must carry (doc_id, score, toks) via the given columns;
+    * `budget` is a one-row (budget) frame (aggregate-sized, broadcast).
+    * Returns kept docs (doc_id, score, toks, budget). */
+  def scoreBudgetPrefix(docs: DataFrame, scoreCol: Column, tokenCount: Column,
+                        nBuckets: Int, budget: DataFrame): DataFrame = {
+    require(nBuckets >= 2, s"scoreBudgetPrefix needs >= 2 buckets, got $nBuckets")
+    val base = docs
+      .select(col("doc_id"), scoreCol.cast("long").as("score"),
+        tokenCount.cast("long").as("toks"))
+      .ckptLazy // consumers: extent agg, banded pass
+    val ext = base.agg(min("score").as("lo"), max("score").as("hi"))
+    val banded = base.crossJoin(broadcast(ext))
+      // (hi - score) ∈ [0, hi - lo]: the shifted numerator keeps the
+      // truncating div on NONNEGATIVE operands (the r11 rule); monotone
+      // nonincreasing in score, so ascending bucket = descending score.
+      // Width-form banding, NOT (hi-score)*nBuckets div range: md5-
+      // derived scores span ~2^60 and the product form overflows long
+      // (the r15 q239 bug) — width = range div nBuckets + 1 keeps every
+      // operand <= the raw range and still lands buckets in [0, nBuckets)
+      .withColumn("bucket",
+        expr(s"(hi - score) div ((hi - lo) div ${nBuckets}L + 1)"))
+      .select("doc_id", "score", "toks", "bucket")
+      .ckptLazy // consumers: bucket totals, main pass
+    val wOff = Window.orderBy("bucket")
+    val offsets = banded.groupBy("bucket").agg(sum("toks").as("st"))
+      .withColumn("offset", coalesce(
+        sum("st").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(budget))
+      .select("bucket", "offset", "budget")
+    val wIn = Window.partitionBy("bucket").orderBy(col("score").desc, col("doc_id"))
+    banded
+      .withColumn("cum_in", coalesce(
+        sum("toks").over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_before", col("offset") + col("cum_in"))
+      .where(col("cum_before") < col("budget"))
+      .select("doc_id", "score", "toks", "budget")
+  }
 }

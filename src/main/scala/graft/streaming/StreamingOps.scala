@@ -443,6 +443,71 @@ object StreamingOps {
       }
   }
 
+  /** One emitted row of [[crossSourceContamIngest]]: the arriving doc
+    * with the pre-arrival source mask and the two contamination flags. */
+  case class ContamRow(doc_id: Long, source: String, ch: String,
+                       seen_mask: Long, cross_source: Int,
+                       dup_same_source: Int)
+
+  /**
+   * q227's streaming twin — CROSS-SOURCE CONTAMINATION AT INGEST (r14
+   * verdict #6): flag, as each document arrives, whether its exact
+   * content has already been ingested from a DIFFERENT source (mirror
+   * sites, syndication, template reuse — the q227 provenance question
+   * answered online instead of in the nightly batch matrix) or from the
+   * SAME source (the plain dup [[dedupIngest]] would suppress).
+   *
+   * State is ONE long per distinct content hash: the bitmask of sources
+   * the hash has been seen from — q89's exact-bitmask convention, with
+   * the same ≤64-source limit enforced against the `sourceBits`
+   * registry passed in (a batch-trained aggregate-sized parameter, the
+   * cusumIngest baseline pattern; past 64 sources the batch sketch path
+   * is the tool). Constant bytes per key regardless of how often the
+   * hash recurs (StreamingStateSpec gates it); keys shard across
+   * executors like any keyed stream.
+   *
+   * Within a micro-batch rows sort by (seq, doc_id) — the deterministic
+   * replay order; across batches order is arrival order (the shared
+   * *Ingest contract). A full-history replay therefore reproduces the
+   * batch recompute exactly (StreamingSpec proves it on the live
+   * fixture).
+   */
+  def crossSourceContamIngest(
+      docs: DataFrame, // (doc_id, source, text, seq)
+      sourceBits: Map[String, Int]): Dataset[ContamRow] = {
+    require(sourceBits.nonEmpty && sourceBits.size <= 64,
+      s"exact bitmask state supports 1..64 sources, got ${sourceBits.size}")
+    require(sourceBits.values.forall(b => b >= 0 && b < 64),
+      "source bit indices must lie in [0, 64)")
+    require(sourceBits.values.toSet.size == sourceBits.size,
+      "source bit indices must be distinct")
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("source").cast("string"),
+        md5(encode(col("text"), "UTF-8")).as("ch"), col("seq").cast("long"))
+      .as[(Long, String, String, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Long, ContamRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (ch: String, rows: Iterator[(Long, String, String, Long)],
+         state: GroupState[Long]) =>
+          var mask = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._4, r._1)).map {
+            case (id, src, _, _) =>
+              val bit = 1L << sourceBits.getOrElse(src,
+                throw new IllegalArgumentException(
+                  s"source '$src' not in the sourceBits registry"))
+              val before = mask
+              mask |= bit
+              ContamRow(id, src, ch, before,
+                if ((before & ~bit) != 0L) 1 else 0,
+                if ((before & bit) != 0L) 1 else 0)
+          }
+          state.update(mask)
+          out.iterator
+      }
+  }
+
   /** One emitted row of [[interarrivalStatsIngest]]: the running
     * per-(user, event_type) gap aggregate after the micro-batch. The
     * squared-gap sum is split into base-1e18 limbs (qgap = qgap_hi*1e18

@@ -535,4 +535,45 @@ class PlanGuardSpec extends AnyFunSuite {
     }
     assert(Ckpt.enabled, "Ckpt.withoutCheckpoints must restore the flag")
   }
+
+  test("r15 batch: q236 trainer/eval pure partial-agg; q237 windows only over " +
+      "the score band or aggregate-sized inputs; q234 fused moments windowless") {
+    // q235 returns a driver-local relation (the q222/q232 exclusion), so
+    // the trainer guard rides q236, whose eval pass reuses the trainer's
+    // plan shape. Full tree: the trainer's 3 rounds are fixed, so the
+    // checkpoint bypass keeps lineage bounded and the feature-build
+    // segment (explode + groupBy, windowless by design) stays visible.
+    Ckpt.withoutCheckpoints {
+      val p236 = executedPlans("q236_quality_lr_eval")
+      assert(windowsOf(p236).isEmpty,
+        "q236 grew a window — the K-scalars trainer design regressed")
+      assert(p236.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        "q236 grew a sort-merge join — the gradient pass must be join-free")
+    }
+    // q234 after the r15 fusion: the TypedImperativeAggregate replaced
+    // the double posexplode; still windowless, and no sort-merge join
+    // may appear around the aggregate-sized pair frames
+    assert(windowsOf(executedPlans("q234_embedding_mmd")).isEmpty,
+      "q234 grew a window")
+    // q237: every window is either the in-bucket running sum
+    // (partitioned by the nBuckets-bounded band) or an aggregate-sized
+    // window (agg beneath — bucket offsets); nothing windows over a
+    // Zipfian key (lang / token bucket)
+    Ckpt.withoutCheckpoints {
+      val ws = windowsOf(executedPlans("q237_dsir_resampled_drift"))
+      assert(ws.nonEmpty, "q237 lost its two-level selection windows")
+      ws.foreach { w =>
+        val parts = w.partitionSpec.flatMap(_.references.map(_.name))
+        assert(!parts.exists(Set("lang", "token", "b")),
+          s"q237 window over a Zipfian key: ${parts.mkString(",")}")
+        val okBand = parts.contains("bucket")
+        val aggBeneath = collectPlans(w.child).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+        assert(okBand || aggBeneath,
+          s"q237 window partitioned by [${parts.mkString(",")}] over a " +
+            "non-aggregated input — corpus-sized sort risk")
+      }
+    }
+    assert(Ckpt.enabled, "Ckpt.withoutCheckpoints must restore the flag")
+  }
 }

@@ -107,4 +107,35 @@ class ShardingSpec extends AnyFunSuite {
     }
     assert(leaked.isEmpty, "operator leaked an InMemoryRelation into the catalog cache")
   }
+
+  test("r15 scoreBudgetPrefix: nBuckets 4 == 256 == the single-window reference") {
+    // the descending-score twin of the q59 proof: the bucket is a pure
+    // function of the score, so bucket-major order IS the global
+    // (score desc, doc_id) order and EVERY nBuckets gives the exact
+    // single-window answer — verified against an independent driver
+    // fold over the collected rows
+    val base = docs.select(col("doc_id"),
+      col("n_chars").cast("long").as("score"), toks.cast("long").as("toks"))
+    val budget = base.agg(expr("sum(toks) div 4").as("budget"))
+    def kept(nb: Int): Set[Long] = {
+      val k = CorpusSharding.scoreBudgetPrefix(base, col("score"), col("toks"),
+        nb, budget).select("doc_id").collect().map(_.getLong(0)).toSet
+      spark.catalog.clearCache()
+      k
+    }
+    val k4 = kept(4)
+    val k256 = kept(256)
+    assert(k4.nonEmpty && k4 == k256, "bucket count changed the answer")
+    val rows = base.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, sc, _) => (-sc, id) }
+    val b = budget.head().getLong(0)
+    var cum = 0L
+    val ref = scala.collection.mutable.LinkedHashSet.empty[Long]
+    rows.foreach { case (id, _, t) =>
+      if (cum < b) ref += id
+      cum += t
+    }
+    assert(k4 == ref.toSet, "two-level selection diverged from the global-window fold")
+  }
 }

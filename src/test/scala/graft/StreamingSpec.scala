@@ -882,4 +882,58 @@ class StreamingSpec extends AnyFunSuite {
         s"day $day: streaming ($gsu,$gsl,$gb) != batch ($bsu,$bsl,$bb)")
     }
   }
+
+  test("streaming cross-source contamination replay equals the batch first-seen recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1) // arrival order = doc_id (the replay's seq)
+    val sources = docs.map(_._2).distinct.sorted
+    val bits = sources.zipWithIndex.toMap
+    // engineered head: guaranteed cross-source, same-source-dup and
+    // unique cases ahead of the live corpus (ids below the corpus range)
+    val head = Seq(
+      (-10L, sources(0), "contam-fixture-x"),
+      (-9L, sources(1), "contam-fixture-x"), // cross-source
+      (-8L, sources(0), "contam-fixture-x"), // same-source dup (and cross)
+      (-7L, sources(0), "contam-fixture-y"),
+      (-6L, sources(0), "contam-fixture-y")) // same-source dup only
+    val all = (head ++ docs).zipWithIndex
+      .map { case ((id, s, t), i) => (id, s, t, i.toLong) }
+
+    val input = MemoryStream[(Long, String, String, Long)]
+    val q = StreamingOps.crossSourceContamIngest(
+        input.toDF().toDF("doc_id", "source", "text", "seq"), bits)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("contam").start()
+    all.grouped(97).foreach { b => input.addData(b.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("contam")
+      .select("doc_id", "cross_source", "dup_same_source")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // batch recompute: prior-arrival source sets per content, driver fold
+    val seen = scala.collection.mutable.Map.empty[String, Set[String]]
+    all.foreach { case (id, src, text, _) =>
+      val prior = seen.getOrElse(text, Set.empty)
+      val expect = (if ((prior - src).nonEmpty) 1 else 0,
+        if (prior.contains(src)) 1 else 0)
+      assert(got(id) == expect,
+        s"doc $id ($src): streaming ${got(id)} != batch $expect")
+      seen(text) = prior + src
+    }
+    assert(got(-9L) == ((1, 0)) && got(-8L) == ((1, 1)) && got(-6L) == ((0, 1)))
+    // reconcile with q227's batch matrix on the corpus docs alone (the
+    // engineered head's texts don't occur in the corpus): some corpus
+    // doc flags cross_source iff the batch matrix found shared hashes
+    val anyCrossCorpus = docs.exists { case (id, _, _) => got(id)._1 == 1 }
+    val batchShared = graft.Queries.queries("q227_cross_source_dups")(
+      spark, "/root/testdata/sf0.001")
+      .agg(coalesce(sum("n_shared"), lit(0L))).collect().head.getLong(0)
+    assert(anyCrossCorpus == (batchShared > 0L),
+      s"streaming cross flags disagree with q227 (shared=$batchShared)")
+  }
 }

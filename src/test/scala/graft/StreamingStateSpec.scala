@@ -289,4 +289,26 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(rows == 3L, s"state must be one row per live key (3), got $rows")
     assert(bytes < BytesCap)
   }
+
+  test("cross-source contamination ingest: state rows = distinct hashes " +
+      "(one long each), NOT arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long)]
+    val q = StreamingOps.crossSourceContamIngest(
+        input.toDF().toDF("doc_id", "source", "text", "seq"),
+        Map("a" -> 0, "b" -> 1, "c" -> 2))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ss_contam").start()
+    // 120 arrivals over 3 sources but only 10 distinct texts: state is
+    // the per-HASH mask (10 rows), constant however often a hash recurs
+    input.addData((0 until 120).map(i =>
+      (i.toLong, s"${('a' + i % 3).toChar}", s"text-${i % 10}", i.toLong)): _*)
+    q.processAllAvailable()
+    val (rows, bytes) = stateOf(q)
+    q.stop()
+    report("crossSourceContamIngest", rows, bytes)
+    assert(rows == 10L, s"state must be one row per distinct hash (10), got $rows")
+    assert(bytes < BytesCap)
+  }
 }
