@@ -5134,6 +5134,135 @@ object Queries {
         .orderBy("source")
     }),
 
+    // PER-SOURCE CLASSIFIER-SCORE PROFILE (which sources does the q235
+    // filter like? — the read a curation pipeline does before setting
+    // per-source keep thresholds): trained pm per doc joined to its
+    // source (doc-grain equi-join — the feature table deliberately
+    // carries no provenance), 16 fixed pm bins per source, per-source
+    // share and truncating-micro mean pm; everything after the two
+    // doc-grain frames is (sources × 16)-sized.
+    "q241_source_quality_profile" -> ((s, d) => {
+      val tr = operators.QualityClassifier.train(t(s, d, "documents"))
+      val w = tr.weights.last
+      val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val grp = tr.feat
+        .select(col("doc_id"), expr(operators.QualityClassifier.pmSql(w)).as("pm"))
+        .join(src, "doc_id")
+        .select(col("source"), least(expr("pm div 62500"), lit(15L)).as("bin"),
+          col("pm"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n"), sum("pm").as("spm"))
+        .ckptLazy // consumers: per-source totals, output rows
+      val totals = grp.groupBy("source")
+        .agg(sum("n").as("n_src"), sum("spm").as("spm_src"))
+      grp.join(broadcast(totals), "source")
+        .select(col("source"), col("bin"), col("n"),
+          (expr("cast((n * 1000000) div n_src as bigint)").cast("double")
+            / lit(1000000.0)).as("bin_share"),
+          (expr("cast(spm_src div n_src as bigint)").cast("double")
+            / lit(1000000.0)).as("mean_pm"))
+        .orderBy("source", "bin")
+    }),
+
+    // FILTER-AGREEMENT McNEMAR TEST between the q235 trained classifier
+    // and the q107 Gopher rule gate (the paired-decisions question —
+    // "do my two quality filters disagree more than chance?" — asked
+    // with the test built for paired binary decisions; McNemar 1947):
+    // b = model-only keeps, c = gopher-only keeps, χ² = (b−c)²/(b+c) as
+    // one DECIMAL/HUGEINT cross-multiplied truncating micro division
+    // (the r13 overflow rule — (b−c)²·1e6 crosses 2^63 past ~3e6
+    // discordant docs). Both decisions are deterministic integer
+    // predicates, so the whole test is exact cross-engine.
+    "q242_filter_agreement_mcnemar" -> ((s, d) => {
+      val tr = operators.QualityClassifier.train(t(s, d, "documents"))
+      val w = tr.weights.last
+      val gates = t(s, d, "documents")
+        .select(col("doc_id"), TF.gopherKeep(col("text")).as("gk"))
+      tr.feat
+        .select(col("doc_id"),
+          (expr(operators.QualityClassifier.pmSql(w)) >= 500000L).as("mk"))
+        .join(gates, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("mk") && col("gk"), 1L).otherwise(0L)).as("n_both"),
+          sum(when(col("mk") && !col("gk"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("mk") && col("gk"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("mk") && !col("gk"), 1L).otherwise(0L)).as("n_neither"))
+        .select(col("n"), col("n_both"), col("b"), col("c"), col("n_neither"),
+          when(col("b") + col("c") === 0L, lit(null).cast("double"))
+            .otherwise(expr(
+              "cast((cast(b - c as decimal(38,0)) * (b - c) * 1000000) " +
+                "div (b + c) as bigint)").cast("double") / lit(1000000.0))
+            .as("chi2"))
+    }),
+
+    // KEPT-SET AGREEMENT across three same-budget selection policies
+    // (DSIR importance vs md5-random vs raw quality score — how much do
+    // the policies actually overlap in WHICH docs they keep, beyond
+    // q239's aggregate drift?): the SAME scoreBudgetPrefix operator
+    // three times over the q237 doc grain, pairwise Jaccards as exact
+    // truncating micro divisions over the flag sums.
+    "q243_kept_set_agreement" -> ((s, d) => {
+      val docGrain = dsirDocGrain(s, d)
+      val budget = docGrain.agg(expr("sum(n_tokens) div 4").as("budget"))
+      def keptFlag(score: Column, name: String): DataFrame =
+        operators.CorpusSharding.scoreBudgetPrefix(
+            docGrain, score, col("n_tokens"), nBuckets = 256, budget)
+          .select(col("doc_id"), lit(1L).as(name))
+      val hashScore = expr(
+        "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint)")
+      docGrain
+        .join(keptFlag(col("wm"), "ka"), Seq("doc_id"), "left")
+        .join(keptFlag(hashScore, "kb"), Seq("doc_id"), "left")
+        .join(keptFlag(col("qm"), "kc"), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("ka", "kb", "kc"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ka").as("n_dsir"), sum("kb").as("n_rand"), sum("kc").as("n_qual"),
+          sum(expr("ka * kb")).as("iab"),
+          sum(expr("ka * kc")).as("iac"),
+          sum(expr("kb * kc")).as("ibc"))
+        .select(col("n_docs"), col("n_dsir"), col("n_rand"), col("n_qual"),
+          (expr("cast((iab * 1000000) div (n_dsir + n_rand - iab) as bigint)")
+            .cast("double") / lit(1000000.0)).as("j_dsir_rand"),
+          (expr("cast((iac * 1000000) div (n_dsir + n_qual - iac) as bigint)")
+            .cast("double") / lit(1000000.0)).as("j_dsir_qual"),
+          (expr("cast((ibc * 1000000) div (n_rand + n_qual - ibc) as bigint)")
+            .cast("double") / lit(1000000.0)).as("j_rand_qual"))
+    }),
+
+    // CLASSIFIER OPERATING CURVE over the 16 fixed pm bins (the
+    // threshold-sweep read before picking a keep cutoff: keep-rate and
+    // observed precision AT EVERY candidate threshold in one pass): the
+    // cumulative sums run DESCENDING over the 16-row bin histogram —
+    // the r13 allowed-window argument (aggregate-sized input, agg
+    // beneath), never a rank over docs.
+    "q244_quality_lr_threshold_sweep" -> ((s, d) => {
+      val tr = operators.QualityClassifier.train(t(s, d, "documents"))
+      val w = tr.weights.last
+      val bins = tr.feat
+        .select(expr(operators.QualityClassifier.pmSql(w)).as("pm"), col("ym"))
+        .select(least(expr("pm div 62500"), lit(15L)).as("bin"), col("ym"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ym") === 1000000L, 1L).otherwise(0L)).as("pos"))
+        .ckptLazy // consumers: cumulative window, totals
+      val wDesc = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = bins.agg(sum("n").as("n_tot"))
+      bins
+        .withColumn("n_keep", sum("n").over(wDesc))
+        .withColumn("pos_keep", sum("pos").over(wDesc))
+        .crossJoin(broadcast(tot))
+        .select(col("bin"),
+          (col("bin").cast("double") * lit(62500.0) / lit(1000000.0))
+            .as("threshold"),
+          col("n_keep"),
+          (expr("cast((n_keep * 1000000) div n_tot as bigint)").cast("double")
+            / lit(1000000.0)).as("keep_rate"),
+          (expr("cast((pos_keep * 1000000) div n_keep as bigint)").cast("double")
+            / lit(1000000.0)).as("precision_kept"))
+        .orderBy("bin")
+    }),
+
     // GEOMETRIC MEDIAN of the embedding cloud (Weiszfeld 1937, 3 fixed
     // rounds — the ROBUST centroid: the mean the ANN/QA family uses
     // (q102, q185) moves arbitrarily far under a few poisoned/corrupt
@@ -10813,6 +10942,161 @@ object Oracles {
                   AS BIGINT) AS n_cross_src_ingests
          FROM dd d JOIN fs f USING (ch)
          GROUP BY d.source ORDER BY d.source""",
+
+    // wr3 pm per doc joined back to its source, 16 fixed bins per
+    // source, share and mean as truncating micro divisions
+    "q241_source_quality_profile" ->
+      s"""WITH $scoredDocsCte,
+              ${qualityLrCtes(3)},
+              ped AS (SELECT f.doc_id,
+                             ${graft.operators.QualityClassifier.pmOracleSql("w")} AS pm
+                      FROM feat f CROSS JOIN wr3 w),
+              grp AS (SELECT s.source,
+                             CAST(least(p.pm // 62500, 15) AS BIGINT) AS bin,
+                             CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(p.pm) AS BIGINT) AS spm
+                      FROM ped p JOIN scored s ON s.doc_id = p.doc_id
+                      GROUP BY 1, 2),
+              tt AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src,
+                            CAST(sum(spm) AS BIGINT) AS spm_src
+                     FROM grp GROUP BY source)
+         SELECT g.source, g.bin, g.n,
+                CAST((g.n * 1000000) // t.n_src AS DOUBLE) / 1000000.0 AS bin_share,
+                CAST(t.spm_src // t.n_src AS DOUBLE) / 1000000.0 AS mean_pm
+         FROM grp g JOIN tt t ON g.source = t.source
+         ORDER BY g.source, g.bin""",
+
+    // paired keep decisions (trained pm>=0.5 vs the scored CTE's gopher
+    // gate gk), chi-square over the discordant cells in HUGEINT
+    "q242_filter_agreement_mcnemar" ->
+      s"""WITH $scoredDocsCte,
+              ${qualityLrCtes(3)},
+              ped AS (SELECT f.doc_id,
+                             CASE WHEN ${graft.operators.QualityClassifier.pmOracleSql("w")}
+                               >= 500000 THEN 1 ELSE 0 END AS mk
+                      FROM feat f CROSS JOIN wr3 w),
+              cells AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                               CAST(coalesce(sum(CASE WHEN p.mk = 1 AND s.gk = 1
+                                 THEN 1 END), 0) AS BIGINT) AS n_both,
+                               CAST(coalesce(sum(CASE WHEN p.mk = 1 AND s.gk = 0
+                                 THEN 1 END), 0) AS BIGINT) AS b,
+                               CAST(coalesce(sum(CASE WHEN p.mk = 0 AND s.gk = 1
+                                 THEN 1 END), 0) AS BIGINT) AS c,
+                               CAST(coalesce(sum(CASE WHEN p.mk = 0 AND s.gk = 0
+                                 THEN 1 END), 0) AS BIGINT) AS n_neither
+                        FROM ped p JOIN scored s ON s.doc_id = p.doc_id)
+         SELECT n, n_both, b, c, n_neither,
+                CASE WHEN b + c = 0 THEN NULL
+                     ELSE CAST(CAST((CAST(b - c AS HUGEINT) * (b - c) * 1000000)
+                       // (b + c) AS BIGINT) AS DOUBLE) / 1000000.0
+                END AS chi2
+         FROM cells""",
+
+    // the q237 weight chain, THREE window selections at one budget,
+    // pairwise Jaccards over the flag sums
+    "q243_kept_set_agreement" ->
+      s"""WITH $scoredDocsCte,
+              dtk AS (SELECT d.doc_id, s.lang,
+                             CAST(floor(s.q * 1000000.0 + 0.5) AS BIGINT) AS qm,
+                             ('0x' || substr(md5(d.tok), 1, 15))::BIGINT % 128 AS b
+                      FROM (SELECT doc_id,
+                                   unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+                            FROM documents) d
+                      JOIN scored s ON s.doc_id = d.doc_id),
+              db AS MATERIALIZED (
+                SELECT doc_id, lang, qm, b, CAST(count(*) AS BIGINT) AS c
+                FROM dtk GROUP BY 1, 2, 3, 4),
+              bk AS (SELECT b, CAST(sum(c) AS BIGINT) AS cc,
+                            CAST(coalesce(sum(CASE WHEN qm >= 800000 THEN c END), 0)
+                              AS BIGINT) AS ct
+                     FROM db GROUP BY b),
+              tot AS (SELECT CAST(sum(cc) AS BIGINT) AS ctot,
+                             CAST(sum(ct) AS BIGINT) AS ttot FROM bk),
+              r AS (SELECT b, CAST(round(ln(CAST(ct + 1 AS DOUBLE) * (ctot + 128) /
+                            (CAST(cc + 1 AS DOUBLE) * (ttot + 128))) * 1000000, 0)
+                            AS BIGINT) AS r
+                    FROM bk CROSS JOIN tot),
+              wts AS MATERIALIZED (
+                SELECT doc_id, lang, qm, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(sum(c * r.r) AS BIGINT) AS wm
+                FROM db JOIN r USING (b) GROUP BY 1, 2, 3),
+              bud AS (SELECT CAST(CAST(sum(n_tokens) AS BIGINT) // 4 AS BIGINT)
+                        AS budget FROM wts),
+              hh AS (SELECT doc_id,
+                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                              AS hs
+                     FROM wts),
+              sa AS (SELECT doc_id,
+                            CAST(coalesce(sum(n_tokens) OVER (ORDER BY wm DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              AS BIGINT) AS cb
+                     FROM wts),
+              ka AS (SELECT doc_id FROM sa CROSS JOIN bud WHERE cb < budget),
+              sb AS (SELECT w.doc_id,
+                            CAST(coalesce(sum(w.n_tokens) OVER (ORDER BY h.hs DESC,
+                              w.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              AS BIGINT) AS cb
+                     FROM wts w JOIN hh h ON w.doc_id = h.doc_id),
+              kb AS (SELECT doc_id FROM sb CROSS JOIN bud WHERE cb < budget),
+              sc AS (SELECT doc_id,
+                            CAST(coalesce(sum(n_tokens) OVER (ORDER BY qm DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              AS BIGINT) AS cb
+                     FROM wts),
+              kc AS (SELECT doc_id FROM sc CROSS JOIN bud WHERE cb < budget),
+              fl AS (SELECT w.doc_id,
+                            CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END AS ka,
+                            CASE WHEN b2.doc_id IS NULL THEN 0 ELSE 1 END AS kb,
+                            CASE WHEN c2.doc_id IS NULL THEN 0 ELSE 1 END AS kc
+                     FROM wts w LEFT JOIN ka a ON w.doc_id = a.doc_id
+                     LEFT JOIN kb b2 ON w.doc_id = b2.doc_id
+                     LEFT JOIN kc c2 ON w.doc_id = c2.doc_id),
+              ag AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                            CAST(coalesce(sum(ka), 0) AS BIGINT) AS n_dsir,
+                            CAST(coalesce(sum(kb), 0) AS BIGINT) AS n_rand,
+                            CAST(coalesce(sum(kc), 0) AS BIGINT) AS n_qual,
+                            CAST(coalesce(sum(ka * kb), 0) AS BIGINT) AS iab,
+                            CAST(coalesce(sum(ka * kc), 0) AS BIGINT) AS iac,
+                            CAST(coalesce(sum(kb * kc), 0) AS BIGINT) AS ibc
+                     FROM fl)
+         SELECT n_docs, n_dsir, n_rand, n_qual,
+                CAST((iab * 1000000) // (n_dsir + n_rand - iab) AS DOUBLE)
+                  / 1000000.0 AS j_dsir_rand,
+                CAST((iac * 1000000) // (n_dsir + n_qual - iac) AS DOUBLE)
+                  / 1000000.0 AS j_dsir_qual,
+                CAST((ibc * 1000000) // (n_rand + n_qual - ibc) AS DOUBLE)
+                  / 1000000.0 AS j_rand_qual
+         FROM ag""",
+
+    // descending cumulative sums over the 16-row bin histogram — the
+    // aggregate-sized window; keep-rate/precision truncating micro
+    "q244_quality_lr_threshold_sweep" ->
+      s"""WITH $scoredDocsCte,
+              ${qualityLrCtes(3)},
+              pe AS (SELECT ${graft.operators.QualityClassifier.pmOracleSql("w")} AS pm,
+                            f.ym
+                     FROM feat f CROSS JOIN wr3 w),
+              bins AS (SELECT CAST(least(pm // 62500, 15) AS BIGINT) AS bin,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(coalesce(sum(CASE WHEN ym = 1000000 THEN 1 END), 0)
+                                AS BIGINT) AS pos
+                       FROM pe GROUP BY 1),
+              tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM bins),
+              cum AS (SELECT bin,
+                             CAST(sum(n) OVER (ORDER BY bin DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                               AS BIGINT) AS n_keep,
+                             CAST(sum(pos) OVER (ORDER BY bin DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                               AS BIGINT) AS pos_keep
+                      FROM bins)
+         SELECT c.bin, CAST(c.bin AS DOUBLE) * 62500.0 / 1000000.0 AS threshold,
+                c.n_keep,
+                CAST((c.n_keep * 1000000) // t.n_tot AS DOUBLE) / 1000000.0
+                  AS keep_rate,
+                CAST((c.pos_keep * 1000000) // c.n_keep AS DOUBLE) / 1000000.0
+                  AS precision_kept
+         FROM cum c CROSS JOIN tot t ORDER BY c.bin""",
 
     // Weiszfeld rounds unrolled; gmedian vs mean in float units
     "q232_geometric_median" ->

@@ -560,18 +560,27 @@ class PlanGuardSpec extends AnyFunSuite {
     // window (agg beneath — bucket offsets); nothing windows over a
     // Zipfian key (lang / token bucket)
     Ckpt.withoutCheckpoints {
-      val ws = windowsOf(executedPlans("q237_dsir_resampled_drift"))
-      assert(ws.nonEmpty, "q237 lost its two-level selection windows")
-      ws.foreach { w =>
-        val parts = w.partitionSpec.flatMap(_.references.map(_.name))
-        assert(!parts.exists(Set("lang", "token", "b")),
-          s"q237 window over a Zipfian key: ${parts.mkString(",")}")
-        val okBand = parts.contains("bucket")
-        val aggBeneath = collectPlans(w.child).exists(
-          _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
-        assert(okBand || aggBeneath,
-          s"q237 window partitioned by [${parts.mkString(",")}] over a " +
-            "non-aggregated input — corpus-sized sort risk")
+      for (q <- Seq("q237_dsir_resampled_drift", "q239_selection_bias_audit",
+                    "q243_kept_set_agreement", "q244_quality_lr_threshold_sweep")) {
+        val ws = windowsOf(executedPlans(q))
+        assert(ws.nonEmpty, s"$q lost its selection/cumulative windows")
+        ws.foreach { w =>
+          val parts = w.partitionSpec.flatMap(_.references.map(_.name))
+          assert(!parts.exists(Set("lang", "token", "b")),
+            s"$q window over a Zipfian key: ${parts.mkString(",")}")
+          val okBand = parts.contains("bucket")
+          val aggBeneath = collectPlans(w.child).exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+          assert(okBand || aggBeneath,
+            s"$q window partitioned by [${parts.mkString(",")}] over a " +
+              "non-aggregated input — corpus-sized sort risk")
+        }
+      }
+      // q241/q242: trainer + one doc-grain equi-join, windowless
+      for (q <- Seq("q241_source_quality_profile",
+                    "q242_filter_agreement_mcnemar")) {
+        assert(windowsOf(executedPlans(q)).isEmpty,
+          s"$q grew a window — the partial-agg design regressed")
       }
     }
     assert(Ckpt.enabled, "Ckpt.withoutCheckpoints must restore the flag")
