@@ -278,35 +278,57 @@ object Queries {
     * wm) frame, one corpus token pass end to end (the (doc, bucket)
     * count table rides its own ckptLazy feeding both the 128-row ratio
     * LUT and the per-doc weight sums). */
+  /** Fused per-doc 128-bucket counter + its dot/sum reads (r15
+    * optimization: the explode(split)+md5-per-token+two-groupBy shape
+    * fanned every doc to one row per token and shuffled twice; the
+    * kernel keeps everything doc-grain — see TokenBucketKernel). */
+  private val dsirBucketsUdf =
+    udf((text: String) => graft.functions.TokenBucketKernel.bucketCounts(text, 128, 0L))
+  private val vecSumUdf =
+    udf((a: Array[Long]) => graft.functions.TokenBucketKernel.sum(a))
+  private val vecDotUdf =
+    udf((a: Array[Long], b: Array[Long]) => graft.functions.TokenBucketKernel.dot(a, b))
+
+  /** One-row (rs: array<bigint>[128]) DSIR log-ratio vector from a
+    * doc-grain frame carrying (cs: array<bigint>[128], is_target):
+    * per-bucket (total, target) counts ride ONE fused BucketSums
+    * aggregate — the partials crossing the exchange are one 256-long
+    * array per partition, not (b) rows — and the log-ratio expression
+    * is the exact (b)-grain form evaluated over the 128 cells. Absent
+    * buckets (cc=0) keep their defined r but multiply c=0 in the dot. */
+  private def dsirRatioVec(s: SparkSession, base: DataFrame): DataFrame =
+    base.agg(plans.VecAggs.bucketSums(s, "cs", "is_target").as("sums"))
+      .select(col("sums"),
+        expr("aggregate(slice(sums, 1, 128), 0L, (a, x) -> a + x)").as("ctot"),
+        expr("aggregate(slice(sums, 129, 128), 0L, (a, x) -> a + x)").as("ttot"))
+      .select(expr(
+        "transform(sequence(0, 127), b -> " +
+          "cast(round(ln(cast((element_at(sums, b + 129) + 1) as double) * (ctot + 128) / " +
+          "(cast((element_at(sums, b + 1) + 1) as double) * (ttot + 128))) * 1000000, 0) as bigint))")
+        .as("rs"))
+
   private def dsirDocGrain(s: SparkSession, d: String): DataFrame = {
+    // doc-grain from the FIRST projection (r15): the kernel emits each
+    // doc's 128 per-bucket counts in one call — no token rows, no
+    // token-grain exchange (the isNotNull filter mirrors the explode's
+    // null-drop: split(NULL) exploded to no rows)
     val base = t(s, d, "documents")
-      // quality in its OWN projection before the explode select (r14
-      // CollapseProject rule); qm once, is_target derived from it
+      .where(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         floor(TF.qualityScore(col("text")) * 1000000.0 + 0.5)
           .cast("long").as("qm"),
         col("text"))
       .select(col("doc_id"), col("lang"), col("qm"),
         (col("qm") >= 800000L).as("is_target"),
-        explode(TF.tokens(col("text"))).as("token"))
-      .select(col("doc_id"), col("lang"), col("qm"), col("is_target"), expr(
-        "cast(conv(substr(md5(cast(token as binary)), 1, 15), 16, 10) as bigint) % 128")
-        .as("b"))
-      .groupBy("doc_id", "lang", "qm", "is_target", "b")
-      .agg(count(lit(1)).as("c"))
-      .ckptLazy // consumers: bucket ratio table, per-doc weights
-    val buckets = base.groupBy("b")
-      .agg(sum("c").as("cc"),
-        coalesce(sum(when(col("is_target"), col("c"))), lit(0L)).as("ct"))
-    val totals = buckets.agg(sum("cc").as("ctot"), sum("ct").as("ttot"))
-    val ratio = buckets.crossJoin(broadcast(totals))
-      .select(col("b"), expr(
-        "cast(round(ln(cast((ct + 1) as double) * (ctot + 128) / " +
-          "(cast((cc + 1) as double) * (ttot + 128))) * 1000000, 0) as bigint)")
-        .as("r"))
-    base.join(broadcast(ratio), "b")
-      .groupBy("doc_id", "lang", "qm")
-      .agg(sum("c").as("n_tokens"), sum(expr("c * r")).as("wm"))
+        dsirBucketsUdf(col("text")).as("cs"))
+      .ckptLazy // consumers: fused bucket-sums agg, per-doc weight pass
+    // wm = Σ_b c_b·r_b and n_tokens = Σ_b c_b as fused kernel reads
+    // against the broadcast one-row ratio vector — same integer terms
+    // as the former join + groupBy, zero exchanges
+    base.crossJoin(broadcast(dsirRatioVec(s, base)))
+      .select(col("doc_id"), col("lang"), col("qm"),
+        vecSumUdf(col("cs")).as("n_tokens"),
+        vecDotUdf(col("cs"), col("rs")).as("wm"))
       .ckptLazy // consumers: budget agg, selection input, flag join
   }
 
@@ -4625,34 +4647,22 @@ object Queries {
     // 128-row broadcast ratio table (the r11 LUT-as-relation rule).
     // Top-25 by integer weight via TakeOrdered; no window anywhere.
     "q225_dsir_weights" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        // quality in its OWN projection, BEFORE the explode select: put
-        // in the same select as the generator, the collapsed projection
-        // re-evaluates the regex-heavy score once PER TOKEN (measured
-        // 6.4 s vs 1.1 s for this aggregation at sf0.1 — r14)
+      // r15: the fused TokenBucketKernel replaces explode + per-token
+      // md5 + two token-grain groupBys (the dsirDocGrain optimization,
+      // same kernel, same ratio helper) — doc-grain from the first
+      // projection, zero token-sized exchanges; the r14 lesson about
+      // the quality score sharing a select with an explode is moot
+      // because there is no explode left
+      val base = t(s, d, "documents")
+        .where(col("text").isNotNull)
         .select(col("doc_id"),
           (round(TF.qualityScore(col("text")), 6) >= 0.8).as("is_target"),
-          col("text"))
-        .select(col("doc_id"), col("is_target"),
-          explode(TF.tokens(col("text"))).as("token"))
-        .select(col("doc_id"), col("is_target"), expr(
-          "cast(conv(substr(md5(cast(token as binary)), 1, 15), 16, 10) as bigint) % 128")
-          .as("b"))
-        .groupBy("doc_id", "is_target", "b").agg(count(lit(1)).as("c"))
-        .ckptLazy // consumers: bucket table, per-doc weights
-      val buckets = toks.groupBy("b")
-        .agg(sum("c").as("cc"),
-          coalesce(sum(when(col("is_target"), col("c"))), lit(0L)).as("ct"))
-      val totals = buckets.agg(sum("cc").as("ctot"), sum("ct").as("ttot"))
-      val ratio = buckets.crossJoin(totals)
-        .select(col("b"), expr(
-          "cast(round(ln(cast((ct + 1) as double) * (ctot + 128) / " +
-            "(cast((cc + 1) as double) * (ttot + 128))) * 1000000, 0) as bigint)")
-          .as("r"))
-      toks.join(broadcast(ratio), "b")
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_tokens"),
-          sum(expr("c * r")).as("wm"))
+          dsirBucketsUdf(col("text")).as("cs"))
+        .ckptLazy // consumers: fused bucket-sums agg, per-doc weights
+      base.crossJoin(broadcast(dsirRatioVec(s, base)))
+        .select(col("doc_id"),
+          vecSumUdf(col("cs")).as("n_tokens"),
+          vecDotUdf(col("cs"), col("rs")).as("wm"))
         .orderBy(col("wm").desc, col("doc_id")).limit(25)
         .select(col("doc_id"), col("n_tokens"),
           (col("wm").cast("double") / lit(1000000.0)).as("log_weight"))
@@ -4979,11 +4989,13 @@ object Queries {
     "q237_dsir_resampled_drift" -> ((s, d) => {
       val docGrain = dsirDocGrain(s, d)
       val budget = docGrain.agg(expr("sum(n_tokens) div 4").as("budget"))
-      val kept = operators.CorpusSharding.scoreBudgetPrefix(
-          docGrain, col("wm"), col("n_tokens"), nBuckets = 256, budget)
-        .select(col("doc_id"), lit(1L).as("kept"))
-      val flagged = docGrain.join(kept, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("kept"))
+      // r15: the kept flag rides the selection pass itself
+      // (scoreBudgetFlags with pass-through columns) — the former
+      // kept-set left-join + na.fill over the doc grain is gone
+      val flagged = operators.CorpusSharding.scoreBudgetFlags(
+          docGrain, Seq("kept" -> col("wm")), col("n_tokens"),
+          nBuckets = 256, budget,
+          passThrough = Seq("lang", "qm", "n_tokens"))
         .ckptLazy // consumers: overall scorecard, language drift
       val overall = flagged.agg(
         count(lit(1)).as("n_docs"),
@@ -5059,16 +5071,16 @@ object Queries {
     "q239_selection_bias_audit" -> ((s, d) => {
       val docGrain = dsirDocGrain(s, d)
       val budget = docGrain.agg(expr("sum(n_tokens) div 4").as("budget"))
-      def keptFlag(score: Column, name: String): DataFrame =
-        operators.CorpusSharding.scoreBudgetPrefix(
-            docGrain, score, col("n_tokens"), nBuckets = 256, budget)
-          .select(col("doc_id"), lit(1L).as(name))
       val hashScore = expr(
         "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint)")
-      val flagged = docGrain
-        .join(keptFlag(col("wm"), "k_dsir"), Seq("doc_id"), "left")
-        .join(keptFlag(hashScore, "k_rand"), Seq("doc_id"), "left")
-        .na.fill(0L, Seq("k_dsir", "k_rand"))
+      // r15: BOTH selections share one banded pass (one base checkpoint,
+      // one combined extent aggregate) and emit their kept flags in
+      // place — the two kept-set left-joins + na.fill are gone
+      // (scoreBudgetFlags ≡ per-score scoreBudgetPrefix, ShardingSpec)
+      val flagged = operators.CorpusSharding.scoreBudgetFlags(
+          docGrain, Seq("k_dsir" -> col("wm"), "k_rand" -> hashScore),
+          col("n_tokens"), nBuckets = 256, budget,
+          passThrough = Seq("lang", "qm", "n_tokens"))
         .ckptLazy // consumers: overall scorecard, language L1
       val overall = flagged.agg(
         count(lit(1)).as("n_docs"),
@@ -5204,17 +5216,15 @@ object Queries {
     "q243_kept_set_agreement" -> ((s, d) => {
       val docGrain = dsirDocGrain(s, d)
       val budget = docGrain.agg(expr("sum(n_tokens) div 4").as("budget"))
-      def keptFlag(score: Column, name: String): DataFrame =
-        operators.CorpusSharding.scoreBudgetPrefix(
-            docGrain, score, col("n_tokens"), nBuckets = 256, budget)
-          .select(col("doc_id"), lit(1L).as(name))
       val hashScore = expr(
         "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint)")
-      docGrain
-        .join(keptFlag(col("wm"), "ka"), Seq("doc_id"), "left")
-        .join(keptFlag(hashScore, "kb"), Seq("doc_id"), "left")
-        .join(keptFlag(col("qm"), "kc"), Seq("doc_id"), "left")
-        .na.fill(0L, Seq("ka", "kb", "kc"))
+      // r15: all THREE selections share one banded pass and emit flags
+      // in place — three kept-set left-joins + na.fill gone
+      // (scoreBudgetFlags ≡ per-score scoreBudgetPrefix, ShardingSpec)
+      operators.CorpusSharding.scoreBudgetFlags(
+          docGrain,
+          Seq("ka" -> col("wm"), "kb" -> hashScore, "kc" -> col("qm")),
+          col("n_tokens"), nBuckets = 256, budget)
         .agg(count(lit(1)).as("n_docs"),
           sum("ka").as("n_dsir"), sum("kb").as("n_rand"), sum("kc").as("n_qual"),
           sum(expr("ka * kb")).as("iab"),

@@ -175,38 +175,84 @@ object CorpusSharding {
     * `budget` is a one-row (budget) frame (aggregate-sized, broadcast).
     * Returns kept docs (doc_id, score, toks, budget). */
   def scoreBudgetPrefix(docs: DataFrame, scoreCol: Column, tokenCount: Column,
-                        nBuckets: Int, budget: DataFrame): DataFrame = {
+                        nBuckets: Int, budget: DataFrame): DataFrame =
+    scoreBudgetCums(docs, Seq("score" -> scoreCol), tokenCount, nBuckets, budget)
+      .where(col("cum_before_score") < col("budget_score"))
+      .select(col("doc_id"), col("s_score").as("score"), col("toks"),
+        col("budget_score").as("budget"))
+
+  /** Multi-score kept-FLAG variant (r15 optimization round): q239/q243
+    * run the SAME budget selection under two/three different scores over
+    * one doc-grain input, then left-join each kept set back — which paid
+    * the base/banded checkpoints, the extent aggregate and a doc-grain
+    * equi-join PER SCORE. Here all scores share one checkpointed base,
+    * ONE extent aggregate (min/max of every score in one pass) and one
+    * banded frame; each score keeps its own per-bucket running-sum
+    * window (the per-score bucket is a different partition key — those
+    * exchanges are inherent), and the kept flag is computed in place, so
+    * no join back is needed. Returns ALL input docs as
+    * (doc_id, <name>...) with flag columns 1L/0L — exactly the
+    * left-join + na.fill(0) shape, proven flag-identical to N
+    * independent [[scoreBudgetPrefix]] calls by ShardingSpec. */
+  def scoreBudgetFlags(docs: DataFrame, scores: Seq[(String, Column)],
+                       tokenCount: Column, nBuckets: Int, budget: DataFrame,
+                       passThrough: Seq[String] = Nil): DataFrame = {
+    val cums = scoreBudgetCums(docs, scores, tokenCount, nBuckets, budget,
+      passThrough)
+    cums.select(col("doc_id") +: passThrough.map(col) ++: scores.map {
+      case (n, _) =>
+        when(col(s"cum_before_$n") < col(s"budget_$n"), 1L).otherwise(0L).as(n)
+    }: _*)
+  }
+
+  /** Shared core: per score `n`, the exact global descending-(score,
+    * doc_id) running token sum `cum_before_n` (two-level: equal-width
+    * score bands + per-band windows + an offsets join) and the broadcast
+    * `budget_n`, all at doc grain. One base checkpoint and ONE combined
+    * extent aggregate serve every score. */
+  private def scoreBudgetCums(docs: DataFrame, scores: Seq[(String, Column)],
+                              tokenCount: Column, nBuckets: Int,
+                              budget: DataFrame,
+                              passThrough: Seq[String] = Nil): DataFrame = {
     require(nBuckets >= 2, s"scoreBudgetPrefix needs >= 2 buckets, got $nBuckets")
+    require(scores.nonEmpty)
     val base = docs
-      .select(col("doc_id"), scoreCol.cast("long").as("score"),
-        tokenCount.cast("long").as("toks"))
+      .select(col("doc_id") +: passThrough.map(col) ++:
+        tokenCount.cast("long").as("toks") +:
+        scores.map { case (n, c) => c.cast("long").as(s"s_$n") }: _*)
       .ckptLazy // consumers: extent agg, banded pass
-    val ext = base.agg(min("score").as("lo"), max("score").as("hi"))
-    val banded = base.crossJoin(broadcast(ext))
-      // (hi - score) ∈ [0, hi - lo]: the shifted numerator keeps the
-      // truncating div on NONNEGATIVE operands (the r11 rule); monotone
-      // nonincreasing in score, so ascending bucket = descending score.
-      // Width-form banding, NOT (hi-score)*nBuckets div range: md5-
-      // derived scores span ~2^60 and the product form overflows long
-      // (the r15 q239 bug) — width = range div nBuckets + 1 keeps every
-      // operand <= the raw range and still lands buckets in [0, nBuckets)
-      .withColumn("bucket",
-        expr(s"(hi - score) div ((hi - lo) div ${nBuckets}L + 1)"))
-      .select("doc_id", "score", "toks", "bucket")
-      .ckptLazy // consumers: bucket totals, main pass
-    val wOff = Window.orderBy("bucket")
-    val offsets = banded.groupBy("bucket").agg(sum("toks").as("st"))
-      .withColumn("offset", coalesce(
-        sum("st").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .crossJoin(broadcast(budget))
-      .select("bucket", "offset", "budget")
-    val wIn = Window.partitionBy("bucket").orderBy(col("score").desc, col("doc_id"))
-    banded
-      .withColumn("cum_in", coalesce(
-        sum("toks").over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .join(broadcast(offsets), Seq("bucket"))
-      .withColumn("cum_before", col("offset") + col("cum_in"))
-      .where(col("cum_before") < col("budget"))
-      .select("doc_id", "score", "toks", "budget")
+    val ext = base.agg(
+      min(s"s_${scores.head._1}").as(s"lo_${scores.head._1}"),
+      scores.tail.map { case (n, _) => min(s"s_$n").as(s"lo_$n") } ++
+        scores.map { case (n, _) => max(s"s_$n").as(s"hi_$n") }: _*)
+    // (hi - score) ∈ [0, hi - lo]: the shifted numerator keeps the
+    // truncating div on NONNEGATIVE operands (the r11 rule); monotone
+    // nonincreasing in score, so ascending bucket = descending score.
+    // Width-form banding, NOT (hi-score)*nBuckets div range: md5-
+    // derived scores span ~2^60 and the product form overflows long
+    // (the r15 q239 bug) — width = range div nBuckets + 1 keeps every
+    // operand <= the raw range and still lands buckets in [0, nBuckets)
+    val banded = scores.foldLeft(base.crossJoin(broadcast(ext))) {
+        case (df, (n, _)) => df.withColumn(s"bucket_$n",
+          expr(s"(hi_$n - s_$n) div ((hi_$n - lo_$n) div ${nBuckets}L + 1)"))
+      }
+      .select(col("doc_id") +: passThrough.map(col) ++: col("toks") +:
+        scores.flatMap { case (n, _) =>
+          Seq(col(s"s_$n"), col(s"bucket_$n")) }: _*)
+      .ckptLazy // consumers: per-score bucket totals, main pass
+    scores.foldLeft(banded) { case (df, (n, _)) =>
+      val wOff = Window.orderBy(s"bucket_$n")
+      val offsets = banded.groupBy(s"bucket_$n").agg(sum("toks").as("st"))
+        .withColumn(s"offset_$n", coalesce(
+          sum("st").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .crossJoin(broadcast(budget.select(col("budget").as(s"budget_$n"))))
+        .select(s"bucket_$n", s"offset_$n", s"budget_$n")
+      val wIn = Window.partitionBy(s"bucket_$n")
+        .orderBy(col(s"s_$n").desc, col("doc_id"))
+      df.withColumn(s"cum_in_$n", coalesce(
+          sum("toks").over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(broadcast(offsets), Seq(s"bucket_$n"))
+        .withColumn(s"cum_before_$n", col(s"offset_$n") + col(s"cum_in_$n"))
+    }
   }
 }

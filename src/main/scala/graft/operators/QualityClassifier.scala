@@ -51,29 +51,29 @@ object QualityClassifier {
   /** per-doc per-bucket count clip — bounds |z| and the gradient. */
   val Clip = 31L
 
-  /** doc-grain feature frame: (doc_id, ym, x0..x{K-1}), one corpus pass
-    * (quality in its OWN projection before the explode select — the r14
-    * CollapseProject rule). */
-  def features(docs: DataFrame): DataFrame = {
-    val toks = docs
+  /** Fused per-doc bucket counter (r15 optimization — the kernel
+    * replaces explode(split) + per-token md5 + a token-grain groupBy:
+    * same counts, zero token-sized rows, zero exchange; parity proven by
+    * the cross-engine gate, whose oracle still spells the explode form).
+    * `isNotNull` mirrors the explode's null-drop: `split(NULL)` is NULL
+    * and `explode(NULL)` emitted no rows, so null-text docs never had a
+    * feature row. */
+  private val bucketCountsUdf =
+    udf((text: String) => graft.functions.TokenBucketKernel.bucketCounts(text, K, Clip))
+
+  /** doc-grain feature frame: (doc_id, ym, x0..x{K-1}), one corpus pass,
+    * no shuffle (quality score and the kernel share one projection; the
+    * K element_at reads collapse to one kernel call via codegen
+    * subexpression elimination — the gopherMetrics pattern). */
+  def features(docs: DataFrame): DataFrame =
+    docs
+      .where(col("text").isNotNull)
       .select(col("doc_id"),
         (round(TF.qualityScore(col("text")), 6) >= 0.8).as("is_target"),
-        col("text"))
-      .select(col("doc_id"), col("is_target"),
-        explode(TF.tokens(col("text"))).as("token"))
-      .select(col("doc_id"), col("is_target"), expr(
-        s"cast(conv(substr(md5(cast(token as binary)), 1, 15), 16, 10) as bigint) % $K")
-        .as("b"))
-    toks.groupBy("doc_id", "is_target")
-      .agg(
-        least(coalesce(sum(when(col("b") === 0, 1L)), lit(0L)), lit(Clip)).as("x0"),
-        (1 until K).map(j =>
-          least(coalesce(sum(when(col("b") === j, 1L)), lit(0L)), lit(Clip))
-            .as(s"x$j")): _*)
+        bucketCountsUdf(col("text")).as("xs"))
       .select(col("doc_id") +:
         when(col("is_target"), 1000000L).otherwise(0L).as("ym") +:
-        (0 until K).map(j => col(s"x$j")): _*)
-  }
+        (0 until K).map(j => element_at(col("xs"), j + 1).as(s"x$j")): _*)
 
   /** micro-scaled hard-sigmoid probability as ONE integer SQL fragment
     * over columns x0..x{K-1}, with the round's weights folded in as

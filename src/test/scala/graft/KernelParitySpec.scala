@@ -160,4 +160,53 @@ class KernelParitySpec extends AnyFunSuite {
       assert(c == k, s"bucket mismatch on vector $i")
     }
   }
+
+  test("r15 bucketCounts matches the explode+md5+groupBy column form") {
+    import spark.implicits._
+    // the exact expression the DSIR/quality-classifier passes used
+    // before the fusion (and the oracle still spells): one row per
+    // token of split(text, wsClass), md5-prefix-15 % nBuckets, counted
+    for ((nB, clip) <- Seq((8, 31L), (128, 0L))) {
+      val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+      val columnForm = df
+        .select(col("id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .select(col("id"), expr(
+          s"cast(conv(substr(md5(cast(token as binary)), 1, 15), 16, 10) as bigint) % $nB")
+          .as("b"))
+        .groupBy("id", "b").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val k = graft.functions.TokenBucketKernel.bucketCounts(t, nB, clip)
+        (0 until nB).foreach { b =>
+          val want = columnForm.getOrElse((i, b), 0L)
+          val wantClipped = if (clip > 0) math.min(want, clip) else want
+          assert(k(b) == wantClipped,
+            s"bucketCounts($nB, clip=$clip) diverged on text $i bucket $b: " +
+              s"kernel ${k(b)} vs column $wantClipped")
+        }
+      }
+    }
+  }
+
+  test("r15 bucketSums aggregate == per-bucket conditional sums") {
+    import spark.implicits._
+    val rows = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, i % 3 == 0)
+    }
+    val df = rows.toDF("id", "text", "flag")
+      .select(col("id"), col("flag"),
+        udf((t: String) => graft.functions.TokenBucketKernel.bucketCounts(t, 16, 0L))
+          .apply(col("text")).as("cs"))
+    val got = df.agg(graft.plans.VecAggs.bucketSums(spark, "cs", "flag"))
+      .head().getSeq[Long](0)
+    assert(got.length == 32)
+    val ref = rows.map { case (_, t, f) =>
+      (graft.functions.TokenBucketKernel.bucketCounts(t, 16, 0L), f)
+    }
+    (0 until 16).foreach { b =>
+      assert(got(b) == ref.map(_._1(b)).sum, s"total sum diverged at bucket $b")
+      assert(got(16 + b) == ref.collect { case (c, true) => c(b) }.sum,
+        s"flagged sum diverged at bucket $b")
+    }
+  }
 }

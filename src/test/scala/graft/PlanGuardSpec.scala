@@ -568,7 +568,10 @@ class PlanGuardSpec extends AnyFunSuite {
           val parts = w.partitionSpec.flatMap(_.references.map(_.name))
           assert(!parts.exists(Set("lang", "token", "b")),
             s"$q window over a Zipfian key: ${parts.mkString(",")}")
-          val okBand = parts.contains("bucket")
+          // r15: the fused multi-score selection names its band columns
+          // bucket_<score> (one per score) — still the nBuckets-bounded
+          // band partition the rule allows
+          val okBand = parts.exists(_.startsWith("bucket"))
           val aggBeneath = collectPlans(w.child).exists(
             _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
           assert(okBand || aggBeneath,

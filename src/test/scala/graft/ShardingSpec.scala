@@ -138,4 +138,34 @@ class ShardingSpec extends AnyFunSuite {
     }
     assert(k4 == ref.toSet, "two-level selection diverged from the global-window fold")
   }
+
+  test("r15 scoreBudgetFlags == independent scoreBudgetPrefix calls per score") {
+    // the optimization-round contract: the fused multi-score variant
+    // (one base checkpoint, one combined extent aggregate, in-place
+    // flags) must be FLAG-IDENTICAL to N independent single-score
+    // selections left-joined back with na.fill(0) — the exact shape
+    // q239/q243 replaced
+    val base = docs.select(col("doc_id"),
+      col("n_chars").cast("long").as("sa"),
+      (col("doc_id") * 37 % 1001).cast("long").as("sb"),
+      toks.cast("long").as("toks"))
+    val budget = base.agg(expr("sum(toks) div 4").as("budget"))
+    val scores = Seq("fa" -> col("sa"), "fb" -> col("sb"))
+    val fused = CorpusSharding.scoreBudgetFlags(base, scores, col("toks"),
+        nBuckets = 16, budget, passThrough = Seq("sa"))
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    val singles = scores.map { case (_, c) =>
+      CorpusSharding.scoreBudgetPrefix(base, c, col("toks"), 16, budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val nDocs = base.count()
+    assert(fused.size == nDocs, "flags frame must keep every input doc")
+    fused.foreach { case (id, (fa, fb)) =>
+      assert(fa == (if (singles.head.contains(id)) 1L else 0L),
+        s"doc $id: fused fa flag diverged from the single-score kept set")
+      assert(fb == (if (singles(1).contains(id)) 1L else 0L),
+        s"doc $id: fused fb flag diverged from the single-score kept set")
+    }
+    spark.catalog.clearCache()
+  }
 }
