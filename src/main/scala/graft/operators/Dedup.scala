@@ -296,8 +296,14 @@ object Dedup {
     val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .ckptEager
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // r15: seed each label with min(self, direct neighbors) — the same
+    // single shuffle the old nodes-distinct init paid, but it IS the
+    // first distance-1 propagation, so star/clique components (the
+    // common near-dup shapes) converge one full round (~4 jobs) earlier;
+    // the fixpoint (component minimum) is unchanged
+    var labels = edges.groupBy("a")
+      .agg(min("b").as("nb"))
+      .select(col("a").as("node"), least(col("a"), col("nb")).as("label"))
       .ckptEager
     var changed = 1L
     var rounds = 0
@@ -305,11 +311,15 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a").as("node")).agg(min("nl").as("nmin"))
+      // lazy boundary (r15): the pointer-jump self-join below needs
+      // `propagated` computed once, which the LAZY checkpoint already
+      // guarantees at `updated`'s materialization — the eager form paid
+      // one extra scheduled action per round for nothing
       val propagated = labels
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("mid"))
-        .ckptEager
+        .ckptLazy
       // pointer jumping: follow the propagated label one hop (its own
       // propagated label is <= it, both in the same component)
       val updated = propagated
