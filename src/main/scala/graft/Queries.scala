@@ -578,9 +578,11 @@ object Queries {
           val docId = win(0).getLong(0); val gain = win(0).getLong(1)
           selected ::= docId
           total += gain
+          // lazy boundary (r15): next round's win job materializes it;
+          // the eager form paid a separate scheduled job per round
           covered = covered
             .union(sh.where(col("doc_id") === docId).select("h"))
-            .distinct().ckptEager
+            .distinct().ckptLazy
           out += ((r, docId, gain, total))
           r += 1
         }
@@ -1174,11 +1176,15 @@ object Queries {
           .distinct().count(),
         edges.count()))
       for (r <- 1 to 4) {
+        // lazy boundary (r15): keep is consumed twice inside the next
+        // edge filter and once by its count — the LAZY checkpoint
+        // materializes it within the edges job, where the eager form
+        // paid a separate scheduled job per round
         val keep = edges.select(col("a").as("v"))
           .unionByName(edges.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("deg"))
           .where(col("deg") >= 2).select("v")
-          .ckptEager
+          .ckptLazy
         edges = edges
           .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
@@ -5880,8 +5886,14 @@ object Queries {
         .withColumn("prev", lag("event_type", 1).over(w))
         .where(col("prev").isNotNull)
         .select(col("prev").as("src"), col("event_type").as("dst"))
-      GraphRank.pageRank(edges, damping = 0.85, maxIterations = 20, tol = 0.0,
-          redistributeDangling = true)
+      // r15: pageRankSized — the transition graph is aggregate-sized
+      // (|event types|² edges at ANY corpus scale), so the 20 rounds run
+      // as a driver double loop over the collected edge counts instead
+      // of 20 scheduled join+agg+checkpoint stages (the r13 K-scalars
+      // rule); round(·,6) parity margin is the one documented above
+      // (uniform fixpoint, maximally far from any .5 boundary)
+      GraphRank.pageRankSized(edges, damping = 0.85, maxIterations = 20,
+          tol = 0.0, redistributeDangling = true)
         .select(col("node").as("event_type"), round(col("rank"), 6).as("rank"))
         .orderBy("event_type")
     }),

@@ -118,4 +118,72 @@ object GraphRank {
     }
     (ranks, i)
   }
+
+  /**
+   * Size-gated PageRank (r15 optimization round): the distributed loop
+   * above is the right shape for million-node DOCUMENT graphs, but an
+   * AGGREGATE-SIZED graph (q78's event-type transition graph — the node
+   * set is a bounded vocabulary at any corpus size) pays ~20 rounds of
+   * scheduled join+aggregate+checkpoint stages to iterate over a handful
+   * of rows. Per the r13 K-scalars rule (BpeTrainer / q187 / q195
+   * discipline: sequential algorithms over aggregate-sized state run as
+   * driver loops; the corpus contributes only the partial-aggregated
+   * edge input), a graph whose DISTINCT edge count fits `maxDenseEdges`
+   * runs the identical recurrence as one driver double loop — same
+   * per-round formula, contributions accumulated in deterministic
+   * (dst, src) node order (the distributed path's parallel float
+   * reduction was order-nondeterministic anyway; callers round before
+   * thresholding per the repo rule). Above the gate: the distributed
+   * path, unchanged. The one up-front distinct/count is the same scan
+   * the distributed path pays.
+   */
+  def pageRankSized(
+      edges: DataFrame,
+      damping: Double = 0.85,
+      maxIterations: Int = 20,
+      tol: Double = 1e-6,
+      redistributeDangling: Boolean = false,
+      maxDenseEdges: Long = 65536L): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("string"), col("dst").cast("string"))
+      .distinct().ckptLazy // consumers: size gate + (dense collect | fallback)
+    if (e.count() > maxDenseEdges)
+      return pageRank(e, damping, maxIterations, tol, redistributeDangling)
+    val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+    val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+    val n = nodes.length
+    if (n == 0) {
+      import spark.implicits._
+      return Seq.empty[(String, Double)].toDF("node", "rank")
+    }
+    val idx = nodes.zipWithIndex.toMap
+    val deg = new Array[Long](n)
+    pairs.foreach { case (s, _) => deg(idx(s)) += 1L }
+    // incoming edges in fixed (dst, src) order — deterministic sums
+    val in = pairs.map { case (s, d2) => (idx(s), idx(d2)) }
+      .sortBy { case (si, di) => (di, si) }
+    var rank = Array.fill(n)(1.0 / n)
+    var i = 0
+    var delta = Double.MaxValue
+    while (i < maxIterations && delta >= tol) {
+      val inSum = new Array[Double](n)
+      in.foreach { case (si, di) => inSum(di) += rank(si) / deg(si) }
+      var dm = 0.0
+      if (redistributeDangling) {
+        var j = 0
+        while (j < n) { if (deg(j) == 0L) dm += rank(j); j += 1 }
+      }
+      val next = Array.tabulate(n)(j =>
+        (1 - damping) / n + damping * (inSum(j) + dm / n))
+      if (tol > 0.0) {
+        delta = 0.0
+        var j = 0
+        while (j < n) { delta = math.max(delta, math.abs(next(j) - rank(j))); j += 1 }
+      }
+      rank = next
+      i += 1
+    }
+    import spark.implicits._
+    nodes.zip(rank).toSeq.toDF("node", "rank")
+  }
 }

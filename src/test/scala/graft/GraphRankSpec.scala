@@ -104,4 +104,34 @@ class GraphRankSpec extends AnyFunSuite {
     // receiving redistributed mass), and the hub still dominates
     assert(got(100L) == got.values.max)
   }
+
+  test("r15 pageRankSized: dense driver loop == distributed loop (both modes), fallback above the gate") {
+    import spark.implicits._
+    // the aggregate-sized gate's contract: below maxDenseEdges the
+    // driver loop must reproduce the distributed recurrence to float
+    // tolerance (same formula, deterministic accumulation order), and
+    // above it the call must fall back to the distributed path verbatim
+    for (redis <- Seq(false, true)) {
+      val dist = GraphRank.pageRank(edges.toDF("src", "dst"), damping = 0.85,
+        maxIterations = 25, tol = 0.0, redistributeDangling = redis)
+        .collect().map(r => r.getLong(0).toString -> r.getDouble(1)).toMap
+      val dense = GraphRank.pageRankSized(edges.toDF("src", "dst"), damping = 0.85,
+        maxIterations = 25, tol = 0.0, redistributeDangling = redis)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(dense.keySet == dist.keySet)
+      dense.foreach { case (v, r) =>
+        assert(math.abs(r - dist(v)) < 1e-9,
+          s"node $v (redistribute=$redis): dense $r vs distributed ${dist(v)}")
+      }
+    }
+    // fallback: a gate below the edge count must route to the
+    // distributed loop and still produce the same ranks
+    val fb = GraphRank.pageRankSized(edges.toDF("src", "dst"), damping = 0.85,
+      maxIterations = 25, tol = 0.0, maxDenseEdges = 1L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = densePageRank(nodes, edges.distinct, 0.85, 25)
+    fb.foreach { case (v, r) =>
+      assert(math.abs(r - want(v.toLong)) < 1e-9, s"fallback node $v: $r")
+    }
+  }
 }
