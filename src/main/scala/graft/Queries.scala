@@ -5914,29 +5914,40 @@ object Queries {
     // tokenized ONCE (lazy localCheckpoint); no vocabulary state and no
     // Zipfian window anywhere.
     "q79_dsir_weights" -> ((s, d) => {
-      val tf = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), explode(TF.tokens(col("text"))).as("token"))
-        .withColumn("bucket",
-          expr("cast(conv(substr(md5(cast(token as binary)), 1, 8), 16, 10) as bigint) % 64"))
-        .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("tf"))
-        .ckptLazy
-      val tgt = tf.where(col("lang") === "en").groupBy("bucket").agg(sum("tf").as("ct"))
-      val raw = tf.groupBy("bucket").agg(sum("tf").as("cr"))
-      val totals = tf.agg(
-        sum(when(col("lang") === "en", col("tf")).otherwise(lit(0L))).as("tt"),
-        sum("tf").as("tr"))
-      val stats = raw.join(tgt, Seq("bucket"), "left")
-        .crossJoin(broadcast(totals))
-        .select(col("bucket"),
-          round(log2(
-            ((coalesce(col("ct"), lit(0L)) + 1).cast("double") * (col("tr") + 64).cast("double")) /
-              ((col("cr") + 1).cast("double") * (col("tt") + 64).cast("double"))), 6)
-            .cast(DecimalType(18, 6)).as("lr"))
-      tf.join(broadcast(stats), Seq("bucket"))
-        .groupBy("doc_id")
-        .agg(sum("tf").as("n_tokens"), sum(col("lr") * col("tf")).as("wdec"))
-        .select(col("doc_id"), col("n_tokens"),
-          col("wdec").cast("double").as("dsir_weight"))
+      // r15: the fused TokenBucketKernel (8-hex-prefix, 64 buckets)
+      // replaces explode + per-token md5 + the token-grain groupBy —
+      // doc-grain from the first projection (the q225/dsirDocGrain
+      // optimization). Bucket stats ride ONE BucketSums aggregate row
+      // (cells [0,64) = cr, [64,128) = ct with flag lang='en'); the
+      // log2 ratio is the exact same double expression over those
+      // cells, micro-scaled through DECIMAL (lr is already rounded to
+      // 6dp, so lr·1e6 is an exact integer and the per-doc DECIMAL sum
+      // Σ lr·tf equals dot(cs, lrm)/1e6 exactly — same nearest double).
+      val base = t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          udf((text: String) =>
+            graft.functions.TokenBucketKernel.bucketCounts(text, 64, 0L, hexChars = 8))
+            .apply(col("text")).as("cs"),
+          (col("lang") === "en").as("is_en"))
+        .ckptLazy // consumers: fused bucket-sums agg, per-doc weights
+      val sums = base.agg(
+        plans.VecAggs.bucketSums(s, "cs", "is_en").as("sums"))
+      val ratio = sums
+        .select(col("sums"),
+          expr("aggregate(slice(sums, 1, 64), 0L, (a, x) -> a + x)").as("tr"),
+          expr("aggregate(slice(sums, 65, 64), 0L, (a, x) -> a + x)").as("tt"))
+        .select(expr(
+          "transform(sequence(0, 63), b -> cast(" +
+            "cast(round(log2(" +
+            "(cast((coalesce(element_at(sums, b + 65), 0L) + 1) as double) * cast((tr + 64) as double)) / " +
+            "(cast((element_at(sums, b + 1) + 1) as double) * cast((tt + 64) as double))" +
+            "), 6) as decimal(18,6)) * 1000000 as bigint))").as("lrm"))
+      base.crossJoin(broadcast(ratio))
+        .select(col("doc_id"),
+          vecSumUdf(col("cs")).as("n_tokens"),
+          (vecDotUdf(col("cs"), col("lrm")).cast("double") / lit(1000000.0))
+            .as("dsir_weight"))
         .orderBy("doc_id")
     }),
 

@@ -33,13 +33,16 @@ object TokenBucketKernel {
 
   /** Per-bucket token counts for one document: long[nBuckets], counts
     * clipped at `clip` when clip > 0 (QualityClassifier's feature clip;
-    * pass 0 for unclipped DSIR counts). */
-  def bucketCounts(text: String, nBuckets: Int, clip: Long): Array[Long] = {
+    * pass 0 for unclipped DSIR counts). `hexChars` is the md5-prefix
+    * width of the caller's hash convention (15 for the DSIR/quality
+    * family, 8 for q79's 32-bit-prefix buckets). */
+  def bucketCounts(text: String, nBuckets: Int, clip: Long,
+                   hexChars: Int = 15): Array[Long] = {
     val out = new Array[Long](nBuckets)
     val toks = ws.split(text, -1)
     var i = 0
     while (i < toks.length) {
-      out((PortableHash.md5LongOf(toks(i), 15) % nBuckets).toInt) += 1L
+      out((PortableHash.md5LongOf(toks(i), hexChars) % nBuckets).toInt) += 1L
       i += 1
     }
     if (clip > 0L) {

@@ -166,22 +166,22 @@ class KernelParitySpec extends AnyFunSuite {
     // the exact expression the DSIR/quality-classifier passes used
     // before the fusion (and the oracle still spells): one row per
     // token of split(text, wsClass), md5-prefix-15 % nBuckets, counted
-    for ((nB, clip) <- Seq((8, 31L), (128, 0L))) {
+    for ((nB, clip, hex) <- Seq((8, 31L, 15), (128, 0L, 15), (64, 0L, 8))) {
       val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
       val columnForm = df
         .select(col("id"), explode(TextFunctions.tokens(col("text"))).as("token"))
         .select(col("id"), expr(
-          s"cast(conv(substr(md5(cast(token as binary)), 1, 15), 16, 10) as bigint) % $nB")
+          s"cast(conv(substr(md5(cast(token as binary)), 1, $hex), 16, 10) as bigint) % $nB")
           .as("b"))
         .groupBy("id", "b").agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getInt(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
       texts.zipWithIndex.foreach { case (t, i) =>
-        val k = graft.functions.TokenBucketKernel.bucketCounts(t, nB, clip)
+        val k = graft.functions.TokenBucketKernel.bucketCounts(t, nB, clip, hex)
         (0 until nB).foreach { b =>
           val want = columnForm.getOrElse((i, b), 0L)
           val wantClipped = if (clip > 0) math.min(want, clip) else want
           assert(k(b) == wantClipped,
-            s"bucketCounts($nB, clip=$clip) diverged on text $i bucket $b: " +
+            s"bucketCounts($nB, clip=$clip, hex=$hex) diverged on text $i bucket $b: " +
               s"kernel ${k(b)} vs column $wantClipped")
         }
       }
