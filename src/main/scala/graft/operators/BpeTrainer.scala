@@ -142,10 +142,13 @@ object BpeTrainer {
       merges: Int,
       minCount: Long = 2L): (DataFrame, DataFrame) = {
     val spark = enc0.sparkSession
-    // eager per-round checkpoints (the GraphRank trade): live memory is
-    // bounded to one vocabulary table, and the winner lookup reads an
-    // already-materialized RDD instead of re-running the round's plan
-    var enc = enc0.ckptEager
+    // LAZY per-round checkpoints (r15): each round's winner collect is
+    // the round's first action, so it materializes the checkpoint as
+    // part of its own job — the eager form paid one extra scheduled job
+    // per merge round for nothing. Live memory and lineage depth are
+    // unchanged (each round still truncates at its boundary once
+    // materialized).
+    var enc = enc0.ckptLazy
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var k = 1
     var stop = false
@@ -160,7 +163,7 @@ object BpeTrainer {
         enc = enc
           .withColumn("enc", replace(col("enc"),
             lit(S + x + E + S + y + E), lit(S + x + y + E)))
-          .ckptEager
+          .ckptLazy
         k += 1
       }
     }

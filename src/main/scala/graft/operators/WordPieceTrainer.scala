@@ -139,6 +139,13 @@ object WordPieceTrainer {
         "can cross 2^63 and wrap silently in non-ANSI Spark, diverging " +
         "from the oracle — shard the vocabulary or pre-scale freq " +
         "before training")
+    // NB (r15): the BpeTrainer lazy-round change was TRIED here too and
+    // measured SLOWER (q160 1.19 → 1.49 s, q161 1.56 → 2.27 s same
+    // session) — unlike BPE's single-consumer rounds, the win plan
+    // reads enc through TWO aggregate subtrees (pairCounts +
+    // symbolCounts) plus a join, and folding the materialization into
+    // that fused job beats AQE's stage-by-stage view; rounds stay
+    // eager.
     var enc = vocab
       .select(encodeChars(col("word")).as("enc"), col("freq"))
       .ckptEager
