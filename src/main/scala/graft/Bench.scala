@@ -303,18 +303,25 @@ object Bench {
     val driftJson = bytesDrift.map { case (k, v) => jStr(k) + ":" + v }.mkString("{", ",", "}")
     val contention = s""","wall_sec":$sweepWall,"load_ratio":${math.round(loadRatio * 100) / 100.0},"median_env_ratio":${math.round(medianEnvRatio * 1000) / 1000.0},"noisy":$noisyJson,"shuffle_bytes":$sbytes,"exchanges":$exchs,"bytes_drift":$driftJson"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"errors":$errs$contention,"n_ok":${good.size},"n_err":$nErr,"runs":$runs,"sf":"$sfDir"$extras}"""
-    println(line)
-    // The full per-query line is ~2.5 KB and grows with every query; a
-    // harness that captures only a fixed-size stdout TAIL can truncate it
-    // mid-object (BENCH_r04.json: "parsed": null). Emit a second, compact
-    // summary line AFTER it so any tail window always ends with one
-    // complete parseable JSON object carrying the headline numbers.
+    // r15 verdict #3: the FULL line (medians + shuffle_bytes + exchanges
+    // for every query) outgrew the driver's fixed-size stdout tail and
+    // truncated mid-object (BENCH_r14 "parsed": null — the round lost all
+    // prev-vs-now comparisons). stdout now carries a SLIM line holding
+    // exactly the driver contract (metric/value/unit/queries/sf) plus the
+    // headline health fields (~9 KB at 244 queries, < 16 KB with
+    // headroom); ALL telemetry is still produced and lands in the sidecar
+    // file below, unchanged in shape.
+    val slim = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${good.size},"n_err":$nErr,"runs":$runs,"load_ratio":${math.round(loadRatio * 100) / 100.0},"median_env_ratio":${math.round(medianEnvRatio * 1000) / 1000.0},"n_noisy":${noisy.size},"n_bytes_drift":${bytesDrift.size},"sf":"$sfDir"}"""
+    println(slim)
+    // a second, even smaller summary line AFTER it so a tail window that
+    // still clips the slim line ends with one complete JSON object
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${good.size},"n_err":$nErr,"runs":$runs,"load_ratio":${math.round(loadRatio * 100) / 100.0},"median_env_ratio":${math.round(medianEnvRatio * 1000) / 1000.0},"n_noisy":${noisy.size},"n_bytes_drift":${bytesDrift.size},"sf":"$sfDir"}"""
     println(summary)
     // stdout of an sbt run is buried in [info] noise and tail-truncated
-    // by at least one harness — ALWAYS write both lines to a file
+    // by at least one harness — ALWAYS write the full telemetry to a file
     // (SPARK_GRAFT_OUT, defaulting to bench_last.json in the cwd) so the
-    // full per-query detail survives every sweep, failed queries included
+    // per-query medians/bytes/exchanges/noisy detail survives every
+    // sweep, failed queries included
     val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_last.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n" + summary + "\n")

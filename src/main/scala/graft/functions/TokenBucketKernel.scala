@@ -65,13 +65,21 @@ object TokenBucketKernel {
 
   /** Σ a(i)·b(i) — per-doc weight against a broadcast per-bucket ratio
     * vector (exact integer, same terms as the (doc,b)-grain `sum(c*r)`
-    * it replaces: absent buckets contribute c=0). */
+    * it replaces: absent buckets contribute c=0). Overflow-CHECKED
+    * (r15 ADVICE #3, mirroring WordPieceTrainer's 2^63 guard): with
+    * |b(i)| up to ~6e7 micro-scaled log-ratios the envelope holds for
+    * any realistic document, but non-ANSI Spark conventions elsewhere
+    * would make a silent wrap the failure mode — Math.multiplyExact /
+    * addExact turn it into a loud ArithmeticException instead. */
   def dot(a: Array[Long], b: Array[Long]): Long = {
     require(a.length == b.length,
       s"bucket-vector dot: mismatched lengths ${a.length} vs ${b.length}")
     var s = 0L
     var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    while (i < a.length) {
+      s = Math.addExact(s, Math.multiplyExact(a(i), b(i)))
+      i += 1
+    }
     s
   }
 }

@@ -285,8 +285,89 @@ object Dedup {
    * @param pairs undirected near-dup pairs (one row per pair)
    * @return (doc_id, cluster_id) for every document appearing in a pair
    */
-  def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
-    dupClustersWithRounds(pairs, aCol, bCol)._1
+  def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+                  maxDriverEdges: Long = MaxDriverEdges): DataFrame =
+    dupClustersSized(pairs, aCol, bCol, maxDriverEdges)
+
+  /** Driver union-find gate for [[dupClusters]] (r16 optimization round —
+    * the q78 `pageRankSized` discipline applied to connected components):
+    * ~4M edges of two longs collect to ~64 MB, and the min-label
+    * union-find is microseconds-per-edge, so below the gate the whole
+    * iterative propagate/jump loop (2 scheduled jobs per round, 2-4
+    * rounds at fixture scale) collapses to one distinct+count job and
+    * one collect over the same checkpointed blocks. */
+  val MaxDriverEdges: Long = 4194304L
+
+  /**
+   * Size-gated connected components: distinct forward edges are counted
+   * once (the count doubles as the lazy checkpoint's materialization —
+   * the r13 one-scan rule); at or under `maxDriverEdges` the component
+   * minimum is computed by a driver union-find over the collected edge
+   * list (index-compressed sorted ids; union attaches the larger root
+   * under the smaller, so every root IS its component's minimum id —
+   * exactly the distributed loop's fixpoint, bit-identical, no float
+   * anywhere); above the gate, or for non-LONG keys, the distributed
+   * min-label/pointer-jump loop runs verbatim on the already-distinct
+   * edges. DedupSizedSpec proves driver == distributed on path / star /
+   * multi-component fixtures and exercises the fallback.
+   */
+  def dupClustersSized(
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
+    val spark = pairs.sparkSession
+    val fwd = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val longKeys = fwd.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (!longKeys || maxDriverEdges <= 0L)
+      return dupClustersWithRounds(pairs, aCol, bCol)._1
+    val uniq = fwd.distinct()
+      .ckptLazy // consumers: gate count + (driver collect | distributed rounds)
+    val m = uniq.count() // materializes the checkpoint
+    if (m > maxDriverEdges)
+      return dupClustersWithRounds(uniq, "a", "b")._1
+    val rows = uniq.collect()
+    // index-compress: sorted distinct node ids — index order == id order,
+    // so the minimum root INDEX labels the component with its minimum id
+    val ids = new Array[Long](rows.length * 2)
+    var i = 0
+    while (i < rows.length) {
+      ids(2 * i) = rows(i).getLong(0); ids(2 * i + 1) = rows(i).getLong(1); i += 1
+    }
+    java.util.Arrays.sort(ids)
+    var n = 0
+    i = 0
+    while (i < ids.length) {
+      if (n == 0 || ids(n - 1) != ids(i)) { ids(n) = ids(i); n += 1 }
+      i += 1
+    }
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(ids, 0, n, v)
+    i = 0
+    while (i < rows.length) {
+      val ra = find(idx(rows(i).getLong(0)))
+      val rb = find(idx(rows(i).getLong(1)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      i += 1
+    }
+    val out = new Array[(Long, Long)](n)
+    i = 0
+    while (i < n) { out(i) = (ids(i), ids(find(i))); i += 1 }
+    import spark.implicits._
+    // RDD-backed, not a LocalRelation: consumer-side stats behaviour then
+    // matches the distributed path's checkpointed output (no silent
+    // multi-MB LocalTableScan broadcast into every consumer plan), and
+    // explicit-broadcast call sites (rtbfApply) keep their hints
+    spark.sparkContext.parallelize(out.toIndexedSeq,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism.toLong, n / 65536L + 1L)).toInt)
+      .toDF("doc_id", "cluster_id")
+  }
 
   /** [[dupClusters]] plus the number of propagation rounds it took —
     * the testable convergence bound. */

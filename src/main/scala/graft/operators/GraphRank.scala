@@ -136,6 +136,15 @@ object GraphRank {
    * thresholding per the repo rule). Above the gate: the distributed
    * path, unchanged. The one up-front distinct/count is the same scan
    * the distributed path pays.
+   *
+   * DTYPE NOTE (r15 ADVICE #1): this entry point casts src/dst to
+   * STRING on BOTH branches, so the returned `node` column is always
+   * StringType regardless of the input node type — unlike [[pageRank]],
+   * which preserves it. q78 (the one production caller) already keys on
+   * a string event_type; any future caller with non-string node ids
+   * that needs the input dtype preserved must use [[pageRank]] or cast
+   * the result back explicitly (a dtype-strict oracle WILL catch the
+   * difference).
    */
   def pageRankSized(
       edges: DataFrame,

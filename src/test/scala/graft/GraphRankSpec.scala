@@ -122,6 +122,13 @@ class GraphRankSpec extends AnyFunSuite {
       dense.foreach { case (v, r) =>
         assert(math.abs(r - dist(v)) < 1e-9,
           s"node $v (redistribute=$redis): dense $r vs distributed ${dist(v)}")
+        // r15 ADVICE #2: q78's oracle correctness rests on the round-6
+        // margin between accumulation orders — assert the ROUNDED values
+        // agree too, so a margin collapse surfaces here before the
+        // cross-engine gate ever sees it
+        assert(BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP) ==
+          BigDecimal(dist(v)).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+          s"node $v (redistribute=$redis): round-6 margin collapsed ($r vs ${dist(v)})")
       }
     }
     // fallback: a gate below the edge count must route to the

@@ -105,6 +105,64 @@ class NswGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("seen-pairs bookkeeping == full re-scoring recurrence (r16)") {
+    // past the vector-broadcast gate the build skips every pair ever
+    // scored instead of re-scoring non-graph candidates each round.
+    // Equality holds because per-node top-K is monotone — this spec
+    // pins it three ways: seen-pairs FORCED ON vs forced OFF vs the
+    // re-scoring recurrence run driver-side on the collected quantized
+    // vectors, all three the identical full row set.
+    val df = clustered()
+    val k = 4; val rounds = 3; val seeds = 4
+    def build(seen: Option[Boolean]): Set[(Long, Int, Long, Long)] =
+      NswGraph.nswBuildRounds(df, "vec_id", "embedding",
+          k = k, rounds = rounds, seeds = seeds, seenPairs = seen).last
+        .select(col("a"), col("rk").cast("int"), col("b"), col("d2"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val g = build(Some(true))
+    assert(g == build(Some(false)), "seen-pairs ON diverged from seen-pairs OFF")
+
+    val qv = df.select(col("vec_id"),
+        graft.operators.Similarity.quantized(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val n = qv.size.toLong
+    def d2(a: Long, b: Long): Long = {
+      val (x, y) = (qv(a), qv(b)); var s = 0L; var i = 0
+      while (i < x.length) { val d = x(i) - y(i); s += d * d; i += 1 }
+      s
+    }
+    def md5off(a: Long, j: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${a}_$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (a + 1 + java.lang.Long.parseLong(h, 16) % (n - 1)) % n
+    }
+    def topK(pairs: Set[(Long, Long)], prev: Map[(Long, Long), Long]): Map[(Long, Long), Long] = {
+      val scored = pairs.toSeq.map { case (a, b) => ((a, b), prev.getOrElse((a, b), d2(a, b))) }
+      scored.groupBy(_._1._1).flatMap { case (_, rs) =>
+        rs.sortBy { case ((_, b), dd) => (dd, b) }.take(k)
+      }
+    }
+    val init = (0L until n).flatMap(a => (1 to seeds).map(j => (a, md5off(a, j)))).toSet
+    var cur = topK(init, Map.empty)
+    for (_ <- 1 to rounds) {
+      val und = cur.keySet.flatMap { case (a, b) => Set((a, b), (b, a)) }
+      val byA = und.groupBy(_._1)
+      val twoHop = for {
+        (a, m) <- und; (_, b) <- byA.getOrElse(m, Set.empty); if b != a
+      } yield (a, b)
+      val cand = twoHop ++ und
+      // OLD recurrence: re-score every candidate not in the current graph
+      cur = topK(cand ++ cur.keySet, cur)
+    }
+    val expected = cur.toSeq.groupBy(_._1._1).flatMap { case (_, rs) =>
+      rs.sortBy { case ((_, b), dd) => (dd, b) }.zipWithIndex.map {
+        case (((a, b), dd), i) => (a, i + 1, b, dd)
+      }
+    }.toSet
+    assert(g == expected, "seen-pairs build diverged from the re-scoring recurrence")
+  }
+
   test("clustered data: refinement drives recall where local structure exists") {
     val df = clustered()
     val exact = exactTop(df, 4).localCheckpoint(false)
