@@ -2954,14 +2954,30 @@ object Queries {
         .select(col("doc_id"), col("text"))
         .ckptLazy // consumers: LSH pairs + two text joins
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
-      pairs.select(col("doc_a"), col("doc_b"))
+      // r16 scale fix (guide §4.4 duplication + §2.5 parallelism,
+      // measured on a 10x near-dup-rich fixture: 100.8 s -> see
+      // OPTIMIZATION_r16.md): (a) the levenshtein used to sit in a
+      // withColumn consumed by BOTH the pushed-down Filter and the
+      // output Project — the O(len·cap) kernel ran TWICE per pair;
+      // (b) AQE coalesces the byte-light pair shuffle to ~2 partitions,
+      // serializing the kernel regardless of cores. Now ONE explicitly
+      // spread projection computes dist exactly once behind a lazy
+      // checkpoint boundary (the only consumer is the final
+      // filter+project, which reads integers). Kept set and values are
+      // identical: ml IS greatest(length(ta), length(tb)).
+      val withDist = pairs.select(col("doc_a"), col("doc_b"))
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
-        .withColumn("dist", levenshtein(col("ta"), col("tb"), 256))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb"), 256).as("dist"),
+          greatest(length(col("ta")), length(col("tb"))).as("ml"))
+        .ckptLazy // single evaluation boundary for the kernel column
+      withDist
         .where(col("dist") >= 0 &&
-          expr("(dist * 1000000) div greatest(length(ta), length(tb))") <= 200000L)
+          expr("(dist * 1000000) div ml") <= 200000L)
         .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"),
-          (expr("cast((dist * 1000000) div greatest(length(ta), length(tb)) as bigint)")
+          (expr("cast((dist * 1000000) div ml as bigint)")
             .cast("double") / lit(1000000.0)).as("rel_dist"))
         .orderBy("doc_a", "doc_b")
     }),
@@ -6400,13 +6416,22 @@ object Queries {
       val fd = sh.groupBy("h").agg(min("doc_id").as("fd"))
       val fo = sh.join(fd, "h").where(col("doc_id") === col("fd"))
         .groupBy("h", "fd").agg(min("pos").as("fp"))
+      // r16 (§2.3 shuffle fewer bytes): only the span START positions
+      // cross the aggregation exchange — the k-wide expansion to covered
+      // positions and its dedup happen per-row AFTER the groupBy, so the
+      // exchange carries 1x the occurrence volume instead of kx plus a
+      // whole distinct exchange (at sf0.1: 6.4 MB -> 1.3 MB shuffled,
+      // 5 -> 4 exchanges; the removed exchange is corpus-token-sized at
+      // scale). `cov` is byte-identical: sorted distinct covered
+      // positions either way.
       val covered = sh.join(fo, "h")
         .where(col("doc_id") =!= col("fd") || col("pos") =!= col("fp"))
-        .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
-        .distinct()
+        .select(col("doc_id"), col("pos"))
       val covArr = covered.groupBy("doc_id")
-        .agg(sort_array(collect_list("cpos")).as("cov"))
+        .agg(sort_array(array_distinct(collect_list("pos"))).as("starts"))
+        .select(col("doc_id"), expr(
+          s"array_sort(array_distinct(flatten(transform(starts, s -> sequence(s, s + ${k - 1})))))")
+          .as("cov"))
       docs.join(covArr, Seq("doc_id"), "left")
         .select(col("doc_id"),
           size(col("t")).cast("long").as("n_tokens"),
