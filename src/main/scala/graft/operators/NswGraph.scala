@@ -144,8 +144,23 @@ object NswGraph {
     // !broadcastVectorCapFor (override via `seenPairs` for specs).
     val useSeen = seenPairs.getOrElse(!vectorsBroadcast)
 
+    // r16 (§2.5 parallelism): on the broadcast path the candidate-pair
+    // input reaches the kernel through AQE-coalesced exchanges — the
+    // pairs are ids-only (~16 B/row), so AQE collapses them to 1-2
+    // partitions and the d2 kernel runs nearly serial regardless of
+    // cores (measured: q171 3.0 -> 2.6 s at sf0.1 with the explicit
+    // spread; the 10x fixture reads 8-core/32-core ratio off the same
+    // fix). The explicit numbered repartition is not coalescible and
+    // the broadcast attach joins preserve it. On the shuffled-join path
+    // (vectors past the broadcast cap) the join re-exchanges by key
+    // anyway, so the spread would be a wasted shuffle — skipped.
+    val spread: DataFrame => DataFrame =
+      if (vectorsBroadcast)
+        _.repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+          col("a"), col("b"))
+      else identity
     def scored(cand: DataFrame): DataFrame =
-      cand
+      spread(cand)
         .join(hint(qv.select(col("vid").as("a"), col("q").as("qa"))), "a")
         .join(hint(qv.select(col("vid").as("b"), col("q").as("qb"))), "b")
         .select(col("a"), col("b"), d2Udf(col("qa"), col("qb")).as("d2"))
